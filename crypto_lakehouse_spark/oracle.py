@@ -1,0 +1,100 @@
+"""Local DuckDB differential harness.
+
+Mirrors the driver's t2 check: run a registered query's Spark plan and
+its DuckDB oracle over the same parquet, then compare row count,
+column names, and order-insensitive values. Used by tests/test_oracle.py
+and scripts/dev_check.py for fast iteration.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import duckdb
+from pyspark.sql import SparkSession
+
+from crypto_lakehouse_spark.io import TABLES
+from crypto_lakehouse_spark.queries.registry import Query
+
+# DuckDB's default regex engine / JSON are built in; views mirror the
+# driver's pre-registered bare-name views.
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE OR REPLACE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    return con
+
+
+def _canon(v):
+    """Canonicalize one value for order-insensitive comparison."""
+    if v is None:
+        return ("\x00null",)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return ("f", "nan")
+        return ("f", repr(v))
+    if isinstance(v, bool):
+        return ("b", v)
+    if isinstance(v, int):
+        return ("i", v)
+    if isinstance(v, (list, tuple)):
+        return ("l", tuple(_canon(x) for x in v))
+    return ("s", str(v))
+
+
+@dataclass
+class DiffResult:
+    name: str
+    ok: bool
+    detail: str
+
+    def __bool__(self) -> bool:
+        return self.ok
+
+
+def compare(q: Query, spark: SparkSession, sf_dir: str, con=None) -> DiffResult:
+    """Run query + oracle; compare. Rows-only when no oracle declared."""
+    sdf = q.spark_fn(spark, sf_dir)
+    srows = sdf.collect()
+    scols = sdf.columns
+    if q.oracle is None:
+        return DiffResult(q.name, True, f"rows-only: {len(srows)} rows")
+
+    own = con is None
+    if own:
+        con = duck_connection(sf_dir)
+    try:
+        ores = con.execute(q.oracle)
+        ocols = [d[0] for d in ores.description]
+        orows = ores.fetchall()
+    finally:
+        if own:
+            con.close()
+
+    if sorted(scols) != sorted(ocols):
+        return DiffResult(
+            q.name, False, f"schema mismatch: spark={sorted(scols)} oracle={sorted(ocols)}"
+        )
+    if len(srows) != len(orows):
+        return DiffResult(q.name, False, f"rowcount: spark={len(srows)} oracle={len(orows)}")
+
+    # Sort columns by name (driver does), then canonicalize + sort rows.
+    sidx = [scols.index(c) for c in sorted(scols)]
+    oidx = [ocols.index(c) for c in sorted(ocols)]
+    sset = sorted(tuple(_canon(r[i]) for i in sidx) for r in srows)
+    oset = sorted(tuple(_canon(r[i]) for i in oidx) for r in orows)
+    if sset == oset:
+        return DiffResult(q.name, True, f"match: {len(srows)} rows")
+    ndiff = sum(1 for a, b in zip(sset, oset) if a != b)
+    ex = next((a, b) for a, b in zip(sset, oset) if a != b)
+    return DiffResult(
+        q.name,
+        False,
+        f"value mismatch in {ndiff}/{len(sset)} sorted rows; first diff:\n"
+        f"  spark : {ex[0]}\n  oracle: {ex[1]}",
+    )

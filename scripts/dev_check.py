@@ -1,0 +1,42 @@
+"""Fast differential check loop: python scripts/dev_check.py [sf_dir] [names...]"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+from crypto_lakehouse_spark import queries as qmod
+from crypto_lakehouse_spark.oracle import compare, duck_connection
+from crypto_lakehouse_spark.queries.registry import REGISTRY
+from crypto_lakehouse_spark.session import get_spark_session
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    qmod.load_all()
+    names = sys.argv[2:] or list(REGISTRY)
+    spark = get_spark_session("dev-check")
+    con = duck_connection(sf_dir)
+    failed = []
+    for name in names:
+        t0 = time.time()
+        try:
+            res = compare(REGISTRY[name], spark, sf_dir, con)
+        except Exception as e:  # noqa: BLE001
+            failed.append(name)
+            print(f"ERROR {name}: {type(e).__name__}: {e}")
+            continue
+        status = "PASS" if res.ok else "FAIL"
+        print(f"{status} {name} ({time.time() - t0:.1f}s) {res.detail}")
+        if not res.ok:
+            failed.append(name)
+    print(f"\n{len(names) - len(failed)}/{len(names)} passed")
+    if failed:
+        print("failed:", " ".join(failed))
+    return 1 if failed else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
