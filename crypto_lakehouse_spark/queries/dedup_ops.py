@@ -1,1 +1,265 @@
-"""(populated incrementally)"""
+"""Deduplication operators over `documents` — exact, MinHash+LSH,
+SimHash, n-gram Jaccard. The scale-critical pieces of a training-data
+pipeline (SURVEY §7 step 8 / BASELINE.json north star).
+
+Architecture (100 TB framing):
+- exact dedup: hash -> groupBy(hash) -> keep min id. One shuffle on the
+  content hash; combiner-side partial aggregation.
+- MinHash+LSH: shingle -> k hash mins per doc (one shuffle on
+  (doc,hash_id)) -> band keys -> self-join on band key (shuffle on
+  band). Candidate pairs are verified with exact Jaccard. No all-pairs
+  product ever materializes; cost is O(docs x shingles) + O(collisions).
+- SimHash: per-doc fingerprint via bit-vote aggregation; near-dup
+  lookup is a bucket join on fingerprint prefix (not materialized
+  here).
+- brute-force n-gram Jaccard via shared-shingle inverted index: the
+  exact baseline. Scales with shingle-frequency skew, which is why the
+  LSH variant is the scale path; hot shingles would need a frequency
+  cap (documented, not needed at test scale).
+
+All hashing is md5-based so the DuckDB oracle computes identical
+values; MinHash "functions" are md5(i || ':' || shingle) for
+i in 0..7, min taken lexicographically over the hex strings (a valid
+uniform min-hash family for our purposes).
+
+Synthetic duplicates for the exact-dedup operator: every doc with
+doc_id % 10 == 0 is re-emitted as doc_id + 1_000_000 with identical
+text (same derivation in both engines), mirroring the trades-dup
+pattern (operators/trades.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ["documents"])
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- exact dedup ----------------------------------------------------------
+_DUP_UNION_SPARK = """
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents
+    WHERE doc_id % 10 = 0
+"""
+
+_pair(
+    "doc_exact_dedup",
+    f"""
+SELECT content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       array_join(array_sort(collect_list(CAST(doc_id AS STRING))), ',')
+           AS member_ids
+FROM (
+    SELECT doc_id, md5(text) AS content_hash FROM ({_DUP_UNION_SPARK})
+)
+GROUP BY content_hash
+HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+""",
+    f"""
+SELECT content_hash,
+       MIN(doc_id) AS keeper_doc_id,
+       COUNT(*) AS n_copies,
+       string_agg(CAST(doc_id AS STRING), ',' ORDER BY CAST(doc_id AS STRING))
+           AS member_ids
+FROM (
+    SELECT doc_id, md5(text) AS content_hash FROM ({_DUP_UNION_SPARK})
+)
+GROUP BY content_hash
+HAVING COUNT(*) > 1
+ORDER BY keeper_doc_id
+""",
+    tags=("dedup", "exact"),
+)
+
+# --- shingles + minhash ---------------------------------------------------
+# 3-word shingles; 8 md5-derived min-hashes; 2 LSH bands of 4.
+_SH_SPARK = """
+shingles AS (
+    SELECT doc_id, explode(array_distinct(transform(
+               sequence(1, size(ws) - 2),
+               i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                              element_at(ws, i + 2))))) AS s
+    FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+    WHERE size(ws) >= 3
+)
+"""
+
+_SH_DUCK = """
+shingles AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE len(ws) >= 3
+)
+"""
+
+_MINHASH_CORE = """
+minhash AS (
+    SELECT doc_id, i, MIN(md5(CAST(i AS STRING) || ':' || s)) AS mh
+    FROM shingles
+    CROSS JOIN ({hashes}) h
+    GROUP BY doc_id, i
+)
+"""
+_HASHES_SPARK = "SELECT explode(sequence(0, 7)) AS i"
+_HASHES_DUCK = "SELECT unnest(range(0, 8)) AS i"
+
+_pair(
+    "minhash_signatures",
+    "WITH "
+    + _SH_SPARK
+    + ","
+    + _MINHASH_CORE.format(hashes=_HASHES_SPARK)
+    + """
+SELECT doc_id,
+       array_join(array_sort(collect_list(
+           CAST(i AS STRING) || ':' || mh)), '|') AS signature
+FROM minhash
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    "WITH "
+    + _SH_DUCK
+    + ","
+    + _MINHASH_CORE.format(hashes=_HASHES_DUCK)
+    + """
+SELECT doc_id,
+       string_agg(CAST(i AS STRING) || ':' || mh, '|'
+                  ORDER BY CAST(i AS STRING) || ':' || mh) AS signature
+FROM minhash
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+    tags=("dedup", "minhash"),
+)
+
+# --- LSH candidate pairs + exact-Jaccard verification ---------------------
+_LSH_TAIL = """
+bands AS (
+    SELECT doc_id, CAST(i / 4 AS INT) AS band, {bandkey} AS band_key
+    FROM minhash
+    GROUP BY doc_id, CAST(i / 4 AS INT)
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM candidates c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+    GROUP BY c.doc_a, c.doc_b
+)
+SELECT v.doc_a, v.doc_b,
+       CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter) AS jaccard
+FROM verified v
+JOIN sizes za ON za.doc_id = v.doc_a
+JOIN sizes zb ON zb.doc_id = v.doc_b
+WHERE CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter) >= 0.5
+ORDER BY v.doc_a, v.doc_b
+"""
+
+_BANDKEY_SPARK = "array_join(array_sort(collect_list(CAST(i AS STRING) || ':' || mh)), '|')"
+_BANDKEY_DUCK = (
+    "string_agg(CAST(i AS STRING) || ':' || mh, '|' "
+    "ORDER BY CAST(i AS STRING) || ':' || mh)"
+)
+
+_pair(
+    "minhash_lsh_dedup",
+    "WITH "
+    + _SH_SPARK
+    + ","
+    + _MINHASH_CORE.format(hashes=_HASHES_SPARK)
+    + ","
+    + _LSH_TAIL.format(bandkey=_BANDKEY_SPARK),
+    "WITH "
+    + _SH_DUCK
+    + ","
+    + _MINHASH_CORE.format(hashes=_HASHES_DUCK)
+    + ","
+    + _LSH_TAIL.format(bandkey=_BANDKEY_DUCK),
+    tags=("dedup", "minhash", "lsh"),
+)
+
+# --- exact n-gram Jaccard via shared-shingle inverted index ---------------
+_JACCARD_TAIL = """
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) AS jaccard
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
+ORDER BY p.doc_a, p.doc_b
+"""
+
+_pair(
+    "ngram_jaccard_dedup",
+    "WITH " + _SH_SPARK + "," + _JACCARD_TAIL,
+    "WITH " + _SH_DUCK + "," + _JACCARD_TAIL,
+    tags=("dedup", "jaccard"),
+)
+
+# --- SimHash fingerprints -------------------------------------------------
+# 16-bit simhash: bit b votes +1/-1 by the high bit of hex digit b+1 of
+# md5(token); fingerprint bit = (vote sum >= 0).
+_SIMHASH = """
+SELECT doc_id,
+       {agg} AS simhash
+FROM (
+    SELECT doc_id, b,
+           CASE WHEN SUM(CASE WHEN substr(md5(t), b + 1, 1)
+                                   IN ('8','9','a','b','c','d','e','f')
+                              THEN 1 ELSE -1 END) >= 0
+                THEN '1' ELSE '0' END AS bit,
+           lpad(CAST(b AS STRING), 2, '0') AS bk
+    FROM (SELECT DISTINCT doc_id, {tok} AS t
+          FROM (SELECT doc_id, {split}(text, ' ') AS ws FROM documents))
+    CROSS JOIN ({bits}) bb
+    GROUP BY doc_id, b
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_pair(
+    "simhash_fingerprints",
+    _SIMHASH.format(
+        agg="array_join(array_sort(collect_list(bk || ':' || bit)), '')",
+        tok="explode(ws)",
+        split="split",
+        bits="SELECT explode(sequence(0, 15)) AS b",
+    ),
+    _SIMHASH.format(
+        agg="string_agg(bk || ':' || bit, '' ORDER BY bk || ':' || bit)",
+        tok="unnest(ws)",
+        split="string_split",
+        bits="SELECT unnest(range(0, 16)) AS b",
+    ),
+    tags=("dedup", "simhash"),
+)

@@ -1,1 +1,184 @@
-"""(populated incrementally)"""
+"""Text-analysis operators over the `documents` table — the
+LLM-training-data pipeline surface (BASELINE.json north star):
+token counting, quality scoring, language-ID heuristic, document
+normalization. All run as JVM-side built-ins (split/regexp/lambda
+higher-order functions) — no Python UDFs in the hot path, so
+whole-stage codegen applies and the same plan scales to billions of
+documents (narrow per-row transforms, aggregation only where stated).
+
+Each query has a Spark-dialect and a DuckDB-dialect SQL string with
+identical semantics (split/size/transform vs string_split/len/
+list_transform).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+# Stopword lists for the language-ID heuristic (deterministic tiny
+# lists; the operator contract is argmax-with-preference-order, not
+# linguistic accuracy).
+_STOP = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "es": ("el", "los", "las", "y", "es", "una"),
+    "fr": ("le", "les", "et", "est", "une", "des"),
+}
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ["documents"])
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+def _inlist(words: tuple[str, ...]) -> str:
+    return ", ".join(f"'{w}'" for w in words)
+
+
+# --- token counting (whitespace + BPE-ish regex) --------------------------
+_TOKEN_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+_pair(
+    "doc_token_stats",
+    f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(size(split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(size(regexp_extract_all(text, '{_TOKEN_RE}', 0)) AS BIGINT)
+           AS re_tokens,
+       CAST(size(array_distinct(split(text, ' '))) AS BIGINT)
+           AS distinct_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS BIGINT)
+           AS re_tokens,
+       CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+           AS distinct_tokens
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "tokenize"),
+)
+
+# --- quality scoring ------------------------------------------------------
+# score = weighted mix of length, lexical diversity, stopword density —
+# the standard cheap pre-filters of a training-data pipeline.
+_EN = _inlist(_STOP["en"])
+
+_pair(
+    "doc_quality_score",
+    f"""
+SELECT doc_id,
+       lang,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tok AS diversity,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(LEAST(n_tok, 200) AS DOUBLE) / 200 * 0.3
+         + CAST(n_distinct AS DOUBLE) / n_tok * 0.4
+         + CAST(n_stop AS DOUBLE) / n_tok * 0.3 AS quality_score
+FROM (
+    SELECT doc_id, lang,
+           size(split(text, ' ')) AS n_tok,
+           size(array_distinct(split(text, ' '))) AS n_distinct,
+           size(filter(split(text, ' '), t -> t IN ({_EN}))) AS n_stop
+    FROM documents
+)
+ORDER BY doc_id
+""",
+    f"""
+SELECT doc_id,
+       lang,
+       CAST(n_tok AS BIGINT) AS n_tokens,
+       CAST(n_distinct AS DOUBLE) / n_tok AS diversity,
+       CAST(n_stop AS DOUBLE) / n_tok AS stopword_ratio,
+       CAST(LEAST(n_tok, 200) AS DOUBLE) / 200 * 0.3
+         + CAST(n_distinct AS DOUBLE) / n_tok * 0.4
+         + CAST(n_stop AS DOUBLE) / n_tok * 0.3 AS quality_score
+FROM (
+    SELECT doc_id, lang,
+           len(string_split(text, ' ')) AS n_tok,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct,
+           len(list_filter(string_split(text, ' '),
+                           t -> t IN ({_EN}))) AS n_stop
+    FROM documents
+)
+ORDER BY doc_id
+""",
+    tags=("text", "quality"),
+)
+
+# --- language-ID heuristic ------------------------------------------------
+# n-gram/stopword-hit scoring with deterministic preference order on
+# ties (en > de > es > fr > und).
+
+
+def _langid_sql(size_fn: str, split_fn: str, filter_fn: str) -> str:
+    scores = ",\n           ".join(
+        f"{size_fn}({filter_fn}({split_fn}(text, ' '), "
+        f"t -> t IN ({_inlist(ws)}))) AS s_{lang}"
+        for lang, ws in _STOP.items()
+    )
+    return f"""
+SELECT doc_id,
+       lang AS labeled_lang,
+       CAST(s_en AS BIGINT) AS s_en,
+       CAST(s_de AS BIGINT) AS s_de,
+       CAST(s_es AS BIGINT) AS s_es,
+       CAST(s_fr AS BIGINT) AS s_fr,
+       CASE
+         WHEN s_en = 0 AND s_de = 0 AND s_es = 0 AND s_fr = 0 THEN 'und'
+         WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+         WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+         WHEN s_es >= s_fr THEN 'es'
+         ELSE 'fr'
+       END AS predicted_lang
+FROM (
+    SELECT doc_id, lang,
+           {scores}
+    FROM documents
+)
+ORDER BY doc_id
+"""
+
+
+_pair(
+    "doc_langid",
+    _langid_sql("size", "split", "filter"),
+    _langid_sql("len", "string_split", "list_filter"),
+    tags=("text", "langid"),
+)
+
+# --- normalization + exact dedup feed -------------------------------------
+_pair(
+    "doc_normalize",
+    """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '[^a-z0-9 ]', ' '))) AS content_hash,
+       CAST(LENGTH(trim(text)) AS BIGINT) AS trimmed_len,
+       substr(text, 1, 40) AS preview
+FROM documents
+ORDER BY doc_id
+""",
+    """
+SELECT doc_id,
+       md5(lower(regexp_replace(text, '[^a-z0-9 ]', ' ', 'g')))
+           AS content_hash,
+       CAST(LENGTH(trim(text)) AS BIGINT) AS trimmed_len,
+       substr(text, 1, 40) AS preview
+FROM documents
+ORDER BY doc_id
+""",
+    tags=("text", "normalize"),
+)
