@@ -32,6 +32,10 @@ def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> No
         return spark.sql(spark_sql)
 
     fn.__name__ = name
+    fn.__doc__ = (
+        "Paired-dialect SQL (semantics documented in the module "
+        f"docstring). Spark SQL:\n{spark_sql}"
+    )
     query(name, oracle=duck_sql, tags=tags)(fn)
 
 

@@ -1,0 +1,60 @@
+"""LakehouseTable semantics: MERGE upsert, dynamic partition
+overwrite isolation, duplicate-source rejection (SURVEY §2.8.6),
+compaction."""
+
+from __future__ import annotations
+
+import glob
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.tables import LakehouseTable
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k BIGINT, v STRING, p STRING")
+
+
+def test_merge_insert_update(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"])
+    t.merge(_df(spark, [(2, "B", "y"), (3, "c", "y")]), ["k"])
+    got = {(r.k, r.v, r.p) for r in t.read().collect()}
+    assert got == {(1, "a", "x"), (2, "B", "y"), (3, "c", "y")}
+
+
+def test_merge_rejects_duplicate_source_keys(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    with pytest.raises(ValueError, match="not unique"):
+        t.merge(_df(spark, [(1, "a", "x"), (1, "b", "x")]), ["k"])
+
+
+def test_merge_touches_only_affected_partitions(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"])
+    before = set(glob.glob(str(tmp_path / "t" / "p=x" / "*.parquet")))
+    t.merge(_df(spark, [(2, "B", "y")]), ["k"])
+    after = set(glob.glob(str(tmp_path / "t" / "p=x" / "*.parquet")))
+    assert before == after, "untouched partition files must not be rewritten"
+    got = {(r.k, r.v) for r in t.read().filter(F.col("p") == "y").collect()}
+    assert got == {(2, "B")}
+
+
+def test_compact_reduces_files(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    for i in range(4):
+        t.append(_df(spark, [(i, "v", "x")]))
+    assert len(glob.glob(str(tmp_path / "t" / "p=x" / "*.parquet"))) >= 4
+    t.compact()
+    assert len(glob.glob(str(tmp_path / "t" / "p=x" / "*.parquet"))) == 1
+    assert t.read().count() == 4
+
+
+def test_unpartitioned_merge_swap(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "u"))
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING")
+    t.merge(df, ["k"])
+    t.merge(spark.createDataFrame([(2, "B")], "k BIGINT, v STRING"), ["k"])
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "B")}
+    assert t.vacuum_staging() == 0  # swap cleaned up after itself
