@@ -1,0 +1,67 @@
+"""Benchmark harness: times the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+Each query is executed to completion through a `noop` sink (full plan
+execution, no driver collect overhead). Timing = best of `RUNS` runs
+after one JVM/session warm-up query, so JIT and code-gen compilation
+don't pollute per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from crypto_lakehouse_spark import queries as qmod
+from crypto_lakehouse_spark.queries.registry import REGISTRY
+from crypto_lakehouse_spark.session import get_spark_session
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def _execute(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    qmod.load_all()
+    spark = get_spark_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n, q in sorted(REGISTRY.items()) if q.bench]
+    # Warm up the session (parquet reader paths, codegen, shuffle infra).
+    _execute(REGISTRY[names[0]].spark_fn(spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in names:
+        best = float("inf")
+        for _ in range(RUNS):
+            t0 = time.perf_counter()
+            _execute(REGISTRY[name].spark_fn(spark, sf_dir))
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
