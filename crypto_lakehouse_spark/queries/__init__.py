@@ -14,3 +14,5 @@ def load_all() -> None:
     import crypto_lakehouse_spark.queries.dedup_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.similarity_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.streaming_ops  # noqa: F401
+    import crypto_lakehouse_spark.queries.events_ops  # noqa: F401
+    import crypto_lakehouse_spark.queries.multimodal_ops  # noqa: F401

@@ -1,0 +1,72 @@
+"""Multimodal plumbing queries. `multimodal_features` carries a full
+oracle: the synthetic blob is md5-derived, and DuckDB can reproduce
+the byte statistics from the hex digits — so even the Pandas-UDF path
+is hash-checked, not just rows-only."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.io import load_table
+from crypto_lakehouse_spark.operators.multimodal import attach_blobs, extract_features
+from crypto_lakehouse_spark.queries.registry import query
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id,
+           n_chars,
+           md5(text) AS h,
+           CAST(n_chars // 16 AS INTEGER) + 1 AS reps
+    FROM documents
+),
+bytes_per_doc AS (
+    SELECT doc_id, reps,
+           list_transform(range(0, 16),
+               i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER))
+               AS bs
+    FROM hexes
+)
+SELECT doc_id,
+       'image/fake' AS media_type,
+       CAST(16 * reps AS BIGINT) AS n_bytes,
+       CAST(list_sum(bs) * reps AS DOUBLE) / (16 * reps) AS mean_byte,
+       CAST(list_max(bs) AS INTEGER) AS max_byte,
+       CAST(len(list_filter(bs, b -> b // 64 = 0)) * reps AS STRING) || ','
+         || CAST(len(list_filter(bs, b -> b // 64 = 1)) * reps AS STRING) || ','
+         || CAST(len(list_filter(bs, b -> b // 64 = 2)) * reps AS STRING) || ','
+         || CAST(len(list_filter(bs, b -> b // 64 = 3)) * reps AS STRING)
+           AS byte_hist
+FROM bytes_per_doc
+ORDER BY doc_id
+""",
+    tags=("multimodal", "pandas-udf"),
+    bench=False,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column feature extraction through the Arrow/mapInPandas
+    path (operators/multimodal.py) — byte stats over deterministic
+    synthetic blobs, oracle-reproduced from md5 hex in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_features(attach_blobs(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=None,  # binary frame rows: rows-only check (frame bytes are
+    # not SQL-reproducible cheaply; covered by pytest determinism test)
+    tags=("multimodal", "pandas-udf"),
+    bench=False,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plumbing: one blob row -> many frame rows via
+    mapInPandas (video path shape)."""
+    from crypto_lakehouse_spark.operators.multimodal import frame_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return frame_sample(attach_blobs(docs)).select(
+        "doc_id", "frame_no", F.length("frame").alias("frame_bytes")
+    )

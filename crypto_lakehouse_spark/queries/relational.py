@@ -405,3 +405,64 @@ GROUP BY o_custkey
 ORDER BY o_custkey
 """,
 )
+
+# --- pivot (CASE-based, engine-portable) ----------------------------------
+_common_sql(
+    "pivot_revenue_by_status",
+    f"""
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN l_linestatus = 'O' THEN {_EXT} ELSE CAST(0 AS DECIMAL(12,2)) END)
+            AS DOUBLE) AS rev_open,
+       CAST(SUM(CASE WHEN l_linestatus = 'F' THEN {_EXT} ELSE CAST(0 AS DECIMAL(12,2)) END)
+            AS DOUBLE) AS rev_filled,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+    tags=("relational", "pivot"),
+)
+
+# --- RANGE frame over time (interval-bounded window) ----------------------
+_common_sql(
+    "range_frame_trailing_30d",
+    f"""
+SELECT o_custkey,
+       o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS STRING) AS orderdate,
+       CAST(SUM({_TOT}) OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_orderdate
+           RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_30d_total
+FROM orders
+ORDER BY o_custkey, o_orderkey
+""",
+    tags=("relational", "window", "range-frame"),
+)
+
+# --- percentiles (exact, interpolated) ------------------------------------
+_common_sql(
+    "price_percentiles_by_status",
+    """
+SELECT o_orderstatus,
+       ROUND(percentile(o_totalprice, 0.25), 4) AS p25,
+       ROUND(percentile(o_totalprice, 0.5), 4) AS p50,
+       ROUND(percentile(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("relational", "percentile"),
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)

@@ -1,0 +1,117 @@
+"""Operator-level tests: as-of tolerance, stateful streaming
+sessionization vs batch, multimodal determinism, sketch error bound."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.io import load_table
+from crypto_lakehouse_spark.operators.asof import asof_join
+from crypto_lakehouse_spark.operators.multimodal import attach_blobs, extract_features, frame_sample
+from crypto_lakehouse_spark.operators.sessionize import sessionize
+from crypto_lakehouse_spark.streaming.stateful_sessions import run_stateful_sessionization
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_asof_tolerance_nulls_out_stale_values(spark):
+    left = spark.createDataFrame(
+        [(1, 100, "l1"), (1, 200, "l2")], "k BIGINT, t BIGINT, who STRING"
+    ).withColumn("t", F.timestamp_seconds("t"))
+    right = spark.createDataFrame(
+        [(1, 95, 10.0)], "k BIGINT, rt BIGINT, v DOUBLE"
+    ).withColumn("rt", F.timestamp_seconds("rt"))
+    out = asof_join(
+        left, right, on="k", left_time="t", right_time="rt",
+        value_cols=["v"], tolerance=F.expr("INTERVAL 30 SECONDS"),
+    )
+    rows = {r.who: r.asof_v for r in out.collect()}
+    assert rows["l1"] == 10.0  # 5s stale: within tolerance
+    assert rows["l2"] is None  # 105s stale: nulled out
+
+
+def test_asof_equal_timestamp_is_inclusive(spark):
+    left = spark.createDataFrame([(1, 100)], "k BIGINT, t BIGINT").withColumn(
+        "t", F.timestamp_seconds("t")
+    )
+    right = spark.createDataFrame([(1, 100, 7.0)], "k BIGINT, rt BIGINT, v DOUBLE").withColumn(
+        "rt", F.timestamp_seconds("rt")
+    )
+    out = asof_join(left, right, on="k", left_time="t", right_time="rt", value_cols=["v"])
+    assert out.first().asof_v == 7.0
+
+
+def test_stateful_sessionization_matches_batch(spark):
+    """Closed sessions from the multi-batch stateful operator must
+    equal the batch operator's sessions minus each user's final (still
+    open) session."""
+    streamed = run_stateful_sessionization(spark, SF, gap_minutes=30, n_chunks=4)
+    got = {
+        (r.user_id, r.session_seq, r.session_start_us, r.session_end_us, r.n_events): round(
+            r.value_sum, 6
+        )
+        for r in streamed.collect()
+    }
+    assert got, "no closed sessions emitted"
+
+    ev = load_table(spark, SF, "events")
+    batch = (
+        sessionize(ev, 30)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.unix_micros("ts")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("e"),
+            F.count("*").alias("n"),
+            F.sum("value").alias("v"),
+        )
+    )
+    last = batch.groupBy("user_id").agg(F.max("session_seq").alias("last_seq"))
+    closed_batch = batch.join(last, "user_id").filter(F.col("session_seq") < F.col("last_seq"))
+    want = {
+        (r.user_id, r.session_seq, r.s, r.e, r.n): round(r.v, 6)
+        for r in closed_batch.collect()
+    }
+    assert got == want
+
+
+def test_multimodal_features_deterministic(spark):
+    docs = load_table(spark, SF, "documents").limit(50)
+    a = extract_features(attach_blobs(docs)).orderBy("doc_id").collect()
+    b = extract_features(attach_blobs(docs)).orderBy("doc_id").collect()
+    assert a == b
+    assert all(r.n_bytes % 16 == 0 for r in a)  # md5 pattern multiple
+
+
+def test_frame_sample_reassembles(spark):
+    docs = load_table(spark, SF, "documents").limit(5)
+    blobs = attach_blobs(docs)
+    frames = frame_sample(blobs, every_n_bytes=16)
+    sizes = (
+        frames.groupBy("doc_id").agg(F.sum(F.length("frame")).alias("total")).collect()
+    )
+    orig = {r.doc_id: len(bytes(r.blob)) for r in blobs.collect()}
+    assert {r.doc_id: r.total for r in sizes} == orig
+
+
+def test_decode_image_stub_raises():
+    import pytest as _pytest
+
+    from crypto_lakehouse_spark.operators import multimodal
+
+    if not multimodal._HAS_PIL:
+        with _pytest.raises(NotImplementedError):
+            multimodal.decode_image(b"xx")
+
+
+def test_approx_distinct_within_error(spark):
+    ev = load_table(spark, SF, "events")
+    rows = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    for r in rows:
+        assert abs(r.approx - r.exact) <= max(2, 0.1 * r.exact)
