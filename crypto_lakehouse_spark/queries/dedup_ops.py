@@ -111,23 +111,44 @@ shingles AS (
 )
 """
 
-_MINHASH_CORE = """
-minhash AS (
-    SELECT doc_id, i, MIN(md5(CAST(i AS STRING) || ':' || s)) AS mh
+# One pass, no row multiplication: the 8 hash functions are 8 columns
+# of a single groupBy(doc_id) — at 100 TB this is 1/8th the shuffle of
+# the explode-by-hash-id shape, with identical semantics. The `i`-row
+# form is recovered by unpivoting the 8 min columns.
+_K = 8
+_MINS = ",\n           ".join(
+    f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(_K)
+)
+_MINHASH_WIDE = f"""
+minhash_wide AS (
+    SELECT doc_id,
+           {_MINS}
     FROM shingles
-    CROSS JOIN ({hashes}) h
-    GROUP BY doc_id, i
+    GROUP BY doc_id
 )
 """
-_HASHES_SPARK = "SELECT explode(sequence(0, 7)) AS i"
-_HASHES_DUCK = "SELECT unnest(range(0, 8)) AS i"
+_UNPIVOT_SPARK = (
+    "minhash AS (SELECT doc_id, posexploded.pos AS i, posexploded.col AS mh "
+    "FROM minhash_wide "
+    "LATERAL VIEW posexplode(array("
+    + ", ".join(f"mh{i}" for i in range(_K))
+    + ")) posexploded AS pos, col)"
+)
+_UNPIVOT_DUCK = (
+    "minhash AS (SELECT doc_id, i, ["
+    + ", ".join(f"mh{i}" for i in range(_K))
+    + "][i + 1] AS mh FROM minhash_wide, range(0, 8) t(i))"
+)
+
+_MINHASH_SPARK = _MINHASH_WIDE + "," + _UNPIVOT_SPARK
+_MINHASH_DUCK = _MINHASH_WIDE + "," + _UNPIVOT_DUCK
 
 _pair(
     "minhash_signatures",
     "WITH "
     + _SH_SPARK
     + ","
-    + _MINHASH_CORE.format(hashes=_HASHES_SPARK)
+    + _MINHASH_SPARK
     + """
 SELECT doc_id,
        array_join(array_sort(collect_list(
@@ -139,7 +160,7 @@ ORDER BY doc_id
     "WITH "
     + _SH_DUCK
     + ","
-    + _MINHASH_CORE.format(hashes=_HASHES_DUCK)
+    + _MINHASH_DUCK
     + """
 SELECT doc_id,
        string_agg(CAST(i AS STRING) || ':' || mh, '|'
@@ -192,13 +213,13 @@ _pair(
     "WITH "
     + _SH_SPARK
     + ","
-    + _MINHASH_CORE.format(hashes=_HASHES_SPARK)
+    + _MINHASH_SPARK
     + ","
     + _LSH_TAIL.format(bandkey=_BANDKEY_SPARK),
     "WITH "
     + _SH_DUCK
     + ","
-    + _MINHASH_CORE.format(hashes=_HASHES_DUCK)
+    + _MINHASH_DUCK
     + ","
     + _LSH_TAIL.format(bandkey=_BANDKEY_DUCK),
     tags=("dedup", "minhash", "lsh"),
