@@ -10,6 +10,7 @@ def load_all() -> None:
     """Import all query modules so their @query decorators register."""
     import crypto_lakehouse_spark.queries.reference_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.relational  # noqa: F401
+    import crypto_lakehouse_spark.queries.tpch_ext  # noqa: F401
     import crypto_lakehouse_spark.queries.text_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.dedup_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.similarity_ops  # noqa: F401
