@@ -1,0 +1,355 @@
+"""Training-data-pipeline operators, batch 2: document fingerprinting
+(winnowing), IVF-style ANN, embedding-cosine near-dup, and event-stream
+funnel / retention analytics.
+
+Scale notes (the 100 TB framing):
+- `doc_fingerprint_winnow`: grams and window-minima are computed
+  per-document (window partitioned by doc_id), so the whole operator is
+  one shuffle on doc_id; fingerprints-per-doc is bounded by the
+  winnowing guarantee (one per sliding window position, dedup'd), not
+  by document length.
+- `embedding_ivf_topk`: the IVF pattern — a tiny centroid table
+  (|labels| rows, broadcast) prunes the corpus scan to `nprobe=2`
+  inverted lists before any exact scoring. The probe assignment is a
+  broadcast nested loop over |Q| x |centroids|; the exact search
+  shuffles only the probed lists. The label column serves as the
+  trained coarse quantizer (public IVF formulation, e.g. FAISS docs).
+- `embedding_near_dup`: candidates come from an 8-hyperplane LSH
+  bucket equi-join (same signature construction as
+  `embedding_lsh_buckets`), then exact cosine verification — never an
+  all-pairs product. Synthetic dups are injected in-query (the driver
+  corpus has none: max observed off-diagonal cosine is 0.44): an exact
+  copy of every 20th vector and a first-element +0.5 perturbation of
+  every 40th. The perturbation is a single f32 addition, bit-identical
+  across engines (both operands exactly representable; one rounding).
+- `event_funnel` / `weekly_retention`: chained MIN-timestamp
+  aggregations and a cohort triangle — each one shuffle on user_id;
+  cohort/activity week via date_trunc('week', ...) (Monday-start in
+  both engines).
+
+Determinism: dot products are sequential left folds on doubles
+(bit-identical in both engines); centroid means are rounded to 6
+decimals before use; cosines rounded to 9; every ORDER BY carries a
+unique tie-break.
+
+DuckDB-oracle caveat: DuckDB's `range()` cannot be laterally
+correlated, so the oracle enumerates gram positions with a fixed
+1..128 cross join filtered by document length (driver documents are
+<= 100 tokens; the Spark side uses a proper per-row `sequence`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tables: list[str],
+    tags: tuple[str, ...],
+) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Paired-dialect SQL (semantics documented in the module "
+        f"docstring). Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- document fingerprinting: winnowing over 4-gram rolling hashes ---------
+# Gram hash h_i = md5(4 consecutive tokens); fingerprint set = distinct
+# minima of each 4-wide sliding window of gram hashes (the winnowing
+# scheme of Schleimer/Wilkerson/Aiken, SIGMOD'03).
+_WINNOW_TAIL = """
+wins AS (
+    SELECT doc_id, i, g,
+           MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+    FROM grams
+)
+SELECT doc_id,
+       COUNT(DISTINCT wmin) AS n_fingerprints,
+       {agg} AS fingerprint
+FROM wins
+WHERE i <= g - 3
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+
+_pair(
+    "doc_fingerprint_winnow",
+    """
+WITH grams AS (
+    SELECT doc_id, i, size(ws) - 3 AS g,
+           md5(concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                         element_at(ws, i + 2), element_at(ws, i + 3))) AS h
+    FROM (SELECT doc_id, ws
+          FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+          WHERE size(ws) >= 7)
+    LATERAL VIEW explode(sequence(1, size(ws) - 3)) t AS i
+),
+"""
+    + _WINNOW_TAIL.format(
+        agg="array_join(array_sort(collect_set(wmin)), '|')"
+    ),
+    """
+WITH grams AS (
+    SELECT doc_id, t.i AS i, len(ws) - 3 AS g,
+           md5(ws[t.i] || ' ' || ws[t.i + 1] || ' ' || ws[t.i + 2]
+               || ' ' || ws[t.i + 3]) AS h
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+          WHERE len(string_split(text, ' ')) >= 7)
+    CROSS JOIN range(1, 129) t(i)
+    WHERE t.i <= len(ws) - 3
+),
+"""
+    + _WINNOW_TAIL.format(
+        agg="string_agg(DISTINCT wmin, '|' ORDER BY wmin)"
+    ),
+    tables=["documents"],
+    tags=("text", "fingerprint"),
+)
+
+# --- IVF-style ANN ---------------------------------------------------------
+_DOT_S = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+_DOT_D = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (acc, v) -> acc + v)"
+
+
+def _ivf_sql(dot: str, cent_long: str, rebuild: str, dbl: str) -> str:
+    cos_probe = (
+        f"ROUND({dot.format(a='q.vec', b='c.cvec')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
+        f"SQRT({dot.format(a='c.cvec', b='c.cvec')})), 9)"
+    )
+    cos_exact = (
+        f"ROUND({dot.format(a='q.vec', b='e.vec')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
+        f"SQRT({dot.format(a='e.vec', b='e.vec')})), 9)"
+    )
+    return f"""
+WITH cent_long AS ({cent_long}),
+cents AS (
+    SELECT label, {rebuild} AS cvec
+    FROM cent_long
+    GROUP BY label
+),
+qs AS (
+    SELECT vec_id, {dbl} AS vec FROM embeddings WHERE vec_id < 5
+),
+probes AS (
+    SELECT query_id, label
+    FROM (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_probe} DESC, c.label) AS rn
+        FROM qs q CROSS JOIN cents c
+    )
+    WHERE rn <= 2
+),
+scored AS (
+    SELECT p.query_id, e.vec_id AS neighbor_id, e.label AS neighbor_label,
+           {cos_exact} AS cosine
+    FROM probes p
+    JOIN qs q ON q.vec_id = p.query_id
+    JOIN (SELECT vec_id, label, {dbl} AS vec FROM embeddings) e
+      ON e.label = p.label AND e.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, neighbor_label, cosine,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY cosine DESC, neighbor_id) AS rn
+    FROM scored
+)
+WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+_CENT_LONG_S = """
+    SELECT label, pos AS dim, ROUND(SUM(CAST(v AS DOUBLE)) / COUNT(*), 6) AS cv
+    FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v
+    GROUP BY label, pos
+"""
+_CENT_LONG_D = """
+    SELECT label, i - 1 AS dim,
+           ROUND(SUM(CAST(embedding[i] AS DOUBLE)) / COUNT(*), 6) AS cv
+    FROM embeddings, range(1, 65) t(i)
+    GROUP BY label, i
+"""
+
+_pair(
+    "embedding_ivf_topk",
+    _ivf_sql(
+        _DOT_S,
+        _CENT_LONG_S,
+        "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+        "transform(embedding, x -> CAST(x AS DOUBLE))",
+    ),
+    _ivf_sql(
+        _DOT_D,
+        _CENT_LONG_D,
+        "list(cv ORDER BY dim)",
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+    ),
+    tables=["embeddings"],
+    tags=("similarity", "ann", "ivf"),
+)
+
+# --- embedding-cosine near-dup via LSH candidates --------------------------
+_HI = "('8','9','a','b','c','d','e','f')"
+
+
+def _neardup_sql(
+    dot: str, dbl: str, base_perturb: str, planes: str, proj: str, agg: str
+) -> str:
+    return f"""
+WITH base AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+    WHERE vec_id % 20 = 0
+    UNION ALL
+    SELECT vec_id + 2000000 AS vec_id, {base_perturb} AS embedding
+    FROM embeddings WHERE vec_id % 40 = 0
+),
+planes AS ({planes}),
+sigs AS (
+    SELECT e.vec_id, p.p,
+           CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END AS bit
+    FROM base e CROSS JOIN planes p
+),
+buckets AS (
+    SELECT vec_id, {agg} AS bucket
+    FROM sigs
+    GROUP BY vec_id
+),
+cands AS (
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+    FROM buckets a
+    JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+pairs AS (
+    SELECT c.vec_a, c.vec_b,
+           ROUND({dot.format(a='x.vec', b='y.vec')} /
+                 (SQRT({dot.format(a='x.vec', b='x.vec')}) *
+                  SQRT({dot.format(a='y.vec', b='y.vec')})), 9) AS cosine
+    FROM cands c
+    JOIN (SELECT vec_id, {dbl} AS vec FROM base) x ON x.vec_id = c.vec_a
+    JOIN (SELECT vec_id, {dbl} AS vec FROM base) y ON y.vec_id = c.vec_b
+)
+SELECT vec_a, vec_b, cosine
+FROM pairs
+WHERE cosine >= 0.98
+ORDER BY vec_a, vec_b
+"""
+
+
+_PROJ_S = (
+    "aggregate(zip_with(transform(e.embedding, x -> CAST(x AS DOUBLE)), "
+    "transform(sequence(0, 63), d -> CASE WHEN substr(md5(CAST(p.p AS STRING) "
+    "|| ':' || CAST(d AS STRING)), 1, 1) IN " + _HI + " THEN CAST(1.0 AS DOUBLE) "
+    "ELSE CAST(-1.0 AS DOUBLE) END), (x, w) -> x * w), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PROJ_D = (
+    "list_reduce(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * "
+    "(CASE WHEN substr(md5(CAST(p.p AS STRING) || ':' || CAST(i - 1 AS STRING)), 1, 1) "
+    "IN " + _HI + " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END)), "
+    "(acc, v) -> acc + v)"
+)
+
+_pair(
+    "embedding_near_dup",
+    _neardup_sql(
+        _DOT_S,
+        "transform(embedding, x -> CAST(x AS DOUBLE))",
+        "concat(array(CAST(element_at(embedding, 1) + CAST(0.5 AS FLOAT) AS FLOAT)), "
+        "slice(embedding, 2, 63))",
+        "SELECT explode(sequence(0, 7)) AS p",
+        _PROJ_S,
+        "array_join(array_sort(collect_list(lpad(CAST(p AS STRING), 2, '0') || ':' || bit)), '')",
+    ),
+    _neardup_sql(
+        _DOT_D,
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+        "list_prepend(CAST(embedding[1] + CAST(0.5 AS FLOAT) AS FLOAT), embedding[2:])",
+        "SELECT unnest(range(0, 8)) AS p",
+        _PROJ_D,
+        "string_agg(lpad(CAST(p AS STRING), 2, '0') || ':' || bit, '' "
+        "ORDER BY lpad(CAST(p AS STRING), 2, '0') || ':' || bit)",
+    ),
+    tables=["embeddings"],
+    tags=("dedup", "similarity", "lsh"),
+)
+
+# --- event funnel ----------------------------------------------------------
+_FUNNEL = """
+WITH su AS (
+    SELECT user_id, MIN(ts) AS t0 FROM events
+    WHERE event_type = 'signup' GROUP BY user_id
+),
+c1 AS (
+    SELECT e.user_id, MIN(e.ts) AS t1
+    FROM events e JOIN su ON su.user_id = e.user_id AND e.ts > su.t0
+    WHERE e.event_type = 'click'
+    GROUP BY e.user_id
+),
+p1 AS (
+    SELECT e.user_id, MIN(e.ts) AS t2
+    FROM events e JOIN c1 ON c1.user_id = e.user_id AND e.ts > c1.t1
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id
+)
+SELECT stage, stage_order, users FROM (
+    SELECT 'signup' AS stage, 1 AS stage_order, COUNT(*) AS users FROM su
+    UNION ALL
+    SELECT 'click_after_signup', 2, COUNT(*) FROM c1
+    UNION ALL
+    SELECT 'purchase_after_click', 3, COUNT(*) FROM p1
+) f
+ORDER BY stage_order
+"""
+
+_pair(
+    "event_funnel",
+    _FUNNEL,
+    _FUNNEL,
+    tables=["events"],
+    tags=("events", "funnel"),
+)
+
+# --- weekly retention triangle --------------------------------------------
+_RETENTION = """
+WITH firsts AS (
+    SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+    FROM events GROUP BY user_id
+),
+activity AS (
+    SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+)
+SELECT CAST(f.cohort_week AS DATE) AS cohort_week,
+       CAST(a.week AS DATE) AS active_week,
+       COUNT(*) AS active_users
+FROM firsts f
+JOIN activity a ON a.user_id = f.user_id
+GROUP BY f.cohort_week, a.week
+ORDER BY cohort_week, active_week
+"""
+
+_pair(
+    "weekly_retention",
+    _RETENTION,
+    _RETENTION,
+    tables=["events"],
+    tags=("events", "retention"),
+)
