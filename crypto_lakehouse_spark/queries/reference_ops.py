@@ -260,6 +260,48 @@ def ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlcv_1m_fused",
+    oracle=ORACLE_TRADES_CTE
+    + ","
+    + _ORACLE_CANDLES.format(bucket="minute")
+    + _ORACLE_FINISH.format(interval="MINUTE"),
+    tags=("reference", "ohlcv", "aggregation", "optimized"),
+)
+def ohlcv_1m_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass OHLCV via `min_by`/`max_by` on the (trade_time,
+    trade_id) struct — the optimized rewrite SURVEY §7 proposes for the
+    reference's W4+J1 plan (ohlcv_1m.sql:27-91). One hash aggregation,
+    one shuffle on (product_id, bucket) instead of window + distinct +
+    self-join (~5x fewer exchanges; tests/test_plans.py asserts it).
+    Declared against the SAME reference-shaped oracle, so the
+    differential check proves plan equivalence."""
+    s = silver_trades(raw_trades(spark, sf_dir))
+    ordk = F.struct("trade_time", "trade_id")
+    c = (
+        s.select(
+            "product_id",
+            "trade_id",
+            "trade_time",
+            "price",
+            "size",
+            (F.col("price") * F.col("size")).alias("trade_value"),
+            F.date_trunc("minute", "trade_time").alias("bucket"),
+        )
+        .groupBy("product_id", "bucket")
+        .agg(
+            F.min_by("price", ordk).alias("open"),
+            F.max_by("price", ordk).alias("close"),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.sum("size").alias("volume"),
+            F.count("*").alias("trade_count"),
+            F.sum("trade_value").alias("pv"),
+        )
+    )
+    return _finish_candles(c, "MINUTE")
+
+
+@query(
     "ohlcv_1h",
     oracle=ORACLE_TRADES_CTE
     + ","

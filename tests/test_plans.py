@@ -1,0 +1,80 @@
+"""Physical-plan assertions — the scale contract, machine-checked.
+
+Correctness says *what* each query computes; these tests pin *how*:
+filters reach the parquet scan, dimension joins broadcast, nothing
+degrades to a cartesian product, and the fused OHLC rewrite actually
+removes the window+join shuffles it claims to. A plan regression here
+is a 100 TB incident that a row-count diff would never catch.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crypto_lakehouse_spark import queries as qmod
+from crypto_lakehouse_spark.queries.registry import REGISTRY
+
+qmod.load_all()
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = REGISTRY[name].spark_fn(spark, SF)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_q6_filters_reach_scan(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    assert "PushedFilters" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan, "shipdate lower bound not pushed"
+    assert "LessThan(l_shipdate" in plan, "shipdate upper bound not pushed"
+    assert "LessThan(l_quantity,24" in plan, "quantity filter not pushed"
+    # Pure scan+agg: no join of any kind should appear.
+    assert "Join" not in plan
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(spark, "q6_revenue_forecast")
+    # The lineitem scan must read only the 4 referenced columns.
+    import re
+
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    assert schemas, "no ReadSchema in plan"
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert cols == {"l_shipdate", "l_discount", "l_quantity", "l_extendedprice"}, cols
+
+
+def test_q5_star_joins_broadcast(spark):
+    plan = _plan(spark, "q5_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 4, "dimension joins should broadcast"
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fused_ohlcv_removes_shuffles(spark):
+    ref = _plan(spark, "ohlcv_1m")
+    fused = _plan(spark, "ohlcv_1m_fused")
+    # The reference-shaped plan pays window + distinct + self-join;
+    # the fused plan is a single hash aggregation over one shuffle.
+    assert fused.count("Exchange") < ref.count("Exchange")
+    assert fused.count("Exchange") <= 4, fused.count("Exchange")
+    assert "Join" not in fused
+    # The only windows left in the fused plan are the W1 silver-dedup
+    # row_number (shared by both variants); the OHLC first/last windows
+    # must be gone.
+    assert fused.count("Window") < ref.count("Window")
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n, q in REGISTRY.items() if q.bench)
+)
+def test_no_cartesian_product(spark, name):
+    """No declared query may fall back to an unbounded cartesian
+    product. (Intentional small cross joins — LSH planes, IVF probe —
+    must come out as broadcast nested-loop joins, which is what Spark
+    uses when the build side is broadcast-sized.)"""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
