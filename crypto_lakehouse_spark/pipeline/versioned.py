@@ -1,0 +1,238 @@
+"""Versioned lakehouse tables: manifest-based snapshots over immutable
+parquet files — the Spark-first analog of the reference's Iceberg
+capabilities (time travel README.md:157, schema evolution README.md:159,
+maintenance compaction.py:30-79) without an external table-format
+runtime.
+
+Design (the same shape Delta/Iceberg use, minimized):
+- Data files are IMMUTABLE. Every commit writes new part files into the
+  table's partition directories under a commit-unique name prefix.
+- A manifest `_manifests/v{N}.json` lists the exact file set of
+  version N. Reads resolve a manifest and hand Spark that file list
+  with `basePath`, so partition columns come from the `col=value`
+  directory layout and partition pruning still works.
+- Logical deletes (overwrite/merge/compact) just produce a manifest
+  that omits files; bytes stay on disk for older versions until
+  `expire_snapshots`, whose orphan scan is the
+  `remove_orphan_files` analog (reference compaction.py:66-79).
+
+Commit protocol: data files first, manifest last via atomic rename —
+a crashed writer leaves orphan data files (cleaned by
+`expire_snapshots`), never a corrupt table. Readers only ever see
+fully-committed versions. This is single-writer (the reference's
+hourly-batch model: orchestration/dags/bronze_to_silver.py:42);
+multi-writer coordination would need a commit lock or a catalog, which
+the reference delegates to Nessie.
+
+Merge semantics follow Delta COW MERGE (reference
+bronze_to_silver.py:156-188): source must be key-unique, matched rows
+replaced, unmatched inserted; only touched partitions rewrite. Like
+any partition-pruned MERGE, a matched key must not move between
+partitions (enforceable by including partition columns in the key).
+
+At 100 TB: manifests hold file paths (KBs per thousand files), never
+data; the planner cost is listing strings. Reads of version N scan
+only N's files; compaction rewrites one partition's small files into
+one; nothing ever rewrites the whole table except an explicit full
+overwrite.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MANIFEST_DIR = "_manifests"
+
+
+class VersionedTable:
+    """Parquet table with manifest snapshots, time travel, and
+    Iceberg-style maintenance (compact / expire / orphan cleanup)."""
+
+    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
+        self.spark = spark
+        self.path = path.rstrip("/")
+        self.partition_by = partition_by or []
+        os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
+
+    # -- manifest bookkeeping ----------------------------------------------
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, _MANIFEST_DIR, f"v{version:06d}.json")
+
+    def versions(self) -> list[int]:
+        d = os.path.join(self.path, _MANIFEST_DIR)
+        return sorted(
+            int(n[1:-5]) for n in os.listdir(d) if n.startswith("v") and n.endswith(".json")
+        )
+
+    def current_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _load(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def history(self) -> list[dict]:
+        """Commit log, oldest first (Delta DESCRIBE HISTORY analog)."""
+        return [
+            {"version": v, **{k: m[k] for k in ("op", "ts", "n_files")}}
+            for v in self.versions()
+            for m in [self._load(v)]
+        ]
+
+    def _commit(self, files: list[str], op: str) -> int:
+        cur = self.current_version()
+        version = 0 if cur is None else cur + 1
+        manifest = {
+            "version": version,
+            "op": op,
+            "ts": time.time(),
+            "n_files": len(files),
+            "files": sorted(files),
+        }
+        tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.rename(tmp, self._manifest_path(version))  # atomic publish
+        return version
+
+    # -- writes ------------------------------------------------------------
+    def _write_files(self, df: DataFrame) -> list[str]:
+        """Write `df` as immutable part files inside the table layout;
+        return their table-relative paths. Files land in standard
+        `col=value` partition dirs so partition discovery/pruning work,
+        under a commit-unique name prefix so they never collide."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        w = df.write.mode("overwrite")
+        if self.partition_by:
+            w = w.partitionBy(*self.partition_by)
+        w.parquet(staging)
+
+        prefix = uuid.uuid4().hex[:8]
+        moved: list[str] = []
+        for root, _dirs, names in os.walk(staging):
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                rel_dir = os.path.relpath(root, staging)
+                rel_dir = "" if rel_dir == "." else rel_dir
+                final_rel = os.path.join(rel_dir, f"c{prefix}-{name}")
+                final_abs = os.path.join(self.path, final_rel)
+                os.makedirs(os.path.dirname(final_abs), exist_ok=True)
+                os.rename(os.path.join(root, name), final_abs)
+                moved.append(final_rel)
+        shutil.rmtree(staging, ignore_errors=True)
+        return moved
+
+    def append(self, df: DataFrame) -> int:
+        cur = self.current_version()
+        prev = self._load(cur)["files"] if cur is not None else []
+        return self._commit(prev + self._write_files(df), "append")
+
+    def overwrite(self, df: DataFrame) -> int:
+        return self._commit(self._write_files(df), "overwrite")
+
+    def merge(self, source: DataFrame, keys: list[str]) -> int:
+        """COW MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
+        INSERT *, reference bronze_to_silver.py:171-186): rewrites only
+        partitions the source touches; untouched partitions carry their
+        existing immutable files into the new manifest."""
+        from pyspark.sql import functions as F
+
+        dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
+        if dup:
+            raise ValueError(
+                f"MERGE source is not unique on keys {keys} "
+                "(same contract as Delta: multiple source matches are an error)"
+            )
+        cur = self.current_version()
+        if cur is None:
+            return self._commit(self._write_files(source), "merge")
+
+        # Partition-dir type inference can widen (e.g. '1' -> int);
+        # align target to the source schema before set operations.
+        target = self.read().select(
+            *[F.col(c).cast(source.schema[c].dataType).alias(c) for c in source.columns]
+        )
+        if self.partition_by:
+            parts = source.select(*self.partition_by).distinct()
+            target = target.join(F.broadcast(parts), self.partition_by, "left_semi")
+        keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
+        new_files = self._write_files(keep.unionByName(source))
+
+        carried: list[str] = []
+        if self.partition_by:
+            touched = {os.path.dirname(f) for f in new_files}
+            # A touched partition with zero output rows still needs its
+            # old files dropped; source partition dirs cover it because
+            # merge output always contains every source partition.
+            carried = [
+                f for f in self._load(cur)["files"] if os.path.dirname(f) not in touched
+            ]
+        return self._commit(carried + new_files, "merge")
+
+    # -- reads -------------------------------------------------------------
+    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+        """Read a snapshot (default: latest). `version` is time travel
+        (Delta `VERSION AS OF` / Iceberg snapshot read, reference
+        README.md:157). `merge_schema=True` unions file schemas —
+        schema evolution on read (reference README.md:159): columns
+        added by later commits come back NULL for older files."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        v = cur if version is None else version
+        files = self._load(v)["files"]
+        if not files:
+            raise ValueError(f"{self.path} v{v}: empty snapshot")
+        reader = self.spark.read.option("basePath", self.path)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*(os.path.join(self.path, f) for f in files))
+
+    # -- maintenance (reference compaction.py analogs) ----------------------
+    def compact(self, target_files_per_partition: int = 1) -> int:
+        """Small-file compaction (rewrite_data_files analog, reference
+        compaction.py:30-42): rewrites the current snapshot into
+        `target_files_per_partition` files per partition as a NEW
+        version — old versions still read their old files."""
+        df = self.read()
+        if self.partition_by:
+            df = df.repartition(target_files_per_partition, *self.partition_by)
+        else:
+            df = df.coalesce(target_files_per_partition)
+        return self._commit(self._write_files(df), "compact")
+
+    def expire_snapshots(self, retain_last: int = 5) -> dict[str, int]:
+        """Expire old manifests and delete data files no remaining
+        manifest references (expire_snapshots + remove_orphan_files,
+        reference compaction.py:45-79). Also sweeps crashed-writer
+        staging dirs."""
+        vs = self.versions()
+        expired = vs[:-retain_last] if retain_last else vs[:-1]
+        for v in expired:
+            os.remove(self._manifest_path(v))
+
+        live: set[str] = set()
+        for v in self.versions():
+            live.update(self._load(v)["files"])
+        removed = 0
+        for root, dirs, names in os.walk(self.path, topdown=True):
+            dirs[:] = [d for d in dirs if d != _MANIFEST_DIR]
+            for d in list(dirs):
+                if d.startswith("_staging-"):
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                    dirs.remove(d)
+                    removed += 1
+            for name in names:
+                rel = os.path.relpath(os.path.join(root, name), self.path)
+                if name.endswith(".parquet") and rel not in live:
+                    os.remove(os.path.join(root, name))
+                    removed += 1
+        return {"expired_versions": len(expired), "removed_files": removed}
