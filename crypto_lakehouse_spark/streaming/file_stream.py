@@ -85,6 +85,75 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def run_watermarked_counts(
+    spark: SparkSession, sf_dir: str, delay: str = "30 minutes", late_rows: int = 200
+) -> DataFrame:
+    """T4 extension: a REAL event-time watermark with append-mode
+    emission and late-data dropping (the reference only *flags* late
+    rows in batch, bronze_to_silver.py:127-130; SURVEY §2.7 marks true
+    watermarking as engine extension).
+
+    Replay is 3 deterministic micro-batches: the first half of the
+    timeline, the second half, then a LATE batch re-emitting the
+    `late_rows` earliest events. By then the watermark has advanced to
+    (max event time - delay), so every late row is behind it and must
+    be dropped, and exactly the windows with
+    window_end <= max_ts - delay have been finalized. Both effects are
+    therefore expressible as batch SQL over the original table — the
+    oracle proves the watermark semantics, not just row plumbing.
+    """
+    ev = (
+        spark.read.schema(EVENTS_SCHEMA)
+        .parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "ts", "event_type", "value")
+    )
+    mid = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    feed = tempfile.mkdtemp(prefix="wm_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="wm_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
+
+    _stage(ev.filter(F.col("ts") <= mid), 0)
+    _stage(ev.filter(F.col("ts") > mid), 1)
+    _stage(ev.orderBy("ts", "event_id").limit(late_rows), 2)
+
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy(F.window("ts", "1 hour").alias("w"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+    )
+    name = f"wm_counts_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates (T6 extension): exactly-once event ids
     within the stream, then per-type counts. availableNow drain."""
