@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from crypto_lakehouse_spark.queries.registry import query
 from crypto_lakehouse_spark.session import configure_session
 from crypto_lakehouse_spark.streaming.file_stream import (
+    run_stream_ingest,
     run_streaming_dedup,
     run_watermarked_counts,
     run_windowed_counts,
@@ -63,6 +64,60 @@ def streaming_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event once (late re-emissions excluded)."""
     configure_session(spark)
     return run_watermarked_counts(spark, sf_dir)
+
+
+@query(
+    "stream_ingest_bronze",
+    oracle="""
+WITH base AS (
+    SELECT event_id, ts, event_type, value, props, FALSE AS is_dup
+    FROM events WHERE event_id % 131 <> 0
+    UNION ALL
+    SELECT event_id, ts, event_type, value, props, TRUE
+    FROM events WHERE event_id % 7 = 0
+)
+SELECT event_id AS trade_id,
+       event_type AS product_id,
+       value AS price,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) + 1 AS size,
+       CASE WHEN event_id % 2 = 0 THEN 'buy' ELSE 'sell' END AS side,
+       strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS trade_time,
+       event_id + CASE WHEN is_dup THEN 10000000 ELSE 0 END AS kafka_offset,
+       CAST(event_id % 4 AS INT) AS kafka_partition,
+       strftime(ts + (event_id % 600 + CASE WHEN is_dup THEN 30 ELSE 0 END)
+                     * INTERVAL 1 SECOND, '%Y-%m-%d') AS ingestion_date
+FROM base
+ORDER BY kafka_offset
+""",
+    tags=("streaming", "ingest", "dlq", "foreachBatch"),
+    bench=False,
+)
+def stream_ingest_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/T8/T9: streaming ingest through foreachBatch into the bronze
+    table with DLQ routing; both duplicate deliveries land (dedup is
+    silver's job, T6), heartbeats are dropped (T7), malformed payloads
+    go to the DLQ. The oracle re-derives the exact bronze contents from
+    the events table; string-typed bronze columns are cast back to
+    numeric so the comparison is engine-neutral."""
+    import tempfile as _tf
+
+    configure_session(spark)
+    lh, metrics = run_stream_ingest(spark, sf_dir, _tf.mkdtemp(prefix="wh_ingest_"))
+    assert len(metrics) == 2 and all(m["bronze"] > 0 for m in metrics), metrics
+    from pyspark.sql import functions as F
+
+    b = lh.bronze.read()
+    return b.select(
+        F.col("trade_id").cast("bigint").alias("trade_id"),
+        "product_id",
+        F.col("price").cast("double").alias("price"),
+        F.col("size").cast("bigint").alias("size"),
+        "side",
+        F.col("time").alias("trade_time"),
+        F.col("_kafka_offset").alias("kafka_offset"),
+        F.col("_kafka_partition").alias("kafka_partition"),
+        F.date_format("_ingestion_date", "yyyy-MM-dd").alias("ingestion_date"),
+    ).orderBy("kafka_offset")
 
 
 @query(

@@ -154,6 +154,58 @@ def run_watermarked_counts(
     return spark.table(name)
 
 
+def run_stream_ingest(spark: SparkSession, sf_dir: str, warehouse: str):
+    """Streaming bronze ingest: trade-feed replay -> foreachBatch ->
+    bronze append + DLQ (S3 sink with checkpoint/trigger, T8 per-batch
+    inspection hook, T9 bad-record routing — reference
+    streaming_bronze_writer.py:94-100,169-177).
+
+    Returns (lakehouse, metrics) where metrics is one dict per
+    micro-batch — the engine-side analog of the reference's
+    process_batch count logger.
+    """
+    from crypto_lakehouse_spark.pipeline.lakehouse import Lakehouse
+    from crypto_lakehouse_spark.sources.trade_feed import trade_feed
+
+    feed = trade_feed(spark, sf_dir)
+    stage = tempfile.mkdtemp(prefix="ingest_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="ingest_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(stage, f"{n:03d}.parquet"))
+
+    # Two deterministic micro-batches, split on offset parity.
+    _stage(feed.filter(F.col("offset") % 2 == 0), 0)
+    _stage(feed.filter(F.col("offset") % 2 == 1), 1)
+
+    stream = (
+        spark.readStream.schema(
+            "key STRING, value STRING, offset BIGINT, partition INT, ingested_at TIMESTAMP"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+
+    lh = Lakehouse(spark, warehouse)
+    metrics: list[dict] = []
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:  # T8 hook
+        counts = lh.ingest_feed(batch_df)
+        metrics.append({"batch_id": batch_id, **counts})
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_ingest_")
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return lh, metrics
+
+
 def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates (T6 extension): exactly-once event ids
     within the stream, then per-type counts. availableNow drain."""
