@@ -169,6 +169,20 @@ ORDER BY status, priority
     tags=("relational", "rollup"),
 )
 
+_common_sql(
+    "cube_order_stats",
+    f"""
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n_orders,
+       CAST(SUM({_TOT}) AS DOUBLE) AS total
+FROM orders
+GROUP BY CUBE(o_orderstatus, o_orderpriority)
+ORDER BY status, priority
+""",
+    tags=("relational", "rollup", "cube"),
+)
+
 # --- set operations -------------------------------------------------------
 _common_sql(
     "set_ops_customer_segments",
