@@ -37,8 +37,21 @@ TABLES = [
 ]
 
 
+# (session id, sf_dir, table) -> DataFrame. Re-reading parquet repeats
+# file listing + footer reads; the logical plan is immutable, so the
+# memo is safe and drops per-query fixed cost across a suite run.
+_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+
+# (session id, view name) -> sf_dir currently backing the temp view.
+_VIEW_OWNER: dict[tuple[int, str], str] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, restoring TIMESTAMP columns."""
+    key = (id(spark), sf_dir, name)
+    memo = _TABLE_MEMO.get(key)
+    if memo is not None:
+        return memo
     configure_session(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for c in TIMESTAMP_COLS.get(name, []):
@@ -46,6 +59,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # Integer division — double division loses precision on
             # epoch-nanos magnitudes (> 2^53).
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    _TABLE_MEMO[key] = df
     return df
 
 
@@ -54,6 +68,15 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
 
     Mirrors the DuckDB oracle environment, where the same parquet
     files are pre-registered as views with the same names.
+
+    Registration is memoized: a view is only (re)registered when this
+    session doesn't already have it pointing at the requested sf_dir,
+    so suite runs don't pay repeated registration, while switching
+    scale factors still swaps the views.
     """
     for name in tables or TABLES:
+        key = (id(spark), name)
+        if _VIEW_OWNER.get(key) == sf_dir:
+            continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        _VIEW_OWNER[key] = sf_dir
