@@ -154,7 +154,7 @@ def run_watermarked_counts(
     return spark.table(name)
 
 
-def run_stream_ingest(spark: SparkSession, sf_dir: str, warehouse: str):
+def run_stream_ingest(spark: SparkSession, sf_dir: str, warehouse: str, each_batch=None):
     """Streaming bronze ingest: trade-feed replay -> foreachBatch ->
     bronze append + DLQ (S3 sink with checkpoint/trigger, T8 per-batch
     inspection hook, T9 bad-record routing — reference
@@ -194,6 +194,10 @@ def run_stream_ingest(spark: SparkSession, sf_dir: str, warehouse: str):
     def _process(batch_df: DataFrame, batch_id: int) -> None:  # T8 hook
         counts = lh.ingest_feed(batch_df)
         metrics.append({"batch_id": batch_id, **counts})
+        if each_batch is not None:
+            # Downstream incremental stages (silver MERGE, gold builds)
+            # run inside the micro-batch — the continuous-medallion mode.
+            each_batch(lh, batch_id)
 
     ckpt = tempfile.mkdtemp(prefix="ckpt_ingest_")
     q = (
