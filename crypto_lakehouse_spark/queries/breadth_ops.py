@@ -1,0 +1,218 @@
+"""Coverage-completing operators: full outer join, distribution
+window functions, vocabulary building, skew-capped near-dedup, and
+regex redaction.
+
+Scale notes:
+- `full_outer_nation_accounts`: both sides are pre-aggregated to
+  |nations| rows before the full outer join — join after reduction,
+  never reduction after join.
+- `distribution_window_funcs`: percent_rank / cume_dist / nth_value
+  share ONE window spec, so Catalyst evaluates them in a single
+  Window operator over one sort — adding functions to the same frame
+  is free; adding frames is not.
+- `vocab_top_tokens`: vocabulary building (the BPE/tokenizer-prep
+  pass): explode once, aggregate (token) with map-side partial
+  aggregation, global top-k via one final ordered limit. Token count
+  and doc frequency come from the same shuffle (COUNT + COUNT
+  DISTINCT doc_id rewritten by Spark into a two-phase expand).
+- `ngram_jaccard_capped`: the documented skew mitigation for
+  inverted-index joins made first-class — shingles occurring in more
+  than CAP documents are dropped before pairing (stop-shingle
+  removal). The hot key that would melt a 100 TB self-join is excluded
+  *by the same deterministic rule in both engines*, so the oracle
+  checks the capped semantics exactly.
+- `redact_numeric_props`: regexp_replace sweep (PII-redaction shape)
+  over the events payloads with a redaction count per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tables: list[str],
+    tags: tuple[str, ...],
+) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Paired-dialect SQL (semantics documented in the module "
+        f"docstring). Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- full outer join -------------------------------------------------------
+_FULL_OUTER = """
+WITH cust AS (
+    SELECT c_nationkey AS nationkey, COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS cust_balance
+    FROM customer GROUP BY c_nationkey
+),
+supp AS (
+    SELECT s_nationkey AS nationkey, COUNT(*) AS n_suppliers,
+           CAST(SUM(CAST(s_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS supp_balance
+    FROM supplier GROUP BY s_nationkey
+)
+SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+       COALESCE(n_customers, 0) AS n_customers,
+       COALESCE(n_suppliers, 0) AS n_suppliers,
+       cust_balance,
+       supp_balance
+FROM cust c
+FULL OUTER JOIN supp s ON c.nationkey = s.nationkey
+ORDER BY nationkey
+"""
+
+_pair(
+    "full_outer_nation_accounts",
+    _FULL_OUTER,
+    _FULL_OUTER,
+    tables=["customer", "supplier"],
+    tags=("relational", "outer-join"),
+)
+
+# --- distribution window functions ----------------------------------------
+_DIST_WIN = """
+SELECT o_orderkey,
+       o_orderstatus,
+       ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 9) AS cume_dist,
+       CAST(NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
+            ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS BIGINT) AS second_cheapest_order
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus
+             ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey)
+ORDER BY o_orderkey
+"""
+
+_pair(
+    "distribution_window_funcs",
+    _DIST_WIN,
+    _DIST_WIN,
+    tables=["orders"],
+    tags=("relational", "window"),
+)
+
+# --- vocabulary building ---------------------------------------------------
+_VOCAB_SPARK = """
+SELECT token,
+       COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, explode(split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 50
+"""
+_VOCAB_DUCK = """
+SELECT token,
+       COUNT(*) AS tf,
+       COUNT(DISTINCT doc_id) AS df
+FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+GROUP BY token
+ORDER BY tf DESC, token
+LIMIT 50
+"""
+
+_pair(
+    "vocab_top_tokens",
+    _VOCAB_SPARK,
+    _VOCAB_DUCK,
+    tables=["documents"],
+    tags=("text", "vocab"),
+)
+
+# --- skew-capped n-gram Jaccard -------------------------------------------
+# Same shingle construction as dedup_ops; shingles present in > CAP
+# docs are stop-shingles and excluded before the self-join.
+_CAP = 20
+
+_SH_SPARK = """
+shingles0 AS (
+    SELECT doc_id, explode(array_distinct(transform(
+               sequence(1, size(ws) - 2),
+               i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                              element_at(ws, i + 2))))) AS s
+    FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+    WHERE size(ws) >= 3
+)
+"""
+_SH_DUCK = """
+shingles0 AS (
+    SELECT DISTINCT doc_id, unnest(list_transform(
+               range(1, len(ws) - 1),
+               i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2])) AS s
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+    WHERE len(ws) >= 3
+)
+"""
+
+_CAPPED_TAIL = f"""
+hot AS (
+    SELECT s FROM shingles0 GROUP BY s HAVING COUNT(*) > {_CAP}
+),
+shingles AS (
+    SELECT doc_id, s FROM shingles0
+    WHERE s NOT IN (SELECT s FROM hot)
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b,
+       CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) AS jaccard
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
+ORDER BY p.doc_a, p.doc_b
+"""
+
+_pair(
+    "ngram_jaccard_capped",
+    "WITH " + _SH_SPARK + "," + _CAPPED_TAIL,
+    "WITH " + _SH_DUCK + "," + _CAPPED_TAIL,
+    tables=["documents"],
+    tags=("dedup", "jaccard", "skew"),
+)
+
+# --- regex redaction sweep -------------------------------------------------
+_REDACT_SPARK = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>') AS redacted_props,
+       CAST(size(regexp_extract_all(props, '[0-9]+', 0)) AS BIGINT)
+           AS n_redactions
+FROM events
+ORDER BY event_id
+"""
+_REDACT_DUCK = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS redacted_props,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+           AS n_redactions
+FROM events
+ORDER BY event_id
+"""
+
+_pair(
+    "redact_numeric_props",
+    _REDACT_SPARK,
+    _REDACT_DUCK,
+    tables=["events"],
+    tags=("text", "redaction"),
+)
