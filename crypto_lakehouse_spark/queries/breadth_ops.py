@@ -191,6 +191,74 @@ _pair(
     tags=("dedup", "jaccard", "skew"),
 )
 
+# --- MAP-typed JSON parse + entry explode ---------------------------------
+# from_json into MAP<STRING,BIGINT> (schema-free key space — the MAP
+# column type the reference never needed but an engine must expose),
+# exploded to entries and re-aggregated.
+_MAP_SPARK = """
+SELECT event_type, key,
+       COUNT(*) AS n,
+       SUM(value) AS value_sum
+FROM (
+    SELECT event_type, explode(from_json(props, 'map<string,bigint>'))
+           AS (key, value)
+    FROM events
+)
+GROUP BY event_type, key
+ORDER BY event_type, key
+"""
+_MAP_DUCK = """
+SELECT event_type, key,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS value_sum
+FROM (
+    SELECT event_type, props, unnest(json_keys(props)) AS key
+    FROM events
+)
+GROUP BY event_type, key
+ORDER BY event_type, key
+"""
+
+_pair(
+    "props_map_entries",
+    _MAP_SPARK,
+    _MAP_DUCK,
+    tables=["events"],
+    tags=("json", "map"),
+)
+
+# --- EXCEPT ALL / INTERSECT ALL -------------------------------------------
+# Multiset semantics: nations appearing among high-value orders' buyer
+# nations minus (bag-difference) low-value buyers', and the bag
+# intersection — duplicates preserved, unlike the DISTINCT set ops in
+# set_ops_customer_segments.
+_SETALL = """
+WITH hi AS (
+    SELECT c_nationkey AS nk FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) > 40000
+),
+lo AS (
+    SELECT c_nationkey AS nk FROM orders JOIN customer ON c_custkey = o_custkey
+    WHERE CAST(o_totalprice AS DECIMAL(12,2)) < 1000
+)
+SELECT 'except_all' AS op, nk, COUNT(*) AS n FROM (
+    SELECT nk FROM hi EXCEPT ALL SELECT nk FROM lo
+) GROUP BY nk
+UNION ALL
+SELECT 'intersect_all', nk, COUNT(*) FROM (
+    SELECT nk FROM hi INTERSECT ALL SELECT nk FROM lo
+) GROUP BY nk
+ORDER BY op, nk
+"""
+
+_pair(
+    "set_ops_all_variants",
+    _SETALL,
+    _SETALL,
+    tables=["orders", "customer"],
+    tags=("relational", "set-ops"),
+)
+
 # --- regex redaction sweep -------------------------------------------------
 _REDACT_SPARK = """
 SELECT event_id,
