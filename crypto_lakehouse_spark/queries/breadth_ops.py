@@ -164,8 +164,11 @@ hot AS (
     SELECT s FROM shingles0 GROUP BY s HAVING COUNT(*) > {_CAP}
 ),
 shingles AS (
-    SELECT doc_id, s FROM shingles0
-    WHERE s NOT IN (SELECT s FROM hot)
+    -- NOT EXISTS, not NOT IN: s is provably non-null but the planner
+    -- can't see that, and NOT IN forces a null-aware anti join; NOT
+    -- EXISTS plans as a plain anti hash join in both engines.
+    SELECT doc_id, s FROM shingles0 sh
+    WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh.s)
 ),
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
