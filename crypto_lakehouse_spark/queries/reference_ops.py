@@ -318,6 +318,41 @@ def ohlcv_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ohlcv_1h_from_1m",
+    oracle=ORACLE_TRADES_CTE
+    + ","
+    + _ORACLE_CANDLES.format(bucket="hour")
+    + _ORACLE_FINISH.format(interval="HOUR"),
+    tags=("reference", "ohlcv", "aggregation", "hierarchical"),
+)
+def ohlcv_1h_from_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 as the reference literally does it (ohlcv_1h.sql:52-62):
+    re-aggregate 1-MINUTE CANDLES into hourly ones — SUM(volume),
+    SUM(trade_count), MAX(high), MIN(low), open/close from the
+    first/last minute candle, vwap re-weighted via the exact-decimal
+    pv carry (mathematically `sum(vwap*volume)/sum(volume)`).
+    Declared against the trade-level hourly oracle, proving the
+    hierarchical rollup loses nothing. At scale this is the cheap
+    path: |minute candles| << |trades|, so the second shuffle is tiny."""
+    m = _candles(spark, sf_dir, "minute")
+    h = (
+        m.withColumn("hbucket", F.date_trunc("hour", "bucket"))
+        .groupBy("product_id", "hbucket")
+        .agg(
+            F.min_by("open", F.col("bucket")).alias("open"),
+            F.max_by("close", F.col("bucket")).alias("close"),
+            F.max("high").alias("high"),
+            F.min("low").alias("low"),
+            F.sum("volume").alias("volume"),
+            F.sum("trade_count").alias("trade_count"),
+            F.sum("pv").alias("pv"),
+        )
+        .withColumnRenamed("hbucket", "bucket")
+    )
+    return _finish_candles(h, "HOUR")
+
+
+@query(
     "daily_metrics",
     oracle=ORACLE_TRADES_CTE
     + ","
