@@ -139,16 +139,6 @@ _pair(
 # docs are stop-shingles and excluded before the self-join.
 _CAP = 20
 
-_SH_SPARK = """
-shingles0 AS (
-    SELECT doc_id, explode(array_distinct(transform(
-               sequence(1, size(ws) - 2),
-               i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
-                              element_at(ws, i + 2))))) AS s
-    FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
-    WHERE size(ws) >= 3
-)
-"""
 _SH_DUCK = """
 shingles0 AS (
     SELECT DISTINCT doc_id, unnest(list_transform(
@@ -186,13 +176,23 @@ WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
 ORDER BY p.doc_a, p.doc_b
 """
 
-_pair(
+def _ngram_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-capped Jaccard over the persisted shingle relation
+    (dedup_ops.cached_shingles) — one corpus explode shared with the
+    uncapped/LSH variants instead of four inline recomputes."""
+    from crypto_lakehouse_spark.queries.dedup_ops import SHINGLE_VIEW, cached_shingles
+
+    cached_shingles(spark, sf_dir)
+    return spark.sql(
+        f"WITH shingles0 AS (SELECT doc_id, s FROM {SHINGLE_VIEW})," + _CAPPED_TAIL
+    )
+
+
+query(
     "ngram_jaccard_capped",
-    "WITH " + _SH_SPARK + "," + _CAPPED_TAIL,
-    "WITH " + _SH_DUCK + "," + _CAPPED_TAIL,
-    tables=["documents"],
+    oracle="WITH " + _SH_DUCK + "," + _CAPPED_TAIL,
     tags=("dedup", "jaccard", "skew"),
-)
+)(_ngram_jaccard_capped)
 
 # --- MAP-typed JSON parse + entry explode ---------------------------------
 # from_json into MAP<STRING,BIGINT> (schema-free key space — the MAP

@@ -31,6 +31,7 @@ pattern (operators/trades.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
 
 from crypto_lakehouse_spark.io import register_views
 from crypto_lakehouse_spark.queries.registry import query
@@ -45,6 +46,60 @@ def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> No
     fn.__doc__ = (
         "Paired-dialect SQL (semantics documented in the module "
         f"docstring). Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- persisted shingle relation -------------------------------------------
+# Spark inlines a CTE at every reference, so the self-join queries
+# below would recompute the corpus explode 4-8x (audited: 8-16 scans
+# of documents.parquet). Persisting the shingle relation once per
+# (session, sf_dir) turns those into InMemoryTableScan reuses — at
+# 100 TB this is the difference between one corpus pass and eight
+# (MEMORY_AND_DISK: spills instead of evicting under pressure).
+_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+SHINGLE_VIEW = "shingles_persisted"
+
+_SHINGLE_SELECT_SPARK = """
+SELECT doc_id, explode(array_distinct(transform(
+           sequence(1, size(ws) - 2),
+           i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1),
+                          element_at(ws, i + 2))))) AS s
+FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+WHERE size(ws) >= 3
+"""
+
+
+def cached_shingles(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the 3-gram shingle relation for `sf_dir` and
+    register it as a temp view; returns the view name."""
+    key = (id(spark), sf_dir)
+    if key not in _SHINGLE_MEMO:
+        # A different sf_dir previously owning the view is unpersisted.
+        for (sid, _), old in list(_SHINGLE_MEMO.items()):
+            if sid == id(spark):
+                old.unpersist()
+                del _SHINGLE_MEMO[(sid, _)]
+        register_views(spark, sf_dir, ["documents"])
+        df = spark.sql(_SHINGLE_SELECT_SPARK).persist(StorageLevel.MEMORY_AND_DISK)
+        df.createOrReplaceTempView(SHINGLE_VIEW)
+        _SHINGLE_MEMO[key] = df
+    return SHINGLE_VIEW
+
+
+def _pair_shingled(name: str, spark_tail: str, duck_sql: str, tags: tuple[str, ...]) -> None:
+    """Register a query whose Spark side reads the persisted shingle
+    view; the DuckDB oracle recomputes shingles inline (same rows)."""
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cached_shingles(spark, sf_dir)
+        return spark.sql(spark_tail)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Self-join over the persisted shingle relation (module "
+        f"docstring has the scale notes). Spark SQL:\n{spark_tail}"
     )
     query(name, oracle=duck_sql, tags=tags)(fn)
 
@@ -208,10 +263,12 @@ _BANDKEY_DUCK = (
     "ORDER BY CAST(i AS STRING) || ':' || mh)"
 )
 
-_pair(
+_SH_PERSISTED = f"shingles AS (SELECT doc_id, s FROM {SHINGLE_VIEW})"
+
+_pair_shingled(
     "minhash_lsh_dedup",
     "WITH "
-    + _SH_SPARK
+    + _SH_PERSISTED
     + ","
     + _MINHASH_SPARK
     + ","
@@ -243,9 +300,9 @@ WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
 ORDER BY p.doc_a, p.doc_b
 """
 
-_pair(
+_pair_shingled(
     "ngram_jaccard_dedup",
-    "WITH " + _SH_SPARK + "," + _JACCARD_TAIL,
+    "WITH " + _SH_PERSISTED + "," + _JACCARD_TAIL,
     "WITH " + _SH_DUCK + "," + _JACCARD_TAIL,
     tags=("dedup", "jaccard"),
 )
