@@ -27,6 +27,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+import crypto_lakehouse_spark.queries.reference_ops  # noqa: F401  (registers oracle we reuse)
 import crypto_lakehouse_spark.queries.text_ops  # noqa: F401  (registers oracle we reuse)
 from crypto_lakehouse_spark.io import load_table, register_views
 from crypto_lakehouse_spark.queries.registry import REGISTRY, query
@@ -74,6 +75,76 @@ def doc_quality_score_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
     return docs.mapInPandas(score, _QUALITY_SCHEMA).orderBy("doc_id")
+
+
+_CANDLE_PD_SCHEMA = (
+    "product_id string, bucket timestamp, open decimal(18,4), "
+    "close decimal(18,4), high decimal(18,4), low decimal(18,4), "
+    "volume decimal(18,4), trade_count long, pv decimal(38,8)"
+)
+
+
+def _candle_group(pdf):
+    import pandas as pd
+
+    pdf = pdf.sort_values(["trade_time", "trade_id"])
+    prices = list(pdf["price"])  # python Decimals via Arrow decimal128
+    sizes = list(pdf["size"])
+    return pd.DataFrame(
+        {
+            "product_id": [pdf["product_id"].iloc[0]],
+            "bucket": [pdf["bucket"].iloc[0]],
+            "open": [prices[0]],
+            "close": [prices[-1]],
+            "high": [max(prices)],
+            "low": [min(prices)],
+            "volume": [sum(sizes)],
+            "trade_count": [len(prices)],
+            "pv": [sum(p * s for p, s in zip(prices, sizes))],
+        }
+    )
+
+
+@query(
+    "ohlcv_1h_pandas",
+    oracle=None,  # set below — reuses ohlcv_1h's oracle
+    tags=("reference", "ohlcv", "pandas-udf"),
+    bench=False,  # grouped-map pays ~5ms/group; this is the equivalence
+    # demo, not the perf path (the fused agg is)
+)
+def ohlcv_1h_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-map applyInPandas OHLCV — the FOURTH independent plan
+    proven against the hourly candle oracle (with the reference-shaped
+    W4+J1 `ohlcv_1h`, the fused-from-trades variant, and the
+    rollup-from-1m `ohlcv_1h_from_1m`): each (product_id, bucket)
+    group becomes one pandas frame; decimals arrive as exact python
+    Decimal via Arrow, so sums are order-free and vwap is the same
+    single double division as the SQL paths. The demo of where
+    grouped-map belongs — per-group logic Spark aggregates can't
+    express — while proving it agrees when they can."""
+    from crypto_lakehouse_spark.operators.trades import raw_trades, silver_trades
+    from crypto_lakehouse_spark.queries.reference_ops import _finish_candles
+
+    s = silver_trades(raw_trades(spark, sf_dir))
+    stg = s.select(
+        "product_id",
+        "trade_id",
+        "trade_time",
+        "price",
+        "size",
+        F.date_trunc("hour", "trade_time").alias("bucket"),
+    )
+    candles = stg.groupBy("product_id", "bucket").applyInPandas(
+        _candle_group, _CANDLE_PD_SCHEMA
+    )
+    return _finish_candles(candles, "HOUR")
+
+
+def _wire_pandas_oracle() -> None:
+    REGISTRY["ohlcv_1h_pandas"].oracle = REGISTRY["ohlcv_1h"].oracle
+
+
+_wire_pandas_oracle()
 
 
 _SALTED_ORACLE = """
