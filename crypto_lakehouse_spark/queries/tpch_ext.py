@@ -186,6 +186,57 @@ LIMIT 20
     tags=("relational", "tpch", "topk"),
 )
 
+# --- q11: value concentration vs a global scalar threshold ------------------
+# partsupp value is derived as shipped value per (part, supplier);
+# parts whose total exceeds 0.05% of the global total qualify — the
+# HAVING side references a scalar subquery over the same derived
+# relation, exactly q11's shape.
+_common_sql(
+    "q11_value_concentration",
+    f"""
+WITH psv AS (
+    SELECT l_partkey, l_suppkey,
+           SUM({_EXT} * (1 - {_DISC})) AS val
+    FROM lineitem
+    GROUP BY l_partkey, l_suppkey
+)
+SELECT l_partkey AS p_partkey, CAST(SUM(val) AS DOUBLE) AS total_value
+FROM psv
+GROUP BY l_partkey
+HAVING SUM(val) > (SELECT SUM(val) * CAST(0.0005 AS DECIMAL(6,4)) FROM psv)
+ORDER BY total_value DESC, p_partkey
+""",
+    tags=("relational", "tpch", "scalar-subquery"),
+)
+
+# --- q12: two-way conditional counts by group -------------------------------
+# l_shipmode does not exist; classify lines by quantity band instead
+# and count high- vs low-priority orders per band — q12's
+# CASE-inside-SUM shape intact.
+_common_sql(
+    "q12_priority_by_band",
+    """
+SELECT band,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM (
+    SELECT o_orderpriority,
+           CASE WHEN l_quantity < 10 THEN 'small'
+                WHEN l_quantity < 30 THEN 'medium'
+                ELSE 'large' END AS band
+    FROM lineitem
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+)
+GROUP BY band
+ORDER BY band
+""",
+    tags=("relational", "tpch", "conditional-agg"),
+)
+
 # --- q13: customer order-count distribution (left join preserved nulls) ----
 _common_sql(
     "q13_customer_distribution",
