@@ -25,15 +25,19 @@ def asof_join(
     right_time: str,
     value_cols: list[str],
     tolerance: Column | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    right_time <= left_time (per `on` key). Ties on equal timestamps:
-    the right row is considered visible at its own timestamp
-    (backward as-of, inclusive).
+    """For each left row, attach the nearest right row per `on` key:
+    `direction="backward"` (default) takes the latest right with
+    right_time <= left_time; `"forward"` takes the earliest right with
+    right_time >= left_time. Ties on equal timestamps are inclusive in
+    both directions (the right row is visible at its own timestamp).
 
-    `tolerance`: optional max staleness interval column/literal; right
-    values older than left_time - tolerance become NULL.
+    `tolerance`: optional max time distance interval; right values
+    further than tolerance from left_time become NULL.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lt = left.select(
         F.col(on).alias("_k"),
         F.col(left_time).alias("_t"),
@@ -49,9 +53,11 @@ def asof_join(
     unioned = lt.unionByName(rt, allowMissingColumns=True)
     # Right rows sort before left rows at equal timestamps so an
     # equal-time right value is visible to the left row (inclusive).
+    # Forward direction = the same carry over time reversed.
+    order_t = F.col("_t").asc() if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_is_left")
+        .orderBy(order_t, "_is_left")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
@@ -66,10 +72,14 @@ def asof_join(
     )
     out = carried.filter(F.col("_is_left") == 1)
     if tolerance is not None:
+        in_range = (
+            F.col("_asof_t") >= F.col("_t") - tolerance
+            if direction == "backward"
+            else F.col("_asof_t") <= F.col("_t") + tolerance
+        )
         for c in value_cols:
             out = out.withColumn(
-                f"_asof_{c}",
-                F.when(F.col("_asof_t") >= F.col("_t") - tolerance, F.col(f"_asof_{c}")),
+                f"_asof_{c}", F.when(in_range, F.col(f"_asof_{c}"))
             )
     drop = ["_k", "_t", "_is_left", "_asof_t"] + [f"_r_{c}" for c in value_cols]
     return out.drop(*drop).withColumnsRenamed({f"_asof_{c}": f"asof_{c}" for c in value_cols})

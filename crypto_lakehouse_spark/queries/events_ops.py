@@ -7,6 +7,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from crypto_lakehouse_spark.functions import fmt_ts
 from crypto_lakehouse_spark.io import load_table
@@ -134,4 +135,130 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
+    )
+
+
+@query(
+    "asof_forward_next_click",
+    oracle="""
+WITH purchases AS (
+    SELECT user_id, event_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+clicks AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+SELECT p.user_id,
+       p.event_id,
+       CASE WHEN c.ts <= p.ts + INTERVAL 10 MINUTE THEN c.value END
+           AS next_click_value
+FROM purchases p
+ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts <= c.ts
+ORDER BY p.user_id, p.event_id
+""",
+    tags=("events", "asof-join"),
+)
+def asof_forward_next_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join with tolerance (operators/asof.py
+    direction="forward"): the next click value within 10 minutes after
+    each purchase, checked against DuckDB's native forward ASOF JOIN
+    plus a tolerance CASE. Same single-shuffle carry plan as backward,
+    time-reversed."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_time="ts",
+        right_time="click_ts",
+        value_cols=["click_value"],
+        tolerance=F.expr("INTERVAL 10 MINUTES"),
+        direction="forward",
+    )
+    return (
+        joined.select(
+            "user_id",
+            "event_id",
+            F.col("asof_click_value").alias("next_click_value"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+@query(
+    "twap_hourly",
+    oracle="""
+WITH ordered AS (
+    SELECT event_type AS product_id, ts, value,
+           date_trunc('hour', ts) AS bucket,
+           LEAD(ts) OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                          ORDER BY ts, event_id) AS next_ts
+    FROM events
+),
+weighted AS (
+    SELECT product_id, bucket,
+           CAST(value AS DECIMAL(18,4))
+               * (epoch_us(COALESCE(next_ts,
+                                    bucket + INTERVAL 1 HOUR)) - epoch_us(ts))
+               AS wv,
+           epoch_us(COALESCE(next_ts, bucket + INTERVAL 1 HOUR))
+               - epoch_us(ts) AS w
+    FROM ordered
+)
+SELECT product_id,
+       strftime(bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE) AS twap
+FROM weighted
+GROUP BY product_id, bucket
+ORDER BY product_id, window_start
+""",
+    tags=("events", "twap", "window", "aggregation"),
+)
+def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price per (product, hour): each
+    observation is weighted by how long it was the live value — LEAD to
+    the next observation, the last one in a bucket held to the bucket
+    edge. The interval-weighted aggregation the reference's VWAP
+    doesn't cover (A2 weights by size, this weights by time). Weights
+    are integer microseconds and prices exact decimals, so the sums
+    are order-free; one window + one aggregation on the same
+    (product, bucket) key — the window's shuffle is reused by the
+    groupBy."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", F.date_trunc("hour", "ts")).orderBy(
+        "ts", "event_id"
+    )
+    ordered = ev.select(
+        F.col("event_type").alias("product_id"),
+        "ts",
+        "value",
+        F.date_trunc("hour", "ts").alias("bucket"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    end = F.coalesce(
+        F.col("next_ts"), F.col("bucket") + F.expr("INTERVAL 1 HOUR")
+    )
+    weighted = ordered.select(
+        "product_id",
+        "bucket",
+        (
+            F.col("value").cast("decimal(18,4)")
+            * (F.unix_micros(end) - F.unix_micros("ts"))
+        ).alias("wv"),
+        (F.unix_micros(end) - F.unix_micros("ts")).alias("w"),
+    )
+    return (
+        weighted.groupBy("product_id", "bucket")
+        .agg((F.sum("wv").cast("double") / F.sum("w").cast("double")).alias("twap"))
+        .select(
+            "product_id",
+            fmt_ts("bucket").alias("window_start"),
+            "twap",
+        )
+        .orderBy("product_id", "window_start")
     )
