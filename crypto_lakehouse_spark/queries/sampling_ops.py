@@ -1,0 +1,270 @@
+"""Dataset-preparation operators a training-data pipeline needs:
+deterministic splits, stratified sampling, exact percentiles, exact
+correlation, pivot, and ROLLUP summaries.
+
+Scale notes:
+- `deterministic_split`: train/val/test assignment is a pure
+  function of the row key (md5 bucket), so it is stable across runs,
+  engines, and cluster sizes — no sampling state, no shuffle beyond
+  the final aggregation, and a row's split never changes when the
+  dataset grows (critical for incremental training corpora).
+  The bucket is derived from md5 hex chars via ascii() arithmetic
+  because Spark and DuckDB share md5()+ascii() but NOT the same
+  native hash functions (xxhash64 vs duckdb hash).
+- `stratified_sample_docs`: top-k per stratum ordered by a
+  cryptographic hash = deterministic pseudo-random sampling without a
+  seed-dependent RNG. One window sort per stratum, fully parallel
+  across strata; at 100 TB the per-stratum sort is the partial
+  top-k pattern Spark already optimizes (rank filter pushes the limit
+  into the sort).
+- `percentile_profile_orders`: exact nearest-rank percentiles via
+  ROW_NUMBER + COUNT over one shared window spec — one sort per
+  group serves all three percentiles. Exact (not approx) because the
+  oracle must hash-match; the approx_percentile scale path is
+  exercised separately in `events_approx_stats`.
+- `corr_exact_lineitem`: Pearson correlation / stddev / covariance
+  computed from DECIMAL power sums (order-independent, one
+  aggregation pass) with the scalar formula applied in DOUBLE at the
+  very end — the textbook one-pass-corr, safe here because operands
+  are exact decimals; never SUM raw doubles (see registry docstring).
+- `pivot_status_by_priority`: Spark-side uses the DataFrame
+  `groupBy().pivot(values).agg()` operator (values list supplied, so
+  no extra distinct-scan job); oracle expresses the same contract as
+  conditional aggregation — pivot IS conditional aggregation, which
+  is why it stays a single shuffle.
+- `rollup_region_nation`: ROLLUP grouping-set hierarchy with
+  GROUPING() flags; Spark expands grouping sets in one Expand +
+  single shuffle rather than one job per level.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.io import load_table, register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tables: list[str],
+    tags: tuple[str, ...],
+) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Paired-dialect SQL (semantics documented in the module "
+        f"docstring). Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- deterministic train/val/test split ------------------------------------
+# Bucket in [0, 100) from three md5 hex chars of the key: identical
+# md5() and ascii() in both engines; native hashes (xxhash64 / duckdb
+# hash) are NOT portable. 80/10/10 split.
+_BUCKET = (
+    "(ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 1, 1)) * 65536"
+    " + ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 2, 1)) * 256"
+    " + ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 3, 1))) % 100"
+)
+
+_SPLIT = f"""
+SELECT split, lang,
+       COUNT(*) AS n_docs,
+       SUM(n_chars) AS total_chars,
+       MIN(doc_id) AS min_doc_id
+FROM (
+    SELECT doc_id, lang, n_chars,
+           CASE WHEN {_BUCKET} < 80 THEN 'train'
+                WHEN {_BUCKET} < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM documents
+)
+GROUP BY split, lang
+ORDER BY split, lang
+"""
+
+_pair(
+    "deterministic_split",
+    _SPLIT,
+    _SPLIT,
+    tables=["documents"],
+    tags=("sampling", "pipeline"),
+)
+
+# --- stratified sample: k docs per language stratum ------------------------
+_STRAT = """
+SELECT lang, doc_id, source, n_chars
+FROM (
+    SELECT lang, doc_id, source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY MD5(CAST(doc_id AS VARCHAR(20))), doc_id
+           ) AS rn
+    FROM documents
+)
+WHERE rn <= 5
+ORDER BY lang, doc_id
+"""
+
+_pair(
+    "stratified_sample_docs",
+    _STRAT,
+    _STRAT,
+    tables=["documents"],
+    tags=("sampling", "pipeline"),
+)
+
+# --- exact nearest-rank percentiles per group ------------------------------
+# rank(p) = CEIL(n * p); n*p is IEEE-double arithmetic, identical in
+# both engines. One window spec serves rn and n (single sort).
+_PCT = """
+WITH ranked AS (
+    SELECT o_orderpriority,
+           CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_orderpriority
+               ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey
+           ) AS rn,
+           COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+    FROM orders
+)
+SELECT o_orderpriority,
+       MAX(n) AS n_orders,
+       CAST(MAX(CASE WHEN rn = CEIL(n * 0.5) THEN price END) AS DOUBLE) AS p50,
+       CAST(MAX(CASE WHEN rn = CEIL(n * 0.9) THEN price END) AS DOUBLE) AS p90,
+       CAST(MAX(CASE WHEN rn = CEIL(n * 0.99) THEN price END) AS DOUBLE) AS p99
+FROM ranked
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_pair(
+    "percentile_profile_orders",
+    _PCT,
+    _PCT,
+    tables=["orders"],
+    tags=("statistics", "window"),
+)
+
+# --- exact one-pass correlation / stddev / covariance ----------------------
+# Power sums in DECIMAL (order-free); scalar formula in DOUBLE at the
+# end. Operand scales sized so SUM stays within DECIMAL(38,_):
+# qty<=50 (12,2), price<1e6 (12,2), products scale 4.
+_CORR = """
+WITH sums AS (
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sq,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sp,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS sqp,
+           SUM(CAST(l_quantity AS DECIMAL(12,2))
+               * CAST(l_quantity AS DECIMAL(12,2))) AS sq2,
+           SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+               * CAST(l_extendedprice AS DECIMAL(12,2))) AS sp2
+    FROM lineitem
+    GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       n,
+       ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (SQRT(CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                     - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(sp2 AS DOUBLE)
+                       - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 9)
+           AS corr_qty_price,
+       ROUND(SQRT((CAST(n AS DOUBLE) * CAST(sq2 AS DOUBLE)
+                   - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE))), 9)
+           AS stddev_qty,
+       ROUND((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE)
+              - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 9)
+           AS covar_qty_price
+FROM sums
+ORDER BY l_returnflag
+"""
+
+_pair(
+    "corr_exact_lineitem",
+    _CORR,
+    _CORR,
+    tables=["lineitem"],
+    tags=("statistics", "aggregation"),
+)
+
+# --- pivot (DataFrame operator) vs conditional-aggregation oracle ----------
+_PIVOT_ORACLE = """
+SELECT o_orderpriority,
+       COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f_cnt,
+       COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o_cnt,
+       COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p_cnt,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'F'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS f_rev,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'O'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS o_rev,
+       CAST(COALESCE(SUM(CASE WHEN o_orderstatus = 'P'
+            THEN CAST(o_totalprice AS DECIMAL(12,2)) END), 0) AS DOUBLE) AS p_rev
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+@query("pivot_status_by_priority", oracle=_PIVOT_ORACLE, tags=("relational", "pivot"))
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Orders count + revenue pivoted by status (F/O/P columns).
+
+    Uses the DataFrame pivot operator with an explicit values list —
+    without it Spark runs an extra job to collect distinct statuses.
+    Pivot compiles to conditional aggregation (one shuffle), which is
+    exactly what the oracle spells out.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+    piv = (
+        orders.withColumn("price", F.col("o_totalprice").cast("decimal(12,2)"))
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("price").alias("rev"))
+    )
+    return piv.select(
+        "o_orderpriority",
+        F.col("F_cnt").alias("f_cnt"),
+        F.col("O_cnt").alias("o_cnt"),
+        F.col("P_cnt").alias("p_cnt"),
+        F.coalesce(F.col("F_rev"), F.lit(0)).cast("double").alias("f_rev"),
+        F.coalesce(F.col("O_rev"), F.lit(0)).cast("double").alias("o_rev"),
+        F.coalesce(F.col("P_rev"), F.lit(0)).cast("double").alias("p_rev"),
+    ).orderBy("o_orderpriority")
+
+
+# --- ROLLUP hierarchy with GROUPING flags ----------------------------------
+_ROLLUP = """
+SELECT CAST(GROUPING(r_name) AS INTEGER) AS region_total,
+       CAST(GROUPING(n_name) AS INTEGER) AS nation_total,
+       r_name, n_name,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP(r_name, n_name)
+ORDER BY region_total, nation_total, r_name, n_name
+"""
+
+_pair(
+    "rollup_region_nation",
+    _ROLLUP,
+    _ROLLUP,
+    tables=["customer", "nation", "region"],
+    tags=("relational", "grouping-sets"),
+)
