@@ -262,3 +262,206 @@ def twap_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("product_id", "window_start")
     )
+
+
+_GAPFILL_ORACLE = """
+WITH per_min AS (
+    SELECT event_type, date_trunc('minute', ts) AS m,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_val
+    FROM events GROUP BY event_type, date_trunc('minute', ts)
+),
+bounds AS (
+    SELECT date_trunc('minute', MIN(ts)) AS m0,
+           (epoch(date_trunc('minute', MAX(ts)))
+            - epoch(date_trunc('minute', MIN(ts)))) // 60 AS diff
+    FROM events
+),
+spine AS (
+    SELECT t.event_type, b.m0 + i * INTERVAL '1 minute' AS m
+    FROM (SELECT DISTINCT event_type FROM events) t, bounds b,
+         range(0, 200000) r(i)
+    WHERE i <= b.diff
+)
+SELECT s.event_type,
+       strftime(s.m, '%Y-%m-%d %H:%M:%S') AS minute_ts,
+       COALESCE(p.n, 0) AS n_events,
+       ROUND(LAST_VALUE(p.avg_val IGNORE NULLS) OVER (
+           PARTITION BY s.event_type ORDER BY s.m), 9) AS avg_value_filled,
+       CASE WHEN p.n IS NULL THEN 1 ELSE 0 END AS is_gap
+FROM spine s
+LEFT JOIN per_min p ON s.event_type = p.event_type AND s.m = p.m
+ORDER BY s.event_type, s.m
+"""
+
+
+@query(
+    "minute_gap_fill_ffill",
+    oracle=_GAPFILL_ORACLE,
+    tags=("events", "timeseries", "gap-fill", "window"),
+)
+def minute_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling: dense minute spine per event_type with
+    forward-filled per-minute average value (the gap-fill / ffill
+    primitive every OHLCV or sensor pipeline needs; the reference's
+    candle tables simply omit empty windows — price_latest.sql then
+    papers over the holes with 3 left joins, so a dense ffilled grid
+    is the generalization).
+
+    Scale shape: the spine is generated (sequence+explode), never
+    stored; the per-minute pre-aggregation shrinks events to
+    |types|x|minutes| BEFORE the join and window, and the forward
+    fill partitions by event_type (in a market pipeline: by symbol),
+    so each partition's running `last(ignorenulls)` parallelizes
+    across the natural entity key — no global single-partition sort.
+    The minute average is an exact DECIMAL sum divided once in
+    DOUBLE (order-free; see registry determinism rules).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("m")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_val"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("minute", F.min("ts")).alias("m0"),
+        F.date_trunc("minute", F.max("ts")).alias("m1"),
+    )
+    spine = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(m0, m1, INTERVAL 1 MINUTE)")
+            ).alias("m"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(per_min, ["event_type", "m"], "left")
+        .select(
+            "event_type",
+            fmt_ts("m").alias("minute_ts"),
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.round(
+                F.last("avg_val", ignorenulls=True).over(w), 9
+            ).alias("avg_value_filled"),
+            F.when(F.col("n").isNull(), 1).otherwise(0).alias("is_gap"),
+        )
+        .orderBy("event_type", "minute_ts")
+    )
+
+
+_SLIDING_ORACLE = """
+SELECT strftime(to_timestamp(
+           ((epoch_us(ts) // 1000000) // 300) * 300 - o.o * 300),
+           '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events, (VALUES (0), (1)) o(o)
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+
+@query(
+    "sliding_window_counts",
+    oracle=_SLIDING_ORACLE,
+    tags=("events", "window", "sliding"),
+)
+def sliding_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows — 10-minute width, 5-minute slide —
+    via the built-in F.window overload; each event lands in exactly
+    width/slide = 2 windows. The oracle derives the same two
+    epoch-aligned window starts per event arithmetically (aligned
+    floor minus k*slide), which is precisely the expansion Spark's
+    TimeWindow expression performs before the hash aggregation, so
+    the plan is one Expand (2x rows) + one shuffle — no self-join.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("value_sum"),
+        )
+        .select(
+            fmt_ts(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n_events",
+            "value_sum",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_SESSION_NATIVE_ORACLE = """
+WITH o AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+),
+m AS (
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev_us IS NULL
+                         OR us - prev_us >= 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+    FROM o
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       COUNT(*) AS n_events
+FROM m
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
+@query(
+    "session_window_native",
+    oracle=_SESSION_NATIVE_ORACLE,
+    tags=("events", "sessionization", "window"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's built-in session_window (dynamic
+    gap-merged windows) — differential twin of the hand-rolled
+    lag/cumsum `sessionization` query, but at exact-microsecond gap
+    semantics: two session windows merge iff they OVERLAP, so a gap of
+    exactly 30min starts a new session (oracle: us-diff >= 30min).
+    session_window.end is last_event + gap by definition; the oracle
+    reproduces it as MAX(ts) + INTERVAL. At scale this is a single
+    shuffle on user_id followed by an in-partition merge — the same
+    cost shape as the lag/cumsum form, but expressed through the
+    native operator so streaming reuse (same expression works under
+    watermarking) comes free."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            fmt_ts(F.col("sw.start"), micros=True).alias("session_start"),
+            fmt_ts(F.col("sw.end"), micros=True).alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
