@@ -345,3 +345,129 @@ _pair(
     ),
     tags=("dedup", "simhash"),
 )
+
+
+# --- duplicate clustering: connected components over near-dup edges -------
+# Deduplication is transitive in practice (A~B, B~C => one cluster even
+# when A,C don't pair directly): after pair generation, a training
+# pipeline needs CLUSTERS with one canonical keeper each. Edges here
+# are the exact-Jaccard pairs at 0.3 (lower than the 0.5 dedup cut so
+# chains exist); components are computed by iterative min-label
+# propagation — each round every node takes the min label among itself
+# and its neighbors, converging in O(graph diameter) rounds. Each
+# round is one shuffle-join + one aggregation; at 100 TB scale the
+# same loop with the alternating large-star/small-star optimization
+# (Kiveris et al., "Connected Components in MapReduce") converges in
+# O(log n) rounds — the join/agg structure is identical, so this is
+# the honest small-scale shape of the scale algorithm. The DuckDB
+# oracle computes the same components via a recursive CTE, so the
+# fixpoint itself is differentially checked, not just row counts.
+_CC_EDGES = """
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id)
+SELECT p.doc_a, p.doc_b
+FROM pairs p
+JOIN sizes za ON za.doc_id = p.doc_a
+JOIN sizes zb ON zb.doc_id = p.doc_b
+WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.3
+"""
+
+_CC_ORACLE = (
+    "WITH RECURSIVE "
+    + _SH_DUCK.strip().lstrip()
+    + ",\n"
+    + _CC_EDGES.replace(
+        "\nSELECT p.doc_a, p.doc_b", "\n, edges AS (SELECT p.doc_a, p.doc_b", 1
+    )
+    + """),
+und AS (
+    SELECT doc_a AS src, doc_b AS dst FROM edges
+    UNION
+    SELECT doc_b AS src, doc_a AS dst FROM edges
+),
+nodes AS (SELECT DISTINCT src AS node FROM und),
+reach(node, root) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT u.dst, r.root FROM reach r JOIN und u ON u.src = r.node
+),
+cc AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+SELECT c.node AS doc_id, c.component,
+       s.sz AS cluster_size
+FROM cc c
+JOIN (SELECT component, COUNT(*) AS sz FROM cc GROUP BY component) s
+  ON c.component = s.component
+ORDER BY doc_id
+"""
+)
+
+
+@query(
+    "dup_clusters_cc",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def dup_clusters_cc(spark, sf_dir: str):
+    """Near-duplicate clusters: connected components via iterative
+    min-label propagation over the Jaccard>=0.3 candidate graph (see
+    the block comment above for the scale framing and oracle)."""
+    from pyspark.sql import functions as F
+
+    cached_shingles(spark, sf_dir)
+    edges = spark.sql(
+        f"WITH {_SH_PERSISTED},{_CC_EDGES}"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    und = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
+        edges.selectExpr("doc_b AS src", "doc_a AS dst")
+    )
+    lbl = (
+        und.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(20):  # >= graph diameter; converges far earlier
+        nb = (
+            und.join(
+                lbl.select(
+                    F.col("node").alias("dst"),
+                    F.col("component").alias("nb_comp"),
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nb_comp").alias("nb_comp"))
+        )
+        new = (
+            lbl.join(nb, lbl.node == nb.src, "left")
+            .select(
+                lbl.node,
+                F.least(
+                    lbl.component, F.coalesce(nb.nb_comp, lbl.component)
+                ).alias("component"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new.join(
+                lbl.select("node", F.col("component").alias("old")), "node"
+            )
+            .where(F.col("component") != F.col("old"))
+            .count()
+        )
+        lbl = new
+        if changed == 0:
+            break
+    sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        lbl.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+    edges.unpersist()
+    return out
