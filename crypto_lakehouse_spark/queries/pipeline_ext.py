@@ -353,3 +353,99 @@ _pair(
     tables=["events"],
     tags=("events", "retention"),
 )
+
+
+# --- ANN quality evaluation: recall@5 of IVF vs brute force ---------------
+# The eval loop every ANN deployment needs: run the exact top-k and
+# the approximate top-k over the same queries and measure overlap.
+# Both pipelines are CTEs of ONE query, so Spark evaluates the corpus
+# scan once per side and the comparison is a tiny (|Q| x k) join; at
+# scale the exact side runs on a sampled query set (as here: 5 probe
+# queries) while the ANN side is the production path — recall
+# measurement cost stays O(sample), independent of corpus size.
+def _recall_sql(dot: str, cent_long: str, rebuild: str, dbl: str) -> str:
+    cos_probe = (
+        f"ROUND({dot.format(a='q.vec', b='c.cvec')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
+        f"SQRT({dot.format(a='c.cvec', b='c.cvec')})), 9)"
+    )
+    cos_exact = (
+        f"ROUND({dot.format(a='q.vec', b='e.vec')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
+        f"SQRT({dot.format(a='e.vec', b='e.vec')})), 9)"
+    )
+    return f"""
+WITH cent_long AS ({cent_long}),
+cents AS (
+    SELECT label, {rebuild} AS cvec
+    FROM cent_long
+    GROUP BY label
+),
+qs AS (
+    SELECT vec_id, {dbl} AS vec FROM embeddings WHERE vec_id < 5
+),
+corpus AS (
+    SELECT vec_id, label, {dbl.replace('embedding', 'e.embedding')} AS vec
+    FROM embeddings e
+),
+exact_topk AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_exact} DESC, e.vec_id) AS rn
+        FROM qs q CROSS JOIN corpus e
+        WHERE e.vec_id <> q.vec_id
+    )
+    WHERE rn <= 5
+),
+probes AS (
+    SELECT query_id, label
+    FROM (
+        SELECT q.vec_id AS query_id, c.label,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_probe} DESC, c.label) AS rn
+        FROM qs q CROSS JOIN cents c
+    )
+    WHERE rn <= 2
+),
+ivf_topk AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT p.query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY p.query_id
+                                  ORDER BY {cos_exact} DESC, e.vec_id) AS rn
+        FROM probes p
+        JOIN qs q ON q.vec_id = p.query_id
+        JOIN corpus e ON e.label = p.label AND e.vec_id <> p.query_id
+    )
+    WHERE rn <= 5
+)
+SELECT x.query_id,
+       COUNT(i.neighbor_id) AS hits,
+       ROUND(CAST(COUNT(i.neighbor_id) AS DOUBLE) / 5.0, 9) AS recall_at_5
+FROM exact_topk x
+LEFT JOIN ivf_topk i
+  ON i.query_id = x.query_id AND i.neighbor_id = x.neighbor_id
+GROUP BY x.query_id
+ORDER BY x.query_id
+"""
+
+
+_pair(
+    "ann_recall_at_5",
+    _recall_sql(
+        _DOT_S,
+        _CENT_LONG_S,
+        "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+        "transform(embedding, x -> CAST(x AS DOUBLE))",
+    ),
+    _recall_sql(
+        _DOT_D,
+        _CENT_LONG_D,
+        "list(cv ORDER BY dim)",
+        "list_transform(embedding, x -> CAST(x AS DOUBLE))",
+    ),
+    tables=["embeddings"],
+    tags=("similarity", "ann", "evaluation"),
+)

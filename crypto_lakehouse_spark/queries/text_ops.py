@@ -186,3 +186,43 @@ ORDER BY doc_id
 """,
     tags=("text", "normalize"),
 )
+
+
+# --- LLM context-window chunking ------------------------------------------
+# Overlapping token-window chunks (window 20 tokens, stride 15 = 5
+# overlap): the standard prep for embedding / context-window packing.
+# Pure built-ins: one sequence+explode per doc (no UDF), so at 100 TB
+# it's a narrow map-side transform — rows fan out ~tokens/stride x
+# with zero shuffle; the DuckDB oracle derives identical chunks from
+# a fixed cross-join range (correlated range is not lateral-safe
+# there).
+_CHUNK_SPARK = """
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS chunk_id,
+       size(slice(ws, start, 20)) AS token_count,
+       concat_ws(' ', slice(ws, start, 20)) AS chunk_text
+FROM (
+    SELECT doc_id, ws, pos, start
+    FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents)
+    LATERAL VIEW posexplode(sequence(1, size(ws), 15)) t AS pos, start
+)
+ORDER BY doc_id, chunk_id
+"""
+
+_CHUNK_DUCK = """
+SELECT doc_id,
+       i AS chunk_id,
+       len(ws[1 + i * 15 : i * 15 + 20]) AS token_count,
+       array_to_string(ws[1 + i * 15 : i * 15 + 20], ' ') AS chunk_text
+FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+     range(0, 64) t(i)
+WHERE 1 + i * 15 <= len(ws)
+ORDER BY doc_id, chunk_id
+"""
+
+_pair(
+    "doc_chunk_windows",
+    _CHUNK_SPARK,
+    _CHUNK_DUCK,
+    tags=("text", "chunking", "pipeline"),
+)
