@@ -213,3 +213,74 @@ def range_join_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle, the time range is a join filter."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_RANGE_JOIN)
+
+
+# --- Z-order (Morton) layout keys ------------------------------------------
+# The data-layout half of scan performance: interleaving the bits of
+# two normalized dimensions gives a 1-D sort key under which
+# multi-dimensional range predicates touch few contiguous key ranges
+# — the clustering scheme behind Delta/Iceberg OPTIMIZE ZORDER.
+# Here: 8-bit buckets of (event time, value), Morton-interleaved with
+# pure integer arithmetic (no engine-specific bit operators, so the
+# oracle runs the very same expression), then per-cell extents that
+# exhibit the locality a file-skipping index would exploit: each
+# Morton cell covers a tight box in (time, value) space, so min/max
+# column stats per file actually prune. Writing data sorted by
+# `morton` is a repartitionByRange on this key at scale — one range
+# shuffle at write time buys every later 2-D-predicate scan.
+def _morton_expr(x: str, y: str) -> str:
+    terms = []
+    for b in range(8):
+        terms.append(f"(({x}) %%DIV%% {1 << b} % 2) * {1 << (2 * b)}")
+        terms.append(f"(({y}) %%DIV%% {1 << b} % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+_ZORDER = f"""
+WITH bounds AS (
+    SELECT MIN(epoch_us(ts) // 60000000) AS t0,
+           MAX(epoch_us(ts) // 60000000) AS t1,
+           MIN(value) AS v0, MAX(value) AS v1
+    FROM events
+),
+bucketed AS (
+    SELECT e.event_id,
+           CAST(FLOOR(((epoch_us(e.ts) // 60000000) - b.t0) * 256.0
+                / (b.t1 - b.t0 + 1)) AS BIGINT) AS tb,
+           CAST(FLOOR((e.value - b.v0) * 255.999
+                / (b.v1 - b.v0)) AS BIGINT) AS vb
+    FROM events e CROSS JOIN bounds b
+)
+SELECT morton_cell,
+       COUNT(*) AS n_events,
+       MIN(tb) AS t_min, MAX(tb) AS t_max,
+       MIN(vb) AS v_min, MAX(vb) AS v_max
+FROM (
+    SELECT event_id, ({_morton_expr('tb', 'vb')}) %%DIV%% 1024 AS morton_cell
+    FROM bucketed
+) m
+JOIN bucketed USING (event_id)
+GROUP BY morton_cell
+ORDER BY morton_cell
+"""
+
+
+def _zorder_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _ZORDER.replace("epoch_us(", "unix_micros(")
+        .replace("//", "DIV")
+        .replace("%%DIV%%", "DIV")
+    )
+
+
+_zorder_fn.__name__ = "zorder_morton_cells"
+_zorder_fn.__doc__ = (
+    "Morton/Z-order clustering keys with per-cell extents (see block "
+    "comment)."
+)
+query(
+    "zorder_morton_cells",
+    oracle=_ZORDER.replace("%%DIV%%", "//"),
+    tags=("scale", "data-layout", "zorder"),
+)(_zorder_fn)

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crypto_lakehouse_spark.queries.registry import query
+from crypto_lakehouse_spark.queries.registry import REGISTRY, query
 from crypto_lakehouse_spark.session import configure_session
 from crypto_lakehouse_spark.streaming.file_stream import (
     run_stream_ingest,
@@ -135,3 +135,32 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T6: streaming dropDuplicates on the event key, then counts."""
     configure_session(spark)
     return run_streaming_dedup(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_stream_join",
+    oracle=None,  # wired below: shares the batch range-join oracle
+    tags=("streaming", "stream-stream-join", "range-join"),
+    bench=False,
+)
+def streaming_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream inner join (clicks x purchases, 5-min
+    event-time range) drained with availableNow — differentially
+    proven equal to the batch range join by sharing its oracle SQL.
+    See streaming/file_stream.run_stream_stream_join for the state
+    management rationale."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import run_stream_stream_join
+
+    return run_stream_stream_join(spark, sf_dir)
+
+
+def _wire_ss_join_oracle() -> None:
+    import crypto_lakehouse_spark.queries.scale_ops  # noqa: F401
+
+    REGISTRY["streaming_stream_stream_join"].oracle = REGISTRY[
+        "range_join_click_purchase"
+    ].oracle
+
+
+_wire_ss_join_oracle()

@@ -231,3 +231,62 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("event_type")
+
+
+def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream inner join with event-time range condition:
+    click stream joined to purchase stream (same user, click within
+    the 5 minutes before the purchase) — the streaming twin of the
+    batch `range_join_click_purchase`, whose SQL is the oracle.
+
+    Both sides carry watermarks and the join condition bounds event
+    time on both sides, so Spark can size and expire the join state
+    (without the time bound the state would grow forever). Under an
+    availableNow full replay every match is emitted exactly once in
+    append mode, which is why batch equivalence holds.
+    """
+    name = f"ss_join_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    clicks = (
+        events_stream(spark, sf_dir)
+        .where("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        events_stream(spark, sf_dir)
+        .where("event_type = 'purchase'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") < F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("purchase_id", "click_id")
