@@ -20,8 +20,8 @@ Scale notes:
 - `percentile_profile_orders`: exact nearest-rank percentiles via
   ROW_NUMBER + COUNT over one shared window spec — one sort per
   group serves all three percentiles. Exact (not approx) because the
-  oracle must hash-match; the approx_percentile scale path is
-  exercised separately in `events_approx_stats`.
+  oracle must hash-match; the sketch-based scale path for distincts
+  is exercised separately in `approx_distinct_users`.
 - `corr_exact_lineitem`: Pearson correlation / stddev / covariance
   computed from DECIMAL power sums (order-independent, one
   aggregation pass) with the scalar formula applied in DOUBLE at the

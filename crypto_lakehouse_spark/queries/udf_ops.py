@@ -1,0 +1,166 @@
+"""The remaining UDF API surface, each proven against a full DuckDB
+oracle: scalar pandas UDF (Arrow-vectorized), grouped-aggregate pandas
+UDF (UDAF), and a Python UDTF (lateral table function).
+
+The reference defines zero UDFs (SURVEY §2.8) — built-ins remain this
+engine's default too — but a complete engine must *expose* the escape
+hatches, and each one here is the idiomatic shape:
+
+- `embedding_norms_pandas`: scalar `@pandas_udf` over an array
+  column. Arrow ships each batch as numpy arrays; the fold is an
+  explicit sequential left fold per row so the result is
+  bit-identical to the oracle's `list_reduce` (pairwise/SIMD
+  summation would NOT be — same rule as the SQL dot products,
+  see queries/similarity_ops.py docstring).
+- `geomean_value_pandas_udaf`: grouped-agg `@pandas_udf` (UDAF).
+  Geometric mean via exp(mean(ln x)) — the one aggregate family the
+  built-ins genuinely lack. Both engines fold ln() over the
+  VALUE-SORTED group (Spark: sorted pandas Series, DuckDB:
+  `list(value ORDER BY value)`), making the double summation order
+  identical; math.log/math.exp and DuckDB ln/exp resolve to the
+  same libm on this platform, with ROUND(9) as belt-and-braces.
+  Note the scale contract of grouped-agg pandas UDFs: each group
+  must fit in one executor's memory (fine for |event_type| groups;
+  for high-cardinality keys prefer applyInPandas or built-ins).
+- `props_entries_udtf`: Python UDTF exploding the JSON props column
+  into (key, value) rows via a correlated LATERAL join, then
+  re-aggregated; shares the MAP-explode query's oracle
+  (queries/breadth_ops.py `props_map_entries`) — two different
+  Spark surfaces, one contract. UDTFs run row-at-a-time Python, so
+  this is the demonstration of the API, not the perf path: the
+  from_json MAP version is what production uses.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.functions import pandas_udf, udtf
+
+import crypto_lakehouse_spark.queries.breadth_ops  # noqa: F401  (registers oracle we reuse)
+from crypto_lakehouse_spark.io import load_table, register_views
+from crypto_lakehouse_spark.queries.registry import REGISTRY, query
+
+_NORM_ORACLE = """
+SELECT vec_id,
+       ROUND(SQRT(list_reduce(
+           list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+           (acc, v) -> acc + v)), 9) AS l2_norm
+FROM embeddings
+ORDER BY vec_id
+"""
+
+
+@query(
+    "embedding_norms_pandas",
+    oracle=_NORM_ORACLE,
+    tags=("similarity", "pandas-udf", "vectorized"),
+)
+def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar pandas UDF: L2 norm per embedding via sequential left
+    fold (module docstring has the determinism rationale)."""
+
+    @pandas_udf("double")
+    def l2_norm(embs: pd.Series) -> pd.Series:
+        out = []
+        for arr in embs:
+            acc = 0.0
+            for x in arr:
+                fx = float(x)
+                acc += fx * fx
+            out.append(round(math.sqrt(acc), 9))
+        return pd.Series(out)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("vec_id", l2_norm("embedding").alias("l2_norm"))
+        .orderBy("vec_id")
+    )
+
+
+_GEOMEAN_ORACLE = """
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(EXP(list_reduce(
+           list_transform(list(value ORDER BY value), x -> ln(x)),
+           (acc, v) -> acc + v) / COUNT(*)), 9) AS geomean_value
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "geomean_value_pandas_udaf",
+    oracle=_GEOMEAN_ORACLE,
+    tags=("events", "pandas-udf", "udaf", "aggregation"),
+)
+def geomean_value_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (UDAF): geometric mean of event
+    value per type via a value-sorted sequential ln-fold (module
+    docstring has the determinism + memory contract)."""
+
+    @pandas_udf("double")
+    def geomean(values: pd.Series) -> float:
+        acc = 0.0
+        for x in sorted(values):
+            acc += math.log(x)
+        return round(math.exp(acc / len(values)), 9)
+
+    # Pandas group aggregates can't mix with JVM aggregates in one
+    # agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas
+    # aggregate too.
+    @pandas_udf("long")
+    def n_rows(values: pd.Series) -> int:
+        return len(values)
+
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            n_rows("value").alias("n_events"),
+            geomean("value").alias("geomean_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "props_entries_udtf",
+    oracle=None,  # wired below: shares props_map_entries' oracle
+    tags=("json", "udtf"),
+    bench=False,  # API demonstration; from_json MAP is the perf path
+)
+def props_entries_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF exploding JSON props to (key, value) rows via a
+    correlated LATERAL join, re-aggregated to the props_map_entries
+    contract (whose oracle this query shares)."""
+
+    @udtf(returnType="key string, value bigint")
+    class ParseProps:
+        def eval(self, props: str):
+            if props is None:
+                return
+            for k, v in json.loads(props).items():
+                yield k, int(v)
+
+    spark.udtf.register("parse_props", ParseProps)
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT event_type, t.key, COUNT(*) AS n, SUM(t.value) AS value_sum
+        FROM events, LATERAL parse_props(props) t
+        GROUP BY event_type, t.key
+        ORDER BY event_type, t.key
+        """
+    )
+
+
+def _wire_udtf_oracle() -> None:
+    REGISTRY["props_entries_udtf"].oracle = REGISTRY["props_map_entries"].oracle
+
+
+_wire_udtf_oracle()
