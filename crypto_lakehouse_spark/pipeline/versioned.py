@@ -11,6 +11,11 @@ Design (the same shape Delta/Iceberg use, minimized):
   version N. Reads resolve a manifest and hand Spark that file list
   with `basePath`, so partition columns come from the `col=value`
   directory layout and partition pruning still works.
+- Manifests also record per-file column min/max harvested from the
+  parquet footers at commit time (no extra data read) — `read(...,
+  between=...)` skips provably-disjoint files before Spark ever lists
+  them, the Delta/Iceberg data-skipping mechanism; pair with a
+  range-sorted or Z-ordered write layout to make the ranges tight.
 - Logical deletes (overwrite/merge/compact) just produce a manifest
   that omits files; bytes stay on disk for older versions until
   `expire_snapshots`, whose orphan scan is the
@@ -58,6 +63,7 @@ class VersionedTable:
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = partition_by or []
+        self._last_write_stats: dict[str, dict] = {}
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ----------------------------------------------
@@ -89,12 +95,24 @@ class VersionedTable:
     def _commit(self, files: list[str], op: str) -> int:
         cur = self.current_version()
         version = 0 if cur is None else cur + 1
+        # File-level column stats (Delta/Iceberg data-skipping analog):
+        # stats for newly written files come from `_write_files`'s
+        # footer scan; carried-over files keep the stats recorded at
+        # their original commit (files are immutable, so stats are too).
+        prev_stats = self._load(cur).get("stats", {}) if cur is not None else {}
+        stats = {
+            f: s
+            for f in files
+            for s in [self._last_write_stats.get(f, prev_stats.get(f))]
+            if s
+        }
         manifest = {
             "version": version,
             "op": op,
             "ts": time.time(),
             "n_files": len(files),
             "files": sorted(files),
+            "stats": stats,
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -128,7 +146,46 @@ class VersionedTable:
                 os.rename(os.path.join(root, name), final_abs)
                 moved.append(final_rel)
         shutil.rmtree(staging, ignore_errors=True)
+        self._last_write_stats = {f: self._file_stats(f) for f in moved}
         return moved
+
+    def _file_stats(self, rel: str) -> dict:
+        """Per-file column min/max from the parquet footer — no data
+        read, no Spark job; the same stats Delta records in its log
+        and Iceberg in manifests. Only JSON-stable primitive types
+        (int/float/str/bool) are kept: a column whose footer stats
+        aren't representable is simply not skippable."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(os.path.join(self.path, rel)).metadata
+        mins: dict[str, object] = {}
+        maxs: dict[str, object] = {}
+        bad: set[str] = set()
+        for rg in range(md.num_row_groups):
+            row_group = md.row_group(rg)
+            for i in range(row_group.num_columns):
+                col = row_group.column(i)
+                name = col.path_in_schema
+                st = col.statistics
+                if (
+                    name in bad
+                    or "." in name
+                    or st is None
+                    or not st.has_min_max
+                ):
+                    bad.add(name)
+                    continue
+                lo, hi = st.min, st.max
+                if not all(
+                    isinstance(v, (bool, int, float, str)) for v in (lo, hi)
+                ):
+                    bad.add(name)
+                    continue
+                mins[name] = lo if name not in mins else min(mins[name], lo)
+                maxs[name] = hi if name not in maxs else max(maxs[name], hi)
+        return {
+            c: [mins[c], maxs[c]] for c in mins if c not in bad and c in maxs
+        }
 
     def append(self, df: DataFrame) -> int:
         cur = self.current_version()
@@ -178,23 +235,64 @@ class VersionedTable:
         return self._commit(carried + new_files, "merge")
 
     # -- reads -------------------------------------------------------------
-    def read(self, version: int | None = None, merge_schema: bool = False) -> DataFrame:
+    def files_for_scan(
+        self, version: int | None = None, between: dict[str, tuple] | None = None
+    ) -> tuple[list[str], int]:
+        """Plan a snapshot scan with file skipping: returns
+        (selected_files, total_files). A file is skipped when, for any
+        `col: (lo, hi)` bound, its manifest min/max proves no row can
+        satisfy `col BETWEEN lo AND hi`. Conservative: files without
+        stats for a bound column are always kept. This is the
+        query-planner half of data skipping — the layout half (sorting
+        or Z-ordering the write so per-file ranges are tight) is what
+        makes it bite; see `zorder_morton_cells`."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        m = self._load(cur if version is None else version)
+        files, stats = m["files"], m.get("stats", {})
+        if not between:
+            return files, len(files)
+        selected = []
+        for f in files:
+            fs = stats.get(f, {})
+            for col, (lo, hi) in between.items():
+                if col in fs and (fs[col][1] < lo or fs[col][0] > hi):
+                    break  # provably disjoint — skip file
+            else:
+                selected.append(f)
+        return selected, len(files)
+
+    def read(
+        self,
+        version: int | None = None,
+        merge_schema: bool = False,
+        between: dict[str, tuple] | None = None,
+    ) -> DataFrame:
         """Read a snapshot (default: latest). `version` is time travel
         (Delta `VERSION AS OF` / Iceberg snapshot read, reference
         README.md:157). `merge_schema=True` unions file schemas —
         schema evolution on read (reference README.md:159): columns
-        added by later commits come back NULL for older files."""
-        cur = self.current_version()
-        if cur is None:
-            raise FileNotFoundError(f"{self.path}: no committed version")
-        v = cur if version is None else version
-        files = self._load(v)["files"]
-        if not files:
-            raise ValueError(f"{self.path} v{v}: empty snapshot")
+        added by later commits come back NULL for older files.
+        `between={col: (lo, hi)}` applies manifest-stats file skipping
+        (see `files_for_scan`) plus the residual row filter, so the
+        result is exactly the bounded rows however the files were
+        laid out."""
+        files, _total = self.files_for_scan(version, between)
+        if not files and _total == 0:
+            raise ValueError(f"{self.path}: empty snapshot")
+        if not files:  # every file skipped: empty frame, right schema
+            df = self.read(version=version, merge_schema=merge_schema)
+            return df.limit(0)
         reader = self.spark.read.option("basePath", self.path)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*(os.path.join(self.path, f) for f in files))
+        df = reader.parquet(*(os.path.join(self.path, f) for f in files))
+        for col, (lo, hi) in (between or {}).items():
+            from pyspark.sql import functions as F
+
+            df = df.where(F.col(col).between(lo, hi))
+        return df
 
     # -- maintenance (reference compaction.py analogs) ----------------------
     def compact(self, target_files_per_partition: int = 1) -> int:

@@ -106,3 +106,51 @@ def test_crashed_staging_swept(spark, table):
     os.makedirs(os.path.join(table.path, "_staging-deadbeef/day=z"))
     table.expire_snapshots(retain_last=5)
     assert not glob.glob(f"{table.path}/_staging-*")
+
+
+# -- manifest column stats + data skipping ---------------------------------
+def test_file_skipping_prunes_sorted_layout(spark, tmp_path):
+    """Range-sorted write → tight per-file min/max → bounded reads
+    skip most files; result still exactly equals the full-scan filter.
+    The unsorted layout proves the layout half matters: same data,
+    same predicate, no files skipped."""
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("event_id", "user_id", "value")
+    )
+
+    sorted_t = VersionedTable(spark, str(tmp_path / "sorted"))
+    sorted_t.append(ev.repartitionByRange(8, "value"))
+    sel, total = sorted_t.files_for_scan(between={"value": (100.0, 120.0)})
+    assert total == 8
+    assert len(sel) < total, "sorted layout must allow file skipping"
+
+    shuffled = VersionedTable(spark, str(tmp_path / "shuffled"))
+    shuffled.append(ev.repartition(8))
+    sel2, total2 = shuffled.files_for_scan(between={"value": (100.0, 120.0)})
+    assert total2 == 8
+    assert len(sel2) == total2, "random layout has nothing to skip"
+
+    expect = sorted(
+        r.event_id
+        for r in ev.where(F.col("value").between(100.0, 120.0)).collect()
+    )
+    got = sorted(
+        r.event_id
+        for r in sorted_t.read(between={"value": (100.0, 120.0)}).collect()
+    )
+    assert got == expect
+
+
+def test_file_skipping_carries_stats_through_commits(spark, tmp_path):
+    """Stats recorded at write time survive append/merge commits that
+    carry the file forward (files are immutable, so stats are too),
+    and a fully-disjoint bound yields an empty-but-typed frame."""
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(_df(spark, [(1, "d1", 10.0), (2, "d1", 20.0)]))
+    t.append(_df(spark, [(3, "d2", 1000.0)]))
+    sel, total = t.files_for_scan(between={"v": (900.0, 1100.0)})
+    assert len(sel) < total
+    empty = t.read(between={"v": (-50.0, -40.0)})
+    assert empty.count() == 0
+    assert set(empty.columns) == {"k", "day", "v"}
