@@ -79,3 +79,31 @@ def test_no_cartesian_product(spark, name):
     uses when the build side is broadcast-sized.)"""
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan, f"{name} plans a CartesianProduct"
+
+
+def test_sliding_window_uses_expand_not_join(spark):
+    """Hopping windows must compile to TimeWindow Expand (2x row
+    replication) + one hash aggregation — never a spine self-join."""
+    plan = _plan(spark, "sliding_window_counts")
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_doc_chunking_is_narrow(spark):
+    """Context-window chunking is generate+project — map-side only.
+    The only exchange allowed is the final presentation sort."""
+    plan = _plan(spark, "doc_chunk_windows")
+    assert "Generate" in plan, "sequence explode missing"
+    assert "Join" not in plan
+    import re
+
+    nodes = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(nodes) <= 1, "chunking must not shuffle data"
+
+
+def test_pivot_is_single_aggregation(spark):
+    """Pivot with an explicit values list = conditional aggregation:
+    one aggregate (partial+final), no join, no extra distinct job."""
+    plan = _plan(spark, "pivot_status_by_priority")
+    assert "Join" not in plan
+    assert "Expand" not in plan
