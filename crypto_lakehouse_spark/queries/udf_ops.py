@@ -85,8 +85,8 @@ _GEOMEAN_ORACLE = """
 SELECT event_type,
        COUNT(*) AS n_events,
        ROUND(EXP(list_reduce(
-           list_transform(list(value ORDER BY value), x -> ln(x)),
-           (acc, v) -> acc + v) / COUNT(*)), 9) AS geomean_value
+           list_transform(list(value ORDER BY value), x -> ln(1.0 + x)),
+           (acc, v) -> acc + v) / COUNT(*)) - 1.0, 9) AS geomean_value
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -103,12 +103,16 @@ def geomean_value_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     value per type via a value-sorted sequential ln-fold (module
     docstring has the determinism + memory contract)."""
 
+    # Shifted geomean exp(mean(ln(1+x)))-1: defined for the zero
+    # values present at sf0.1 (plain ln(x) would be a domain error).
+    # ln(1.0 + x), NOT log1p: log1p is a different (more precise)
+    # function than the oracle's ln(1+x) and diverges in low bits.
     @pandas_udf("double")
     def geomean(values: pd.Series) -> float:
         acc = 0.0
         for x in sorted(values):
-            acc += math.log(x)
-        return round(math.exp(acc / len(values)), 9)
+            acc += math.log(1.0 + x)
+        return round(math.exp(acc / len(values)) - 1.0, 9)
 
     # Pandas group aggregates can't mix with JVM aggregates in one
     # agg() (INVALID_PANDAS_UDF_PLACEMENT), so the count is a pandas
