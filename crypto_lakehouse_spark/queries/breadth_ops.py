@@ -88,6 +88,7 @@ SELECT o_orderkey,
        o_orderstatus,
        ROUND(PERCENT_RANK() OVER w, 9) AS pct_rank,
        ROUND(CUME_DIST() OVER w, 9) AS cume_dist,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
        CAST(NTH_VALUE(o_orderkey, 2) OVER (PARTITION BY o_orderstatus
             ORDER BY CAST(o_totalprice AS DECIMAL(12,2)), o_orderkey
             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
