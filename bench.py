@@ -37,30 +37,36 @@ def main() -> int:
 
     names = [n for n, q in sorted(REGISTRY.items()) if q.bench]
     # Warm up the session (parquet reader paths, codegen, shuffle infra).
-    _execute(REGISTRY[names[0]].spark_fn(spark, sf_dir))
+    try:
+        _execute(REGISTRY[names[0]].spark_fn(spark, sf_dir))
+    except Exception:
+        pass  # the per-query loop reports it with the query's name
 
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in names:
         best = float("inf")
-        for _ in range(RUNS):
-            t0 = time.perf_counter()
-            _execute(REGISTRY[name].spark_fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(RUNS):
+                t0 = time.perf_counter()
+                _execute(REGISTRY[name].spark_fn(spark, sf_dir))
+                best = min(best, time.perf_counter() - t0)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # one bad query must not kill the suite
+            errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
-    return 0
+    result = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result))
+    return 1 if errors else 0
 
 
 if __name__ == "__main__":
