@@ -288,3 +288,28 @@ _pair(
     tables=["events"],
     tags=("text", "redaction"),
 )
+
+# --- explicit GROUPING SETS ------------------------------------------------
+# Three independent summaries (by segment, by nation, grand total) in
+# ONE aggregation pass: Spark expands the sets in a single Expand
+# operator over one shuffle — the same plan shape as CUBE/ROLLUP but
+# with a hand-picked set list, which at 100 TB is the difference
+# between one scan and three.
+_GSETS = """
+SELECT CAST(GROUPING(c_mktsegment) AS INTEGER) AS seg_total,
+       CAST(GROUPING(c_nationkey) AS INTEGER) AS nation_total,
+       c_mktsegment, c_nationkey,
+       COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE) AS balance
+FROM customer
+GROUP BY GROUPING SETS ((c_mktsegment), (c_nationkey), ())
+ORDER BY seg_total, nation_total, c_mktsegment, c_nationkey
+"""
+
+_pair(
+    "grouping_sets_customers",
+    _GSETS,
+    _GSETS,
+    tables=["customer"],
+    tags=("relational", "grouping-sets"),
+)
