@@ -313,3 +313,40 @@ _pair(
     tables=["customer"],
     tags=("relational", "grouping-sets"),
 )
+
+# --- recursive CTE (Spark 4) ----------------------------------------------
+# Iterative computation in PURE SQL: a halving amortization schedule
+# with data-dependent depth (each order recurses until its balance
+# hits zero, ~27 levels from a 10^7-cent start). Spark 4's recursive
+# CTE executes this as an iterative union of micro-plans — the
+# declarative twin of the driver-looped label propagation in
+# dup_clusters_cc (where UNION-dedup semantics, which Spark's
+# recursion doesn't support yet, forces the loop to stay in Python).
+# All arithmetic is integer cents: no decimal-rounding divergence
+# across engines (integer division spelled per dialect: DIV vs //).
+_RECURSIVE_AMORT = """
+WITH RECURSIVE sched(o_orderkey, month, remaining_cents) AS (
+    SELECT o_orderkey, 0,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+    FROM orders WHERE o_orderkey % 997 = 0
+    UNION ALL
+    SELECT o_orderkey, month + 1, remaining_cents %%DIV%% 2
+    FROM sched
+    WHERE remaining_cents > 0 AND month < 64
+)
+SELECT o_orderkey,
+       MAX(month) AS months_to_zero,
+       COUNT(*) AS n_statements,
+       SUM(remaining_cents) AS cents_carried
+FROM sched
+GROUP BY o_orderkey
+ORDER BY o_orderkey
+"""
+
+_pair(
+    "recursive_amortization",
+    _RECURSIVE_AMORT.replace("%%DIV%%", "DIV"),
+    _RECURSIVE_AMORT.replace("%%DIV%%", "//"),
+    tables=["orders"],
+    tags=("relational", "recursive-cte", "iterative"),
+)
