@@ -350,3 +350,40 @@ _pair(
     tables=["orders"],
     tags=("relational", "recursive-cte", "iterative"),
 )
+
+# --- VARIANT semi-structured type (Spark 4) -------------------------------
+# parse_json -> VARIANT is Spark 4's schema-flexible column type for
+# semi-structured pipelines (the open-format answer to schema drift:
+# extraction is typed per access instead of per table). Same contract
+# as the MAP/UDTF variants of the props explode family; the oracle
+# extracts through DuckDB's JSON path functions.
+_VARIANT_SPARK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(variant_get(parse_json(props), '$.k', 'bigint')) AS k_sum,
+       MAX(variant_get(parse_json(props), '$.k', 'bigint')) AS k_max,
+       SUM(CASE WHEN try_variant_get(parse_json(props), '$.missing', 'bigint')
+                IS NULL THEN 1 ELSE 0 END) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+_VARIANT_DUCK = """
+SELECT event_type,
+       COUNT(*) AS n,
+       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
+       SUM(CASE WHEN json_extract(props, '$.missing')
+                IS NULL THEN 1 ELSE 0 END) AS n_missing
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_pair(
+    "props_variant_stats",
+    _VARIANT_SPARK,
+    _VARIANT_DUCK,
+    tables=["events"],
+    tags=("json", "variant", "semi-structured"),
+)
