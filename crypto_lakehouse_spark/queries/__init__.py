@@ -22,3 +22,4 @@ def load_all() -> None:
     import crypto_lakehouse_spark.queries.breadth_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.sampling_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.udf_ops  # noqa: F401
+    import crypto_lakehouse_spark.queries.trainprep_ops  # noqa: F401

@@ -1,0 +1,314 @@
+"""Corpus-preparation operators for LLM training-data pipelines:
+benchmark-contamination detection, boilerplate n-gram profiling,
+concat-and-chunk sequence packing, weighted domain mixture
+resampling, and intra-document repetition scoring.
+
+These extend the reference's surface (it has none of these — see
+SURVEY §2.8: zero UDFs, no text ops) with the operations a 100 TB
+text-corpus pipeline runs before training. All five are pure
+Spark-SQL (no Python in the hot path) and every aggregate is either
+integer or DECIMAL-summed, so the DuckDB oracle hash-matches exactly.
+
+Scale notes (what survives 1000 executors / 100 TB):
+
+- `contamination_4gram`: the benchmark side (held-out eval set) is
+  tiny relative to the corpus, and its DISTINCT 4-gram set is
+  deduplicated BEFORE the join, so Catalyst broadcasts it — the
+  100 TB corpus side streams map-side with zero shuffle for the
+  probe. This is the standard n-gram decontamination pass (GPT-3
+  appendix-C style, 13-grams there; 4 here because the synthetic
+  docs are ~60 words). Corpus shingles explode ~60x rows but only
+  ever feed a broadcast semi-probe + one groupBy(doc_id) partial agg.
+
+- `boilerplate_4gram_fraction`: unlike contamination, the "common
+  n-gram" set is data-dependent (n-grams seen in >= 3 distinct
+  docs), so it needs one shuffle to count shingle frequencies; the
+  hot-key risk concentrates on frequent shingles, which is exactly
+  the aggregation (not join) side, where partial aggregation absorbs
+  skew. The per-doc fraction join then broadcasts the (small)
+  boilerplate set. Per-source ratios are computed from integer SUMs
+  (SUM(matched)/SUM(total)), never AVG of per-doc doubles — the
+  former is order-free, the latter is not.
+
+- `pack_concat_chunks`: concat-and-chunk packing — documents are
+  concatenated in a deterministic order (doc_id) per language shard
+  and the token stream is cut every CAPACITY tokens, the layout
+  LLM pretraining loaders actually use. The pack assignment is a
+  pure function of the running token cumsum (one window sort per
+  lang partition, integer arithmetic only), so it parallelizes per
+  shard and needs no sequential driver loop; a greedy no-split
+  bin-packer would be inherently sequential and is NOT what loaders
+  do anyway. Boundary-crossing docs are counted explicitly
+  (n_split_docs) since they become cross-pack attention breaks.
+
+- `domain_mixture_resample`: per-domain sampling rate is derived
+  from md5(source) (stands in for a learned mixture-weight table —
+  in production this is a broadcast map side input); keep/drop is a
+  pure function of md5(doc_id), so the resample is deterministic,
+  shuffle-free (map-side filter), and stable under corpus growth —
+  the same properties as `deterministic_split` in sampling_ops.
+
+- `intra_doc_repetition`: Gopher-style repetition filter signal
+  (duplicate-bigram mass per doc). Non-distinct bigram explode,
+  one groupBy(doc_id) with COUNT vs COUNT(DISTINCT) — the distinct
+  runs inside the per-doc group so no global distinct shuffle; the
+  permille ratio and histogram bucket are integer arithmetic
+  (%%DIV%%), hash-identical across engines.
+
+Cross-engine dialect notes: word arrays are `split`/`size`/
+`element_at`+`transform(sequence)` on Spark vs `string_split`/
+`len`/`ws[i]`+`list_transform(range)` on DuckDB; integer division
+is `DIV` vs `//` (the `%%DIV%%` placeholder, same mechanism as
+scale_ops.zorder_morton_cells).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tags: tuple[str, ...],
+) -> None:
+    spark_final = spark_sql.replace("%%DIV%%", "DIV")
+    duck_final = duck_sql.replace("%%DIV%%", "//")
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ["documents"])
+        return spark.sql(spark_final)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Training-corpus prep operator (scale notes in the module "
+        f"docstring). Spark SQL:\n{spark_final}"
+    )
+    query(name, oracle=duck_final, tags=tags)(fn)
+
+
+def _ngrams_spark(src: str, n: int, distinct: bool = True) -> str:
+    """n-gram shingle CTE body, Spark dialect."""
+    words = ", ".join(f"element_at(ws, i + {j})" for j in range(n))
+    inner = f"transform(sequence(1, size(ws) - {n - 1}), i -> concat_ws(' ', {words}))"
+    if distinct:
+        inner = f"array_distinct({inner})"
+    return (
+        f"SELECT doc_id, explode({inner}) AS s\n"
+        f"    FROM (SELECT doc_id, split(text, ' ') AS ws FROM {src})\n"
+        f"    WHERE size(ws) >= {n}"
+    )
+
+
+def _ngrams_duck(src: str, n: int, distinct: bool = True) -> str:
+    """n-gram shingle CTE body, DuckDB dialect (same rows)."""
+    words = " || ' ' || ".join(f"ws[i + {j}]" for j in range(n))
+    sel = "SELECT DISTINCT" if distinct else "SELECT"
+    return (
+        f"{sel} doc_id, unnest(list_transform(range(1, len(ws) - {n - 2}),"
+        f" i -> {words})) AS s\n"
+        f"    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src})\n"
+        f"    WHERE len(ws) >= {n}"
+    )
+
+
+# --- benchmark contamination (n-gram overlap vs held-out set) --------------
+# Benchmark set = every 17th doc (stands in for an eval benchmark the
+# corpus must be decontaminated against). A corpus doc is contaminated
+# if any of its distinct 4-grams appears in the benchmark set.
+def _contamination(shingles_corpus: str, shingles_bench: str) -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+csh AS (
+    {shingles_corpus}
+),
+bsh AS (SELECT DISTINCT s FROM (
+    {shingles_bench}
+)),
+hits AS (
+    SELECT csh.doc_id, COUNT(*) AS matched
+    FROM csh JOIN bsh ON csh.s = bsh.s
+    GROUP BY csh.doc_id
+)
+SELECT c.source,
+       COUNT(*) AS n_docs,
+       COUNT(h.doc_id) AS n_contaminated,
+       COALESCE(SUM(h.matched), 0) AS matched_ngrams
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+_pair(
+    "contamination_4gram",
+    _contamination(_ngrams_spark("corpus", 4), _ngrams_spark("bench", 4)),
+    _contamination(_ngrams_duck("corpus", 4), _ngrams_duck("bench", 4)),
+    tags=("trainprep", "text", "dedup"),
+)
+
+
+# --- boilerplate n-gram mass per source ------------------------------------
+# Boilerplate = 4-grams occurring in >= 3 distinct docs. Per source:
+# total distinct 4-grams, boilerplate-matched count, ratio from the
+# integer sums, and count of heavily-boilerplate docs (>25% matched,
+# compared by integer cross-multiplication, no float boundary).
+def _boilerplate(shingles: str) -> str:
+    return f"""
+WITH sh AS (
+    {shingles}
+),
+boiler AS (
+    SELECT s FROM sh GROUP BY s HAVING COUNT(*) >= 3
+),
+per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS total_ngrams,
+           COUNT(b.s) AS matched_ngrams
+    FROM sh LEFT JOIN boiler b ON sh.s = b.s
+    GROUP BY sh.doc_id
+)
+SELECT d.source,
+       SUM(p.total_ngrams) AS total_ngrams,
+       SUM(p.matched_ngrams) AS boiler_ngrams,
+       CAST(CAST(SUM(p.matched_ngrams) AS DOUBLE)
+            / SUM(p.total_ngrams) AS DOUBLE) AS boiler_ratio,
+       SUM(CASE WHEN p.matched_ngrams * 4 > p.total_ngrams
+                THEN 1 ELSE 0 END) AS n_heavy_docs
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+_pair(
+    "boilerplate_4gram_fraction",
+    _boilerplate(_ngrams_spark("documents", 4)),
+    _boilerplate(_ngrams_duck("documents", 4)),
+    tags=("trainprep", "text"),
+)
+
+
+# --- concat-and-chunk sequence packing -------------------------------------
+# Documents are concatenated per language shard in doc_id order; the
+# token stream is cut every 256 tokens. A doc's pack is where its
+# FIRST token lands; docs whose span crosses a cut are n_split_docs.
+_PACK_CAPACITY = 256
+
+
+def _packing(tok_expr: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, lang, {tok_expr} AS n_tokens
+    FROM documents
+),
+stream AS (
+    SELECT doc_id, lang, n_tokens,
+           SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS cum_end
+    FROM toks
+)
+SELECT lang,
+       (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY} AS pack_id,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS tokens_started,
+       MIN(doc_id) AS first_doc_id,
+       SUM(CASE WHEN (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY}
+                  <> (cum_end - 1) %%DIV%% {_PACK_CAPACITY}
+                THEN 1 ELSE 0 END) AS n_split_docs
+FROM stream
+GROUP BY lang, (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY}
+ORDER BY lang, pack_id
+"""
+
+
+_pair(
+    "pack_concat_chunks",
+    _packing("size(split(text, ' '))"),
+    _packing("len(string_split(text, ' '))"),
+    tags=("trainprep", "sampling"),
+)
+
+
+# --- weighted domain mixture resampling ------------------------------------
+# Per-domain keep-rate in [10, 90] derived from md5(source) (proxy for
+# a mixture-weight side table); keep decision from md5(doc_id). Both
+# pure functions -> deterministic, map-side, stable under growth.
+def _md5_bucket(expr: str, mod: int) -> str:
+    m = f"MD5(CAST({expr} AS VARCHAR(40)))"
+    return (
+        f"(ASCII(SUBSTR({m}, 1, 1)) * 65536"
+        f" + ASCII(SUBSTR({m}, 2, 1)) * 256"
+        f" + ASCII(SUBSTR({m}, 3, 1))) % {mod}"
+    )
+
+
+def _mixture(tok_expr: str) -> str:
+    return f"""
+WITH rated AS (
+    SELECT doc_id, source, {tok_expr} AS n_tokens,
+           10 + {_md5_bucket("source", 81)} AS keep_rate,
+           {_md5_bucket("doc_id", 100)} AS bucket
+    FROM documents
+)
+SELECT source,
+       MIN(keep_rate) AS keep_rate,
+       COUNT(*) AS n_total,
+       SUM(CASE WHEN bucket < keep_rate THEN 1 ELSE 0 END) AS n_kept,
+       SUM(CASE WHEN bucket < keep_rate THEN n_tokens ELSE 0 END) AS kept_tokens
+FROM rated
+GROUP BY source
+ORDER BY source
+"""
+
+
+_pair(
+    "domain_mixture_resample",
+    _mixture("size(split(text, ' '))"),
+    _mixture("len(string_split(text, ' '))"),
+    tags=("trainprep", "sampling"),
+)
+
+
+# --- intra-document repetition histogram -----------------------------------
+# Duplicate-bigram mass per doc (Gopher-style repetition signal),
+# bucketed into 25-permille histogram bins. Integer arithmetic only.
+def _repetition(shingles: str) -> str:
+    return f"""
+WITH bg AS (
+    {shingles}
+),
+per_doc AS (
+    SELECT doc_id,
+           COUNT(*) AS total_bg,
+           COUNT(DISTINCT s) AS distinct_bg
+    FROM bg
+    GROUP BY doc_id
+),
+scored AS (
+    SELECT doc_id,
+           ((total_bg - distinct_bg) * 1000) %%DIV%% total_bg AS rep_permille
+    FROM per_doc
+)
+SELECT (rep_permille %%DIV%% 25) * 25 AS rep_bin_permille,
+       COUNT(*) AS n_docs,
+       MIN(doc_id) AS min_doc_id
+FROM scored
+GROUP BY rep_permille %%DIV%% 25
+ORDER BY rep_bin_permille
+"""
+
+
+_pair(
+    "intra_doc_repetition",
+    _repetition(_ngrams_spark("documents", 2, distinct=False)),
+    _repetition(_ngrams_duck("documents", 2, distinct=False)),
+    tags=("trainprep", "text"),
+)
