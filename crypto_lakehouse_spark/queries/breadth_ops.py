@@ -387,3 +387,62 @@ _pair(
     tables=["events"],
     tags=("json", "variant", "semi-structured"),
 )
+
+
+# --- SQL pipe syntax (Spark 4.1) -------------------------------------------
+# The TPC-H Q1 contract re-expressed in Spark 4.1's pipe syntax
+# (`|> WHERE / AGGREGATE / ORDER BY / SELECT`), proven against the
+# same classic-SQL oracle as q1_pricing_summary. Same logical plan,
+# same single-shuffle hash aggregate — pipe syntax is pure sugar, and
+# the differential check proves it (DuckDB has no pipe parser, which
+# is exactly why the oracle side stays classic ANSI).
+_EXT = "CAST(l_extendedprice AS DECIMAL(12,2))"
+_QTY = "CAST(l_quantity AS DECIMAL(12,2))"
+_DISC = "CAST(l_discount AS DECIMAL(4,2))"
+_TAX = "CAST(l_tax AS DECIMAL(4,2))"
+
+_PIPE_Q1_SPARK = f"""
+FROM lineitem
+|> WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+|> AGGREGATE
+       CAST(SUM({_QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_EXT}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_EXT} * (1 - {_DISC})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_EXT} * (1 - {_DISC}) * (1 + {_TAX})) AS DOUBLE)
+           AS sum_charge,
+       CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM({_EXT}) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM({_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+   GROUP BY l_returnflag, l_linestatus
+|> ORDER BY l_returnflag, l_linestatus
+|> SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+          sum_disc_price, sum_charge, avg_qty, avg_price, avg_disc,
+          count_order
+"""
+
+_PIPE_Q1_DUCK = f"""
+SELECT l_returnflag,
+       l_linestatus,
+       CAST(SUM({_QTY}) AS DOUBLE) AS sum_qty,
+       CAST(SUM({_EXT}) AS DOUBLE) AS sum_base_price,
+       CAST(SUM({_EXT} * (1 - {_DISC})) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM({_EXT} * (1 - {_DISC}) * (1 + {_TAX})) AS DOUBLE)
+           AS sum_charge,
+       CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*) AS avg_qty,
+       CAST(SUM({_EXT}) AS DOUBLE) / COUNT(*) AS avg_price,
+       CAST(SUM({_DISC}) AS DOUBLE) / COUNT(*) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-01 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+_pair(
+    "pipe_syntax_pricing_summary",
+    _PIPE_Q1_SPARK,
+    _PIPE_Q1_DUCK,
+    tables=["lineitem"],
+    tags=("relational", "pipe-syntax", "spark4"),
+)

@@ -168,3 +168,77 @@ def _wire_udtf_oracle() -> None:
 
 
 _wire_udtf_oracle()
+
+
+# --- Arrow-native grouped map (applyInArrow, Spark 4) ----------------------
+# Per-source corpus profile: doc count, total chars, exact
+# nearest-rank median of n_chars. The grouped map runs on raw
+# pyarrow.Tables — no pandas materialization at all, the zero-copy
+# fast path for columnar per-group logic. Everything is integer
+# arithmetic (count/sum/element-pick after an in-group sort), so the
+# result is bit-identical to the window-function oracle. Scale
+# contract is the same as every grouped map: one group must fit in
+# one executor (20 sources here; for high-cardinality keys the
+# window-function formulation IS the scale path — this query proves
+# both give the same answer).
+_ARROW_PROFILE_ORACLE = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n
+    FROM documents
+)
+SELECT source,
+       MAX(n) AS n_docs,
+       SUM(n_chars) AS sum_chars,
+       MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median_chars
+FROM ranked
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "source_profile_arrow",
+    oracle=_ARROW_PROFILE_ORACLE,
+    tags=("arrow", "grouped-map", "spark4"),
+)
+def source_profile_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().applyInArrow grouped map (Spark 4): per-source doc
+    count, char total, and exact nearest-rank median n_chars, computed
+    on zero-copy pyarrow.Tables and proven against a window-function
+    oracle. Extends SURVEY §2.8 (reference has zero UDFs) with the
+    last grouped-map surface: pandas (ohlcv_1h_pandas), pandas UDAF
+    (geomean_value_pandas_udaf), and now Arrow-native."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "doc_id", "n_chars"
+    )
+
+    def profile(table: "pa.Table") -> "pa.Table":
+        st = table.sort_by([("n_chars", "ascending"), ("doc_id", "ascending")])
+        n = st.num_rows
+        return pa.table(
+            {
+                "source": [st["source"][0].as_py()],
+                "n_docs": pa.array([n], pa.int64()),
+                "sum_chars": pa.array(
+                    [pc.sum(st["n_chars"]).as_py()], pa.int64()
+                ),
+                "median_chars": pa.array(
+                    [st["n_chars"][(n + 1) // 2 - 1].as_py()], pa.int64()
+                ),
+            }
+        )
+
+    return (
+        docs.groupBy("source")
+        .applyInArrow(
+            profile,
+            schema="source string, n_docs long, sum_chars long, median_chars long",
+        )
+        .orderBy("source")
+    )
