@@ -446,3 +446,28 @@ _pair(
     tables=["lineitem"],
     tags=("relational", "pipe-syntax", "spark4"),
 )
+
+
+# --- correlated LATERAL join ------------------------------------------------
+# Top-3 largest docs per source via a correlated LATERAL subquery
+# with ORDER BY ... LIMIT — the remaining join surface (Spark plans a
+# LateralJoin; DuckDB runs the same ANSI text). Same contract as a
+# window top-k, but expressed as the dependent-join operator; Spark
+# de-correlates it into a ranked window under the hood, so the plan
+# is still one shuffle — the differential check pins the semantics.
+_LATERAL_SQL = """
+SELECT s.source, t.doc_id, t.n_chars
+FROM (SELECT DISTINCT source FROM documents) s,
+LATERAL (SELECT doc_id, n_chars FROM documents d
+         WHERE d.source = s.source
+         ORDER BY n_chars DESC, doc_id LIMIT 3) t
+ORDER BY s.source, t.n_chars DESC, t.doc_id
+"""
+
+_pair(
+    "lateral_topk_per_source",
+    _LATERAL_SQL,
+    _LATERAL_SQL,
+    tables=["documents"],
+    tags=("relational", "join", "lateral"),
+)

@@ -178,3 +178,184 @@ _pair(
     ),
     tags=("similarity", "lsh"),
 )
+
+
+# --- one k-means step (Lloyd iteration), differentially checked -------------
+# Embedding-clustering building block: centroids = vec_id 0..3,
+# assign every vector to its nearest centroid (squared-L2 via the
+# same sequential fold as the cosines), then recompute centroids and
+# report per-cluster size + centroid L2 norm. The full algorithm is
+# this step iterated (driver loop like dup_clusters_cc); one step is
+# the differentially-checkable unit, and the expensive parts — the
+# |corpus| x k assignment (broadcast the k centroids, no shuffle) and
+# the per-(cluster, dim) mean (one shuffle) — are exactly what scale.
+# Determinism: every double summation is a sequential fold in a
+# DEFINED order (members by vec_id, dims by dim index) — Spark
+# `aggregate(transform(array_sort(collect_list(struct(k, v))), ...))`
+# = DuckDB `list_reduce(list(v ORDER BY k), ...)`; means divide
+# identical doubles by identical ints. MIN/MAX need no ordering.
+_KM_SPARK = """
+WITH vecs AS (
+    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
+assigned AS (
+    SELECT vec_id, cid, v FROM (
+        SELECT vecs.vec_id, cents.cid, vecs.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vecs.vec_id
+                   ORDER BY aggregate(zip_with(vecs.v, cents.c,
+                                (x, y) -> (x - y) * (x - y)),
+                            CAST(0 AS DOUBLE), (a, b) -> a + b),
+                            cents.cid) AS rn
+        FROM vecs CROSS JOIN cents
+    ) WHERE rn = 1
+),
+dimvals AS (
+    SELECT cid, dim, vec_id, element_at(v, dim) AS val
+    FROM assigned
+    CROSS JOIN (SELECT explode(sequence(1, 64)) AS dim)
+),
+dimmeans AS (
+    SELECT cid, dim,
+           aggregate(transform(array_sort(collect_list(struct(vec_id, val))),
+                     s -> s.val), CAST(0 AS DOUBLE), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM dimvals GROUP BY cid, dim
+)
+SELECT d.cid AS cluster_id,
+       m.n_members, m.min_vec_id, m.max_vec_id,
+       ROUND(SQRT(aggregate(
+           transform(array_sort(collect_list(struct(d.dim, d.mean_d))),
+                     s -> s.mean_d * s.mean_d),
+           CAST(0 AS DOUBLE), (a, b) -> a + b)), 9) AS centroid_l2
+FROM dimmeans d
+JOIN (SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+             MAX(vec_id) AS max_vec_id
+      FROM assigned GROUP BY cid) m ON d.cid = m.cid
+GROUP BY d.cid, m.n_members, m.min_vec_id, m.max_vec_id
+ORDER BY cluster_id
+"""
+
+_KM_DUCK = """
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
+assigned AS (
+    SELECT vec_id, cid, v FROM (
+        SELECT vecs.vec_id, cents.cid, vecs.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vecs.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, 65),
+                                i -> (vecs.v[i] - cents.c[i])
+                                     * (vecs.v[i] - cents.c[i])),
+                            (a, b) -> a + b),
+                            cents.cid) AS rn
+        FROM vecs CROSS JOIN cents
+    ) WHERE rn = 1
+),
+dimvals AS (
+    SELECT cid, dim, vec_id, v[dim] AS val
+    FROM assigned
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+),
+dimmeans AS (
+    SELECT cid, dim,
+           list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM dimvals GROUP BY cid, dim
+)
+SELECT d.cid AS cluster_id,
+       m.n_members, m.min_vec_id, m.max_vec_id,
+       ROUND(SQRT(list_reduce(
+           list(d.mean_d * d.mean_d ORDER BY d.dim),
+           (a, b) -> a + b)), 9) AS centroid_l2
+FROM dimmeans d
+JOIN (SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+             MAX(vec_id) AS max_vec_id
+      FROM assigned GROUP BY cid) m ON d.cid = m.cid
+GROUP BY d.cid, m.n_members, m.min_vec_id, m.max_vec_id
+ORDER BY cluster_id
+"""
+
+_pair(
+    "kmeans_one_step",
+    _KM_SPARK,
+    _KM_DUCK,
+    tags=("similarity", "clustering", "embedding"),
+)
+
+
+# --- int8 scalar quantization + reconstruction error ------------------------
+# The vector-compression pass an embedding store runs before ANN:
+# per-dimension min/max over the corpus (order-free aggregates),
+# affine quantize to [0, 255] (FLOOR(x + 0.5) — floor of identical
+# doubles, no engine rounding-mode dependence), dequantize, and
+# per-dimension RMSE from a vec_id-ordered sequential fold. Per-dim
+# stats are one shuffle over 64 x |corpus| exploded rows; at scale
+# the min/max pass and the error pass fuse into the same scan shape.
+_QUANT_SPARK = """
+WITH dimvals AS (
+    SELECT vec_id, dim, CAST(element_at(embedding, dim) AS DOUBLE) AS val
+    FROM embeddings
+    CROSS JOIN (SELECT explode(sequence(1, 64)) AS dim)
+),
+stats AS (
+    SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM dimvals GROUP BY dim
+),
+quant AS (
+    SELECT d.vec_id, d.dim, d.val, s.lo, s.hi,
+           LEAST(255, GREATEST(0,
+               FLOOR((d.val - s.lo) * 255 / (s.hi - s.lo) + 0.5))) AS q
+    FROM dimvals d JOIN stats s ON d.dim = s.dim
+)
+SELECT dim,
+       CAST(MIN(q) AS BIGINT) AS q_min,
+       CAST(MAX(q) AS BIGINT) AS q_max,
+       ROUND(SQRT(aggregate(
+           transform(array_sort(collect_list(struct(vec_id,
+               (val - (lo + q * (hi - lo) / 255))
+               * (val - (lo + q * (hi - lo) / 255)) AS err))),
+           s -> s.err), CAST(0 AS DOUBLE), (a, b) -> a + b)
+           / COUNT(*)), 9) AS rmse
+FROM quant
+GROUP BY dim
+ORDER BY dim
+"""
+
+_QUANT_DUCK = """
+WITH dimvals AS (
+    SELECT vec_id, dim, CAST(embedding[dim] AS DOUBLE) AS val
+    FROM embeddings
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+),
+stats AS (
+    SELECT dim, MIN(val) AS lo, MAX(val) AS hi FROM dimvals GROUP BY dim
+),
+quant AS (
+    SELECT d.vec_id, d.dim, d.val, s.lo, s.hi,
+           LEAST(255, GREATEST(0,
+               FLOOR((d.val - s.lo) * 255 / (s.hi - s.lo) + 0.5))) AS q
+    FROM dimvals d JOIN stats s ON d.dim = s.dim
+)
+SELECT dim,
+       CAST(MIN(q) AS BIGINT) AS q_min,
+       CAST(MAX(q) AS BIGINT) AS q_max,
+       ROUND(SQRT(list_reduce(
+           list((val - (lo + q * (hi - lo) / 255))
+                * (val - (lo + q * (hi - lo) / 255)) ORDER BY vec_id),
+           (a, b) -> a + b) / COUNT(*)), 9) AS rmse
+FROM quant
+GROUP BY dim
+ORDER BY dim
+"""
+
+_pair(
+    "int8_quantization_error",
+    _QUANT_SPARK,
+    _QUANT_DUCK,
+    tags=("similarity", "embedding", "compression"),
+)

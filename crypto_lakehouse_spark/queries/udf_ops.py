@@ -242,3 +242,55 @@ def source_profile_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- mapInArrow partition transform (Spark 4) -------------------------------
+# Row-wise doc stats computed per Arrow RecordBatch with
+# pyarrow.compute kernels only — the zero-copy partition-map surface
+# (mapInPandas without the pandas materialization). Integer outputs,
+# so the SQL oracle matches exactly. At scale this is a narrow
+# transformation: no shuffle, batches stream through the Python
+# worker at Arrow speed; anything expressible as pa.compute kernels
+# here should graduate to built-in SQL functions (which is what the
+# oracle demonstrates) — the API exists for kernels SQL lacks.
+_DOCSTATS_ORACLE = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS n_tokens,
+       n_chars + 1 - len(string_split(text, ' ')) AS n_nonspace_chars
+FROM documents
+ORDER BY doc_id
+"""
+
+
+@query(
+    "doc_stats_map_arrow",
+    oracle=_DOCSTATS_ORACLE,
+    tags=("arrow", "map-partitions", "spark4"),
+)
+def doc_stats_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow over documents: token count (split on space) and
+    non-space char count per doc, all in pyarrow.compute. n_chars in
+    the data counts the full text length, so non-space chars =
+    n_chars - (n_tokens - 1) separators — the oracle states the same
+    contract in SQL."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+
+    def stats(batches):
+        for batch in batches:
+            toks = pc.list_value_length(
+                pc.split_pattern(batch.column(1), pattern=" ")
+            ).cast(pa.int64())
+            nonspace = pc.subtract(
+                pc.add(batch.column(2), 1), toks
+            ).cast(pa.int64())
+            yield pa.RecordBatch.from_arrays(
+                [batch.column(0), toks, nonspace],
+                names=["doc_id", "n_tokens", "n_nonspace_chars"],
+            )
+
+    return docs.mapInArrow(
+        stats, schema="doc_id long, n_tokens long, n_nonspace_chars long"
+    ).orderBy("doc_id")

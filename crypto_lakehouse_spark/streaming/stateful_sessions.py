@@ -148,3 +148,119 @@ def run_stateful_sessionization(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+# --- transformWithStateInPandas twin (Spark 4 arbitrary-state API) ---------
+# Same sessionization semantics on the NEW stateful API: a
+# StatefulProcessor with an explicit named ValueState instead of the
+# single implicit GroupState blob. Beyond parity, this is the API the
+# engine standardizes on going forward: typed state variables
+# (value/list/map), timers, and TTL make multi-state operators
+# (e.g. sessions + per-user rate counters) expressible where
+# applyInPandasWithState forces one packed tuple. The equivalence
+# test proves both paths emit identical closed sessions under the
+# same chunked replay.
+#
+# Environment gate: Spark's transformWithState Python worker talks to
+# the JVM state server over a protobuf protocol, so it needs
+# `google.protobuf` at runtime (applyInPandasWithState does not).
+# Containers without protobuf get HAS_TWS=False and the test skips;
+# the applyInPandasWithState path above remains the proven operator.
+try:  # pragma: no cover - environment probe
+    import google.protobuf  # noqa: F401
+
+    HAS_TWS = True
+except ImportError:
+    HAS_TWS = False
+
+from pyspark.sql.streaming.stateful_processor import (  # noqa: E402
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+
+class SessionProcessor(StatefulProcessor):
+    """Gap-based sessionizer: ValueState holds the open session;
+    closed sessions are emitted append-only (state O(active users),
+    the unbounded-stream scale contract)."""
+
+    def __init__(self, gap_seconds: int):
+        self._gap = gap_seconds
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._open = handle.getValueState("open_session", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        (user_id,) = key
+        if self._open.exists():
+            seq, start_us, last_us, n, vsum = self._open.get()
+        else:
+            seq, start_us, last_us, n, vsum = 0, None, None, 0, 0.0
+
+        closed: list[dict[str, Any]] = []
+        batch = pd.concat(list(rows)).sort_values(["ts_us", "event_id"])
+        for ts_us, value in zip(batch["ts_us"], batch["value"]):
+            ts_us = int(ts_us)
+            if start_us is None:
+                seq, start_us, last_us, n, vsum = seq + 1, ts_us, ts_us, 1, float(value)
+            elif ts_us // 1_000_000 - last_us // 1_000_000 > self._gap:
+                closed.append(
+                    {
+                        "user_id": user_id,
+                        "session_seq": seq,
+                        "session_start_us": start_us,
+                        "session_end_us": last_us,
+                        "n_events": n,
+                        "value_sum": vsum,
+                    }
+                )
+                seq, start_us, last_us, n, vsum = seq + 1, ts_us, ts_us, 1, float(value)
+            else:
+                last_us, n, vsum = ts_us, n + 1, vsum + float(value)
+
+        self._open.update((seq, start_us, last_us, n, vsum))
+        yield pd.DataFrame(
+            closed,
+            columns=[
+                "user_id",
+                "session_seq",
+                "session_start_us",
+                "session_end_us",
+                "n_events",
+                "value_sum",
+            ],
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def run_tws_sessionization(
+    spark: SparkSession, sf_dir: str, gap_minutes: int = 30, n_chunks: int = 4
+) -> DataFrame:
+    """transformWithStateInPandas replay — same contract as
+    run_stateful_sessionization (closed sessions only)."""
+    feed = stage_time_ordered_chunks(spark, sf_dir, n_chunks)
+    stream = (
+        spark.readStream.schema("event_id BIGINT, ts_us BIGINT, user_id BIGINT, value DOUBLE")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=SessionProcessor(gap_minutes * 60),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="append",
+        timeMode="none",
+    )
+    name = f"sessions_tws_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_sessions_tws_")
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

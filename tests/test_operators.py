@@ -115,3 +115,34 @@ def test_approx_distinct_within_error(spark):
     )
     for r in rows:
         assert abs(r.approx - r.exact) <= max(2, 0.1 * r.exact)
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark):
+    """The Spark-4 transformWithStateInPandas sessionizer must emit
+    exactly the same closed sessions as the applyInPandasWithState
+    one under the same 4-chunk replay (both then match batch via
+    test_stateful_sessionization_matches_batch). Skips where
+    google.protobuf (required by the TWS state-server protocol) is
+    absent — see the HAS_TWS gate in stateful_sessions.py."""
+    import pytest
+
+    from crypto_lakehouse_spark.streaming.stateful_sessions import (
+        HAS_TWS,
+        run_tws_sessionization,
+    )
+
+    if not HAS_TWS:
+        pytest.skip("google.protobuf unavailable: transformWithState needs it")
+
+    def keyed(df):
+        return {
+            (r.user_id, r.session_seq, r.session_start_us, r.session_end_us, r.n_events): round(
+                r.value_sum, 6
+            )
+            for r in df.collect()
+        }
+
+    tws = keyed(run_tws_sessionization(spark, SF, gap_minutes=30, n_chunks=4))
+    gs = keyed(run_stateful_sessionization(spark, SF, gap_minutes=30, n_chunks=4))
+    assert tws, "no closed sessions emitted by transformWithState"
+    assert tws == gs
