@@ -471,3 +471,122 @@ def dup_clusters_cc(spark, sf_dir: str):
     )
     edges.unpersist()
     return out
+
+
+# --- prefix-filtered Jaccard (PPJoin-style) --------------------------------
+# The scale path for the exact inverted-index self-join above
+# (ngram_jaccard_dedup): rank every shingle by global rarity
+# (frequency asc, shingle asc), keep only each doc's PREFIX — its
+# n - ceil(t*n) + 1 rarest shingles — and generate candidates from
+# the prefix join alone, then verify candidates exactly. Two sets
+# with J >= t must share >= ceil(t*|x|) shingles (i(1+t) >= t(na+nb)
+# >= t(|x|+i) => i >= t|x|), so by pigeonhole they collide inside the
+# prefix — no candidate is missed, and the oracle (the full exact
+# Jaccard) proves it: IDENTICAL output pairs.
+# Why this scales where the full self-join melts: join fan-out is
+# quadratic in per-shingle document frequency, and the prefix keeps
+# each doc's RAREST shingles — hot shingles (the skew that produces
+# the O(df^2) hot partitions at 100 TB) are exactly what the prefix
+# excludes. The size filter (max <= 2*min at t=0.5) prunes candidates
+# before the verify join. Verification touches only candidate pairs,
+# a join driven by the (small) candidate set instead of the corpus.
+# Spark CTEs are INLINED (unlike DuckDB's materialized CTEs), so a
+# `prefix` CTE referenced on both sides of the candidate self-join
+# would recompute the freq-join + window sort twice. The prefix
+# relation is therefore materialized once per session (same pattern
+# as the shingle view) — which is also the honest 100 TB design: the
+# ranked-prefix relation is the thing you'd checkpoint before the
+# pair-generation stage.
+PREFIX_VIEW = "jaccard_prefix_persisted"
+_PREFIX_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+_PREFIX_SELECT = f"""
+WITH freqs AS (SELECT s, COUNT(*) AS df FROM {SHINGLE_VIEW} GROUP BY s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {SHINGLE_VIEW} GROUP BY doc_id),
+ranked AS (
+    SELECT sh.doc_id, sh.s, z.n,
+           ROW_NUMBER() OVER (
+               PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS pos
+    FROM {SHINGLE_VIEW} sh
+    JOIN freqs f ON f.s = sh.s
+    JOIN sizes z ON z.doc_id = sh.doc_id
+)
+SELECT doc_id, xxhash64(s) AS sh, n FROM ranked
+WHERE pos <= n - (n + 1) DIV 2 + 1
+"""
+
+
+def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize each doc's rarest-shingle prefix (threshold 0.5)
+    once per session; returns the view name."""
+    key = (id(spark), sf_dir)
+    if key not in _PREFIX_MEMO:
+        for (sid, _), old in list(_PREFIX_MEMO.items()):
+            if sid == id(spark):
+                old.unpersist()
+                del _PREFIX_MEMO[(sid, _)]
+        cached_shingles(spark, sf_dir)
+        df = spark.sql(_PREFIX_SELECT).persist(StorageLevel.MEMORY_AND_DISK)
+        df.createOrReplaceTempView(PREFIX_VIEW)
+        _PREFIX_MEMO[key] = df
+    return PREFIX_VIEW
+
+
+# Verification joins each candidate pair to per-doc shingle ARRAYS
+# and intersects in one JVM expression — one row per candidate, no
+# ~|doc| x |candidates| row expansion through a shuffle (the naive
+# verify-by-inverted-index re-join was measured 2.5x slower).
+# Two payload tricks keep the verify join cheap:
+# - arrays hold xxhash64(s), not the 3-word strings (8 B vs ~25 B per
+#   element, and long-compare intersects instead of string-compare).
+#   Spark-side only, so no cross-engine hash portability concern —
+#   the DuckDB oracle recomputes the exact string Jaccard
+#   independently; a hash collision inside one candidate pair's ~120
+#   element union (~C(120,2)/2^64 ~ 4e-16) is the accepted risk.
+# - both arrays joins are broadcast-hinted: the relation is |docs|
+#   rows x ~500 B; Spark's size estimate for collect_list output is
+#   too conservative to pick broadcast on its own. At cluster scale
+#   with billions of docs, remove the hint and these become
+#   doc_id-co-partitioned joins — still one row per candidate.
+_PPJOIN_SPARK = f"""
+WITH arrays AS (
+    SELECT doc_id, collect_list(xxhash64(s)) AS arr, COUNT(*) AS n
+    FROM {SHINGLE_VIEW} GROUP BY doc_id
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM {PREFIX_VIEW} a
+    JOIN {PREFIX_VIEW} b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    WHERE (CASE WHEN a.n > b.n THEN a.n ELSE b.n END)
+          <= 2 * (CASE WHEN a.n < b.n THEN a.n ELSE b.n END)
+),
+verified AS (
+    SELECT /*+ BROADCAST(aa), BROADCAST(ab) */
+           c.doc_a, c.doc_b,
+           size(array_intersect(aa.arr, ab.arr)) AS inter,
+           aa.n AS na, ab.n AS nb
+    FROM candidates c
+    JOIN arrays aa ON aa.doc_id = c.doc_a
+    JOIN arrays ab ON ab.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b,
+       CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+FROM verified
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+ORDER BY doc_a, doc_b
+"""
+
+
+def _ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style prefix-filtered exact Jaccard (module docstring
+    block above has the lemma + scale notes); oracle is the FULL
+    inverted-index Jaccard — prefix filtering must lose nothing."""
+    cached_prefix(spark, sf_dir)
+    return spark.sql(_PPJOIN_SPARK)
+
+
+query(
+    "ngram_jaccard_prefix_filtered",
+    oracle="WITH " + _SH_DUCK + "," + _JACCARD_TAIL,
+    tags=("dedup", "jaccard", "prefix-filter"),
+)(_ngram_jaccard_prefix_filtered)
