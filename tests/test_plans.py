@@ -107,3 +107,51 @@ def test_pivot_is_single_aggregation(spark):
     plan = _plan(spark, "pivot_status_by_priority")
     assert "Join" not in plan
     assert "Expand" not in plan
+
+
+def test_contamination_probe_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the (deduped) benchmark shingle
+    set so the corpus side streams map-side — at 100 TB the corpus
+    probe must not shuffle on the n-gram key."""
+    plan = _plan(spark, "contamination_4gram")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_packing_is_one_window_sort_per_shard(spark):
+    """Concat-and-chunk packing = one running-sum window per language
+    shard + one aggregation. No join, no second window."""
+    plan = _plan(spark, "pack_concat_chunks")
+    assert "Join" not in plan
+    import re
+
+    windows = re.findall(r"\(\d+\) Window", plan)
+    assert len(windows) == 1, f"expected exactly one Window, got {len(windows)}"
+
+
+def test_mixture_resample_is_map_side(spark):
+    """Hash-rate domain resampling is a pure map-side derivation +
+    one aggregation: no join, no window, single shuffle for the
+    groupBy plus the presentation sort."""
+    plan = _plan(spark, "domain_mixture_resample")
+    assert "Join" not in plan
+    assert "Window" not in plan
+
+
+def test_prefix_filtered_jaccard_verify_broadcasts(spark):
+    """PPJoin verification joins candidates to per-doc hashed shingle
+    arrays via broadcast (hinted — collect_list size estimates are
+    too conservative for Spark to pick it alone), and never falls
+    back to a cartesian product."""
+    plan = _plan(spark, "ngram_jaccard_prefix_filtered")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_lateral_topk_decorrelates_to_window(spark):
+    """The correlated LATERAL ORDER BY/LIMIT subquery must
+    de-correlate into a ranked-window plan, not a per-row nested
+    loop (plan shows Window + filter on the rank)."""
+    plan = _plan(spark, "lateral_topk_per_source")
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
