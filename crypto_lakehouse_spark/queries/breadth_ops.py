@@ -471,3 +471,43 @@ _pair(
     tables=["documents"],
     tags=("relational", "join", "lateral"),
 )
+
+
+# --- UNPIVOT long-form metrics (+ GROUP BY ALL) -----------------------------
+# Wide->long reshaping of a per-priority metrics table: Spark's
+# UNPIVOT clause vs DuckDB's UNPIVOT ... INTO NAME/VALUE (same
+# operator, different surface syntax — the differential pins equal
+# semantics). The aggregation uses GROUP BY ALL in both dialects.
+# Unpivot is a Generate/Expand (map-side row replication), so the
+# only shuffle is the source aggregation.
+_UNPIVOT_SPARK = """
+SELECT o_orderpriority, metric, val FROM (
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS DOUBLE) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+               AS total_price
+    FROM orders GROUP BY ALL
+) UNPIVOT (val FOR metric IN (n_orders, total_price))
+ORDER BY o_orderpriority, metric
+"""
+
+_UNPIVOT_DUCK = """
+SELECT o_orderpriority, metric, val FROM (
+    UNPIVOT (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)
+                   AS total_price
+        FROM orders GROUP BY ALL
+    ) ON n_orders, total_price INTO NAME metric VALUE val
+)
+ORDER BY o_orderpriority, metric
+"""
+
+_pair(
+    "unpivot_order_metrics",
+    _UNPIVOT_SPARK,
+    _UNPIVOT_DUCK,
+    tables=["orders"],
+    tags=("relational", "reshape", "unpivot"),
+)

@@ -443,6 +443,9 @@ def dup_clusters_cc(spark, sf_dir: str):
             .groupBy("src")
             .agg(F.min("nb_comp").alias("nb_comp"))
         )
+        # Carry the old label through the same job so the convergence
+        # check is a filter+count on the checkpointed result, not an
+        # extra join per iteration.
         new = (
             lbl.join(nb, lbl.node == nb.src, "left")
             .select(
@@ -450,17 +453,12 @@ def dup_clusters_cc(spark, sf_dir: str):
                 F.least(
                     lbl.component, F.coalesce(nb.nb_comp, lbl.component)
                 ).alias("component"),
+                lbl.component.alias("old"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.join(
-                lbl.select("node", F.col("component").alias("old")), "node"
-            )
-            .where(F.col("component") != F.col("old"))
-            .count()
-        )
-        lbl = new
+        changed = new.where(F.col("component") != F.col("old")).count()
+        lbl = new.select("node", "component")
         if changed == 0:
             break
     sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
@@ -590,3 +588,34 @@ query(
     oracle="WITH " + _SH_DUCK + "," + _JACCARD_TAIL,
     tags=("dedup", "jaccard", "prefix-filter"),
 )(_ngram_jaccard_prefix_filtered)
+
+
+# --- blocked edit-distance linkage (fuzzy near-dup) -------------------------
+# Record-linkage shape: block on (lang, size-bucket) — a fixed
+# deterministic blocking rule shared by both engines — then score
+# candidate pairs with levenshtein over the 60-char head and keep
+# distance <= 25. Blocking turns the O(n^2) all-pairs scoring into
+# per-block self-joins on an equi key with good cardinality
+# (lang x bucket), the classic entity-resolution scale pattern;
+# levenshtein is identical classic edit distance in both engines.
+_LEV_BLOCKED = """
+WITH blocked AS (
+    SELECT doc_id, lang, n_chars %%DIV%% 50 AS bkt,
+           substr(text, 1, 60) AS head
+    FROM documents
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(a.head, b.head) AS edit_dist
+FROM blocked a
+JOIN blocked b
+  ON a.lang = b.lang AND a.bkt = b.bkt AND a.doc_id < b.doc_id
+WHERE levenshtein(a.head, b.head) <= 25
+ORDER BY doc_a, doc_b
+"""
+
+_pair(
+    "levenshtein_blocked_linkage",
+    _LEV_BLOCKED.replace("%%DIV%%", "DIV"),
+    _LEV_BLOCKED.replace("%%DIV%%", "//"),
+    tags=("dedup", "linkage", "fuzzy"),
+)

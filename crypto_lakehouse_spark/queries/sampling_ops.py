@@ -268,3 +268,35 @@ _pair(
     tables=["customer", "nation", "region"],
     tags=("relational", "grouping-sets"),
 )
+
+
+# --- interpolated percentiles (percentile_cont / percentile_disc) ----------
+# The ordered-set aggregate surface: exact interpolated (CONT) and
+# discrete (DISC) percentiles per event type — identical WITHIN GROUP
+# syntax in both engines. These are order STATISTICS (sort + pick +
+# one interpolation), not order-dependent summations, so they are
+# deterministic; ROUND(6) guards the one degree of freedom, the
+# engines' interpolation formula (lo + (hi-lo)*f vs lerp). The
+# nearest-rank window formulation in percentile_profile_orders stays
+# the no-builtin proof of the same contract; this is the native
+# aggregate the engine exposes. At scale: one partial sort per
+# group feeding the ordered-set aggregate, no global sort.
+_PCTL_CONT = """
+SELECT event_type,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY value), 6) AS p90,
+       ROUND(percentile_cont(0.99) WITHIN GROUP (ORDER BY value), 6) AS p99,
+       ROUND(percentile_disc(0.5) WITHIN GROUP (ORDER BY value), 6) AS p50_disc,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_pair(
+    "percentile_cont_events",
+    _PCTL_CONT,
+    _PCTL_CONT,
+    tables=["events"],
+    tags=("sampling", "aggregation", "ordered-set"),
+)
