@@ -511,3 +511,30 @@ _pair(
     tables=["orders"],
     tags=("relational", "reshape", "unpivot"),
 )
+
+
+# --- aggregate FILTER clause ------------------------------------------------
+# Conditional aggregation via the ANSI FILTER clause (identical text
+# both engines) — the declarative twin of the SUM(CASE WHEN ...) used
+# by silver_stats (SURVEY A4). All in one hash aggregate: FILTER
+# compiles to the same conditional accumulator, no extra pass.
+_FILTER_AGG = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+       COUNT(*) FILTER (WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+           AS n_recent,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2)))
+            FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) AS finished_total
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_pair(
+    "filter_clause_order_stats",
+    _FILTER_AGG,
+    _FILTER_AGG,
+    tables=["orders"],
+    tags=("relational", "aggregation", "filter-clause"),
+)

@@ -598,9 +598,16 @@ query(
 # per-block self-joins on an equi key with good cardinality
 # (lang x bucket), the classic entity-resolution scale pattern;
 # levenshtein is identical classic edit distance in both engines.
+# The Spark side REPARTITIONs the probe relation: the whole corpus
+# fits one parquet file at test scale, so the broadcast block-join
+# would otherwise emit every candidate pair in ONE partition and run
+# every levenshtein on one core (measured 35 s -> ~2 s at sf0.1 with
+# 32 slices). At real scale the scan is naturally partitioned and the
+# hint is a no-op shuffle of row-sized tuples; CPU-heavy per-row
+# scoring must always be spread across slices, scan layout aside.
 _LEV_BLOCKED = """
 WITH blocked AS (
-    SELECT doc_id, lang, n_chars %%DIV%% 50 AS bkt,
+    SELECT %%HINT%% doc_id, lang, n_chars %%DIV%% 50 AS bkt,
            substr(text, 1, 60) AS head
     FROM documents
 )
@@ -615,7 +622,9 @@ ORDER BY doc_a, doc_b
 
 _pair(
     "levenshtein_blocked_linkage",
-    _LEV_BLOCKED.replace("%%DIV%%", "DIV"),
-    _LEV_BLOCKED.replace("%%DIV%%", "//"),
+    _LEV_BLOCKED.replace("%%DIV%%", "DIV").replace(
+        "%%HINT%%", "/*+ REPARTITION(32) */"
+    ),
+    _LEV_BLOCKED.replace("%%DIV%%", "//").replace("%%HINT%%", ""),
     tags=("dedup", "linkage", "fuzzy"),
 )
