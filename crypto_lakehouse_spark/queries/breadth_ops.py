@@ -538,3 +538,51 @@ _pair(
     tables=["orders"],
     tags=("relational", "aggregation", "filter-clause"),
 )
+
+
+# --- regexp_extract_all sweep -----------------------------------------------
+# The extraction twin of redact_numeric_props: pull every integer out
+# of the JSON props payload, fold them in array order (defined by
+# match position — identical in both engines), and aggregate per
+# event type. Regex evaluation is map-side; the only shuffle is the
+# final groupBy. Dialect: Spark regexp_extract_all(s, r, 0) ==
+# DuckDB regexp_extract_all(s, r); size() == len(); the sequential
+# array fold keeps the BIGINT sums order-defined (not that integer
+# addition needs it — it keeps the shape identical to the double
+# folds used elsewhere).
+_EXTRACT_SPARK = """
+SELECT event_type,
+       SUM(size(nums)) AS n_numbers,
+       SUM(aggregate(nums, CAST(0 AS BIGINT),
+                     (a, x) -> a + CAST(x AS BIGINT))) AS number_total,
+       MAX(size(nums)) AS max_per_event
+FROM (
+    SELECT event_type, regexp_extract_all(props, '[0-9]+', 0) AS nums
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_EXTRACT_DUCK = """
+SELECT event_type,
+       SUM(len(nums)) AS n_numbers,
+       SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+               list_transform(nums, x -> CAST(x AS BIGINT))),
+               (a, x) -> a + x)) AS number_total,
+       MAX(len(nums)) AS max_per_event
+FROM (
+    SELECT event_type, regexp_extract_all(props, '[0-9]+') AS nums
+    FROM events
+)
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_pair(
+    "regexp_extract_numbers",
+    _EXTRACT_SPARK,
+    _EXTRACT_DUCK,
+    tables=["events"],
+    tags=("text", "regex", "extraction"),
+)
