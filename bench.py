@@ -56,16 +56,32 @@ def main() -> int:
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
     total = round(sum(timings.values()), 3)
+    # Totals-only line FIRST (small, survives any output capture), then
+    # the full per-query record as ONE compact sorted line, and a file
+    # copy — round 1's single fat line was truncated by the driver's
+    # capture (BENCH_r01.json parsed:null).
+    summary = {
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+    }
+    print(json.dumps(summary, sort_keys=True))
     result = {
         "metric": "headline_suite_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {k: timings[k] for k in sorted(timings)},
         "sf": sf,
     }
     if errors:
         result["errors"] = errors
-    print(json.dumps(result))
+    line = json.dumps(result, sort_keys=True, separators=(",", ":"))
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+        f.write(line + "\n")
+    print(line)
     return 1 if errors else 0
 
 

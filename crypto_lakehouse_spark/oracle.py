@@ -69,12 +69,26 @@ def compare(q: Query, spark: SparkSession, sf_dir: str, con=None) -> DiffResult:
     if own:
         con = duck_connection(sf_dir)
     try:
+        otypes = [str(t) for t in con.sql(q.oracle).types]
         ores = con.execute(q.oracle)
         ocols = [d[0] for d in ores.description]
         orows = ores.fetchall()
     finally:
         if own:
             con.close()
+
+    # The driver normalizes DuckDB results through pandas, where HUGEINT
+    # becomes float64 while Spark emits int64 — a guaranteed hash FAIL
+    # even when values agree. Catch it locally (fetchall() hides it).
+    huge = [c for c, t in zip(ocols, otypes) if "HUGEINT" in t]
+    if huge:
+        return DiffResult(
+            q.name,
+            False,
+            f"oracle emits HUGEINT column(s) {huge} — wrap in "
+            "CAST(... AS BIGINT) (driver pandas normalizer renders "
+            "HUGEINT as float64)",
+        )
 
     if sorted(scols) != sorted(ocols):
         return DiffResult(

@@ -214,7 +214,8 @@ ORDER BY event_type, key
 _MAP_DUCK = """
 SELECT event_type, key,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.' || key) AS BIGINT)) AS value_sum
+       CAST(SUM(CAST(json_extract(props, '$.' || key) AS BIGINT))
+            AS BIGINT) AS value_sum
 FROM (
     SELECT event_type, props, unnest(json_keys(props)) AS key
     FROM events
@@ -337,7 +338,7 @@ WITH RECURSIVE sched(o_orderkey, month, remaining_cents) AS (
 SELECT o_orderkey,
        MAX(month) AS months_to_zero,
        COUNT(*) AS n_statements,
-       SUM(remaining_cents) AS cents_carried
+       CAST(SUM(remaining_cents) AS BIGINT) AS cents_carried
 FROM sched
 GROUP BY o_orderkey
 ORDER BY o_orderkey
@@ -371,10 +372,11 @@ ORDER BY event_type
 _VARIANT_DUCK = """
 SELECT event_type,
        COUNT(*) AS n,
-       SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS k_max,
-       SUM(CASE WHEN json_extract(props, '$.missing')
-                IS NULL THEN 1 ELSE 0 END) AS n_missing
+       CAST(SUM(CASE WHEN json_extract(props, '$.missing')
+                IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
 FROM events
 GROUP BY event_type
 ORDER BY event_type
@@ -566,10 +568,10 @@ ORDER BY event_type
 
 _EXTRACT_DUCK = """
 SELECT event_type,
-       SUM(len(nums)) AS n_numbers,
-       SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
+       CAST(SUM(len(nums)) AS BIGINT) AS n_numbers,
+       CAST(SUM(list_reduce(list_prepend(CAST(0 AS BIGINT),
                list_transform(nums, x -> CAST(x AS BIGINT))),
-               (a, x) -> a + x)) AS number_total,
+               (a, x) -> a + x)) AS BIGINT) AS number_total,
        MAX(len(nums)) AS max_per_event
 FROM (
     SELECT event_type, regexp_extract_all(props, '[0-9]+') AS nums

@@ -407,6 +407,23 @@ ORDER BY doc_id
 )
 
 
+def _truncate_lineage(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Cut the iteration's lineage. Two modes:
+
+    - reliable `checkpoint()` when the session has a checkpoint dir
+      configured (`sc.setCheckpointDir`) — survives executor loss, the
+      right mode on preemptible/spot clusters;
+    - `localCheckpoint()` otherwise — executor-memory-resident, zero
+      I/O, fine on a stable cluster (and in local mode).
+
+    The flag is the checkpoint dir itself: cluster operators already
+    set it exactly when they want reliability.
+    """
+    if spark.sparkContext.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 @query(
     "dup_clusters_cc",
     oracle=_CC_ORACLE,
@@ -415,7 +432,16 @@ ORDER BY doc_id
 def dup_clusters_cc(spark, sf_dir: str):
     """Near-duplicate clusters: connected components via iterative
     min-label propagation over the Jaccard>=0.3 candidate graph (see
-    the block comment above for the scale framing and oracle)."""
+    the block comment above for the scale framing and oracle).
+
+    Lineage per iteration is truncated via `_truncate_lineage`:
+    reliable checkpoint when a checkpoint dir is set, localCheckpoint
+    otherwise. Upgrade path for high-diameter graphs (not needed at
+    the near-dup workload's tiny diameters): alternate large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — each round hooks every node to
+    its neighborhood minimum, collapsing chains in O(log^2 n) rounds
+    instead of O(diameter)."""
     from pyspark.sql import functions as F
 
     cached_shingles(spark, sf_dir)
@@ -425,11 +451,11 @@ def dup_clusters_cc(spark, sf_dir: str):
     und = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
-    lbl = (
+    lbl = _truncate_lineage(
         und.select(F.col("src").alias("node"))
         .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint(eager=True)
+        .withColumn("component", F.col("node")),
+        spark,
     )
     for _ in range(20):  # >= graph diameter; converges far earlier
         nb = (
@@ -446,16 +472,15 @@ def dup_clusters_cc(spark, sf_dir: str):
         # Carry the old label through the same job so the convergence
         # check is a filter+count on the checkpointed result, not an
         # extra join per iteration.
-        new = (
-            lbl.join(nb, lbl.node == nb.src, "left")
-            .select(
+        new = _truncate_lineage(
+            lbl.join(nb, lbl.node == nb.src, "left").select(
                 lbl.node,
                 F.least(
                     lbl.component, F.coalesce(nb.nb_comp, lbl.component)
                 ).alias("component"),
                 lbl.component.alias("old"),
-            )
-            .localCheckpoint(eager=True)
+            ),
+            spark,
         )
         changed = new.where(F.col("component") != F.col("old")).count()
         lbl = new.select("node", "component")
@@ -620,11 +645,21 @@ WHERE levenshtein(a.head, b.head) <= 25
 ORDER BY doc_a, doc_b
 """
 
-_pair(
+def _levenshtein_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance linkage. The repartition width is derived
+    from the live session's defaultParallelism (NOT a constant): the
+    point of the hint is one scoring slice per core, whatever the
+    cluster size."""
+    register_views(spark, sf_dir, ["documents"])
+    slices = spark.sparkContext.defaultParallelism
+    sql = _LEV_BLOCKED.replace("%%DIV%%", "DIV").replace(
+        "%%HINT%%", f"/*+ REPARTITION({slices}) */"
+    )
+    return spark.sql(sql)
+
+
+query(
     "levenshtein_blocked_linkage",
-    _LEV_BLOCKED.replace("%%DIV%%", "DIV").replace(
-        "%%HINT%%", "/*+ REPARTITION(32) */"
-    ),
-    _LEV_BLOCKED.replace("%%DIV%%", "//").replace("%%HINT%%", ""),
+    oracle=_LEV_BLOCKED.replace("%%DIV%%", "//").replace("%%HINT%%", ""),
     tags=("dedup", "linkage", "fuzzy"),
-)
+)(_levenshtein_blocked_linkage)

@@ -110,8 +110,8 @@ SELECT product_id,
        MIN(_source_latency_ms) AS min_latency_ms,
        MAX(_source_latency_ms) AS max_latency_ms,
        CAST(SUM(_source_latency_ms) AS DOUBLE) / COUNT(*) AS avg_latency_ms,
-       SUM(CASE WHEN _source_latency_ms > 300000 THEN 1 ELSE 0 END)
-           AS late_arrivals
+       CAST(SUM(CASE WHEN _source_latency_ms > 300000 THEN 1 ELSE 0 END)
+            AS BIGINT) AS late_arrivals
 FROM silver
 GROUP BY product_id
 ORDER BY product_id

@@ -78,7 +78,7 @@ _BUCKET = (
 _SPLIT = f"""
 SELECT split, lang,
        COUNT(*) AS n_docs,
-       SUM(n_chars) AS total_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        MIN(doc_id) AS min_doc_id
 FROM (
     SELECT doc_id, lang, n_chars,

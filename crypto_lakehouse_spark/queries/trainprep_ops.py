@@ -138,7 +138,7 @@ hits AS (
 SELECT c.source,
        COUNT(*) AS n_docs,
        COUNT(h.doc_id) AS n_contaminated,
-       COALESCE(SUM(h.matched), 0) AS matched_ngrams
+       CAST(COALESCE(SUM(h.matched), 0) AS BIGINT) AS matched_ngrams
 FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
 GROUP BY c.source
 ORDER BY c.source
@@ -174,12 +174,12 @@ per_doc AS (
     GROUP BY sh.doc_id
 )
 SELECT d.source,
-       SUM(p.total_ngrams) AS total_ngrams,
-       SUM(p.matched_ngrams) AS boiler_ngrams,
+       CAST(SUM(p.total_ngrams) AS BIGINT) AS total_ngrams,
+       CAST(SUM(p.matched_ngrams) AS BIGINT) AS boiler_ngrams,
        CAST(CAST(SUM(p.matched_ngrams) AS DOUBLE)
             / SUM(p.total_ngrams) AS DOUBLE) AS boiler_ratio,
-       SUM(CASE WHEN p.matched_ngrams * 4 > p.total_ngrams
-                THEN 1 ELSE 0 END) AS n_heavy_docs
+       CAST(SUM(CASE WHEN p.matched_ngrams * 4 > p.total_ngrams
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_heavy_docs
 FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
 GROUP BY d.source
 ORDER BY d.source
@@ -216,13 +216,13 @@ stream AS (
     FROM toks
 )
 SELECT lang,
-       (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY} AS pack_id,
+       CAST((cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY} AS BIGINT) AS pack_id,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS tokens_started,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_started,
        MIN(doc_id) AS first_doc_id,
-       SUM(CASE WHEN (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY}
+       CAST(SUM(CASE WHEN (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY}
                   <> (cum_end - 1) %%DIV%% {_PACK_CAPACITY}
-                THEN 1 ELSE 0 END) AS n_split_docs
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_split_docs
 FROM stream
 GROUP BY lang, (cum_end - n_tokens) %%DIV%% {_PACK_CAPACITY}
 ORDER BY lang, pack_id
@@ -261,8 +261,10 @@ WITH rated AS (
 SELECT source,
        MIN(keep_rate) AS keep_rate,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN bucket < keep_rate THEN 1 ELSE 0 END) AS n_kept,
-       SUM(CASE WHEN bucket < keep_rate THEN n_tokens ELSE 0 END) AS kept_tokens
+       CAST(SUM(CASE WHEN bucket < keep_rate THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN bucket < keep_rate THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS kept_tokens
 FROM rated
 GROUP BY source
 ORDER BY source

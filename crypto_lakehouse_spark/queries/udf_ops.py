@@ -191,7 +191,7 @@ WITH ranked AS (
 )
 SELECT source,
        MAX(n) AS n_docs,
-       SUM(n_chars) AS sum_chars,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
        MAX(CASE WHEN rn = (n + 1) // 2 THEN n_chars END) AS median_chars
 FROM ranked
 GROUP BY source

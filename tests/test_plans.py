@@ -148,6 +148,18 @@ def test_prefix_filtered_jaccard_verify_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_levenshtein_repartition_tracks_parallelism(spark):
+    """The CPU-heavy scoring join must be spread over exactly one
+    slice per core of the LIVE session — a fixed constant silently
+    serializes (or over-splits) on any other cluster size."""
+    plan = _plan(spark, "levenshtein_blocked_linkage")
+    n = spark.sparkContext.defaultParallelism
+    assert f"RoundRobinPartitioning({n})" in plan, (
+        f"expected RoundRobinPartitioning({n}); repartition width must "
+        "derive from defaultParallelism, not a constant"
+    )
+
+
 def test_lateral_topk_decorrelates_to_window(spark):
     """The correlated LATERAL ORDER BY/LIMIT subquery must
     de-correlate into a ranked-window plan, not a per-row nested
