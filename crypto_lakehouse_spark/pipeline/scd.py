@@ -17,6 +17,10 @@ Semantics:
   a new one at `effective_ts` (half-open intervals: a row is valid for
   `valid_from <= t < valid_to`);
 - a brand-new key opens its first row;
+- a changed update whose `effective_ts` EQUALS the current row's
+  `valid_from` is a same-instant correction: the current version is
+  replaced in place (no close row — a zero-width [t, t) version would
+  be unreadable history and a duplicate (key, valid_from) merge key);
 - one batch must carry at most one update per key (same contract as
   MERGE, SURVEY §2.8.6) — deduplicate upstream by taking the latest
   per key first.
@@ -76,10 +80,17 @@ def scd2_apply(
     ).eqNullSafe(F.struct(*[F.col(f"__cur_{c}") for c in attrs]))
     new_pred = F.col("__k").isNull()
 
+    # Same-instant correction: effective_ts equals the current row's
+    # valid_from. The open row replaces the current version in place
+    # (merge key (key, valid_from) matches it); emitting a close row
+    # too would both create a zero-width version and collide with the
+    # open on the merge key.
+    collision_pred = changed_pred & (F.col("valid_from") == F.col("__cur_from"))
+
     out_cols = [key, *attrs, "valid_from", "valid_to", "is_current"]
     opens = joined.filter(new_pred | changed_pred).select(*out_cols)
     closes = (
-        joined.filter(changed_pred)
+        joined.filter(changed_pred & ~collision_pred)
         .select(
             F.col(key),
             *[F.col(f"__cur_{c}").alias(c) for c in attrs],

@@ -21,13 +21,19 @@ Design (the same shape Delta/Iceberg use, minimized):
   `expire_snapshots`, whose orphan scan is the
   `remove_orphan_files` analog (reference compaction.py:66-79).
 
-Commit protocol: data files first, manifest last via atomic rename —
-a crashed writer leaves orphan data files (cleaned by
-`expire_snapshots`), never a corrupt table. Readers only ever see
-fully-committed versions. This is single-writer (the reference's
-hourly-batch model: orchestration/dags/bronze_to_silver.py:42);
-multi-writer coordination would need a commit lock or a catalog, which
-the reference delegates to Nessie.
+Commit protocol: data files first, manifest last via atomic
+hard-link publish — a crashed writer leaves orphan data files
+(cleaned by `expire_snapshots`), never a corrupt table. Readers only
+ever see fully-committed versions. Concurrent writers use optimistic
+concurrency (the Delta/Iceberg model): every commit declares the
+snapshot version it read, and publishing manifest v(N+1) is a
+compare-and-swap — `os.link` fails atomically if another writer got
+there first, raising `CommitConflictError`; the loser's staged data
+files are orphans, the table is never corrupt, and the caller retries
+from the fresh snapshot. (The reference delegates this to
+Nessie/Iceberg; orchestration/dags/bronze_to_silver.py:42 is
+single-writer hourly batch, but the engine guarantee must not depend
+on the scheduler.)
 
 Merge semantics follow Delta COW MERGE (reference
 bronze_to_silver.py:156-188): source must be key-unique, matched rows
@@ -53,6 +59,15 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 
 _MANIFEST_DIR = "_manifests"
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer committed since this writer read its snapshot.
+
+    Optimistic-concurrency loser signal (Delta ConcurrentWriteException
+    analog): nothing was published, staged data files are orphans
+    (cleaned by expire_snapshots), and the operation can be retried
+    against the new current snapshot."""
 
 
 class VersionedTable:
@@ -92,14 +107,29 @@ class VersionedTable:
             for m in [self._load(v)]
         ]
 
-    def _commit(self, files: list[str], op: str) -> int:
-        cur = self.current_version()
-        version = 0 if cur is None else cur + 1
+    def _commit(
+        self,
+        files: list[str],
+        op: str,
+        base: int | None = None,
+        added_columns: dict[str, dict] | None = None,
+    ) -> int:
+        """Publish version base+1 via compare-and-swap.
+
+        `base` is the snapshot version the writer READ before computing
+        its output (None = writer saw an empty table). If any other
+        writer published base+1 first, the hard-link publish fails
+        atomically and CommitConflictError is raised — the optimistic
+        half of optimistic concurrency; nothing partial is ever
+        visible.
+        """
+        version = 0 if base is None else base + 1
         # File-level column stats (Delta/Iceberg data-skipping analog):
         # stats for newly written files come from `_write_files`'s
         # footer scan; carried-over files keep the stats recorded at
         # their original commit (files are immutable, so stats are too).
-        prev_stats = self._load(cur).get("stats", {}) if cur is not None else {}
+        prev = self._load(base) if base is not None else {}
+        prev_stats = prev.get("stats", {})
         stats = {
             f: s
             for f in files
@@ -113,11 +143,30 @@ class VersionedTable:
             "n_files": len(files),
             "files": sorted(files),
             "stats": stats,
+            # Schema-evolution metadata rides the manifest chain: each
+            # commit carries forward the declared added columns.
+            "added_columns": (
+                added_columns
+                if added_columns is not None
+                else prev.get("added_columns", {})
+            ),
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             json.dump(manifest, f)
-        os.rename(tmp, self._manifest_path(version))  # atomic publish
+        try:
+            # CAS publish: os.link fails with EEXIST if the version
+            # already exists — atomic on POSIX, unlike os.rename which
+            # silently replaces (last-writer-wins corruption).
+            os.link(tmp, self._manifest_path(version))
+        except FileExistsError:
+            raise CommitConflictError(
+                f"{self.path}: version {version} was committed by another "
+                f"writer after this writer read v{base}; retry from the "
+                "current snapshot"
+            ) from None
+        finally:
+            os.remove(tmp)
         return version
 
     # -- writes ------------------------------------------------------------
@@ -190,10 +239,33 @@ class VersionedTable:
     def append(self, df: DataFrame) -> int:
         cur = self.current_version()
         prev = self._load(cur)["files"] if cur is not None else []
-        return self._commit(prev + self._write_files(df), "append")
+        return self._commit(prev + self._write_files(df), "append", base=cur)
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._write_files(df), "overwrite")
+        cur = self.current_version()
+        return self._commit(self._write_files(df), "overwrite", base=cur)
+
+    # -- schema evolution ---------------------------------------------------
+    def add_column(self, name: str, dtype: str, default=None) -> int:
+        """ALTER TABLE ADD COLUMN (reference README.md:159; Delta
+        analog): a METADATA-ONLY commit — no data file is touched.
+        Files written before the change simply lack the column; reads
+        surface it as `default` (NULL unless given) cast to `dtype`,
+        and files written after carry real values. Backfill, when
+        wanted, is an ordinary overwrite/merge later — exactly Delta's
+        contract."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"{self.path}: no committed version to evolve")
+        m = self._load(cur)
+        existing = self.read().columns
+        if name in existing:
+            raise ValueError(f"{self.path}: column {name!r} already exists")
+        added = dict(m.get("added_columns", {}))
+        added[name] = {"type": dtype, "default": default}
+        return self._commit(
+            m["files"], "add_column", base=cur, added_columns=added
+        )
 
     def merge(self, source: DataFrame, keys: list[str]) -> int:
         """COW MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
@@ -210,7 +282,7 @@ class VersionedTable:
             )
         cur = self.current_version()
         if cur is None:
-            return self._commit(self._write_files(source), "merge")
+            return self._commit(self._write_files(source), "merge", base=cur)
 
         # Partition-dir type inference can widen (e.g. '1' -> int);
         # align target to the source schema before set operations.
@@ -219,6 +291,29 @@ class VersionedTable:
         )
         if self.partition_by:
             parts = source.select(*self.partition_by).distinct()
+            if not set(self.partition_by) <= set(keys):
+                # Partition-pruned MERGE is only sound if a matched key
+                # never moved partitions: a match sitting in an
+                # untouched partition would survive as a stale
+                # duplicate. Fail fast instead (include the partition
+                # columns in `keys` to make the check structurally
+                # unnecessary — then it is skipped).
+                moved = (
+                    target.join(F.broadcast(parts), self.partition_by, "left_anti")
+                    .join(source.select(*keys).distinct(), keys, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if moved:
+                    raise ValueError(
+                        f"MERGE source matches target key(s) outside the "
+                        f"source's partitions (partition_by="
+                        f"{self.partition_by}, keys={keys}): a "
+                        "partition-pruned merge would leave the stale row "
+                        "behind. Include the partition columns in the "
+                        "merge keys, or route the correction as a "
+                        "delete+insert."
+                    )
             target = target.join(F.broadcast(parts), self.partition_by, "left_semi")
         keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
         new_files = self._write_files(keep.unionByName(source))
@@ -232,7 +327,7 @@ class VersionedTable:
             carried = [
                 f for f in self._load(cur)["files"] if os.path.dirname(f) not in touched
             ]
-        return self._commit(carried + new_files, "merge")
+        return self._commit(carried + new_files, "merge", base=cur)
 
     # -- reads -------------------------------------------------------------
     def files_for_scan(
@@ -284,13 +379,40 @@ class VersionedTable:
         if not files:  # every file skipped: empty frame, right schema
             df = self.read(version=version, merge_schema=merge_schema)
             return df.limit(0)
+        cur = self.current_version()
+        added = self._load(cur if version is None else version).get(
+            "added_columns", {}
+        )
         reader = self.spark.read.option("basePath", self.path)
-        if merge_schema:
+        if merge_schema or added:
+            # Declared added columns imply mixed file schemas: union
+            # them so pre-evolution files still scan.
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*(os.path.join(self.path, f) for f in files))
-        for col, (lo, hi) in (between or {}).items():
-            from pyspark.sql import functions as F
+        from pyspark.sql import functions as F
 
+        for name, spec in added.items():
+            if name not in df.columns:
+                # No file carries the column yet: pure metadata column.
+                df = df.withColumn(
+                    name, F.lit(spec["default"]).cast(spec["type"])
+                )
+            elif spec["default"] is not None:
+                # Pre-evolution files read the column as NULL; fill the
+                # declared default. (An explicit NULL written after the
+                # evolution is indistinguishable at scan time and also
+                # reads as the default — documented deviation from
+                # Delta, which only has NULL-adding ALTER.)
+                df = df.withColumn(
+                    name,
+                    F.coalesce(
+                        F.col(name).cast(spec["type"]),
+                        F.lit(spec["default"]).cast(spec["type"]),
+                    ),
+                )
+            else:
+                df = df.withColumn(name, F.col(name).cast(spec["type"]))
+        for col, (lo, hi) in (between or {}).items():
             df = df.where(F.col(col).between(lo, hi))
         return df
 
@@ -300,12 +422,13 @@ class VersionedTable:
         compaction.py:30-42): rewrites the current snapshot into
         `target_files_per_partition` files per partition as a NEW
         version — old versions still read their old files."""
+        cur = self.current_version()
         df = self.read()
         if self.partition_by:
             df = df.repartition(target_files_per_partition, *self.partition_by)
         else:
             df = df.coalesce(target_files_per_partition)
-        return self._commit(self._write_files(df), "compact")
+        return self._commit(self._write_files(df), "compact", base=cur)
 
     def expire_snapshots(self, retain_last: int = 5) -> dict[str, int]:
         """Expire old manifests and delete data files no remaining

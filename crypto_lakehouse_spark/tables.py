@@ -17,17 +17,25 @@ bronze_to_silver.py:171-186).
 
 Requirements shared with Delta's MERGE: source must be unique on the
 merge keys (SURVEY §2.8.6) — enforced here with a fail-fast check
-(Delta throws on multiple matches; so do we).
+(Delta throws on multiple matches; so do we). And because the merge is
+partition-pruned, a matched key must never move between partitions
+(e.g. a corrected timestamp crossing a date boundary when partitioned
+by date but merged on id): that too is enforced fail-fast unless the
+partition columns are part of the merge keys, which makes it
+structurally impossible.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_SCHEMA_SIDECAR = "_schema.json"
 
 
 class LakehouseTable:
@@ -42,8 +50,52 @@ class LakehouseTable:
     def exists(self) -> bool:
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
+    def _added_columns(self) -> dict[str, dict]:
+        p = os.path.join(self.path, _SCHEMA_SIDECAR)
+        if not os.path.isfile(p):
+            return {}
+        with open(p) as f:
+            return json.load(f).get("added_columns", {})
+
     def read(self) -> DataFrame:
-        return self.spark.read.parquet(self.path)
+        added = self._added_columns()
+        reader = self.spark.read
+        if added:
+            # Declared added columns imply mixed file schemas.
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(self.path)
+        for name, spec in added.items():
+            if name not in df.columns:
+                df = df.withColumn(name, F.lit(spec["default"]).cast(spec["type"]))
+            elif spec["default"] is not None:
+                df = df.withColumn(
+                    name,
+                    F.coalesce(
+                        F.col(name).cast(spec["type"]),
+                        F.lit(spec["default"]).cast(spec["type"]),
+                    ),
+                )
+            else:
+                df = df.withColumn(name, F.col(name).cast(spec["type"]))
+        return df
+
+    # -- schema evolution ---------------------------------------------------
+    def add_column(self, name: str, dtype: str, default=None) -> None:
+        """ALTER TABLE ADD COLUMN (reference README.md:159): records the
+        column in a `_schema.json` sidecar — metadata only, no file is
+        rewritten. Old files lack the column and read back as `default`
+        (NULL unless given); files written afterwards carry real
+        values, merged by schema on read. Backfill, when wanted, is an
+        ordinary overwrite later — Delta's contract."""
+        if self.exists() and name in self.read().columns:
+            raise ValueError(f"{self.path}: column {name!r} already exists")
+        added = self._added_columns()
+        added[name] = {"type": dtype, "default": default}
+        tmp = os.path.join(self.path, _SCHEMA_SIDECAR + ".tmp")
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump({"added_columns": added}, f)
+        os.rename(tmp, os.path.join(self.path, _SCHEMA_SIDECAR))
 
     # -- writes ------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
@@ -93,6 +145,28 @@ class LakehouseTable:
             # Prune target read to touched partitions; at scale this is
             # partition pruning on the parquet scan, not a full read.
             parts = source.select(*self.partition_by).distinct()
+            if not set(self.partition_by) <= set(keys):
+                # A matched key whose partition column changed would
+                # sit in an UNtouched partition and survive the pruned
+                # rewrite as a stale duplicate. Fail fast; including
+                # the partition columns in `keys` makes this
+                # structurally impossible (check skipped).
+                moved = (
+                    target.join(F.broadcast(parts), self.partition_by, "left_anti")
+                    .join(source.select(*keys).distinct(), keys, "left_semi")
+                    .limit(1)
+                    .count()
+                )
+                if moved:
+                    raise ValueError(
+                        f"MERGE source matches target key(s) outside the "
+                        f"source's partitions (partition_by="
+                        f"{self.partition_by}, keys={keys}): a "
+                        "partition-pruned merge would leave the stale row "
+                        "behind. Include the partition columns in the "
+                        "merge keys, or route the correction as a "
+                        "delete+insert."
+                    )
             target = target.join(F.broadcast(parts), self.partition_by, "left_semi")
         keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
         merged = keep.unionByName(source)

@@ -146,3 +146,37 @@ def test_transform_with_state_matches_apply_in_pandas(spark):
     gs = keyed(run_stateful_sessionization(spark, SF, gap_minutes=30, n_chunks=4))
     assert tws, "no closed sessions emitted by transformWithState"
     assert tws == gs
+
+
+def test_lineage_truncation_mode_follows_checkpoint_dir(spark, tmp_path):
+    """dup_clusters_cc's per-iteration lineage cut uses the reliable
+    checkpoint exactly when a checkpoint dir is configured (the
+    preemptible-cluster mode), localCheckpoint otherwise — and both
+    modes produce working frames."""
+    from crypto_lakehouse_spark.queries.dedup_ops import _truncate_lineage
+
+    import glob as _glob
+
+    df = spark.range(100).withColumnRenamed("id", "node")
+    ckpt_dir = tmp_path / "ckpt"
+
+    # Default session: no checkpoint dir -> localCheckpoint, nothing
+    # is written anywhere. (df.rdd rebuilds a fresh RDD from the plan,
+    # so the mode is observable only through the filesystem.)
+    local = _truncate_lineage(df, spark)
+    assert local.count() == 100
+    assert not ckpt_dir.exists()
+
+    sc = spark.sparkContext
+    sc.setCheckpointDir(str(ckpt_dir))
+    try:
+        reliable = _truncate_lineage(df, spark)
+        assert reliable.count() == 100
+        written = _glob.glob(str(ckpt_dir / "**" / "rdd-*"), recursive=True)
+        assert written, "reliable checkpoint must write RDD files to the dir"
+    finally:
+        # The dir is sticky on the shared session; reset via the scala
+        # setter so later tests keep the default local mode.
+        setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
+        setter(sc._jvm.scala.Option.apply(None))
+    assert sc.getCheckpointDir() is None

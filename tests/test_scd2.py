@@ -62,3 +62,30 @@ def test_scd2_point_in_time(spark, dim):
 def test_scd2_rejects_duplicate_keys_in_batch(spark, dim):
     with pytest.raises(ValueError, match="multiple updates"):
         scd2_apply(dim, _batch(spark, [(1, "a", T0), (1, "b", T0)]), "cust_id")
+
+
+def test_scd2_same_instant_correction_replaces_in_place(spark, dim):
+    """An update whose effective_ts equals the current row's
+    valid_from is a correction of that version: replaced in place —
+    no zero-width [t, t) close row, no duplicate (key, valid_from)."""
+    scd2_apply(dim, _batch(spark, [(1, "retail", T0)]), "cust_id")
+    c = scd2_apply(dim, _batch(spark, [(1, "premium", T0)]), "cust_id")
+    assert c == {"new": 0, "changed": 1, "unchanged": 0}
+
+    rows = [
+        (r.cust_id, r.segment, r.valid_from, r.valid_to, r.is_current)
+        for r in dim.read().collect()
+    ]
+    assert rows == [(1, "premium", T0, None, True)]
+
+    # And a normal later change still chains history off the corrected
+    # version.
+    scd2_apply(dim, _batch(spark, [(1, "corp", T1)]), "cust_id")
+    got = {
+        (r.cust_id, r.segment, r.valid_from, r.valid_to, r.is_current)
+        for r in dim.read().collect()
+    }
+    assert got == {
+        (1, "premium", T0, T1, False),
+        (1, "corp", T1, None, True),
+    }

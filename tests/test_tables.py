@@ -58,3 +58,38 @@ def test_unpartitioned_merge_swap(spark, tmp_path):
     t.merge(spark.createDataFrame([(2, "B")], "k BIGINT, v STRING"), ["k"])
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a"), (2, "B")}
     assert t.vacuum_staging() == 0  # swap cleaned up after itself
+
+
+def test_add_column_sidecar_old_new_mix(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.append(_df(spark, [(1, "a", "x")]))
+    t.add_column("score", "double")
+    got = t.read()
+    assert "score" in got.columns
+    assert [r.score for r in got.collect()] == [None]
+    # New files carry real values; old files read NULL, merged on read.
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", "x", 0.7)], "k BIGINT, v STRING, p STRING, score DOUBLE"
+        )
+    )
+    vals = {(r.k, r.score) for r in t.read().collect()}
+    assert vals == {(1, None), (2, 0.7)}
+
+
+def test_add_column_with_default_lakehouse(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.append(_df(spark, [(1, "a", "x")]))
+    t.add_column("lang", "string", default="en")
+    assert [r.lang for r in t.read().collect()] == ["en"]
+
+
+def test_merge_rejects_partition_moving_key_lakehouse(spark, tmp_path):
+    import pytest
+
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"])
+    with pytest.raises(ValueError, match="outside the source's partitions"):
+        t.merge(_df(spark, [(1, "A", "y")]), ["k"])
+    # Table unchanged by the failed merge.
+    assert {(r.k, r.p) for r in t.read().collect()} == {(1, "x"), (2, "y")}

@@ -154,3 +154,125 @@ def test_file_skipping_carries_stats_through_commits(spark, tmp_path):
     empty = t.read(between={"v": (-50.0, -40.0)})
     assert empty.count() == 0
     assert set(empty.columns) == {"k", "day", "v"}
+
+
+# --- schema evolution (reference README.md:159) ----------------------------
+
+
+def test_add_column_is_metadata_only(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    files_v0 = table._load(0)["files"]
+    v = table.add_column("score", "double")
+    assert v == 1
+    # Metadata-only: the data file set is byte-identical.
+    assert table._load(1)["files"] == files_v0
+    got = table.read()
+    assert "score" in got.columns
+    assert got.schema["score"].dataType.simpleString() == "double"
+    assert all(r.score is None for r in got.collect())
+    # Time travel: the pre-evolution snapshot has no such column.
+    assert "score" not in table.read(version=0).columns
+
+
+def test_add_column_old_and_new_files_mix(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.add_column("score", "double")
+    table.append(
+        spark.createDataFrame(
+            [(2, "a", 20, 0.5)], "k BIGINT, day STRING, v BIGINT, score DOUBLE"
+        )
+    )
+    got = {(r.k, r.score) for r in table.read().collect()}
+    assert got == {(1, None), (2, 0.5)}
+
+
+def test_add_column_with_default(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.add_column("lang", "string", default="unknown")
+    assert [r.lang for r in table.read().collect()] == ["unknown"]
+
+
+def test_add_column_duplicate_rejected(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="already exists"):
+        table.add_column("v", "bigint")
+
+
+# --- optimistic concurrency (the ACID gap of parquet+manifest) -------------
+
+
+def test_concurrent_writers_one_loses_cleanly(spark, table):
+    from crypto_lakehouse_spark.pipeline.versioned import CommitConflictError
+
+    table.append(_df(spark, [(1, "a", 10)]))
+
+    # Writer A reads snapshot v0 and stages its files...
+    base_a = table.current_version()
+    prev_a = table._load(base_a)["files"]
+    staged_a = table._write_files(_df(spark, [(2, "a", 20)]))
+
+    # ...meanwhile writer B commits v1 first.
+    writer_b = VersionedTable(spark, table.path, partition_by=["day"])
+    assert writer_b.append(_df(spark, [(3, "b", 30)])) == 1
+
+    # A's CAS publish must fail atomically — no manifest, no corruption.
+    with pytest.raises(CommitConflictError):
+        table._commit(prev_a + staged_a, "append", base=base_a)
+
+    # Table state is exactly B's commit; A's rows are invisible.
+    assert table.versions() == [0, 1]
+    got = {r.k for r in table.read().collect()}
+    assert got == {1, 3}
+
+    # A retries from the fresh snapshot and succeeds.
+    base_retry = table.current_version()
+    prev_retry = table._load(base_retry)["files"]
+    table._commit(prev_retry + staged_a, "append", base=base_retry)
+    assert {r.k for r in table.read().collect()} == {1, 2, 3}
+
+
+def test_conflict_loser_files_are_orphans(spark, table):
+    from crypto_lakehouse_spark.pipeline.versioned import CommitConflictError
+
+    table.append(_df(spark, [(1, "a", 10)]))
+    base = table.current_version()
+    staged = table._write_files(_df(spark, [(9, "z", 90)]))
+    VersionedTable(spark, table.path, partition_by=["day"]).append(
+        _df(spark, [(2, "a", 20)])
+    )
+    with pytest.raises(CommitConflictError):
+        table._commit(table._load(base)["files"] + staged, "append", base=base)
+    # The loser's staged bytes exist on disk but no manifest references
+    # them; expire_snapshots' orphan sweep removes them.
+    on_disk = {
+        os.path.relpath(p, table.path)
+        for p in glob.glob(os.path.join(table.path, "**", "*.parquet"), recursive=True)
+    }
+    assert set(staged) <= on_disk
+    table.expire_snapshots(retain_last=10)
+    on_disk_after = {
+        os.path.relpath(p, table.path)
+        for p in glob.glob(os.path.join(table.path, "**", "*.parquet"), recursive=True)
+    }
+    assert not (set(staged) & on_disk_after)
+    assert {r.k for r in table.read().collect()} == {1, 2}
+
+
+# --- partition-stability merge guard ---------------------------------------
+
+
+def test_merge_rejects_partition_moving_key(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    # k=1 lives in day=a; the "correction" claims it moved to day=b.
+    with pytest.raises(ValueError, match="outside the source's partitions"):
+        table.merge(_df(spark, [(1, "b", 99)]), keys=["k"])
+    # Unchanged table.
+    assert {(r.k, r.day) for r in table.read().collect()} == {(1, "a"), (2, "b")}
+
+
+def test_merge_partition_key_in_merge_keys_skips_guard(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    # With the partition column in the keys, (1, b) is a plain insert.
+    table.merge(_df(spark, [(1, "b", 99)]), keys=["k", "day"])
+    got = {(r.k, r.day, r.v) for r in table.read().collect()}
+    assert got == {(1, "a", 10), (1, "b", 99)}
