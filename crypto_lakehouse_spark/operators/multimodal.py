@@ -3,11 +3,18 @@ metadata, with decode / feature-extract / resize / frame-sample as
 Arrow-batched Pandas functions over `mapInPandas`.
 
 The Spark-side plumbing (schema, partitioning, UDF signature, batch
-shape) is real and tested; the actual codecs (PIL/ffmpeg et al.) are
-NOT in this container, so decoding is stubbed: `decode_image` raises
-NotImplementedError unless PIL is importable, and the tested path uses
-`fake_decode` — a deterministic byte-pattern "decoder" with the same
-interface, so the distributed execution shape is exercised end-to-end.
+shape) is real and tested. Decoding has two tiers:
+
+- `decode_blob` — a REAL pure-numpy decoder for the engine's synthetic
+  raw-byte format (cyclic byte stream + width/height metadata →
+  uint8 pixel array), with `resize_nearest` as the numpy resize op.
+  Both are exercised end-to-end and value-checked against a DuckDB
+  oracle (`multimodal_decode_resize`): the blob is md5-derived, so
+  every pixel is reproducible as md5_byte[(y*w + x) mod 16].
+- `decode_image` — the codec-library path for standard formats
+  (PNG/JPEG), gated on PIL which is NOT in this container; it raises
+  NotImplementedError with instructions. Swapping it in changes one
+  function, not the plumbing.
 
 Scale notes: blobs stay columnar in parquet; mapInPandas streams
 Arrow record batches so one task never holds more than
@@ -18,6 +25,7 @@ from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -71,6 +79,28 @@ def fake_decode(blob: bytes) -> bytes:
     return blob
 
 
+def decode_blob(blob: bytes, width: int, height: int) -> np.ndarray:
+    """Decode the synthetic raw-byte format into a (height, width)
+    uint8 pixel array: the byte stream is read cyclically until the
+    frame is filled (np.resize tiles). Pure numpy — no codec library
+    — and fully deterministic, so the DuckDB oracle can recompute any
+    pixel from the md5 hex."""
+    arr = np.frombuffer(blob, dtype=np.uint8)
+    if arr.size == 0:
+        return np.zeros((height, width), dtype=np.uint8)
+    return np.resize(arr, (height, width))
+
+
+def resize_nearest(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resize (floor index mapping: src = out * in
+    // out), the standard integer-exact downsample — reproducible in
+    SQL, unlike any interpolating resampler."""
+    h, w = img.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return img[ys[:, None], xs[None, :]]
+
+
 def extract_features(blobs: DataFrame) -> DataFrame:
     """Arrow-batched feature extraction over binary columns via
     mapInPandas: byte statistics + an 4-bin histogram fingerprint."""
@@ -79,27 +109,61 @@ def extract_features(blobs: DataFrame) -> DataFrame:
         for pdf in it:
             rows = []
             for doc_id, mt, blob in zip(pdf["doc_id"], pdf["media_type"], pdf["blob"]):
-                raw = fake_decode(bytes(blob))
-                hist = [0, 0, 0, 0]
-                total = 0
-                mx = 0
-                for b in raw:
-                    hist[b >> 6] += 1
-                    total += b
-                    mx = max(mx, b)
+                raw = np.frombuffer(fake_decode(bytes(blob)), dtype=np.uint8)
+                # Vectorized byte stats: bincount over the top-2 bits
+                # for the 4-bin histogram, int64 sum for the mean.
+                hist = np.bincount(raw >> 6, minlength=4)
+                n = int(raw.size)
                 rows.append(
                     {
                         "doc_id": doc_id,
                         "media_type": mt,
-                        "n_bytes": len(raw),
-                        "mean_byte": total / len(raw) if raw else 0.0,
-                        "max_byte": mx,
-                        "byte_hist": ",".join(str(h) for h in hist),
+                        "n_bytes": n,
+                        "mean_byte": float(raw.sum(dtype=np.int64)) / n if n else 0.0,
+                        "max_byte": int(raw.max()) if n else 0,
+                        "byte_hist": ",".join(str(int(h)) for h in hist),
                     }
                 )
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+DECODE_RESIZE_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, "
+    "resized_mean DOUBLE, px00 INT, px77 INT"
+)
+
+
+def decode_resize_features(blobs: DataFrame, out: int = 8) -> DataFrame:
+    """The REAL decode path, end-to-end: decode each blob into its
+    (height, width) pixel array (`decode_blob`), nearest-neighbor
+    resize to out x out (`resize_nearest`), and emit integer-exact
+    summary pixels. The mean divides by out*out (a power of two), so
+    the double is bit-identical to the oracle's."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, w, h, blob in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["blob"]
+            ):
+                img = decode_blob(bytes(blob), int(w), int(h))
+                small = resize_nearest(img, out, out)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(w),
+                        "height": int(h),
+                        "resized_mean": float(small.sum(dtype=np.int64))
+                        / (out * out),
+                        "px00": int(small[0, 0]),
+                        "px77": int(small[out - 1, out - 1]),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=DECODE_RESIZE_SCHEMA)
 
 
 def frame_sample(blobs: DataFrame, every_n_bytes: int = 16) -> DataFrame:

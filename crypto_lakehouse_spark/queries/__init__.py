@@ -81,6 +81,7 @@ _PRIORITY = [
     # multimodal
     "multimodal_features",
     "multimodal_frame_sample",
+    "multimodal_decode_resize",
     # semi-structured + oracle-cast fixes needing fresh green rows
     "props_map_entries",
     "props_variant_stats",

@@ -56,17 +56,81 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "multimodal_frame_sample",
-    oracle=None,  # binary frame rows: rows-only check (frame bytes are
-    # not SQL-reproducible cheaply; covered by pytest determinism test)
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(n_chars // 16 AS INTEGER) + 1 AS reps
+    FROM documents
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_no,
+       16 AS frame_bytes,
+       h AS frame_hex
+FROM hexes, range(0, 256) t(i)
+WHERE i < reps
+ORDER BY doc_id, frame_no
+""",
     tags=("multimodal", "pandas-udf"),
     bench=False,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling plumbing: one blob row -> many frame rows via
-    mapInPandas (video path shape)."""
+    mapInPandas (video path shape). Full VALUE oracle: the blob is
+    unhex(md5) repeated, frames are 16-byte aligned, so every frame's
+    exact content is the md5 byte string — compared via hex."""
     from crypto_lakehouse_spark.operators.multimodal import frame_sample
 
     docs = load_table(spark, sf_dir, "documents")
     return frame_sample(attach_blobs(docs)).select(
-        "doc_id", "frame_no", F.length("frame").alias("frame_bytes")
-    )
+        "doc_id",
+        "frame_no",
+        F.length("frame").cast("int").alias("frame_bytes"),
+        F.lower(F.hex("frame")).alias("frame_hex"),
+    ).orderBy("doc_id", "frame_no")
+
+
+@query(
+    "multimodal_decode_resize",
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id, n_chars, md5(text) AS h,
+           CAST(n_chars % 64 + 1 AS INTEGER) AS w,
+           CAST(n_chars % 48 + 1 AS INTEGER) AS hp
+    FROM documents
+),
+pix AS (
+    SELECT doc_id, w, hp,
+           list_transform(range(0, 16),
+               i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER)) AS bs
+    FROM hexes
+),
+resized AS (
+    SELECT doc_id, w, hp,
+           list_transform(range(0, 64),
+               i -> bs[1 + ((((i // 8) * hp) // 8) * w
+                           + (((i % 8) * w) // 8)) % 16]) AS rs
+    FROM pix
+)
+SELECT doc_id,
+       w AS width,
+       hp AS height,
+       CAST(list_sum(rs) AS DOUBLE) / 64 AS resized_mean,
+       CAST(rs[1] AS INTEGER) AS px00,
+       CAST(rs[64] AS INTEGER) AS px77
+FROM resized
+ORDER BY doc_id
+""",
+    tags=("multimodal", "pandas-udf", "decode"),
+    bench=False,
+)
+def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL decode path end-to-end: pure-numpy `decode_blob` to a
+    (height, width) uint8 array, nearest-neighbor `resize_nearest` to
+    8x8, integer-exact summary pixels. Every output pixel is
+    md5_byte[(src_y*w + src_x) mod 16], which the DuckDB oracle
+    recomputes from the hex digits — the decode is value-checked, not
+    plumbing-only."""
+    from crypto_lakehouse_spark.operators.multimodal import decode_resize_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    return decode_resize_features(attach_blobs(docs)).orderBy("doc_id")

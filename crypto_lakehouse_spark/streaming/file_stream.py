@@ -44,6 +44,84 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+# Kafka wire schema: what every Spark kafka source row looks like
+# (fixed by the connector, independent of topic contents).
+KAFKA_WIRE_SCHEMA = (
+    "key BINARY, value BINARY, topic STRING, partition INT, offset BIGINT, "
+    "timestamp TIMESTAMP, timestampType INT"
+)
+
+TRADE_JSON_SCHEMA = (
+    "trade_id BIGINT, product_id STRING, price STRING, size STRING, "
+    "side STRING, time STRING"
+)
+
+
+def kafka_reader(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+):
+    """The production source: the reference's Kafka read options
+    verbatim (streaming_bronze_writer.py:119-127). Returns the
+    configured DataStreamReader; `.load()` is the only step that needs
+    the kafka connector jar on the classpath."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .option("failOnDataLoss", "false")
+    )
+
+
+def parse_kafka_feed(raw: DataFrame) -> DataFrame:
+    """Kafka wire rows -> bronze trade-feed rows (reference
+    streaming_bronze_writer.py:130-166): cast value to string, parse
+    the trade JSON, keep raw payload + kafka position metadata, stamp
+    ingestion time/date. A pure DataFrame transform over
+    KAFKA_WIRE_SCHEMA, so it runs identically on the streaming kafka
+    source and on a static test frame — the construction coverage that
+    catches option/schema typos without a broker."""
+    parsed = (
+        raw.withColumn("_raw_payload", F.col("value").cast("string"))
+        .withColumn("parsed", F.from_json(F.col("value").cast("string"), TRADE_JSON_SCHEMA))
+        .withColumn("_ingested_at", F.current_timestamp())
+        .withColumn("_kafka_offset", F.col("offset"))
+        .withColumn("_kafka_partition", F.col("partition"))
+        .withColumn("_ingestion_date", F.to_date(F.col("_ingested_at")))
+    )
+    return parsed.select(
+        "_ingested_at",
+        "_raw_payload",
+        "_kafka_offset",
+        "_kafka_partition",
+        F.col("parsed.trade_id").alias("trade_id"),
+        F.col("parsed.product_id").alias("product_id"),
+        F.col("parsed.price").alias("price"),
+        F.col("parsed.size").alias("size"),
+        F.col("parsed.side").alias("side"),
+        F.col("parsed.time").alias("time"),
+        "_ingestion_date",
+    ).filter(F.col("trade_id").isNotNull())
+
+
+def kafka_events_stream(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Kafka -> bronze feed: the production twin of `events_stream`.
+    Requires the spark-sql-kafka connector on the classpath (absent in
+    this container; the plan-construction test covers everything up to
+    the jar boundary)."""
+    return parse_kafka_feed(
+        kafka_reader(spark, bootstrap_servers, topic, starting_offsets).load()
+    )
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window aggregation (T5 as a *real* streaming
     window, not batch date_trunc): hourly event counts + value sum per

@@ -180,3 +180,29 @@ def test_lineage_truncation_mode_follows_checkpoint_dir(spark, tmp_path):
         setter = getattr(sc._jsc.sc(), "checkpointDir_$eq")
         setter(sc._jvm.scala.Option.apply(None))
     assert sc.getCheckpointDir() is None
+
+
+def test_decode_blob_and_resize_nearest():
+    """Pure-numpy decode: cyclic byte fill to (h, w); nearest-neighbor
+    resize uses floor index mapping src = out * in // out."""
+    import numpy as np
+
+    from crypto_lakehouse_spark.operators.multimodal import (
+        decode_blob,
+        resize_nearest,
+    )
+
+    blob = bytes(range(16)) * 3  # 48 bytes, cycle length 16
+    img = decode_blob(blob, width=10, height=7)  # needs 70 > 48: tiles
+    assert img.shape == (7, 10) and img.dtype == np.uint8
+    # pixel(y, x) == blob[(y*w + x) % len] == (y*w + x) % 16
+    for y, x in [(0, 0), (3, 7), (6, 9)]:
+        assert img[y, x] == (y * 10 + x) % 16
+
+    small = resize_nearest(img, 4, 4)
+    assert small.shape == (4, 4)
+    for yo in range(4):
+        for xo in range(4):
+            assert small[yo, xo] == img[(yo * 7) // 4, (xo * 10) // 4]
+
+    assert decode_blob(b"", 3, 2).tolist() == [[0, 0, 0], [0, 0, 0]]
