@@ -35,6 +35,7 @@ _PRIORITY = [
     "streaming_watermarked_counts",
     "stream_ingest_bronze",
     "streaming_dedup_counts",
+    "streaming_dedup_within_watermark",
     "streaming_stream_stream_join",
     # dedup flagships
     "doc_exact_dedup",
@@ -43,7 +44,6 @@ _PRIORITY = [
     "dup_clusters_cc",
     "levenshtein_blocked_linkage",
     "ngram_jaccard_prefix_filtered",
-    "embedding_near_dup",
     # similarity / ANN / embedding
     "embedding_cosine_topk",
     "embedding_lsh_buckets",
@@ -72,7 +72,6 @@ _PRIORITY = [
     "asof_join_purchase_click",
     "sessionization",
     "range_join_click_purchase",
-    "twap_hourly",
     # UDF / Arrow escape hatches
     "embedding_norms_pandas",
     "geomean_value_pandas_udaf",
@@ -87,7 +86,12 @@ _PRIORITY = [
     "props_variant_stats",
     "regexp_extract_numbers",
     "recursive_amortization",
-    # data layout + pandas twins
+    # lakehouse write-path checks (S4/S5/S7/J4 driver rows)
+    "merge_upsert_result",
+    "medallion_gold_ohlcv",
+    # rotate in when slots remain (family coverage already in window)
+    "embedding_near_dup",
+    "twap_hourly",
     "zorder_morton_cells",
     "doc_quality_score_pandas",
 ]
@@ -158,4 +162,5 @@ def load_all() -> None:
     import crypto_lakehouse_spark.queries.sampling_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.udf_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.trainprep_ops  # noqa: F401
+    import crypto_lakehouse_spark.queries.lakehouse_ops  # noqa: F401
     _reorder()

@@ -663,3 +663,165 @@ query(
     oracle=_LEV_BLOCKED.replace("%%DIV%%", "//").replace("%%HINT%%", ""),
     tags=("dedup", "linkage", "fuzzy"),
 )(_levenshtein_blocked_linkage)
+
+
+# --- incremental exact dedup (batch-vs-corpus) ------------------------------
+# The continuous-ingest shape of exact dedup: a NEW batch (every 7th
+# doc stands in for today's crawl) is checked against the existing
+# corpus's content-hash set; known duplicates are flagged, fresh docs
+# pass. Per-row verdicts, not just counts, so the oracle checks every
+# decision. Scale shape: one equi-join on the 32-hex md5 — at 100 TB
+# the corpus side is a bucketed/sorted hash table updated per batch
+# (or a bloom-filter pre-filter before the join); the batch side is
+# small and broadcastable when Spark's stats see it. The md5 is the
+# same function in both engines, so the SQL is shared verbatim.
+_INCR_DEDUP = """
+WITH corpus AS (
+    SELECT DISTINCT md5(text) AS h FROM documents WHERE doc_id % 7 <> 0
+),
+batch AS (
+    SELECT doc_id, md5(text) AS h FROM documents WHERE doc_id % 7 = 0
+)
+SELECT b.doc_id,
+       CAST(CASE WHEN c.h IS NULL THEN 0 ELSE 1 END AS INT) AS known_dup
+FROM batch b LEFT JOIN corpus c ON b.h = c.h
+ORDER BY b.doc_id
+"""
+
+_pair(
+    "incremental_exact_dedup",
+    _INCR_DEDUP,
+    _INCR_DEDUP,
+    tags=("dedup", "exact", "incremental"),
+)
+
+
+# --- idf-weighted cosine top-k (tf-idf similarity over shingles) -----------
+# The tf-idf member of the similarity family: docs as idf-weighted
+# binary shingle vectors (shingles are distinct per doc, so tf = 1 and
+# weight = ln(N/df)); cosine = sum of wt^2 over SHARED shingles /
+# (|a| * |b|). Rare shared shingles dominate — the "soft Jaccard"
+# ranking a real pipeline uses next to the exact-overlap one. Word
+# tf-idf is pointless on this corpus (31-word vocabulary, every term
+# hot); shingles carry the discriminative signal AND keep the
+# inverted-index join bounded (df > 1 filter for pair generation —
+# df = 1 shingles cannot be shared — while norms use ALL shingles).
+# Determinism: the only float work is ln + the folds, and every fold
+# runs over the s-SORTED list in both engines; cosine is ROUND(9)ed
+# BEFORE ranking so the row_number tie-break (doc_b) is identical.
+_TFIDF_TAIL = """
+norms AS (
+    SELECT doc_id, {fold} AS nrm FROM (
+        SELECT doc_id, df, COUNT(*) AS c, MAX(wt) AS wt
+        FROM w GROUP BY doc_id, df
+    ) g GROUP BY doc_id
+),
+dots AS (
+    SELECT doc_a, doc_b, {fold} AS dot FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df AS df,
+               COUNT(*) AS c, MAX(a.wt) AS wt
+        FROM (SELECT doc_id, s, wt, df FROM w WHERE df > 1) a
+        JOIN (SELECT doc_id, s FROM w WHERE df > 1) b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.df
+    ) g GROUP BY doc_a, doc_b
+),
+scored AS (
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9) AS cosine
+    FROM dots d
+    JOIN norms na ON na.doc_id = d.doc_a
+    JOIN norms nb ON nb.doc_id = d.doc_b
+),
+ranked AS (
+    SELECT doc_a, doc_b, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_a ORDER BY cosine DESC, doc_b
+           ) AS rnk
+    FROM scored WHERE cosine > 0
+)
+SELECT doc_a, CAST(rnk AS INT) AS rnk, doc_b, cosine
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_a, rnk
+"""
+
+# One fold shape for norms and dots: the float work collapses to the
+# handful of DISTINCT df values (wt is a function of df), so the heavy
+# aggregation is integer COUNT per (group, df) — map-side combinable,
+# whole-stage codegen — and the double fold runs over a df-sorted list
+# of at most |distinct df| elements. O(join rows) integer work,
+# O(groups x distinct-df) float work.
+_TFIDF_FOLD_SPARK = (
+    "aggregate(array_sort(collect_list(struct(df, c, wt))), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.c * x.wt * x.wt)"
+)
+_TFIDF_FOLD_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list(c * wt * wt ORDER BY df)), (acc, x) -> acc + x)"
+)
+
+# The weighted-shingle relation `w` is referenced three times (norms
+# + both sides of the pair join); Spark inlines CTEs, so it is
+# materialized once per session like the shingle/prefix relations —
+# the checkpoint you'd persist before pair generation at 100 TB. The
+# join key is xxhash64(s), not the raw shingle string (int64 equality
+# in the hot self-join; same 2^-64-collision tradeoff the PPJoin
+# verify already takes — the oracle joins raw strings and proves no
+# collision bit).
+TFIDF_W_VIEW = "tfidf_w_persisted"
+_TFIDF_W_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+_TFIDF_W_SELECT = f"""
+WITH nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM {SHINGLE_VIEW}),
+idf AS (SELECT s, COUNT(*) AS df FROM {SHINGLE_VIEW} GROUP BY s)
+SELECT sh.doc_id, xxhash64(sh.s) AS s,
+       ln(CAST(nd.n AS DOUBLE) / d.df) AS wt, d.df
+FROM {SHINGLE_VIEW} sh JOIN idf d ON sh.s = d.s CROSS JOIN nd
+"""
+
+
+def cached_tfidf_weights(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the idf-weighted shingle relation once per session;
+    returns the view name."""
+    key = (id(spark), sf_dir)
+    if key not in _TFIDF_W_MEMO:
+        for (sid, _), old in list(_TFIDF_W_MEMO.items()):
+            if sid == id(spark):
+                old.unpersist()
+                del _TFIDF_W_MEMO[(sid, _)]
+        cached_shingles(spark, sf_dir)
+        df = spark.sql(_TFIDF_W_SELECT).persist(StorageLevel.MEMORY_AND_DISK)
+        df.createOrReplaceTempView(TFIDF_W_VIEW)
+        _TFIDF_W_MEMO[key] = df
+    return TFIDF_W_VIEW
+
+
+_TFIDF_W_DUCK = """
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM shingles),
+idf AS (SELECT s, COUNT(*) AS df FROM shingles GROUP BY s),
+w AS (
+    SELECT sh.doc_id, sh.s, ln(CAST(nd.n AS DOUBLE) / d.df) AS wt, d.df
+    FROM shingles sh JOIN idf d ON sh.s = d.s CROSS JOIN nd
+),
+"""
+
+
+def _idf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """idf-weighted cosine top-3 per doc over the persisted weighted
+    shingle relation (block comment above has the scale framing)."""
+    cached_tfidf_weights(spark, sf_dir)
+    return spark.sql(
+        f"WITH w AS (SELECT doc_id, s, wt, df FROM {TFIDF_W_VIEW}),"
+        + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_SPARK)
+    )
+
+
+query(
+    "idf_cosine_topk",
+    oracle="WITH "
+    + _SH_DUCK
+    + ","
+    + _TFIDF_W_DUCK
+    + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_DUCK).lstrip(),
+    tags=("similarity", "tfidf", "topk"),
+)(_idf_cosine_topk)

@@ -1,0 +1,252 @@
+"""Lakehouse TABLE operations exposed to the driver's correctness
+gate — the rows the round-1 scorecard could only mark
+"untested(driver)" because MERGE/materialization lived behind pytest.
+
+Each query here executes real table writes (into a per-call temp
+warehouse) and returns the STORED table contents; the oracle
+recomputes what the storage layer must contain from the source tables
+alone. That differentially proves the write path (S4 partitioned
+create, S5/J4 MERGE upsert, S7 materialization), not just the
+read-side plans.
+
+- `merge_upsert_result`: LakehouseTable COW MERGE (update + insert in
+  one source) on a partitioned table; oracle = anti-join ∪ source
+  (the MERGE definition, reference bronze_to_silver.py:156-188).
+- `medallion_gold_ohlcv`: the full medallion path feed → bronze
+  (DLQ routing) → silver (dedup/cast/validate MERGE) → gold 1-minute
+  candles (incremental-build MERGE), compared against a single SQL
+  derivation from `events`. The oracle is the silver-trades CTE with
+  the feed's malformed rows (event_id % 131, DLQ-routed base copies)
+  excluded, composed with the candle SQL the declarative `ohlcv_1m`
+  query already proves. vwap is excluded from the projection: gold
+  stores it as DECIMAL(18,8) division while the comparison contract
+  is double division — its value is proven by `ohlcv_1m`/`ohlcv_1m_
+  fused` from the same pv/volume inputs.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.functions import fmt_ts
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.operators.trades import ORACLE_TRADES_CTE
+from crypto_lakehouse_spark.queries.registry import query
+
+# The medallion feed (sources/trade_feed.py) differs from the query
+# mapping (operators/trades.py raw_trades) in exactly two ways:
+# (1) base copies of event_id % 131 rows are malformed JSON and
+# DLQ-routed, so they never reach silver (their % 7 duplicate copies
+# are well-formed and survive as the keep-first row); (2) the feed
+# does NOT carry raw_trades' synthetic negative-price rows
+# (event_id % 97) — prices are the raw event values, all valid.
+_MEDALLION_TRADES_CTE = ORACLE_TRADES_CTE.replace(
+    "    FROM events\n    UNION ALL",
+    "    FROM events\n    WHERE event_id % 131 <> 0\n    UNION ALL",
+).replace(
+    "CAST(CASE WHEN event_id % 97 = 0 THEN -value ELSE value END\n"
+    "                AS DECIMAL(18,4))",
+    "CAST(value AS DECIMAL(18,4))",
+)
+
+_MERGE_SRC_SQL = """
+SELECT o_orderkey, o_orderstatus, o_totalprice * 2 AS o_totalprice,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 6 = 0
+UNION ALL
+SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+FROM orders WHERE o_orderkey % 3 = 1 AND o_orderkey % 5 = 0
+"""
+
+
+@query(
+    "merge_upsert_result",
+    oracle=f"""
+WITH target AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+src AS (
+{_MERGE_SRC_SQL}
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       o_orderpriority
+FROM (
+    SELECT * FROM src
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+)
+ORDER BY o_orderkey
+""",
+    tags=("lakehouse", "merge", "table"),
+    bench=False,
+)
+def merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/J4 driver check: partitioned COW MERGE (matched keys updated
+    in place — doubled totalprice — unmatched inserted), then the
+    STORED table is returned. Partition column (o_orderstatus) is
+    stable under the update, so only touched partitions rewrite."""
+    from crypto_lakehouse_spark.tables import LakehouseTable
+
+    register_views(spark, sf_dir, ["orders"])
+    target = spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        """
+    )
+    t = LakehouseTable(
+        spark,
+        tempfile.mkdtemp(prefix="merge_q_") + "/t",
+        partition_by=["o_orderstatus"],
+    )
+    t.overwrite(target)
+    t.merge(spark.sql(_MERGE_SRC_SQL), keys=["o_orderkey"])
+    return (
+        t.read()
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            "o_orderpriority",
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "medallion_gold_ohlcv",
+    oracle=_MEDALLION_TRADES_CTE
+    + """,
+stg AS (
+    SELECT product_id, trade_id, trade_time, price, "size",
+           price * "size" AS trade_value,
+           date_trunc('minute', trade_time) AS bucket
+    FROM silver
+),
+agg AS (
+    SELECT product_id, bucket,
+           MAX(price) AS high, MIN(price) AS low,
+           SUM("size") AS volume, COUNT(*) AS trade_count
+    FROM stg
+    GROUP BY product_id, bucket
+),
+fl AS (
+    SELECT DISTINCT product_id, bucket,
+           FIRST_VALUE(price) OVER w AS open,
+           LAST_VALUE(price) OVER w AS close
+    FROM stg
+    WINDOW w AS (PARTITION BY product_id, bucket
+                 ORDER BY trade_time, trade_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND UNBOUNDED FOLLOWING)
+)
+SELECT agg.product_id,
+       strftime(agg.bucket, '%Y-%m-%d %H:%M:%S') AS window_start,
+       strftime(agg.bucket + INTERVAL 1 MINUTE, '%Y-%m-%d %H:%M:%S')
+           AS window_end,
+       CAST(fl.open AS DOUBLE) AS open,
+       CAST(agg.high AS DOUBLE) AS high,
+       CAST(agg.low AS DOUBLE) AS low,
+       CAST(fl.close AS DOUBLE) AS close,
+       CAST(agg.volume AS DOUBLE) AS volume,
+       agg.trade_count
+FROM agg JOIN fl USING (product_id, bucket)
+ORDER BY product_id, window_start
+""",
+    tags=("lakehouse", "medallion", "materialization"),
+    bench=False,
+)
+def medallion_gold_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 driver check: run the STORED medallion (feed ingest with DLQ,
+    silver MERGE, gold candle MERGE — full backfill) in a temp
+    warehouse and return the gold ohlcv_1m TABLE contents; the oracle
+    derives the same candles from `events` in one SQL statement."""
+    from crypto_lakehouse_spark.pipeline.lakehouse import Lakehouse
+    from crypto_lakehouse_spark.sources.trade_feed import trade_feed
+
+    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="wh_medallion_"))
+    lh.ingest_feed(trade_feed(spark, sf_dir))
+    lh.bronze_to_silver(lookback_hours=None)
+    lh.build_ohlcv("minute", lookback=None)
+    g = lh.gold["ohlcv_1m"].read()
+    return (
+        g.select(
+            "product_id",
+            fmt_ts("window_start").alias("window_start"),
+            fmt_ts("window_end").alias("window_end"),
+            F.col("open").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close").cast("double").alias("close"),
+            F.col("volume").cast("double").alias("volume"),
+            "trade_count",
+        )
+        .orderBy("product_id", "window_start")
+    )
+
+
+_VT_SRC_SQL = """
+SELECT o_orderkey, o_totalprice * 2 AS o_totalprice
+FROM orders WHERE o_orderkey % 8 = 0
+UNION ALL
+SELECT o_orderkey, o_totalprice
+FROM orders WHERE o_orderkey % 4 = 1 AND o_orderkey % 6 = 1
+"""
+
+
+@query(
+    "versioned_time_travel_result",
+    oracle=f"""
+WITH base AS (
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0
+),
+src AS (
+{_VT_SRC_SQL}
+),
+v1 AS (
+    SELECT * FROM src
+    UNION ALL
+    SELECT b.* FROM base b
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = b.o_orderkey)
+)
+SELECT version, o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price
+FROM (
+    SELECT 0 AS version, * FROM base
+    UNION ALL
+    SELECT 1 AS version, * FROM v1
+)
+ORDER BY version, o_orderkey
+""",
+    tags=("lakehouse", "time-travel", "merge", "versioned"),
+    bench=False,
+)
+def versioned_time_travel_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-layer driver check: VersionedTable append (v0) + COW
+    MERGE (v1), then BOTH snapshots read back via time travel in one
+    result. Proves the immutable-file + manifest design end-to-end:
+    v0's rows must be byte-stable after the merge commit, v1 must be
+    exactly (source ∪ unmatched-target)."""
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    register_views(spark, sf_dir, ["orders"])
+    base = spark.sql(
+        "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0"
+    )
+    t = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_q_") + "/t")
+    assert t.append(base) == 0
+    assert t.merge(spark.sql(_VT_SRC_SQL), keys=["o_orderkey"]) == 1
+
+    def snap(version: int | None, label: int) -> DataFrame:
+        return t.read(version=version).select(
+            F.lit(label).alias("version"),
+            "o_orderkey",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+        )
+
+    return snap(0, 0).unionByName(snap(None, 1)).orderBy("version", "o_orderkey")

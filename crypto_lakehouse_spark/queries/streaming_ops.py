@@ -138,6 +138,30 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+SELECT event_type, COUNT(DISTINCT event_id) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "dedup", "watermark", "spark4"),
+    bench=False,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 production form: dropDuplicatesWithinWatermark — bounded
+    dedup state with watermark eviction (see
+    streaming/file_stream.run_dedup_within_watermark for why the
+    replay makes the batch-distinct oracle exact)."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_dedup_within_watermark,
+    )
+
+    return run_dedup_within_watermark(spark, sf_dir)
+
+
+@query(
     "streaming_stream_stream_join",
     oracle=None,  # wired below: shares the batch range-join oracle
     tags=("streaming", "stream-stream-join", "range-join"),

@@ -226,3 +226,71 @@ _pair(
     _CHUNK_DUCK,
     tags=("text", "chunking", "pipeline"),
 )
+
+
+# --- character-entropy quality signal ---------------------------------------
+# Shannon entropy over the doc's character distribution (bits/char) —
+# the cheap perplexity proxy of a training-data pipeline: gibberish and
+# boilerplate sit at the distribution tails. H = log2(n) - (1/n) *
+# SUM c*log2(c) over per-char counts c, so the only float work is one
+# ln-fold; the fold runs over the CHAR-SORTED count list in both
+# engines (hash-agg double summation is order-dependent; a defined
+# fold is bit-identical), ROUND(9) as belt-and-braces. Scale shape:
+# explode chars -> one groupBy(doc, char) with map-side combine ->
+# one groupBy(doc); both shuffles are on doc_id-prefixed keys.
+_ENTROPY_SPARK = """
+WITH chars AS (
+    SELECT doc_id,
+           explode(transform(sequence(1, length(text)),
+                             i -> substr(text, i, 1))) AS ch
+    FROM documents WHERE length(text) > 0
+),
+counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS alphabet,
+           aggregate(array_sort(collect_list(struct(ch, c))),
+                     CAST(0.0 AS DOUBLE),
+                     (acc, x) -> acc + x.c * (ln(x.c) / ln(2))) AS clog
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars_counted, alphabet,
+       ROUND(ln(n) / ln(2) - clog / n, 9) AS char_entropy_bits
+FROM folded
+ORDER BY doc_id
+"""
+
+_ENTROPY_DUCK = """
+WITH chars AS (
+    SELECT doc_id,
+           unnest(list_transform(range(1, length(text) + 1),
+                                 i -> substr(text, i, 1))) AS ch
+    FROM documents WHERE length(text) > 0
+),
+counts AS (
+    SELECT doc_id, ch, COUNT(*) AS c FROM chars GROUP BY doc_id, ch
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n,
+           CAST(COUNT(*) AS BIGINT) AS alphabet,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list(CAST(c AS DOUBLE) ORDER BY ch)),
+                       (acc, x) -> acc + x * (ln(x) / ln(2))) AS clog
+    FROM counts GROUP BY doc_id
+)
+SELECT doc_id, n AS n_chars_counted, alphabet,
+       ROUND(ln(n) / ln(2) - clog / n, 9) AS char_entropy_bits
+FROM folded
+ORDER BY doc_id
+"""
+
+_pair(
+    "doc_char_entropy",
+    _ENTROPY_SPARK,
+    _ENTROPY_DUCK,
+    tags=("text", "quality", "entropy"),
+)

@@ -121,3 +121,47 @@ def test_kafka_construction_without_broker(spark):
         stream = kafka_events_stream(spark, "broker:9092", "trades.raw")
         assert stream.isStreaming
         assert df.columns[:5] == ["key", "value", "topic", "partition", "offset"]
+
+
+def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
+    """T2/T3's actual claim: restarting the checkpointed ingest over
+    the same source replays NOTHING already committed; only files that
+    arrived after the checkpoint are processed, exactly once."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.sources.trade_feed import trade_feed
+    from crypto_lakehouse_spark.streaming.file_stream import run_stream_ingest
+
+    sf = "/root/testdata/sf0.001"
+    stage, ckpt, wh = str(tmp_path / "stage"), str(tmp_path / "ckpt"), str(tmp_path / "wh")
+
+    lh1, m1 = run_stream_ingest(spark, sf, wh, stage_dir=stage, ckpt_dir=ckpt)
+    assert len(m1) == 2
+    bronze_after_first = lh1.bronze.read().count()
+
+    # Restart against the same checkpoint: zero batches, zero new rows.
+    lh2, m2 = run_stream_ingest(spark, sf, wh, stage_dir=stage, ckpt_dir=ckpt)
+    assert m2 == []
+    assert lh2.bronze.read().count() == bronze_after_first
+
+    # A file that arrives after the checkpoint is processed exactly once.
+    late = (
+        trade_feed(spark, sf)
+        .filter(F.col("offset") % 1000 == 3)
+        .filter(F.col("value").startswith('{"type":"match"'))  # bronze-bound only
+        .limit(50)
+    )
+    n_late = late.count()
+    assert n_late > 0
+    late.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "late"))
+    import os as _os
+    import shutil as _shutil
+
+    part = next(
+        p for p in sorted(_os.listdir(str(tmp_path / "late"))) if p.endswith(".parquet")
+    )
+    _shutil.copy(str(tmp_path / "late" / part), f"{stage}/002.parquet")
+
+    lh3, m3 = run_stream_ingest(spark, sf, wh, stage_dir=stage, ckpt_dir=ckpt)
+    assert len(m3) == 1
+    assert lh3.bronze.read().count() == bronze_after_first + n_late
