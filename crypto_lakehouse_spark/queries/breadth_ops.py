@@ -588,3 +588,91 @@ _pair(
     tables=["events"],
     tags=("text", "regex", "extraction"),
 )
+
+
+# --- higher-order array function sweep --------------------------------------
+# transform / filter / exists / forall / fold / slice in ONE pass over
+# per-order quantity arrays — the lambda-expression surface an engine
+# must expose (Spark HOFs are codegen'd JVM lambdas, not UDFs; DuckDB
+# list_* are the same shapes). Quantities cast to INT so every result
+# is integer-exact; the collected array is SORTED so folds and slices
+# are order-defined in both engines.
+_HOF_SPARK = """
+WITH per AS (
+    SELECT l_orderkey,
+           array_sort(collect_list(CAST(l_quantity AS INT))) AS qs
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       size(qs) AS n_items,
+       aggregate(transform(qs, x -> CAST(x * 2 AS BIGINT)),
+                 CAST(0 AS BIGINT), (a, x) -> a + x) AS doubled_sum,
+       size(filter(qs, x -> x > 25)) AS n_big,
+       exists(qs, x -> x = 50) AS has_50,
+       forall(qs, x -> x > 0) AS all_positive,
+       array_join(transform(slice(qs, 1, 3), x -> CAST(x AS STRING)), ',')
+           AS first3
+FROM per
+ORDER BY l_orderkey
+"""
+
+_HOF_DUCK = """
+WITH per AS (
+    SELECT l_orderkey,
+           list_sort(list(CAST(l_quantity AS INTEGER))) AS qs
+    FROM lineitem GROUP BY l_orderkey
+)
+SELECT l_orderkey,
+       len(qs) AS n_items,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+                       list_transform(qs, x -> CAST(x * 2 AS BIGINT))),
+                   (a, x) -> a + x) AS doubled_sum,
+       len(list_filter(qs, x -> x > 25)) AS n_big,
+       list_contains(qs, 50) AS has_50,
+       len(list_filter(qs, x -> x <= 0)) = 0 AS all_positive,
+       array_to_string(list_transform(qs[1:3], x -> CAST(x AS VARCHAR)), ',')
+           AS first3
+FROM per
+ORDER BY l_orderkey
+"""
+
+_pair(
+    "array_hof_sweep",
+    _HOF_SPARK,
+    _HOF_DUCK,
+    tables=["lineitem"],
+    tags=("relational", "higher-order", "array"),
+)
+
+# --- null-safe equality join ------------------------------------------------
+# Spark `<=>` vs ANSI IS NOT DISTINCT FROM: NULL keys MATCH each other
+# instead of vanishing (the semantics MERGE key comparisons and SCD
+# attribute-change checks rely on — see eqNullSafe in pipeline/scd.py).
+# Demonstrated on a small dimension join where region 0 is nulled on
+# both sides: an ordinary equi-join would drop those nations; the
+# null-safe join keeps them paired with the nulled region.
+_NULLSAFE_SPARK = """
+SELECT n.n_name AS nation,
+       COALESCE(r.r_name, 'NO-REGION') AS region
+FROM (SELECT n_name, NULLIF(n_regionkey, 0) AS rk FROM nation) n
+JOIN (SELECT r_name, NULLIF(r_regionkey, 0) AS rk FROM region) r
+  ON n.rk <=> r.rk
+ORDER BY nation, region
+"""
+
+_NULLSAFE_DUCK = """
+SELECT n.n_name AS nation,
+       COALESCE(r.r_name, 'NO-REGION') AS region
+FROM (SELECT n_name, NULLIF(n_regionkey, 0) AS rk FROM nation) n
+JOIN (SELECT r_name, NULLIF(r_regionkey, 0) AS rk FROM region) r
+  ON n.rk IS NOT DISTINCT FROM r.rk
+ORDER BY nation, region
+"""
+
+_pair(
+    "null_safe_region_join",
+    _NULLSAFE_SPARK,
+    _NULLSAFE_DUCK,
+    tables=["nation", "region"],
+    tags=("relational", "null-safe-join"),
+)

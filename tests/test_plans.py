@@ -167,3 +167,24 @@ def test_lateral_topk_decorrelates_to_window(spark):
     plan = _plan(spark, "lateral_topk_per_source")
     assert "Window" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_dedup_join_broadcasts(spark):
+    """Batch-vs-corpus hash check must resolve to broadcast hash joins
+    (the batch side is small by construction), never a cartesian or
+    sort-merge fallback at this scale."""
+    plan = _plan(spark, "incremental_exact_dedup")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_char_entropy_two_aggregations_no_join(spark):
+    """Entropy = explode + two groupBys; there must be no join and no
+    window — the per-char and per-doc aggregations are the only
+    shuffles besides the presentation sort."""
+    plan = _plan(spark, "doc_char_entropy")
+    assert "Join" not in plan
+    assert "Window" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3
