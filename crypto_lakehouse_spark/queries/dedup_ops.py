@@ -825,3 +825,104 @@ query(
     + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_DUCK).lstrip(),
     tags=("similarity", "tfidf", "topk"),
 )(_idf_cosine_topk)
+
+
+# --- connected components, large-star/small-star ---------------------------
+# The O(log^2 n)-round scale algorithm (Kiveris et al., "Connected
+# Components in MapReduce and Beyond", SoCC'14) next to the
+# O(diameter) label propagation above — SAME oracle, so the fixpoint
+# of the star transforms is differentially proven equal to the
+# recursive-CTE components. Each round is two edge transforms:
+#   large-star: every node's strictly-larger neighbors re-attach to
+#     the minimum of its closed neighborhood;
+#   small-star: the node and its smaller neighbors re-attach to that
+#     minimum.
+# Both are one groupBy(min) + one join over the edge list — no
+# per-node state, edges shrink toward the star form {(v, root)}.
+# High-diameter chains collapse in logarithmic rounds where label
+# propagation needs the full diameter.
+@query(
+    "dup_clusters_cc_star",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "clustering", "iterative", "graph", "star"),
+)
+def dup_clusters_cc_star(spark, sf_dir: str):
+    """Near-duplicate clusters via alternating large-star/small-star
+    rounds to a fixed point (block comment above; oracle shared with
+    dup_clusters_cc)."""
+    from pyspark.sql import functions as F
+
+    cached_shingles(spark, sf_dir)
+    base = spark.sql(f"WITH {_SH_PERSISTED},{_CC_EDGES}")
+    nodes = (
+        base.selectExpr("doc_a AS node")
+        .union(base.selectExpr("doc_b AS node"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    # Canonical edge orientation (big, small); self-loops impossible.
+    edges = _truncate_lineage(
+        base.select(
+            F.greatest("doc_a", "doc_b").alias("a"),
+            F.least("doc_a", "doc_b").alias("b"),
+        ).distinct(),
+        spark,
+    )
+
+    def star(e: DataFrame, large: bool) -> DataFrame:
+        und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        m = und.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        part = und.join(m, "u").where(
+            F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+        )
+        out = part.select(F.col("v").alias("x"), F.col("m"))
+        if not large:  # small-star also re-attaches the center itself
+            out = out.union(m.select(F.col("u").alias("x"), F.col("m")))
+        return (
+            out.where(F.col("x") != F.col("m"))
+            .select(
+                F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
+            )
+            .distinct()
+        )
+
+    def sig(e: DataFrame):
+        # Edge-set fingerprint in ONE job (count + order-free bit_xor
+        # of per-edge hashes; edges are distinct so xor is faithful) —
+        # cheaper than the two exceptAll scans it replaces.
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("bit_xor(xxhash64(a, b))").alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev = sig(edges)
+    for _ in range(15):  # log-round bound; tiny graphs converge in 2-3
+        # Each round is checkpointed eagerly: re-deriving even a tiny
+        # round chain re-executes its ~12 shuffle stages per downstream
+        # job (measured 2x slower without this).
+        edges = _truncate_lineage(star(star(edges, True), False), spark)
+        cur = sig(edges)
+        if cur == prev:
+            break
+        prev = cur
+    # Fixed point: every edge is (non-root, root). Roots label themselves.
+    lbl = nodes.join(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("parent")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("parent", "node").alias("component")
+    )
+    sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    out = (
+        lbl.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+    nodes.unpersist()
+    return out

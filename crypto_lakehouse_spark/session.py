@@ -16,6 +16,11 @@ from pyspark.sql import SparkSession
 # Defaults sized for the local[32] test harness; on a real cluster the
 # submitter overrides master/shuffle-partitions (AQE coalesces anyway).
 DEFAULT_SHUFFLE_PARTITIONS = os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+# local[N] runs all N task slots inside the driver JVM, whose stock 1g
+# heap starves 32 concurrent tasks (checkpointed iteratives OOM'd at
+# sf0.1). Sized for the 128 GiB harness box; cluster submitters set
+# executor/driver memory themselves.
+DEFAULT_DRIVER_MEMORY = os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "16g")
 DEFAULT_MASTER = os.environ.get(
     "SPARK_GRAFT_MASTER", f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]"
 )
@@ -48,7 +53,9 @@ def get_spark_session(app_name: str = "crypto-lakehouse-spark") -> SparkSession:
     )
     master = os.environ.get("SPARK_GRAFT_MASTER_OVERRIDE", "")
     if not SparkSession.getActiveSession():
-        builder = builder.master(master or DEFAULT_MASTER)
+        builder = builder.master(master or DEFAULT_MASTER).config(
+            "spark.driver.memory", DEFAULT_DRIVER_MEMORY
+        )
     spark = builder.getOrCreate()
     configure_session(spark)
     return spark
