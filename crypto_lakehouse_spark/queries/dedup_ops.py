@@ -854,13 +854,10 @@ def dup_clusters_cc_star(spark, sf_dir: str):
 
     cached_shingles(spark, sf_dir)
     base = spark.sql(f"WITH {_SH_PERSISTED},{_CC_EDGES}")
-    nodes = (
-        base.selectExpr("doc_a AS node")
-        .union(base.selectExpr("doc_b AS node"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
     # Canonical edge orientation (big, small); self-loops impossible.
+    # Checkpoint FIRST, then derive everything else (nodes, the round
+    # loop) from the materialized edge list — deriving nodes from
+    # `base` would evaluate the shingle self-join twice more.
     edges = _truncate_lineage(
         base.select(
             F.greatest("doc_a", "doc_b").alias("a"),
@@ -868,8 +865,13 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         ).distinct(),
         spark,
     )
+    edges0 = edges  # original (checkpointed) edge list, for the node set
 
     def star(e: DataFrame, large: bool) -> DataFrame:
+        # No per-star distinct: groupBy(min) is insensitive to duplicate
+        # edges, and the duplicates a star emits (one per shared
+        # neighbor, O(clique-degree) multiplicity) are removed by the
+        # single round-end distinct — one shuffle per round, not three.
         und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
@@ -882,12 +884,8 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         out = part.select(F.col("v").alias("x"), F.col("m"))
         if not large:  # small-star also re-attaches the center itself
             out = out.union(m.select(F.col("u").alias("x"), F.col("m")))
-        return (
-            out.where(F.col("x") != F.col("m"))
-            .select(
-                F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
-            )
-            .distinct()
+        return out.where(F.col("x") != F.col("m")).select(
+            F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
         )
 
     def sig(e: DataFrame):
@@ -905,12 +903,19 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         # Each round is checkpointed eagerly: re-deriving even a tiny
         # round chain re-executes its ~12 shuffle stages per downstream
         # job (measured 2x slower without this).
-        edges = _truncate_lineage(star(star(edges, True), False), spark)
+        edges = _truncate_lineage(
+            star(star(edges, True), False).distinct(), spark
+        )
         cur = sig(edges)
         if cur == prev:
             break
         prev = cur
     # Fixed point: every edge is (non-root, root). Roots label themselves.
+    nodes = (
+        edges0.select(F.col("a").alias("node"))
+        .union(edges0.select(F.col("b").alias("node")))
+        .distinct()
+    )
     lbl = nodes.join(
         edges.select(F.col("a").alias("node"), F.col("b").alias("parent")),
         "node",
@@ -919,10 +924,8 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         "node", F.coalesce("parent", "node").alias("component")
     )
     sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = (
+    return (
         lbl.join(sizes, "component")
         .select(F.col("node").alias("doc_id"), "component", "cluster_size")
         .orderBy("doc_id")
     )
-    nodes.unpersist()
-    return out
