@@ -704,8 +704,15 @@ _pair(
 # ranking a real pipeline uses next to the exact-overlap one. Word
 # tf-idf is pointless on this corpus (31-word vocabulary, every term
 # hot); shingles carry the discriminative signal AND keep the
-# inverted-index join bounded (df > 1 filter for pair generation —
-# df = 1 shingles cannot be shared — while norms use ALL shingles).
+# inverted-index join bounded: pair generation takes only shingles with
+# 1 < df <= _TFIDF_DF_CAP. df = 1 shingles cannot be shared; df > cap
+# shingles are boilerplate whose idf weight ln(N/df) is near the floor,
+# so dropping them from the DOT (norms still use ALL shingles) changes
+# scores negligibly while bounding per-shingle join fan-out to cap^2
+# rows — without the cap, one viral shingle shared by k docs emits k^2
+# candidates on a single join key, the quadratic hot-partition blowup
+# ngram_jaccard_capped already guards against. The oracle applies the
+# IDENTICAL cap, so the differential check proves the capped semantics.
 # Determinism: the only float work is ln + the folds, and every fold
 # runs over the s-SORTED list in both engines; cosine is ROUND(9)ed
 # BEFORE ranking so the row_number tie-break (doc_b) is identical.
@@ -720,8 +727,8 @@ dots AS (
     SELECT doc_a, doc_b, {fold} AS dot FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df AS df,
                COUNT(*) AS c, MAX(a.wt) AS wt
-        FROM (SELECT doc_id, s, wt, df FROM w WHERE df > 1) a
-        JOIN (SELECT doc_id, s FROM w WHERE df > 1) b
+        FROM (SELECT doc_id, s, wt, df FROM w WHERE df > 1 AND df <= {cap}) a
+        JOIN (SELECT doc_id, s FROM w WHERE df > 1 AND df <= {cap}) b
           ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id, a.df
     ) g GROUP BY doc_a, doc_b
@@ -806,13 +813,20 @@ w AS (
 """
 
 
+# Hot-shingle document-frequency cap for pair generation (see the
+# block comment above `_TFIDF_TAIL`). 20 mirrors ngram_jaccard_capped's
+# stop-shingle threshold; at 100 TB this is the knob that bounds the
+# worst join key to cap^2 candidate rows.
+_TFIDF_DF_CAP = 20
+
+
 def _idf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """idf-weighted cosine top-3 per doc over the persisted weighted
     shingle relation (block comment above has the scale framing)."""
     cached_tfidf_weights(spark, sf_dir)
     return spark.sql(
         f"WITH w AS (SELECT doc_id, s, wt, df FROM {TFIDF_W_VIEW}),"
-        + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_SPARK)
+        + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_SPARK, cap=_TFIDF_DF_CAP)
     )
 
 
@@ -822,7 +836,7 @@ query(
     + _SH_DUCK
     + ","
     + _TFIDF_W_DUCK
-    + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_DUCK).lstrip(),
+    + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_DUCK, cap=_TFIDF_DF_CAP).lstrip(),
     tags=("similarity", "tfidf", "topk"),
 )(_idf_cosine_topk)
 
@@ -875,8 +889,11 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
         )
+        # min over least(v, u) == least(min(v), u) without referencing
+        # the group key post-agg (F.first("u") worked — u is constant
+        # per group — but read as nondeterminism-by-idiom).
         m = und.groupBy("u").agg(
-            F.least(F.min("v"), F.first("u")).alias("m")
+            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
         )
         part = und.join(m, "u").where(
             F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")

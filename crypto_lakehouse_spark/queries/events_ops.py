@@ -119,20 +119,47 @@ def sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_distinct_users",
-    oracle=None,  # HLL sketch: approximate by construction ->
-    # rows-only gate; pytest bounds the relative error vs exact.
+    # HLL sketch values differ across engines by construction, so the
+    # raw estimate can never hash-match. Instead the query OUTPUT is the
+    # deterministic part (exact distinct + row count) plus a boolean
+    # asserting the HLL++ estimate landed within 5% relative error of
+    # the exact count (2.5 sigma at rsd=0.02); the oracle emits the same
+    # exact values with within_bound = TRUE. A sketch outside its error
+    # bound therefore FAILS the hash — a real value-checked correctness
+    # row, not rows-only.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
     tags=("events", "approx", "sketch"),
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the
     sketch path for cardinality at scale (exact distinct shuffles every
-    key; HLL ships fixed-size sketches)."""
+    key; HLL ships fixed-size sketches). The exact count here exists to
+    gate the sketch (see oracle comment); a 100 TB deployment runs ONLY
+    the sketch side."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
             F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )
