@@ -1,15 +1,45 @@
 """Table loading + temp-view registration for the driver testdata.
 
-The driver's synthetic parquet (TESTDATA.md) stores timestamps at
-nanosecond precision, which Spark's vectorized parquet reader rejects.
-With ``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive as
-BIGINT nanos; every value in the dataset is microsecond-aligned
-(ns % 1000 == 0 for all rows, verified), so converting via
-``timestamp_micros(ns / 1000)`` is lossless and matches what DuckDB
-sees for the same files.
+The driver's synthetic parquet (TESTDATA.md) has shipped two different
+physical encodings across regenerations, and the engine owns robustness
+to both:
+
+- nanosecond-precision timestamps (Spark's vectorized reader rejects
+  them; with ``spark.sql.legacy.parquet.nanosAsLong=true`` they arrive
+  as BIGINT nanos — every value is microsecond-aligned, so
+  ``timestamp_micros(ns div 1000)`` is lossless);
+- microsecond TIMESTAMP_NTZ (parquet ``timestamp[us]`` without a UTC
+  flag). The session timezone is pinned UTC (session.py), so casting
+  NTZ -> TIMESTAMP is value-identical and matches what DuckDB computes
+  for the same files.
+
+Normalization is keyed off the ACTUAL dtype after read, never off an
+assumed encoding — a lesson from the round-3 regeneration, where a
+hard-coded physical type silently produced wrong answers.
+
+The regenerated files are also single-file/single-ROW-GROUP parquet:
+Spark cannot split a row group, so every scan serialized onto one of
+32 cores (round-3 bench collapsed 3.6x). ``load_table`` therefore
+inspects the parquet footer and, when the layout provides fewer row
+groups than ``defaultParallelism``, COMPACTS the table once per
+(source, layout, parallelism) into a multi-file cache and scans that —
+the standard lakehouse small-file/row-group compaction maintenance
+pass (same contract as ``pipeline/versioned.py``'s compaction), run
+lazily at read time. The cache is keyed on the source file's
+mtime+size, so a driver-side regeneration invalidates it
+automatically. Scans of the compacted copy parallelize natively with
+full pushdown/pruning and ZERO per-query exchange; if the rewrite is
+impossible (read-only tmp), the fallback is one in-plan round-robin
+repartition. On a real cluster reading many-file 100 TB tables the
+gate never fires and neither path activates.
 """
 
 from __future__ import annotations
+
+import glob
+import os
+import shutil
+import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -46,19 +76,109 @@ _TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
 _VIEW_OWNER: dict[tuple[int, str], str] = {}
 
 
+# Tables whose downstream stages are CPU-heavy enough that an
+# unsplittable scan serializes real work (shingle explode + md5, JSON
+# parse, window dedup, vector math). Tiny dims (region/nation/...)
+# are excluded: they broadcast anyway and an exchange would only add
+# noise to join-size estimation.
+_WIDE_TABLES = {"events", "orders", "lineitem", "documents", "embeddings", "customer", "part"}
+
+
+def normalize_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Restore TIMESTAMP columns from whichever physical encoding the
+    input parquet actually used (dtype-keyed, see module docstring)."""
+    dtypes = dict(df.dtypes)
+    for c in cols:
+        dt = dtypes.get(c)
+        if dt == "bigint":
+            # Integer division — double division loses precision on
+            # epoch-nanos magnitudes (> 2^53).
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dt == "timestamp_ntz":
+            # Session TZ is pinned UTC, so this cast is value-exact.
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
+    return df
+
+
+def parquet_layout(path: str) -> tuple[int, int]:
+    """(total rows, total row groups) from parquet footers — the true
+    upper bound on scan parallelism Spark can extract from the layout."""
+    import pyarrow.parquet as pq
+
+    files = [path] if os.path.isfile(path) else sorted(
+        glob.glob(os.path.join(path, "*.parquet"))
+    )
+    rows = groups = 0
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        rows += md.num_rows
+        groups += md.num_row_groups
+    return rows, groups
+
+
+_CACHE_ROOT = os.environ.get(
+    "SPARK_GRAFT_LAYOUT_CACHE", os.path.join(tempfile.gettempdir(), "spark_graft_layout")
+)
+
+
+def _compacted_path(spark: SparkSession, path: str, name: str, target: int) -> str | None:
+    """Compact an unsplittable table into a `target`-file parquet copy,
+    once per (source mtime+size, parallelism); return the cached dir,
+    or None if the rewrite isn't possible. Atomic-rename publication
+    makes concurrent sessions safe (first writer wins)."""
+    st = os.stat(path)
+    dest = os.path.join(
+        _CACHE_ROOT, f"{name}-{st.st_mtime_ns}-{st.st_size}-p{target}"
+    )
+    if os.path.isdir(dest):
+        return dest
+    try:
+        os.makedirs(_CACHE_ROOT, exist_ok=True)
+        tmp = tempfile.mkdtemp(prefix=f"{name}_compact_", dir=_CACHE_ROOT)
+        out = os.path.join(tmp, "data")
+        # Write NORMALIZED rows so the cached files carry clean
+        # TIMESTAMP types — re-reads skip conversion entirely.
+        normalize_timestamps(
+            spark.read.parquet(path), TIMESTAMP_COLS.get(name, [])
+        ).repartition(target).write.mode("overwrite").parquet(out)
+        try:
+            os.rename(out, dest)
+        except OSError:
+            pass  # another session published first — use theirs
+        shutil.rmtree(tmp, ignore_errors=True)
+        return dest if os.path.isdir(dest) else None
+    except Exception:
+        return None
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read one testdata table, restoring TIMESTAMP columns."""
+    """Read one testdata table, restoring TIMESTAMP columns and
+    re-parallelizing unsplittable single-row-group layouts."""
     key = (id(spark), sf_dir, name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
     configure_session(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    for c in TIMESTAMP_COLS.get(name, []):
-        if dict(df.dtypes).get(c) == "bigint":
-            # Integer division — double division loses precision on
-            # epoch-nanos magnitudes (> 2^53).
-            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    path = f"{sf_dir}/{name}.parquet"
+    df = None
+    if name in _WIDE_TABLES:
+        target = spark.sparkContext.defaultParallelism
+        rows, groups = parquet_layout(path)
+        # Gate on the footer, not a guess: a many-file cluster table
+        # already splits and must pay neither compaction nor exchange.
+        if groups < target and rows > 0:
+            cached = _compacted_path(spark, path, name, target)
+            if cached is not None:
+                df = spark.read.parquet(cached)  # already normalized
+            else:
+                # Read-only tmp etc.: fall back to an in-plan fan-out.
+                df = normalize_timestamps(
+                    spark.read.parquet(path), TIMESTAMP_COLS.get(name, [])
+                ).repartition(target)
+    if df is None:
+        df = normalize_timestamps(
+            spark.read.parquet(path), TIMESTAMP_COLS.get(name, [])
+        )
     _TABLE_MEMO[key] = df
     return df
 

@@ -107,6 +107,10 @@ class Lakehouse:
         """
         b = self.bronze.read()
         if lookback_hours is not None:
+            # The watermark is a column-pruned max over the STORED
+            # bronze parquet — a second file scan, not a recompute of
+            # any upstream transformation (unlike derived-plan callers
+            # such as incremental_lookback, which must cache first).
             wm = b.agg(F.max("_ingested_at")).first()[0]
             if wm is not None:
                 cutoff = F.lit(wm) - F.expr(f"INTERVAL {lookback_hours} HOURS")

@@ -100,9 +100,15 @@ def scd2_apply(
         )
     )
 
-    n_new = joined.filter(new_pred).count()
-    n_changed = joined.filter(changed_pred & ~new_pred).count()
-    n_unchanged = incoming.count() - n_new - n_changed
+    # One aggregation pass classifies every row — three separate
+    # .count() actions would re-execute the join three times.
+    stats = joined.agg(
+        F.count(F.when(new_pred, 1)).alias("n_new"),
+        F.count(F.when(changed_pred & ~new_pred, 1)).alias("n_changed"),
+        F.count("*").alias("n_total"),
+    ).first()
+    n_new, n_changed = stats["n_new"], stats["n_changed"]
+    n_unchanged = stats["n_total"] - n_new - n_changed
 
     delta = closes.unionByName(opens)
     if delta.limit(1).count():

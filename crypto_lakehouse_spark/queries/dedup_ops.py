@@ -706,13 +706,19 @@ _pair(
 # hot); shingles carry the discriminative signal AND keep the
 # inverted-index join bounded: pair generation takes only shingles with
 # 1 < df <= _TFIDF_DF_CAP. df = 1 shingles cannot be shared; df > cap
-# shingles are boilerplate whose idf weight ln(N/df) is near the floor,
-# so dropping them from the DOT (norms still use ALL shingles) changes
-# scores negligibly while bounding per-shingle join fan-out to cap^2
-# rows — without the cap, one viral shingle shared by k docs emits k^2
-# candidates on a single join key, the quadratic hot-partition blowup
-# ngram_jaccard_capped already guards against. The oracle applies the
-# IDENTICAL cap, so the differential check proves the capped semantics.
+# shingles are boilerplate whose idf weight ln(N/df) is near the floor;
+# dropping them from the DOT (norms still use ALL shingles) bounds
+# per-shingle join fan-out to cap^2 rows — without the cap, one viral
+# shingle shared by k docs emits k^2 candidates on a single join key,
+# the quadratic hot-partition blowup ngram_jaccard_capped already
+# guards against. Semantics of the cap: pairs whose shared shingles lie
+# ONLY above the cap emit no dot row and drop out of the top-k entirely
+# — a deliberate recall tradeoff (boilerplate-only overlap is not
+# similarity), the same stop-shingle policy ngram_jaccard_capped
+# documents; for pairs that remain, scores shift only by the excluded
+# near-floor weights. The oracle applies the IDENTICAL cap, so the
+# differential check proves the capped semantics (it cannot, by
+# construction, compare against the uncapped definition).
 # Determinism: the only float work is ln + the folds, and every fold
 # runs over the s-SORTED list in both engines; cosine is ROUND(9)ed
 # BEFORE ranking so the row_number tie-break (doc_b) is identical.

@@ -137,13 +137,17 @@ GROUP BY event_type
 ORDER BY event_type
 """,
     tags=("events", "approx", "sketch"),
+    # The gate computes exact count_distinct inside the plan, so a
+    # bench of this variant would mostly time the exact-distinct
+    # shuffle it exists to avoid — the *_sketch twin is the benched one.
+    bench=False,
 )
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """approx_count_distinct (HyperLogLog++) per event type — the
     sketch path for cardinality at scale (exact distinct shuffles every
     key; HLL ships fixed-size sketches). The exact count here exists to
     gate the sketch (see oracle comment); a 100 TB deployment runs ONLY
-    the sketch side."""
+    the sketch side (`approx_distinct_users_sketch`)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
@@ -160,6 +164,28 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.abs(F.col("approx_users") - F.col("exact_users"))
                 <= 0.05 * F.col("exact_users")
             ).alias("within_bound"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "approx_distinct_users_sketch",
+    # HLL estimates are engine-specific — rows-only driver check; the
+    # gated `approx_distinct_users` twin carries the value bound.
+    oracle=None,
+    tags=("events", "approx", "sketch"),
+)
+def approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-ONLY cardinality plan: fixed-size HLL++ state through
+    partial aggregation, no exact-distinct shuffle anywhere — the plan
+    (and bench number) that represents the 100 TB path."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count("*").alias("n_events"),
         )
         .orderBy("event_type")
     )

@@ -601,7 +601,9 @@ def incremental_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     ohlcv_1m.sql:18-23) — watermark scalar (A6) then filtered
     re-aggregation of only the recent window. At scale the predicate
     prunes partitions; only recent data is rescanned."""
-    s = silver_trades(raw_trades(spark, sf_dir))
+    # cache: the watermark .first() and the main aggregation both read
+    # silver — without it the W1 window dedup executes twice.
+    s = silver_trades(raw_trades(spark, sf_dir)).cache()
     wm = s.agg(F.max("trade_time")).first()[0]
     return (
         s.filter(F.col("trade_time") >= F.lit(wm) - F.expr("INTERVAL 48 HOURS"))

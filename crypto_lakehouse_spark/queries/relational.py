@@ -480,3 +480,77 @@ GROUP BY o_orderstatus
 ORDER BY o_orderstatus
 """,
 )
+
+# --- percentiles (sketch path) --------------------------------------------
+# Exact percentile() materializes every group's values in an
+# ObjectHashAggregate — fine when groups fit an executor, wrong at
+# 100 TB. approx_percentile (Greenwald-Khanna) carries a fixed-size
+# summary through partial aggregation instead. Two registrations, per
+# the approx_distinct_users pattern:
+#  - *_approx: value-GATED against the exact interpolated percentiles
+#    (sketch values themselves are engine-specific so can never
+#    hash-match; the boolean bound is the checkable contract). Runs the
+#    exact path inside the plan, so it is excluded from the bench set —
+#    benching it would mostly time the exact aggregation it exists to
+#    replace.
+#  - *_sketch: the sketch ONLY — the plan a 100 TB deployment runs and
+#    the one the bench times. Rows-only driver check by construction.
+_common_sql(
+    "price_percentiles_by_status_approx",
+    """
+SELECT o_orderstatus,
+       ROUND(percentile(o_totalprice, 0.25), 4) AS p25,
+       ROUND(percentile(o_totalprice, 0.5), 4) AS p50,
+       ROUND(percentile(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n,
+       (ABS(approx_percentile(o_totalprice, 0.25, 10000)
+            - percentile(o_totalprice, 0.25)) <= 0.01 * percentile(o_totalprice, 0.25)
+        AND ABS(approx_percentile(o_totalprice, 0.5, 10000)
+            - percentile(o_totalprice, 0.5)) <= 0.01 * percentile(o_totalprice, 0.5)
+        AND ABS(approx_percentile(o_totalprice, 0.75, 10000)
+            - percentile(o_totalprice, 0.75)) <= 0.01 * percentile(o_totalprice, 0.75))
+           AS within_bound
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("relational", "percentile", "approx", "sketch"),
+    bench=False,
+    oracle="""
+SELECT o_orderstatus,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*) AS n,
+       TRUE AS within_bound
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+
+_SKETCH_PCTL_SQL = """
+SELECT o_orderstatus,
+       approx_percentile(o_totalprice, 0.25, 10000) AS p25,
+       approx_percentile(o_totalprice, 0.5, 10000) AS p50,
+       approx_percentile(o_totalprice, 0.75, 10000) AS p75,
+       COUNT(*) AS n
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+
+
+@query(
+    "price_percentiles_by_status_sketch",
+    # Sketch values are engine-specific — no SQL oracle (rows-only
+    # driver check); the *_approx twin carries the value gate.
+    oracle=None,
+    tags=("relational", "percentile", "approx", "sketch"),
+)
+def price_percentiles_by_status_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-only percentile plan — what actually runs (and gets
+    benched) at scale; gated for correctness by
+    price_percentiles_by_status_approx."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SKETCH_PCTL_SQL)

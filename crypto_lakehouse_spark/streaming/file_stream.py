@@ -31,20 +31,35 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
-EVENTS_SCHEMA = "event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, value DOUBLE, props STRING"
+def _stream_schema(spark: SparkSession, path: str):
+    """Schema for a file-source stream, read from the ACTUAL parquet
+    footers (one batch-reader footer fetch, no data scan). The file
+    source requires a declared schema; hard-coding the physical type of
+    driver-owned data silently mangled rows when the testdata was
+    regenerated with different timestamp encoding — deriving it keeps
+    the replay byte-exact against whatever the files really contain."""
+    return spark.read.parquet(path).schema
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source streaming read of the events table (ts restored to
-    TIMESTAMP from parquet nanos).
+    """File-source streaming read of the events table (ts normalized to
+    TIMESTAMP from whatever encoding the parquet uses — bigint nanos or
+    TIMESTAMP_NTZ micros, same dtype-keyed rule as `io.load_table`).
 
     The file source requires a directory; the read-only testdata file
     is staged into a temp dir via symlink (zero-copy).
     """
+    from crypto_lakehouse_spark.io import normalize_timestamps
+
+    src = f"{sf_dir}/events.parquet"
     stage = tempfile.mkdtemp(prefix="stream_src_")
-    os.symlink(f"{sf_dir}/events.parquet", f"{stage}/events.parquet")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(stage)
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    os.symlink(src, f"{stage}/events.parquet")
+    raw = (
+        spark.readStream.schema(_stream_schema(spark, src))
+        .format("parquet")
+        .load(stage)
+    )
+    return normalize_timestamps(raw, ["ts"])
 
 
 # Kafka wire schema: what every Spark kafka source row looks like
@@ -183,12 +198,20 @@ def run_watermarked_counts(
     therefore expressible as batch SQL over the original table — the
     oracle proves the watermark semantics, not just row plumbing.
     """
-    ev = (
-        spark.read.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "ts", "event_type", "value")
+    from crypto_lakehouse_spark.io import load_table
+
+    # Batch-load (normalized ts) then re-stage: the staged chunks are
+    # written by THIS session, so the replay schema is derived from the
+    # staged files themselves — no assumption about the driver encoding.
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
     )
-    mid = ev.approxQuantile("ts", [0.5], 0.0)[0]
+    # approxQuantile needs a numeric column; quantile the epoch-micros
+    # view of ts and split on the exact timestamp it maps back to.
+    mid_us = int(
+        ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    )
+    mid = F.timestamp_micros(F.lit(mid_us))
     feed = tempfile.mkdtemp(prefix="wm_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
@@ -202,10 +225,9 @@ def run_watermarked_counts(
     _stage(ev.orderBy("ts", "event_id").limit(late_rows), 2)
 
     stream = (
-        spark.readStream.schema("event_id BIGINT, ts BIGINT, event_type STRING, value DOUBLE")
+        spark.readStream.schema(_stream_schema(spark, feed))
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     agg = (
         stream.withWatermark("ts", delay)
@@ -348,6 +370,9 @@ def run_stream_ingest(
         )
         .option("maxFilesPerTrigger", 1)
         .parquet(stage)
+        # Engine-side per-batch metric: computed DURING the batch by the
+        # JVM (zero extra actions), surfaced via the listener below.
+        .observe("ingest", F.count(F.lit(1)).alias("rows"), F.count("key").alias("keyed_rows"))
     )
 
     lh = Lakehouse(spark, warehouse)
@@ -362,13 +387,31 @@ def run_stream_ingest(
             each_batch(lh, batch_id)
 
     ckpt = ckpt_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
-    q = (
-        stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    listener = IngestMetricsListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            stream.writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        qid = str(q.id)
+        listener.wait_terminated(qid)
+    finally:
+        spark.streams.removeListener(listener)
+
+    # Merge the listener's engine-side view into the per-batch dicts —
+    # the production monitoring path (rows/sec, input rows, observed
+    # aggregates) exercised on every ingest, not dead wiring.
+    by_batch = {r["batch_id"]: r for r in listener.batches_for(qid)}
+    for m in metrics:
+        eng = by_batch.get(m["batch_id"])
+        if eng is not None:
+            m["engine_input_rows"] = eng["num_input_rows"]
+            m["engine_batch_duration_ms"] = eng["batch_duration_ms"]
+            m["engine_observed"] = eng["observed"]
     return lh, metrics
 
 
@@ -406,11 +449,9 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     making the batch COUNT(DISTINCT) oracle exact. (With a short
     delay, suppression of old duplicates would be best-effort — that
     mode is the scale behavior, not a differential-checkable one.)"""
-    ev = (
-        spark.read.schema(EVENTS_SCHEMA)
-        .parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "ts", "event_type")
-    )
+    from crypto_lakehouse_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
     feed = tempfile.mkdtemp(prefix="ddw_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
@@ -423,10 +464,9 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     _stage(ev.filter(F.col("event_id") % 13 == 0), 1)  # re-delivery batch
 
     stream = (
-        spark.readStream.schema("event_id BIGINT, ts BIGINT, event_type STRING")
+        spark.readStream.schema(_stream_schema(spark, feed))
         .option("maxFilesPerTrigger", 1)
         .parquet(feed)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
     deduped = stream.withWatermark("ts", "30 days").dropDuplicatesWithinWatermark(
         ["event_id"]

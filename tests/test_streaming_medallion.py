@@ -34,6 +34,15 @@ def test_streaming_medallion_converges_to_batch(spark, tmp_path):
     )
     assert len(metrics) == 2 and len(gold_builds) == 2
 
+    # T8 monitoring: the StreamingQueryListener + df.observe path must
+    # have produced engine-side per-batch metrics that agree with the
+    # foreachBatch-side counts (listener callbacks are async — the
+    # merge in run_stream_ingest waits for termination first).
+    for m in metrics:
+        assert m["engine_input_rows"] > 0
+        assert m["engine_observed"]["ingest"]["rows"] == m["engine_input_rows"]
+        assert m["engine_batch_duration_ms"] is not None
+
     lh_batch = Lakehouse(spark, str(tmp_path / "batch_wh"))
     lh_batch.ingest_feed(trade_feed(spark, SF))
     lh_batch.bronze_to_silver(lookback_hours=None)
