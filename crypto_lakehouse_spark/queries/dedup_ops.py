@@ -31,6 +31,7 @@ pattern (operators/trades.py).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from crypto_lakehouse_spark.io import register_views
@@ -861,6 +862,46 @@ query(
 # per-node state, edges shrink toward the star form {(v, root)}.
 # High-diameter chains collapse in logarithmic rounds where label
 # propagation needs the full diameter.
+def _star_round(e: DataFrame, large: bool) -> DataFrame:
+    """One large- or small-star edge transform (module-level so its
+    physical plan is pinnable by tests/test_plans.py).
+
+    Hub-skew posture, explicitly: a cluster center u of degree d sends
+    d rows into the groupBy — but min is algebraic, so Spark compiles
+    it to partial_min (map-side combine) + final min: every map task
+    emits ONE row per key and the reducer for u receives at most
+    numMapTasks rows regardless of d. That IS the salted two-level
+    min, with the map partitioning as the salt — an explicit salt
+    column would add a second full shuffle to buy a property the plan
+    already has (the plan test asserts partial_min is present). The
+    remaining hub exposure is the re-attach JOIN on u, which is
+    handled at runtime by AQE skew-join splitting
+    (spark.sql.adaptive.skewJoin.enabled, pinned in session.py).
+    """
+    # No per-star distinct: groupBy(min) is insensitive to duplicate
+    # edges, and the duplicates a star emits (one per shared
+    # neighbor, O(clique-degree) multiplicity) are removed by the
+    # single round-end distinct — one shuffle per round, not three.
+    und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
+        e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+    )
+    # min over least(v, u) == least(min(v), u) without referencing
+    # the group key post-agg (F.first("u") worked — u is constant
+    # per group — but read as nondeterminism-by-idiom).
+    m = und.groupBy("u").agg(
+        F.min(F.least(F.col("v"), F.col("u"))).alias("m")
+    )
+    part = und.join(m, "u").where(
+        F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
+    )
+    out = part.select(F.col("v").alias("x"), F.col("m"))
+    if not large:  # small-star also re-attaches the center itself
+        out = out.union(m.select(F.col("u").alias("x"), F.col("m")))
+    return out.where(F.col("x") != F.col("m")).select(
+        F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
+    )
+
+
 @query(
     "dup_clusters_cc_star",
     oracle=_CC_ORACLE,
@@ -869,9 +910,8 @@ query(
 def dup_clusters_cc_star(spark, sf_dir: str):
     """Near-duplicate clusters via alternating large-star/small-star
     rounds to a fixed point (block comment above; oracle shared with
-    dup_clusters_cc)."""
-    from pyspark.sql import functions as F
-
+    dup_clusters_cc). Per-round skew posture documented on
+    `_star_round`."""
     cached_shingles(spark, sf_dir)
     base = spark.sql(f"WITH {_SH_PERSISTED},{_CC_EDGES}")
     # Canonical edge orientation (big, small); self-loops impossible.
@@ -886,30 +926,7 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         spark,
     )
     edges0 = edges  # original (checkpointed) edge list, for the node set
-
-    def star(e: DataFrame, large: bool) -> DataFrame:
-        # No per-star distinct: groupBy(min) is insensitive to duplicate
-        # edges, and the duplicates a star emits (one per shared
-        # neighbor, O(clique-degree) multiplicity) are removed by the
-        # single round-end distinct — one shuffle per round, not three.
-        und = e.select(F.col("a").alias("u"), F.col("b").alias("v")).union(
-            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
-        )
-        # min over least(v, u) == least(min(v), u) without referencing
-        # the group key post-agg (F.first("u") worked — u is constant
-        # per group — but read as nondeterminism-by-idiom).
-        m = und.groupBy("u").agg(
-            F.min(F.least(F.col("v"), F.col("u"))).alias("m")
-        )
-        part = und.join(m, "u").where(
-            F.col("v") > F.col("u") if large else F.col("v") <= F.col("u")
-        )
-        out = part.select(F.col("v").alias("x"), F.col("m"))
-        if not large:  # small-star also re-attaches the center itself
-            out = out.union(m.select(F.col("u").alias("x"), F.col("m")))
-        return out.where(F.col("x") != F.col("m")).select(
-            F.greatest("x", "m").alias("a"), F.least("x", "m").alias("b")
-        )
+    star = _star_round
 
     def sig(e: DataFrame):
         # Edge-set fingerprint in ONE job (count + order-free bit_xor

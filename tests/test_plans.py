@@ -186,6 +186,26 @@ def test_incremental_dedup_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_cc_star_round_min_is_two_level(spark):
+    """The star rounds' groupBy-min must compile to partial_min
+    (map-side combine) + final min — the two-level aggregation that
+    makes a degree-d hub cost O(numMapTasks), not O(d), on the reduce
+    side. This is the skew guarantee an explicit salt column would
+    otherwise buy at the price of a second shuffle; if a plan change
+    ever drops the partial, this test is the alarm. The re-attach join
+    relies on AQE skew-join, asserted via conf."""
+    from crypto_lakehouse_spark.queries.dedup_ops import _star_round
+
+    edges = spark.createDataFrame([(2, 1), (3, 1), (3, 2)], "a INT, b INT")
+    df = _star_round(edges, large=True)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert "partial_min" in plan, "map-side combine missing from star-round min"
+    assert "min(" in plan  # final level
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+
+
 def test_char_entropy_two_aggregations_no_join(spark):
     """Entropy = explode + two groupBys; there must be no join and no
     window — the per-char and per-doc aggregations are the only
