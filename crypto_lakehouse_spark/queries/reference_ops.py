@@ -410,9 +410,8 @@ def daily_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "price_latest",
-    oracle=ORACLE_TRADES_CTE
+_PRICE_LATEST_ORACLE = (
+    ORACLE_TRADES_CTE
     + """,
 now_t AS (SELECT MAX(trade_time) AS now FROM silver),
 latest AS (
@@ -491,7 +490,13 @@ FROM latest l
 LEFT JOIN prev_1m_close m ON l.product_id = m.product_id
 LEFT JOIN prev_1h_close h ON l.product_id = h.product_id
 LEFT JOIN stats24 s ON l.product_id = s.product_id
-""",
+"""
+)
+
+
+@query(
+    "price_latest",
+    oracle=_PRICE_LATEST_ORACLE,
     tags=("reference", "window", "join"),
 )
 def price_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -572,6 +577,87 @@ def price_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out
+
+
+@query(
+    "price_latest_fused",
+    oracle=_PRICE_LATEST_ORACLE,
+    tags=("reference", "window", "join", "fused"),
+)
+def price_latest_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimized twin of `price_latest` (same oracle — the ohlcv_1m /
+    ohlcv_1m_fused pattern: reference shape as the anchor, fused plan
+    as the scale path):
+
+    - latest price + 24h stats in ONE full-table aggregation
+      (max_by for the W2 top-1, conditional aggs for the 24h window —
+      LEFT-JOIN-null semantics preserved because when() yields all-null
+      groups for products with no recent trades);
+    - prev-minute/hour closes by aggregating candles FIRST
+      (groupBy bucket, max_by close) and ranking the tiny bucket set,
+      instead of distinct-buckets + window + join-back-to-silver + agg.
+
+    Plan: 1 full shuffle + 2 small filtered shuffles + 2 broadcast
+    joins, vs the reference shape's full-table sort-window plus two
+    (distinct + window + join + agg) chains. At 100 TB the bucket
+    aggregation reduces cardinality before any window/join touches it.
+    """
+    s = silver_trades(raw_trades(spark, sf_dir)).cache()
+    now = s.agg(F.max("trade_time")).first()[0]  # A6 scalar watermark
+    ordkey = F.struct("trade_time", "trade_id")
+    in24h = F.col("trade_time") >= F.lit(now) - F.expr("INTERVAL 24 HOURS")
+
+    latest = s.groupBy("product_id").agg(
+        F.max_by("price", ordkey).alias("price"),
+        F.max("trade_time").alias("trade_time"),
+        F.max(F.when(in24h, F.col("price"))).alias("high_24h"),
+        F.min(F.when(in24h, F.col("price"))).alias("low_24h"),
+        F.sum(F.when(in24h, F.col("size"))).alias("volume_24h"),
+    )
+
+    def prev_close(bucket: str, lookback: str):
+        # Same bucket-window predicate as the reference shape: filter
+        # on the TRUNCATED bucket (a trade after the cutoff whose
+        # bucket starts before it must stay excluded).
+        candles = (
+            s.withColumn("bucket", F.date_trunc(bucket, "trade_time"))
+            .filter(F.col("bucket") >= F.lit(now) - F.expr(f"INTERVAL 10 {lookback}"))
+            .groupBy("product_id", "bucket")
+            .agg(F.max_by("price", ordkey).alias("close"))
+        )
+        wn = Window.partitionBy("product_id").orderBy(F.col("bucket").desc())
+        return (
+            candles.withColumn("rn", F.row_number().over(wn))
+            .filter(F.col("rn") == 2)
+            .select("product_id", F.col("close").alias(f"prev_close_{bucket}"))
+        )
+
+    p1m = prev_close("minute", "MINUTE")
+    p1h = prev_close("hour", "HOUR")
+
+    price_d = F.col("price").cast("double")
+    return (
+        latest.join(F.broadcast(p1m), "product_id", "left")
+        .join(F.broadcast(p1h), "product_id", "left")
+        .select(
+            "product_id",
+            price_d.alias("price"),
+            fmt_ts("trade_time", micros=True).alias("updated_at"),
+            (
+                (price_d - F.col("prev_close_minute").cast("double"))
+                / F.col("prev_close_minute").cast("double")
+                * 100
+            ).alias("change_1m_pct"),
+            (
+                (price_d - F.col("prev_close_hour").cast("double"))
+                / F.col("prev_close_hour").cast("double")
+                * 100
+            ).alias("change_1h_pct"),
+            F.col("high_24h").cast("double").alias("high_24h"),
+            F.col("low_24h").cast("double").alias("low_24h"),
+            F.col("volume_24h").cast("double").alias("volume_24h"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------

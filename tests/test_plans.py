@@ -186,6 +186,18 @@ def test_incremental_dedup_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_fused_price_latest_removes_window_chains(spark):
+    """The fused price_latest must aggregate candles before ranking:
+    fewer window operators and fewer exchanges than the
+    reference-shaped plan (which sort-windows the full table and runs
+    two distinct+window+join chains)."""
+    ref = _plan(spark, "price_latest")
+    fused = _plan(spark, "price_latest_fused")
+    assert fused.count("Window") < ref.count("Window")
+    assert _data_exchanges(fused) < _data_exchanges(ref)
+    assert "CartesianProduct" not in fused
+
+
 def test_cc_star_round_min_is_two_level(spark):
     """The star rounds' groupBy-min must compile to partial_min
     (map-side combine) + final min — the two-level aggregation that
