@@ -1,0 +1,120 @@
+"""Source-format roundtrip queries: prove the CSV / JSON-lines
+connectors (sources/text_formats.py) read back EXACTLY what the
+parquet path sees.
+
+Each query stages the events table into the text format once per
+(session, sf_dir) — the staging write is part of proving the
+connector, not the timed interest — then aggregates through the text
+reader. The oracle runs the same aggregate over the original parquet,
+so any loss in the text roundtrip (timestamp precision, double
+formatting, quoting) breaks the value hash. Doubles survive because
+Spark writes shortest-roundtrip representations; timestamps survive
+because the wire format is epoch-micros BIGINT (see text_formats.py).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.io import load_table
+from crypto_lakehouse_spark.queries.registry import query
+from crypto_lakehouse_spark.sources.text_formats import (
+    read_events_csv,
+    read_events_jsonl,
+)
+
+# (session id, sf_dir, fmt) -> staged directory.
+_STAGED: dict[tuple[int, str, str], str] = {}
+
+
+def _stage_events(spark: SparkSession, sf_dir: str, fmt: str) -> str:
+    key = (id(spark), sf_dir, fmt)
+    if key in _STAGED:
+        return _STAGED[key]
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        "event_type",
+        "value",
+    )
+    out = tempfile.mkdtemp(prefix=f"events_{fmt}_")
+    if fmt == "csv":
+        ev.write.mode("overwrite").option("header", "true").csv(out)
+    else:
+        ev.write.mode("overwrite").json(out)
+    _STAGED[key] = out
+    return out
+
+
+@query(
+    "csv_source_hourly_counts",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("sources", "csv", "roundtrip"),
+)
+def csv_source_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV landing-zone roundtrip: schema-explicit FAILFAST read, then
+    an hourly rollup whose values must hash-match the parquet path —
+    exercises header handling, typed parsing, and the epoch-micros
+    timestamp wire rule."""
+    df = read_events_csv(spark, _stage_events(spark, sf_dir, "csv"))
+    return (
+        df.groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "jsonl_source_type_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_id,
+       MAX(event_id) AS max_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sources", "jsonl", "roundtrip"),
+)
+def jsonl_source_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines roundtrip: schema-explicit FAILFAST read (no
+    inference pass) aggregated per type; values must hash-match the
+    parquet path."""
+    df = read_events_jsonl(spark, _stage_events(spark, sf_dir, "jsonl"))
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_id",
+            "max_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

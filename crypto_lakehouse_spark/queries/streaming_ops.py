@@ -14,6 +14,7 @@ from crypto_lakehouse_spark.queries.registry import REGISTRY, query
 from crypto_lakehouse_spark.session import configure_session
 from crypto_lakehouse_spark.streaming.file_stream import (
     run_stream_ingest,
+    run_stream_static_enrich,
     run_streaming_dedup,
     run_watermarked_counts,
     run_windowed_counts,
@@ -64,6 +65,29 @@ def streaming_watermarked_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     each event once (late re-emissions excluded)."""
     configure_session(spark)
     return run_watermarked_counts(spark, sf_dir)
+
+
+@query(
+    "streaming_static_enrich",
+    oracle="""
+SELECT n.n_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events e
+JOIN nation n ON e.user_id % 25 = n.n_nationkey
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("streaming", "stream-static-join", "broadcast"),
+    bench=False,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static broadcast dimension join (no watermark, no join
+    state; dimension re-broadcast per micro-batch) — see
+    run_stream_static_enrich for the scale rationale. Batch join over
+    the same tables is the oracle."""
+    configure_session(spark)
+    return run_stream_static_enrich(spark, sf_dir)
 
 
 @query(

@@ -1,0 +1,106 @@
+"""CSV / JSON-lines source connectors (S-surface extension).
+
+The reference ingests only Kafka-JSON and parquet
+(streaming_bronze_writer.py, bronze_to_silver.py); a lakehouse engine
+also meets text landing zones — CSV drops and JSONL logs. These
+readers follow the engine's source contract:
+
+- schema-EXPLICIT reads (never inferSchema on a 100 TB landing zone —
+  inference is a full extra pass and a schema-drift hazard);
+- timestamps carried as epoch-micros BIGINT in CSV (format-proof,
+  lossless) and restored with `timestamp_micros`, the same
+  normalization rule as `io.load_table`;
+- malformed rows either fail fast (validation runs) or route to a DLQ
+  via PERMISSIVE mode + `columnNameOfCorruptRecord` (ingest runs) —
+  the same T9 routing the Kafka feed uses in
+  `pipeline/lakehouse.ingest_feed`.
+
+Both formats are splittable line formats: scans parallelize by byte
+ranges natively, so no layout compaction is needed (contrast the
+single-row-group parquet path in `io.py`).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# Wire schema for events staged as text: ts as epoch micros (lossless
+# across any writer/reader pair, immune to timestamp-format drift).
+EVENTS_TEXT_SCHEMA = "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
+
+_CORRUPT = "_corrupt_record"
+
+
+def read_events_csv(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
+    """Headered CSV -> typed events frame (ts restored to TIMESTAMP)."""
+    df = (
+        spark.read.schema(EVENTS_TEXT_SCHEMA)
+        .option("header", "true")
+        .option("mode", mode)
+        .csv(path)
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def read_events_jsonl(
+    spark: SparkSession, path: str, mode: str = "FAILFAST"
+) -> DataFrame:
+    """JSON-lines -> typed events frame (ts restored to TIMESTAMP)."""
+    df = (
+        spark.read.schema(EVENTS_TEXT_SCHEMA)
+        .option("mode", mode)
+        .json(path)
+    )
+    return df.select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        "value",
+    )
+
+
+def read_with_dlq(
+    spark: SparkSession, path: str, fmt: str
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read splitting (good, dlq) — T9 for text sources.
+
+    The DLQ side carries the raw malformed line for replay/forensics,
+    mirroring the Kafka DLQ's `original_message` contract. Spark
+    requires the corrupt-record column to be part of the declared
+    schema in PERMISSIVE mode.
+    """
+    schema = EVENTS_TEXT_SCHEMA + f", {_CORRUPT} STRING"
+    reader = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+    )
+    if fmt == "csv":
+        raw = reader.option("header", "true").csv(path)
+    elif fmt == "jsonl":
+        raw = reader.json(path)
+    else:
+        raise ValueError(f"unsupported format: {fmt}")
+    # Spark requires caching the PERMISSIVE frame before filtering on
+    # the corrupt column (referencing only _corrupt_record in a filter
+    # over an un-materialized read is rejected by the analyzer).
+    raw = raw.cache()
+    good = raw.filter(F.col(_CORRUPT).isNull()).select(
+        "event_id",
+        F.timestamp_micros(F.col("ts_us")).alias("ts"),
+        "event_type",
+        "value",
+    )
+    dlq = raw.filter(F.col(_CORRUPT).isNotNull()).select(
+        F.col(_CORRUPT).alias("original_message"),
+        F.lit(f"{fmt}_parse_error").alias("error"),
+    )
+    return good, dlq

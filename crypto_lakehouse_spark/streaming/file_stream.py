@@ -486,6 +486,56 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("event_type")
 
 
+def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC broadcast enrichment — the dimension-join pattern
+    every production stream runs (fact stream joined to a slowly
+    changing dimension). The events stream joins the static `nation`
+    table (user_id % 25 -> nationkey) per micro-batch:
+
+    - no watermark required: stream-static joins hold no join state
+      (the static side is fully available each batch);
+    - the dimension is broadcast, so the stream side never shuffles
+      for the join — at 100 TB/day this is the only viable shape;
+    - on a live stream the static side is re-resolved per batch, so
+      dimension updates between batches are picked up automatically.
+
+    availableNow drain into a memory sink; the batch join over the
+    same two tables is the oracle."""
+    from crypto_lakehouse_spark.io import load_table
+
+    name = f"enrich_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nk"), "n_name"
+    )
+    stream = events_stream(spark, sf_dir)
+    enriched = stream.withColumn("nk", F.col("user_id") % 25).join(
+        F.broadcast(nation), "nk"
+    )
+    agg = enriched.groupBy("n_name").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            "n_name",
+            "n_events",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("n_name")
+    )
+
+
 def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-stream inner join with event-time range condition:
     click stream joined to purchase stream (same user, click within

@@ -1,0 +1,78 @@
+"""Text-format source connectors: typed roundtrips and T9 DLQ routing
+for CSV / JSON-lines landing zones (sources/text_formats.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_lakehouse_spark.io import load_table
+from crypto_lakehouse_spark.sources.text_formats import (
+    read_events_csv,
+    read_events_jsonl,
+    read_with_dlq,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stage(spark, tmp_path, fmt):
+    ev = load_table(spark, SF, "events").select(
+        "event_id", F.unix_micros("ts").alias("ts_us"), "event_type", "value"
+    )
+    out = str(tmp_path / fmt)
+    if fmt == "csv":
+        ev.write.option("header", "true").csv(out)
+    else:
+        ev.write.json(out)
+    return out
+
+
+def test_csv_roundtrip_exact(spark, tmp_path):
+    path = _stage(spark, tmp_path, "csv")
+    back = read_events_csv(spark, path)
+    orig = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    assert dict(back.dtypes)["ts"] == "timestamp"
+    assert back.exceptAll(orig).isEmpty() and orig.exceptAll(back).isEmpty()
+
+
+def test_jsonl_roundtrip_exact(spark, tmp_path):
+    path = _stage(spark, tmp_path, "jsonl")
+    back = read_events_jsonl(spark, path)
+    orig = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    assert back.exceptAll(orig).isEmpty() and orig.exceptAll(back).isEmpty()
+
+
+def test_csv_malformed_rows_route_to_dlq(spark, tmp_path):
+    bad_dir = tmp_path / "bad_csv"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.csv").write_text(
+        "event_id,ts_us,event_type,value\n"
+        "1,1700000000000000,click,1.5\n"
+        "not_a_number,1700000000000001,click,2.5\n"  # bad event_id
+        "3,1700000000000002,purchase,oops\n"  # bad value
+        "4,1700000000000003,view,4.0\n"
+    )
+    good, dlq = read_with_dlq(spark, str(bad_dir), "csv")
+    assert good.count() == 2
+    assert sorted(r.event_id for r in good.collect()) == [1, 4]
+    bad_rows = dlq.collect()
+    assert len(bad_rows) == 2
+    assert all(r.error == "csv_parse_error" for r in bad_rows)
+    assert all(r.original_message for r in bad_rows)  # raw line kept
+
+
+def test_jsonl_malformed_rows_route_to_dlq(spark, tmp_path):
+    bad_dir = tmp_path / "bad_jsonl"
+    bad_dir.mkdir()
+    (bad_dir / "part-0.json").write_text(
+        '{"event_id": 1, "ts_us": 1700000000000000, "event_type": "click", "value": 1.5}\n'
+        "{this is not json}\n"
+        '{"event_id": 3, "ts_us": 1700000000000002, "event_type": "view", "value": 3.0}\n'
+    )
+    good, dlq = read_with_dlq(spark, str(bad_dir), "jsonl")
+    assert sorted(r.event_id for r in good.collect()) == [1, 3]
+    assert dlq.count() == 1
