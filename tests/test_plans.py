@@ -186,6 +186,18 @@ def test_incremental_dedup_join_broadcasts(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_topk_uses_take_ordered_not_global_sort(spark):
+    """ORDER BY + LIMIT must compile to TakeOrderedAndProject
+    (per-partition top-k + driver merge of k·partitions rows), never a
+    global range-partitioned sort — at 100 TB a global sort shuffles
+    the entire aggregate output to rank 10 rows."""
+    plan = _plan(spark, "q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan.lower(), (
+        "global sort planned for a LIMIT query"
+    )
+
+
 def test_fused_price_latest_removes_window_chains(spark):
     """The fused price_latest must aggregate candles before ranking:
     fewer window operators and fewer exchanges than the
