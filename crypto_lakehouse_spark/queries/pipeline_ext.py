@@ -355,6 +355,46 @@ _pair(
 )
 
 
+@query(
+    "weekly_retention_fused",
+    oracle=_RETENTION,
+    tags=("events", "retention", "fused"),
+)
+def weekly_retention_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-scan retention triangle (same oracle as
+    weekly_retention): one groupBy(user_id) computes the cohort week
+    (min(trunc) == trunc(min): date_trunc is monotone) AND the
+    distinct active-week set per user; exploding the set replaces the
+    firsts-join-activity plan. One scan + two shuffles vs two scans +
+    three (two aggs + a join). The per-user set is bounded by the
+    calendar (#distinct weeks), so collect_set state is small at any
+    corpus scale."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+
+    per_user = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.date_trunc("week", "ts").alias("week"))
+        .groupBy("user_id")
+        .agg(
+            F.min("week").alias("cohort_week"),
+            F.collect_set("week").alias("weeks"),
+        )
+    )
+    return (
+        per_user.select("cohort_week", F.explode("weeks").alias("active_week"))
+        .groupBy("cohort_week", "active_week")
+        .agg(F.count("*").alias("active_users"))
+        .select(
+            F.col("cohort_week").cast("date").alias("cohort_week"),
+            F.col("active_week").cast("date").alias("active_week"),
+            "active_users",
+        )
+        .orderBy("cohort_week", "active_week")
+    )
+
+
 # --- ANN quality evaluation: recall@5 of IVF vs brute force ---------------
 # The eval loop every ANN deployment needs: run the exact top-k and
 # the approximate top-k over the same queries and measure overlap.
