@@ -86,7 +86,9 @@ _WIDE_TABLES = {"events", "orders", "lineitem", "documents", "embeddings", "cust
 
 def normalize_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
     """Restore TIMESTAMP columns from whichever physical encoding the
-    input parquet actually used (dtype-keyed, see module docstring)."""
+    input parquet actually used (dtype-keyed, see module docstring).
+    Handles every encoding the driver has shipped or plausibly could:
+    bigint epoch-nanos, TIMESTAMP_NTZ, and ISO text."""
     dtypes = dict(df.dtypes)
     for c in cols:
         dt = dtypes.get(c)
@@ -97,6 +99,8 @@ def normalize_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
         elif dt == "timestamp_ntz":
             # Session TZ is pinned UTC, so this cast is value-exact.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
+        elif dt == "string":
+            df = df.withColumn(c, F.to_timestamp(F.col(c)))
     return df
 
 
@@ -160,6 +164,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         return memo
     configure_session(spark)
     path = f"{sf_dir}/{name}.parquet"
+    if not os.path.exists(path) and os.path.isdir(os.path.join(sf_dir, name)):
+        # Directory-shaped table (multi-file) — the other layout a
+        # driver regeneration could plausibly switch to.
+        path = os.path.join(sf_dir, name)
     df = None
     if name in _WIDE_TABLES:
         target = spark.sparkContext.defaultParallelism

@@ -72,6 +72,41 @@ def test_values_identical_across_encodings(spark, tmp_path):
     assert a.exceptAll(b).isEmpty() and b.exceptAll(a).isEmpty()
 
 
+def test_string_timestamp_encoding_normalized(spark, tmp_path):
+    """A future regeneration could ship timestamps as ISO text — the
+    dtype-keyed rule must restore TIMESTAMP from that too."""
+    tbl = pq.read_table(f"{SRC}/events.parquet")
+    i = tbl.schema.get_field_index("ts")
+    # pyarrow's %S already carries the fractional seconds (%f is not
+    # expanded), so the format stops at %S.
+    iso = pc.strftime(
+        tbl.column("ts").cast(pa.timestamp("us")), format="%Y-%m-%d %H:%M:%S"
+    )
+    _write_single_row_group(
+        tbl.set_column(i, "ts", iso), str(tmp_path / "events.parquet")
+    )
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    ref = load_table(spark, SRC, "events")
+    assert df.select("event_id", "ts").exceptAll(
+        ref.select("event_id", "ts")
+    ).isEmpty()
+
+
+def test_directory_shaped_table_loads(spark, tmp_path):
+    """Tables may arrive as a DIRECTORY of parquet files instead of a
+    single {name}.parquet — load_table must resolve and (when the
+    layout is unsplittable) still re-parallelize."""
+    d = tmp_path / "events"
+    d.mkdir()
+    tbl = _as_ntz_micros(pq.read_table(f"{SRC}/events.parquet"), "ts")
+    _write_single_row_group(tbl, str(d / "part-0.parquet"))
+    df = load_table(spark, str(tmp_path), "events")
+    assert dict(df.dtypes)["ts"] == "timestamp"
+    assert df.count() == tbl.num_rows
+    assert df.rdd.getNumPartitions() > 1
+
+
 def test_splittable_input_not_repartitioned(spark, tmp_path):
     """The gate must NOT fire on healthy multi-row-group input — on a
     real cluster table the extra exchange would be pure waste."""
