@@ -96,6 +96,25 @@ _PRIORITY = [
     "doc_quality_score_pandas",
 ]
 
+# Verified-in-a-past-round queries that still deserve a fresh driver
+# row THIS round, ahead of the long verified tail: the set broken (or
+# last checked before) the round-3 testdata regeneration — their old
+# green rows predate the current physical encoding (VERDICT r3 §8).
+_RECHECK = [
+    "twap_hourly",
+    "zorder_morton_cells",
+    "streaming_window_counts",
+    "streaming_watermarked_counts",
+    "streaming_stream_stream_join",
+    "streaming_dedup_counts",
+    "streaming_dedup_within_watermark",
+    "stream_ingest_bronze",
+    "price_latest",
+    "incremental_lookback",
+    "collect_order_statuses",
+    "date_funcs_orders",
+]
+
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -131,13 +150,16 @@ def _driver_verified() -> set[str]:
 
 def _reorder() -> None:
     """Rebuild REGISTRY insertion order: unverified first (curated
-    priority, then original order), verified last (original order)."""
+    priority, then original order), then the regeneration re-check
+    tier, then the verified tail (original order)."""
     verified = _driver_verified()
     original = list(REGISTRY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
     unverified = [n for n in original if n not in verified]
     unverified.sort(key=lambda n: (rank.get(n, len(_PRIORITY)), original.index(n)))
-    ordered = unverified + [n for n in original if n in verified]
+    recheck = [n for n in _RECHECK if n in verified and n in REGISTRY]
+    tail = [n for n in original if n in verified and n not in recheck]
+    ordered = unverified + recheck + tail
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:
