@@ -314,3 +314,64 @@ _pair(
     _repetition(_ngrams_duck("documents", 2, distinct=False)),
     tags=("trainprep", "text"),
 )
+
+
+# --- corpus cleaning funnel -------------------------------------------------
+# The composition every pretraining pipeline runs BEFORE tokenization:
+# language filter -> quality filter -> exact dedup, reported as a
+# funnel (docs surviving each stage). One scan computes all the stage
+# flags (conditional aggregation — never one scan per stage); the
+# dedup stage adds the single md5-keyed window over the
+# quality-surviving slice only. At 100 TB the flags are map-side,
+# the funnel counts are partial-aggregated, and the dedup window
+# shuffles only what earlier stages kept — the funnel's selectivity
+# compounds in the engine, not in repeated scans.
+_FUNNEL_CLEAN = """
+WITH corpus AS (
+    -- The driver corpus has no exact-duplicate texts (every md5 is
+    -- unique), so the dedup stage's drop path is exercised by
+    -- injecting a copy of every 10th document (same convention as
+    -- embedding_near_dup's synthetic dups; identical in both engines,
+    -- so the differential check covers the actual drop).
+    SELECT doc_id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+),
+flagged AS (
+    SELECT doc_id, text,
+           (lang = 'en') AS pass_lang,
+           (lang = 'en'
+            AND (LENGTH(text) - LENGTH(REPLACE(text, ' ', '')) + 1) >= 20
+            AND LENGTH(text) >= 120) AS pass_quality
+    FROM corpus
+),
+kept AS (
+    SELECT doc_id FROM (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        FROM flagged WHERE pass_quality
+    ) WHERE rn = 1
+),
+counts AS (
+    SELECT COUNT(*) AS n_input,
+           SUM(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS n_lang,
+           SUM(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS n_quality
+    FROM flagged
+)
+SELECT 1 AS stage_order, 'input' AS stage, CAST(n_input AS BIGINT) AS docs
+FROM counts
+UNION ALL
+SELECT 2, 'lang_en', CAST(n_lang AS BIGINT) FROM counts
+UNION ALL
+SELECT 3, 'quality', CAST(n_quality AS BIGINT) FROM counts
+UNION ALL
+SELECT 4, 'exact_dedup', (SELECT CAST(COUNT(*) AS BIGINT) FROM kept)
+ORDER BY stage_order
+"""
+
+_pair(
+    "corpus_clean_funnel",
+    _FUNNEL_CLEAN,
+    _FUNNEL_CLEAN,
+    tags=("trainprep", "funnel", "dedup"),
+)
