@@ -21,7 +21,10 @@ from crypto_lakehouse_spark import queries as qmod
 from crypto_lakehouse_spark.queries.registry import REGISTRY
 from crypto_lakehouse_spark.session import get_spark_session
 
-RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+# Best-of-3: with best-of-2 the sub-second queries carried a
+# 0.3-0.5 s scheduling-noise floor that read as phantom 2x
+# regressions round-over-round (BASELINE.md round-4 notes).
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
 
 def _execute(df) -> None:
