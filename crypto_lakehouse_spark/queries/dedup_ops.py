@@ -969,3 +969,60 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         .select(F.col("node").alias("doc_id"), "component", "cluster_size")
         .orderBy("doc_id")
     )
+
+
+# --- keeper selection: the cleaned corpus, not just the clusters -----------
+# The last step of the dedup story: pick ONE canonical document per
+# near-dup cluster and report the per-source yield. The canonical doc
+# is the cluster ROOT — at the star fixpoint (and in the oracle's
+# MIN(root) labeling) the component label IS the minimum doc_id of the
+# cluster, so keeper == (doc_id = component); documents with no
+# near-dup edge keep themselves. Cluster labels are tiny relative to
+# the corpus, so the corpus join broadcasts — at 100 TB the label
+# table is the only state the keeper pass ships.
+
+# CTE chain of the CC oracle (everything up to the final SELECT),
+# reused by the keeper oracle below. Split marker is the oracle's
+# final projection — kept adjacent here so a change to _CC_ORACLE's
+# tail breaks this loudly (split yields the full string + dev_check
+# fails) rather than silently.
+_CC_CTES = _CC_ORACLE.split("SELECT c.node AS doc_id")[0]
+
+
+@query(
+    "near_dup_keep",
+    oracle=_CC_CTES
+    + """
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN c.node IS NULL OR c.node = c.component
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN c.node IS NOT NULL AND c.node <> c.component
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM documents d
+LEFT JOIN cc c ON d.doc_id = c.node
+GROUP BY d.source
+ORDER BY d.source
+""",
+    tags=("dedup", "clustering", "keeper"),
+)
+def near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source keep/drop yield of near-dup keeper selection (block
+    comment above): cluster labels from the star CC fixpoint, corpus
+    LEFT-joined (broadcast) to the labels, keeper = cluster root or
+    unclustered singleton."""
+    from crypto_lakehouse_spark.io import load_table
+
+    labels = dup_clusters_cc_star(spark, sf_dir).select("doc_id", "component")
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = docs.join(F.broadcast(labels), "doc_id", "left")
+    kept = F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.when(kept, 1).otherwise(0)).alias("n_kept"),
+            F.sum(F.when(~kept, 1).otherwise(0)).alias("n_dropped"),
+        )
+        .orderBy("source")
+    )
