@@ -40,6 +40,7 @@ import glob
 import os
 import shutil
 import tempfile
+import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -67,13 +68,26 @@ TABLES = [
 ]
 
 
-# (session id, sf_dir, table) -> DataFrame. Re-reading parquet repeats
+def session_key(spark: SparkSession) -> str:
+    """Session-lifetime memo key. `id(spark)` is NOT safe here: after a
+    session is GC'd, a new one can allocate at the same address and
+    alias the dead session's memo — handing out DataFrames bound to a
+    stopped JVM session. A uuid stamped ON the session object can never
+    alias: a new object never carries an old object's attribute."""
+    k = getattr(spark, "_clh_session_uid", None)
+    if k is None:
+        k = uuid.uuid4().hex
+        spark._clh_session_uid = k
+    return k
+
+
+# (session key, sf_dir, table) -> DataFrame. Re-reading parquet repeats
 # file listing + footer reads; the logical plan is immutable, so the
 # memo is safe and drops per-query fixed cost across a suite run.
-_TABLE_MEMO: dict[tuple[int, str, str], DataFrame] = {}
+_TABLE_MEMO: dict[tuple[str, str, str], DataFrame] = {}
 
-# (session id, view name) -> sf_dir currently backing the temp view.
-_VIEW_OWNER: dict[tuple[int, str], str] = {}
+# (session key, view name) -> sf_dir currently backing the temp view.
+_VIEW_OWNER: dict[tuple[str, str], str] = {}
 
 
 # Tables whose downstream stages are CPU-heavy enough that an
@@ -100,6 +114,24 @@ def normalize_timestamps(df: DataFrame, cols: list[str]) -> DataFrame:
             # Session TZ is pinned UTC, so this cast is value-exact.
             df = df.withColumn(c, F.col(c).cast("timestamp"))
         elif dt == "string":
+            # STRICT: with ANSI off, to_timestamp yields NULL (not an
+            # error) for unparseable text — a regeneration shipping an
+            # unrecognized format would silently null every timestamp,
+            # the exact silent-mangling this module exists to prevent.
+            # Probe with try_to_timestamp (NULL-safe under BOTH ansi
+            # modes) for any non-null value the default parse drops and
+            # fail loudly with the offending sample. One early-exit
+            # job, paid only on the (currently unused) text encoding,
+            # once per memoized load.
+            dropped = F.col(c).isNotNull() & F.try_to_timestamp(F.col(c)).isNull()
+            bad = df.where(dropped).select(c).limit(1).collect()
+            if bad:
+                raise ValueError(
+                    f"normalize_timestamps: column {c!r} holds text "
+                    f"timestamps the default parser cannot read (e.g. "
+                    f"{bad[0][0]!r}); refusing to degrade to NULLs — "
+                    f"add the format explicitly"
+                )
             df = df.withColumn(c, F.to_timestamp(F.col(c)))
     return df
 
@@ -120,24 +152,67 @@ def parquet_layout(path: str) -> tuple[int, int]:
     return rows, groups
 
 
+# Per-user cache root (uid in the path, mode 0700). A fixed world-shared
+# path would let another local user pre-create the root and plant a
+# '{name}-{mtime}-{size}-p{target}' entry, silently substituting table
+# data (cache poisoning). The uid suffix keeps users on distinct roots;
+# the ownership check below refuses a root someone else created first.
 _CACHE_ROOT = os.environ.get(
-    "SPARK_GRAFT_LAYOUT_CACHE", os.path.join(tempfile.gettempdir(), "spark_graft_layout")
+    "SPARK_GRAFT_LAYOUT_CACHE",
+    os.path.join(
+        tempfile.gettempdir(),
+        f"spark_graft_layout-{os.getuid() if hasattr(os, 'getuid') else 'u'}",
+    ),
 )
+
+
+def _trusted_cache_root() -> bool:
+    """Create/verify the cache root: must exist, be OWNED by this uid,
+    and be private (0700). Never trust — or write under — a root owned
+    by anyone else."""
+    try:
+        os.makedirs(_CACHE_ROOT, mode=0o700, exist_ok=True)
+        st = os.stat(_CACHE_ROOT)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            return False
+        os.chmod(_CACHE_ROOT, 0o700)
+        return True
+    except OSError:
+        return False
+
+
+def _prune_stale_entries(prefix: str, keep: str) -> None:
+    """Drop cache entries for the same SOURCE (name + path hash) whose
+    mtime+size key no longer matches — regenerations otherwise
+    accumulate dead copies unboundedly. Scoped by source-path hash so
+    two live tables that merely share a name never evict each other."""
+    try:
+        for d in glob.glob(os.path.join(_CACHE_ROOT, f"{prefix}-*")):
+            if os.path.basename(d) != os.path.basename(keep):
+                shutil.rmtree(d, ignore_errors=True)
+    except OSError:
+        pass
 
 
 def _compacted_path(spark: SparkSession, path: str, name: str, target: int) -> str | None:
     """Compact an unsplittable table into a `target`-file parquet copy,
-    once per (source mtime+size, parallelism); return the cached dir,
-    or None if the rewrite isn't possible. Atomic-rename publication
-    makes concurrent sessions safe (first writer wins)."""
+    once per (source path+mtime+size, parallelism); return the cached
+    dir, or None if the rewrite isn't possible. Atomic-rename
+    publication makes concurrent sessions safe (first writer wins)."""
+    import hashlib
+
+    if not _trusted_cache_root():
+        return None
     st = os.stat(path)
+    src_key = hashlib.sha256(os.path.abspath(path).encode()).hexdigest()[:12]
+    prefix = f"{name}-{src_key}"
     dest = os.path.join(
-        _CACHE_ROOT, f"{name}-{st.st_mtime_ns}-{st.st_size}-p{target}"
+        _CACHE_ROOT, f"{prefix}-{st.st_mtime_ns}-{st.st_size}-p{target}"
     )
     if os.path.isdir(dest):
+        _prune_stale_entries(prefix, dest)
         return dest
     try:
-        os.makedirs(_CACHE_ROOT, exist_ok=True)
         tmp = tempfile.mkdtemp(prefix=f"{name}_compact_", dir=_CACHE_ROOT)
         out = os.path.join(tmp, "data")
         # Write NORMALIZED rows so the cached files carry clean
@@ -150,7 +225,10 @@ def _compacted_path(spark: SparkSession, path: str, name: str, target: int) -> s
         except OSError:
             pass  # another session published first — use theirs
         shutil.rmtree(tmp, ignore_errors=True)
-        return dest if os.path.isdir(dest) else None
+        if os.path.isdir(dest):
+            _prune_stale_entries(prefix, dest)
+            return dest
+        return None
     except Exception:
         return None
 
@@ -158,7 +236,7 @@ def _compacted_path(spark: SparkSession, path: str, name: str, target: int) -> s
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table, restoring TIMESTAMP columns and
     re-parallelizing unsplittable single-row-group layouts."""
-    key = (id(spark), sf_dir, name)
+    key = (session_key(spark), sf_dir, name)
     memo = _TABLE_MEMO.get(key)
     if memo is not None:
         return memo
@@ -202,8 +280,9 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     so suite runs don't pay repeated registration, while switching
     scale factors still swaps the views.
     """
+    skey = session_key(spark)
     for name in tables or TABLES:
-        key = (id(spark), name)
+        key = (skey, name)
         if _VIEW_OWNER.get(key) == sf_dir:
             continue
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)

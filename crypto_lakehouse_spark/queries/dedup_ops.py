@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
-from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.io import register_views, session_key
 from crypto_lakehouse_spark.queries.registry import query
 
 
@@ -58,7 +58,10 @@ def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> No
 # (session, sf_dir) turns those into InMemoryTableScan reuses — at
 # 100 TB this is the difference between one corpus pass and eight
 # (MEMORY_AND_DISK: spills instead of evicting under pressure).
-_SHINGLE_MEMO: dict[tuple[int, str], DataFrame] = {}
+# Keyed on io.session_key (uuid stamped on the session object), never
+# id(spark): a GC'd session's address can be reused, aliasing a dead
+# session's persisted frame.
+_SHINGLE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 SHINGLE_VIEW = "shingles_persisted"
 
@@ -75,11 +78,12 @@ WHERE size(ws) >= 3
 def cached_shingles(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the 3-gram shingle relation for `sf_dir` and
     register it as a temp view; returns the view name."""
-    key = (id(spark), sf_dir)
+    skey = session_key(spark)
+    key = (skey, sf_dir)
     if key not in _SHINGLE_MEMO:
         # A different sf_dir previously owning the view is unpersisted.
         for (sid, _), old in list(_SHINGLE_MEMO.items()):
-            if sid == id(spark):
+            if sid == skey:
                 old.unpersist()
                 del _SHINGLE_MEMO[(sid, _)]
         register_views(spark, sf_dir, ["documents"])
@@ -378,7 +382,10 @@ JOIN sizes zb ON zb.doc_id = p.doc_b
 WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.3
 """
 
-_CC_ORACLE = (
+# CTE chain up to and including the `cc` labeling — composed FORWARD
+# (prefix + final-select) so the keeper oracle below reuses the exact
+# prefix without any string surgery on the finished oracle.
+_CC_CTES = (
     "WITH RECURSIVE "
     + _SH_DUCK.strip().lstrip()
     + ",\n"
@@ -398,6 +405,12 @@ reach(node, root) AS (
     SELECT u.dst, r.root FROM reach r JOIN und u ON u.src = r.node
 ),
 cc AS (SELECT node, MIN(root) AS component FROM reach GROUP BY node)
+"""
+)
+
+_CC_ORACLE = (
+    _CC_CTES
+    + """
 SELECT c.node AS doc_id, c.component,
        s.sz AS cluster_size
 FROM cc c
@@ -543,10 +556,11 @@ WHERE pos <= n - (n + 1) DIV 2 + 1
 def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
     """Materialize each doc's rarest-shingle prefix (threshold 0.5)
     once per session; returns the view name."""
-    key = (id(spark), sf_dir)
+    skey = session_key(spark)
+    key = (skey, sf_dir)
     if key not in _PREFIX_MEMO:
         for (sid, _), old in list(_PREFIX_MEMO.items()):
-            if sid == id(spark):
+            if sid == skey:
                 old.unpersist()
                 del _PREFIX_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
@@ -567,11 +581,14 @@ def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
 #   the DuckDB oracle recomputes the exact string Jaccard
 #   independently; a hash collision inside one candidate pair's ~120
 #   element union (~C(120,2)/2^64 ~ 4e-16) is the accepted risk.
-# - both arrays joins are broadcast-hinted: the relation is |docs|
-#   rows x ~500 B; Spark's size estimate for collect_list output is
-#   too conservative to pick broadcast on its own. At cluster scale
-#   with billions of docs, remove the hint and these become
-#   doc_id-co-partitioned joins — still one row per candidate.
+# - both arrays joins are HINT-FREE: the scale-safe default is a
+#   doc_id-co-partitioned shuffle join (one row per candidate either
+#   way). Spark's STATIC size estimate for collect_list output is too
+#   conservative to plan broadcast up front, but AQE re-plans from the
+#   ACTUAL shuffle-stage stats and converts to broadcast at runtime
+#   exactly when the arrays relation is genuinely small — so test
+#   scale still gets the broadcast plan while a billions-of-docs
+#   corpus keeps the partitioned join, with no hint to remove.
 _PPJOIN_SPARK = f"""
 WITH arrays AS (
     SELECT doc_id, collect_list(xxhash64(s)) AS arr, COUNT(*) AS n
@@ -585,8 +602,7 @@ candidates AS (
           <= 2 * (CASE WHEN a.n < b.n THEN a.n ELSE b.n END)
 ),
 verified AS (
-    SELECT /*+ BROADCAST(aa), BROADCAST(ab) */
-           c.doc_a, c.doc_b,
+    SELECT c.doc_a, c.doc_b,
            size(array_intersect(aa.arr, ab.arr)) AS inter,
            aa.n AS na, ab.n AS nb
     FROM candidates c
@@ -797,10 +813,11 @@ FROM {SHINGLE_VIEW} sh JOIN idf d ON sh.s = d.s CROSS JOIN nd
 def cached_tfidf_weights(spark: SparkSession, sf_dir: str) -> str:
     """Materialize the idf-weighted shingle relation once per session;
     returns the view name."""
-    key = (id(spark), sf_dir)
+    skey = session_key(spark)
+    key = (skey, sf_dir)
     if key not in _TFIDF_W_MEMO:
         for (sid, _), old in list(_TFIDF_W_MEMO.items()):
-            if sid == id(spark):
+            if sid == skey:
                 old.unpersist()
                 del _TFIDF_W_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
@@ -977,17 +994,12 @@ def dup_clusters_cc_star(spark, sf_dir: str):
 # is the cluster ROOT — at the star fixpoint (and in the oracle's
 # MIN(root) labeling) the component label IS the minimum doc_id of the
 # cluster, so keeper == (doc_id = component); documents with no
-# near-dup edge keep themselves. Cluster labels are tiny relative to
-# the corpus, so the corpus join broadcasts — at 100 TB the label
-# table is the only state the keeper pass ships.
-
-# CTE chain of the CC oracle (everything up to the final SELECT),
-# reused by the keeper oracle below. Split marker is the oracle's
-# final projection — kept adjacent here so a change to _CC_ORACLE's
-# tail breaks this loudly (split yields the full string + dev_check
-# fails) rather than silently.
-_CC_CTES = _CC_ORACLE.split("SELECT c.node AS doc_id")[0]
-
+# near-dup edge keep themselves. The labels join carries NO hint:
+# broadcast viability is about absolute size, not corpus ratio — a
+# dup-heavy 100 TB corpus yields billions of label rows, and a forced
+# broadcast would OOM the driver. AQE picks broadcast when the label
+# table is actually small (asserted at test scale in test_plans.py)
+# and falls back to a doc_id-co-partitioned shuffle join otherwise.
 
 @query(
     "near_dup_keep",
@@ -1009,13 +1021,13 @@ ORDER BY d.source
 def near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source keep/drop yield of near-dup keeper selection (block
     comment above): cluster labels from the star CC fixpoint, corpus
-    LEFT-joined (broadcast) to the labels, keeper = cluster root or
-    unclustered singleton."""
+    LEFT-joined (hint-free; AQE broadcasts when small) to the labels,
+    keeper = cluster root or unclustered singleton."""
     from crypto_lakehouse_spark.io import load_table
 
     labels = dup_clusters_cc_star(spark, sf_dir).select("doc_id", "component")
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    j = docs.join(F.broadcast(labels), "doc_id", "left")
+    j = docs.join(labels, "doc_id", "left")
     kept = F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
     return (
         j.groupBy("source")

@@ -14,24 +14,35 @@ because the wire format is epoch-micros BIGINT (see text_formats.py).
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from crypto_lakehouse_spark.io import load_table
+from crypto_lakehouse_spark.io import load_table, session_key
 from crypto_lakehouse_spark.queries.registry import query
 from crypto_lakehouse_spark.sources.text_formats import (
     read_events_csv,
     read_events_jsonl,
 )
 
-# (session id, sf_dir, fmt) -> staged directory.
-_STAGED: dict[tuple[int, str, str], str] = {}
+# (session key, sf_dir, fmt) -> staged directory. Staged dirs are
+# process-scoped scratch: registered for atexit removal so long
+# driver/bench sessions don't accumulate them on disk.
+_STAGED: dict[tuple[str, str, str], str] = {}
+
+
+@atexit.register
+def _cleanup_staged() -> None:
+    for d in _STAGED.values():
+        shutil.rmtree(d, ignore_errors=True)
+    _STAGED.clear()
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, fmt: str) -> str:
-    key = (id(spark), sf_dir, fmt)
+    key = (session_key(spark), sf_dir, fmt)
     if key in _STAGED:
         return _STAGED[key]
     ev = load_table(spark, sf_dir, "events").select(

@@ -10,15 +10,39 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
+from pyspark.storagelevel import StorageLevel
 
 from crypto_lakehouse_spark.functions import ddiv, fmt_date, fmt_ts
-from crypto_lakehouse_spark.io import load_table, register_views
+from crypto_lakehouse_spark.io import load_table, register_views, session_key
 from crypto_lakehouse_spark.operators.trades import (
     ORACLE_TRADES_CTE,
     raw_trades,
     silver_trades,
 )
 from crypto_lakehouse_spark.queries.registry import query
+
+# (session key, sf_dir) -> persisted silver frame. The queries that
+# need silver twice (A6 watermark scalar + the main plan) previously
+# each called .cache() on a FRESH frame — up to three duplicate cached
+# copies of the same data per suite run, none ever unpersisted. One
+# memo entry per session (an older sf_dir's entry is unpersisted on
+# switch) bounds executor storage AND lets the three queries share one
+# in-memory copy.
+_SILVER_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _SILVER_MEMO:
+        for (sid, sd), old in list(_SILVER_MEMO.items()):
+            if sid == skey:
+                old.unpersist()
+                del _SILVER_MEMO[(sid, sd)]
+        _SILVER_MEMO[key] = silver_trades(raw_trades(spark, sf_dir)).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    return _SILVER_MEMO[key]
 
 # ---------------------------------------------------------------------------
 # bronze: projection / JSON parse / derived columns
@@ -507,7 +531,7 @@ def price_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     trade_time (SURVEY §2.8.7); the lookback windows are widened to 10
     bucket-lengths so the synthetic event spacing always yields a
     previous candle, preserving the reference's operator shape."""
-    s = silver_trades(raw_trades(spark, sf_dir)).cache()
+    s = cached_silver(spark, sf_dir)
     now = s.agg(F.max("trade_time")).first()[0]  # A6 scalar watermark
 
     w2 = Window.partitionBy("product_id").orderBy(
@@ -602,7 +626,7 @@ def price_latest_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     (distinct + window + join + agg) chains. At 100 TB the bucket
     aggregation reduces cardinality before any window/join touches it.
     """
-    s = silver_trades(raw_trades(spark, sf_dir)).cache()
+    s = cached_silver(spark, sf_dir)
     now = s.agg(F.max("trade_time")).first()[0]  # A6 scalar watermark
     ordkey = F.struct("trade_time", "trade_id")
     in24h = F.col("trade_time") >= F.lit(now) - F.expr("INTERVAL 24 HOURS")
@@ -689,7 +713,7 @@ def incremental_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     prunes partitions; only recent data is rescanned."""
     # cache: the watermark .first() and the main aggregation both read
     # silver — without it the W1 window dedup executes twice.
-    s = silver_trades(raw_trades(spark, sf_dir)).cache()
+    s = cached_silver(spark, sf_dir)
     wm = s.agg(F.max("trade_time")).first()[0]
     return (
         s.filter(F.col("trade_time") >= F.lit(wm) - F.expr("INTERVAL 48 HOURS"))

@@ -145,6 +145,47 @@ def stream_ingest_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "kafka_wire_parse",
+    oracle="""
+WITH feed AS (
+    SELECT event_type AS product_id, event_id AS off, event_id % 4 AS part,
+           CAST(value AS DECIMAL(18,4)) AS price,
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ') AS time
+    FROM events WHERE event_id % 131 <> 0
+    UNION ALL
+    SELECT event_type, event_id + 10000000, event_id % 4,
+           CAST(value AS DECIMAL(18,4)),
+           strftime(ts, '%Y-%m-%dT%H:%M:%S.%fZ')
+    FROM events WHERE event_id % 7 = 0
+)
+SELECT product_id,
+       COUNT(*) AS n_messages,
+       CAST(SUM(off) AS BIGINT) AS offset_sum,
+       COUNT(DISTINCT part) AS n_partitions,
+       CAST(SUM(price) AS DOUBLE) AS price_sum,
+       MAX(time) AS max_time
+FROM feed
+GROUP BY product_id
+ORDER BY product_id
+""",
+    tags=("streaming", "kafka", "wire-parse"),
+    bench=False,
+)
+def kafka_wire_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 wire-path proof: `parse_kafka_feed` driven by a file-backed
+    STREAM of rows in the connector's exact wire shape (binary
+    key/value, KAFKA_WIRE_SCHEMA) — differentially proves the
+    production parse chain end-to-end without a broker; only the
+    socket itself is out of scope. The oracle re-derives the parsed
+    feed (malformed payloads and heartbeats excluded, duplicate
+    deliveries included) from the events table."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import run_kafka_wire_parse
+
+    return run_kafka_wire_parse(spark, sf_dir)
+
+
+@query(
     "streaming_dedup_counts",
     oracle="""
 SELECT event_type, COUNT(DISTINCT event_id) AS n_events

@@ -26,6 +26,7 @@ import tempfile
 import threading
 import time
 import uuid
+import warnings
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -69,8 +70,15 @@ KAFKA_WIRE_SCHEMA = (
     "timestamp TIMESTAMP, timestampType INT"
 )
 
+# All-STRING parse schema, exactly as the reference declares it
+# (streaming_bronze_writer.py:48-58): the Coinbase wire emits trade_id/
+# sequence as quoted strings, and Jackson will NOT coerce a quoted
+# string into a numeric field — a BIGINT trade_id here silently nulls
+# every row (caught by the kafka_wire_parse differential, round 5).
+# Numeric typing happens downstream in silver, mirroring the
+# reference's bronze-keeps-strings contract.
 TRADE_JSON_SCHEMA = (
-    "trade_id BIGINT, product_id STRING, price STRING, size STRING, "
+    "trade_id STRING, product_id STRING, price STRING, size STRING, "
     "side STRING, time STRING"
 )
 
@@ -137,6 +145,92 @@ def kafka_events_stream(
     the jar boundary)."""
     return parse_kafka_feed(
         kafka_reader(spark, bootstrap_servers, topic, starting_offsets).load()
+    )
+
+
+def run_kafka_wire_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka wire-path proof WITHOUT a broker: replay the trade feed as
+    a STREAM of rows in exactly the connector's wire shape
+    (KAFKA_WIRE_SCHEMA — BINARY key/value, topic/partition/offset/
+    timestamp/timestampType) and run the production `parse_kafka_feed`
+    transform over it, drained with availableNow. This differentially
+    proves every stage downstream of `.format("kafka").load()` — binary
+    decode, JSON parse, heartbeat/malformed filtering, position
+    metadata — against a batch oracle; the TCP socket is the only
+    untested inch (reference streaming_bronze_writer.py:119-166).
+
+    Two micro-batches (offset parity split) exercise multi-batch
+    parsing; the aggregate excludes `_ingested_at` (wall clock, the one
+    nondeterministic column) so the result is value-exact.
+    """
+    from crypto_lakehouse_spark.sources.trade_feed import trade_feed
+
+    wire = trade_feed(spark, sf_dir).select(
+        F.col("key").cast("binary").alias("key"),
+        F.col("value").cast("binary").alias("value"),
+        F.lit("trades").alias("topic"),
+        F.col("partition").cast("int").alias("partition"),
+        F.col("offset").cast("bigint").alias("offset"),
+        F.col("ingested_at").alias("timestamp"),
+        F.lit(0).alias("timestampType"),
+    )
+    feed = tempfile.mkdtemp(prefix="kafka_wire_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="kw_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
+
+    _stage(wire.filter(F.col("offset") % 2 == 0), 0)
+    _stage(wire.filter(F.col("offset") % 2 == 1), 1)
+
+    raw = (
+        spark.readStream.schema(KAFKA_WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    parsed = parse_kafka_feed(raw).select(
+        "product_id",
+        "price",
+        "time",
+        "_kafka_offset",
+        "_kafka_partition",
+    )
+    name = f"kafka_wire_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    q = (
+        parsed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("product_id")
+        .agg(
+            F.count("*").alias("n_messages"),
+            F.sum("_kafka_offset").alias("offset_sum"),
+            F.countDistinct("_kafka_partition").alias("n_partitions"),
+            # bronze carries price as STRING (reference contract); the
+            # silver-style numeric cast happens here for the aggregate.
+            F.sum(F.col("price").cast("double").cast("decimal(18,4)")).alias(
+                "price_sum"
+            ),
+            F.max("time").alias("max_time"),
+        )
+        .select(
+            "product_id",
+            "n_messages",
+            "offset_sum",
+            "n_partitions",
+            F.col("price_sum").cast("double").alias("price_sum"),
+            "max_time",
+        )
+        .orderBy("product_id")
     )
 
 
@@ -398,20 +492,30 @@ def run_stream_ingest(
         )
         q.awaitTermination()
         qid = str(q.id)
-        listener.wait_terminated(qid)
+        drained = listener.wait_terminated(qid)
     finally:
         spark.streams.removeListener(listener)
 
     # Merge the listener's engine-side view into the per-batch dicts —
     # the production monitoring path (rows/sec, input rows, observed
-    # aggregates) exercised on every ingest, not dead wiring.
+    # aggregates) exercised on every ingest, not dead wiring. If the
+    # async callbacks did NOT drain within the timeout, the engine_*
+    # keys are still populated (None) so consumers index them safely,
+    # and the miss is diagnosable instead of a downstream KeyError.
+    if not drained:
+        warnings.warn(
+            f"streaming listener events for query {qid} did not drain "
+            "within the wait window; engine-side batch metrics degraded "
+            "to None",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     by_batch = {r["batch_id"]: r for r in listener.batches_for(qid)}
     for m in metrics:
         eng = by_batch.get(m["batch_id"])
-        if eng is not None:
-            m["engine_input_rows"] = eng["num_input_rows"]
-            m["engine_batch_duration_ms"] = eng["batch_duration_ms"]
-            m["engine_observed"] = eng["observed"]
+        m["engine_input_rows"] = eng["num_input_rows"] if eng else None
+        m["engine_batch_duration_ms"] = eng["batch_duration_ms"] if eng else None
+        m["engine_observed"] = eng["observed"] if eng else None
     return lh, metrics
 
 

@@ -1,0 +1,115 @@
+"""Session-memo keying + layout-cache hygiene (round-5 hardening).
+
+Two failure modes pinned here:
+
+- memo aliasing: keying per-session caches on `id(spark)` lets a GC'd
+  session's address be reused by a new session, which then inherits
+  DataFrames bound to a dead JVM session. The fix is a uuid stamped on
+  the session object (`io.session_key`) — an attribute can never
+  survive onto a different object, whatever its address.
+- cache poisoning / unbounded growth: the layout-compaction cache must
+  live in a per-user 0700 directory the engine verified it owns, and
+  stale entries (source regenerated → mtime/size key changed) must be
+  pruned instead of accumulating forever.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pyarrow.parquet as pq
+import pytest
+
+from crypto_lakehouse_spark import io as io_mod
+from crypto_lakehouse_spark.io import load_table, session_key
+
+SRC = "/root/testdata/sf0.001"
+
+
+def test_session_key_stable_and_distinct(spark):
+    s1 = spark.newSession()
+    k1 = session_key(s1)
+    assert session_key(s1) == k1, "key must be stable for the same session"
+    s2 = spark.newSession()
+    assert session_key(s2) != k1, "distinct sessions must get distinct keys"
+    assert session_key(spark) not in (k1, session_key(s2))
+
+
+def test_session_key_never_aliases_after_gc(spark):
+    """Even if a new session object lands on a dead session's memory
+    address (the id() failure mode), its key differs — the uuid lives
+    on the object, not the address."""
+    import gc
+
+    s1 = spark.newSession()
+    k1 = session_key(s1)
+    addr = id(s1)
+    del s1
+    gc.collect()
+    # Allocate sessions until one reuses the address, or give up — the
+    # property holds either way because the key is object-stamped.
+    for _ in range(10):
+        s = spark.newSession()
+        k = session_key(s)
+        assert k != k1
+        if id(s) == addr:
+            break
+
+
+def test_table_memo_is_per_session(spark):
+    s1 = spark.newSession()
+    s2 = spark.newSession()
+    a1 = load_table(s1, SRC, "region")
+    a1_again = load_table(s1, SRC, "region")
+    a2 = load_table(s2, SRC, "region")
+    assert a1 is a1_again, "same session must hit the memo"
+    assert a1 is not a2, "different sessions must not share memo entries"
+    # Each frame is bound to its own session.
+    assert a1.sparkSession is s1
+    assert a2.sparkSession is s2
+
+
+def test_cache_root_is_per_user_and_private():
+    root = io_mod._CACHE_ROOT
+    if os.environ.get("SPARK_GRAFT_LAYOUT_CACHE"):
+        pytest.skip("cache root overridden by env")
+    assert str(os.getuid()) in os.path.basename(root)
+    assert io_mod._trusted_cache_root()
+    st = os.stat(root)
+    assert st.st_uid == os.getuid()
+    assert (st.st_mode & 0o777) == 0o700
+
+
+def test_stale_cache_entries_pruned(spark, tmp_path):
+    """Regenerating a source (new mtime/size) must retire the old cache
+    entry rather than accumulate copies unboundedly."""
+    if not io_mod._trusted_cache_root():
+        pytest.skip("cache root not writable")
+    tbl = pq.read_table(f"{SRC}/events.parquet")
+    dest = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, dest, row_group_size=1_000_000_000)
+
+    target = spark.sparkContext.defaultParallelism
+    first = io_mod._compacted_path(spark, dest, "events", target)
+    assert first is not None and os.path.isdir(first)
+
+    # "Regenerate": rewrite with different size/mtime.
+    pq.write_table(tbl.slice(0, max(1, tbl.num_rows // 2)), dest,
+                   row_group_size=1_000_000_000)
+    second = io_mod._compacted_path(spark, dest, "events", target)
+    assert second is not None and second != first
+    assert not os.path.isdir(first), "stale entry must be pruned"
+    shutil.rmtree(second, ignore_errors=True)
+
+
+def test_unparseable_string_timestamps_fail_loudly(spark, tmp_path):
+    """With ANSI off, to_timestamp silently NULLs unparseable text; the
+    normalizer must refuse that degradation instead (ADVICE r4)."""
+    import pyarrow as pa
+
+    tbl = pa.table({"event_id": [1, 2], "ts": ["2024-01-01 00:00:00", "not-a-time"]})
+    pq.write_table(tbl, str(tmp_path / "events.parquet"))
+    with pytest.raises(ValueError, match="refusing to degrade"):
+        # .count() via the strict probe runs inside load_table already.
+        load_table(spark.newSession(), str(tmp_path), "events")
