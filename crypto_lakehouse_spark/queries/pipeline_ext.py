@@ -52,6 +52,7 @@ def _pair(
     duck_sql: str,
     tables: list[str],
     tags: tuple[str, ...],
+    bench: bool = True,
 ) -> None:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
         register_views(spark, sf_dir, tables)
@@ -62,7 +63,7 @@ def _pair(
         "Paired-dialect SQL (semantics documented in the module "
         f"docstring). Spark SQL:\n{spark_sql}"
     )
-    query(name, oracle=duck_sql, tags=tags)(fn)
+    query(name, oracle=duck_sql, tags=tags, bench=bench)(fn)
 
 
 # --- document fingerprinting: winnowing over 4-gram rolling hashes ---------
@@ -346,12 +347,16 @@ GROUP BY f.cohort_week, a.week
 ORDER BY cohort_week, active_week
 """
 
+# Oracle anchor only (bench=False): the fused single-scan twin below
+# is the declared scale path and the benched primary — the same
+# anchor/primary split as the sketch twins in events_ops.
 _pair(
     "weekly_retention",
     _RETENTION,
     _RETENTION,
     tables=["events"],
     tags=("events", "retention"),
+    bench=False,
 )
 
 

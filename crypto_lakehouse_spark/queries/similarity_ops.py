@@ -353,9 +353,73 @@ GROUP BY dim
 ORDER BY dim
 """
 
-_pair(
+# The paired-SQL form of the Spark side (kept above for documentation)
+# re-inlines the 64x explode CTE at every reference — the executed
+# plan carried 8 scans and 6 nested-loop joins and benched ~2.4x the
+# round-2 number. The registered implementation splits the two passes
+# explicitly: per-dim min/max is a 64-row aggregate COLLECTED to the
+# driver (the A6 watermark-scalar pattern — 64 rows at any corpus
+# scale) and embedded as literal arrays, so the quantize+error pass is
+# ONE scan, one map-side explode, one 64-group aggregation. The fold
+# expression is identical to the SQL form, so the DuckDB oracle is
+# unchanged.
+
+
+@query(
     "int8_quantization_error",
-    _QUANT_SPARK,
-    _QUANT_DUCK,
+    oracle=_QUANT_DUCK,
     tags=("similarity", "embedding", "compression"),
 )
+def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 scalar quantization + per-dim reconstruction RMSE (module
+    block comment above): stats pass collected (64 rows), error pass
+    single-scan with literal-embedded lo/hi."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dimvals = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos", "val"
+        ),
+    ).select("vec_id", (F.col("pos") + 1).alias("dim"), "val")
+    stats = (
+        dimvals.groupBy("dim")
+        .agg(F.min("val").alias("lo"), F.max("val").alias("hi"))
+        .collect()
+    )
+    lo_by_dim = {r["dim"]: r["lo"] for r in stats}
+    hi_by_dim = {r["dim"]: r["hi"] for r in stats}
+    los = F.array(*[F.lit(lo_by_dim[d]) for d in range(1, 65)])
+    his = F.array(*[F.lit(hi_by_dim[d]) for d in range(1, 65)])
+
+    q = dimvals.select(
+        "vec_id",
+        "dim",
+        "val",
+        F.element_at(los, F.col("dim").cast("int")).alias("lo"),
+        F.element_at(his, F.col("dim").cast("int")).alias("hi"),
+    ).withColumn(
+        "q",
+        F.expr(
+            "LEAST(255, GREATEST(0, FLOOR((val - lo) * 255 / (hi - lo) + 0.5)))"
+        ),
+    )
+    return (
+        q.groupBy("dim")
+        .agg(
+            F.expr("CAST(MIN(q) AS BIGINT)").alias("q_min"),
+            F.expr("CAST(MAX(q) AS BIGINT)").alias("q_max"),
+            F.expr(
+                "ROUND(SQRT(aggregate("
+                "transform(array_sort(collect_list(struct(vec_id,"
+                " (val - (lo + q * (hi - lo) / 255))"
+                " * (val - (lo + q * (hi - lo) / 255)) AS err))),"
+                " s -> s.err), CAST(0 AS DOUBLE), (a, b) -> a + b)"
+                " / COUNT(*)), 9)"
+            ).alias("rmse"),
+        )
+        .orderBy("dim")
+    )

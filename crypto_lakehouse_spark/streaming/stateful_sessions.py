@@ -164,8 +164,15 @@ def run_stateful_sessionization(
 # Environment gate: Spark's transformWithState Python worker talks to
 # the JVM state server over a protobuf protocol, so it needs
 # `google.protobuf` at runtime (applyInPandasWithState does not).
-# Containers without protobuf get HAS_TWS=False and the test skips;
-# the applyInPandasWithState path above remains the proven operator.
+# Containers without protobuf get HAS_TWS=False and the test skips.
+#
+# SCOPE: where protobuf is absent (this build environment), this twin
+# is a documented UNPROVEN SEAM, not claimed operator surface — the
+# equivalence test has never run here, and SURVEY §8 excludes it from
+# the feature counts. The applyInPandasWithState path above is the
+# proven, claimed sessionizer. On a protobuf-equipped cluster the
+# skipped test is the activation switch: green there promotes this
+# path to claimed surface.
 try:  # pragma: no cover - environment probe
     import google.protobuf  # noqa: F401
 

@@ -267,6 +267,23 @@ def test_cc_star_round_min_is_two_level(spark):
     assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
 
 
+def test_int8_quantization_error_pass_is_join_free(spark):
+    """The quantize+error pass must be ONE scan + explode + 64-group
+    aggregation with the per-dim stats embedded as literals (collected
+    64-row pass) — the paired-SQL form re-inlined the 64x explode CTE
+    into 8 scans and 6 nested-loop joins (round-4 bench regression)."""
+    import re
+
+    plan = _plan(spark, "int8_quantization_error")
+    assert "Join" not in plan
+    # Count detail entries only — formatted explain prints each node in
+    # both the tree and the details section.
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "error pass must scan once"
+    )
+    assert "Generate" in plan  # the posexplode
+
+
 def test_char_entropy_two_aggregations_no_join(spark):
     """Entropy = explode + two groupBys; there must be no join and no
     window — the per-char and per-doc aggregations are the only
