@@ -110,8 +110,10 @@ def test_kafka_construction_without_broker(spark):
     rows = out.collect()
     assert len(rows) == 1  # heartbeat dropped (T7)
     r = rows[0]
+    # trade_id parses as STRING: the wire carries it quoted and the
+    # reference schema is all-STRING (see TRADE_JSON_SCHEMA).
     assert (r.trade_id, r.product_id, r.side, r._kafka_offset, r._kafka_partition) == (
-        42,
+        "42",
         "BTC-USD",
         "buy",
         7,
