@@ -54,6 +54,18 @@ def _stage_events(spark: SparkSession, sf_dir: str, fmt: str) -> str:
     out = tempfile.mkdtemp(prefix=f"events_{fmt}_")
     if fmt == "csv":
         ev.write.mode("overwrite").option("header", "true").csv(out)
+    elif fmt == "orc":
+        ev.write.mode("overwrite").orc(out)
+    elif fmt == "xml":
+        # Spark 4 native XML (the spark-xml package merged upstream);
+        # same epoch-micros timestamp wire rule as the text formats.
+        (
+            ev.write.mode("overwrite")
+            .format("xml")
+            .option("rowTag", "event")
+            .option("rootTag", "events")
+            .save(out)
+        )
     else:
         ev.write.mode("overwrite").json(out)
     _STAGED[key] = out
@@ -124,6 +136,87 @@ def jsonl_source_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             "n_events",
             "min_id",
+            "max_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "orc_source_daily_stats",
+    oracle="""
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("sources", "orc", "roundtrip"),
+)
+def orc_source_daily_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC roundtrip: events staged to ORC (typed columnar, schema in
+    the file footer — no inference), read back natively and rolled up
+    per day. ORC is the second columnar wire format a lakehouse must
+    ingest besides parquet; predicate pushdown and column pruning
+    apply to the ORC scan the same as parquet (Spark's OrcFileFormat),
+    so the 100 TB posture is identical."""
+    df = spark.read.orc(_stage_events(spark, sf_dir, "orc"))
+    return (
+        df.select(F.timestamp_micros("ts_us").alias("ts"), "event_id", "value")
+        .groupBy(F.date_trunc("day", "ts").alias("d"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            "n_events",
+            "min_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "xml_source_type_stats",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MAX(event_id) AS max_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sources", "xml", "roundtrip"),
+)
+def xml_source_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML roundtrip via Spark 4's native XML source (rowTag=event),
+    schema-explicit read — no inference pass over the corpus, which at
+    100 TB would be a full extra scan. Values must hash-match the
+    parquet path through the tag-encoded wire."""
+    schema = "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
+    df = (
+        spark.read.format("xml")
+        .option("rowTag", "event")
+        .schema(schema)
+        .load(_stage_events(spark, sf_dir, "xml"))
+    )
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.max("event_id").alias("max_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
             "max_id",
             F.col("value_sum").cast("double").alias("value_sum"),
         )

@@ -1,0 +1,321 @@
+"""Language-model data-quality operators over `documents` — round-5
+extensions of the training-corpus prep surface (trainprep_ops):
+unigram-LM perplexity-proxy scoring, substring-span (character-level)
+duplication, and a Bloom-prefiltered decontamination pass.
+
+The reference has no text surface at all (SURVEY §2.8: zero UDFs);
+these are the standard passes a 100 TB pretraining pipeline runs.
+All three are pure Spark-SQL — no Python in the hot path, whole-stage
+codegen applies throughout.
+
+Scale notes (what survives 1000 executors / 100 TB):
+
+- `ngram_lm_doc_score` (CCNet-style quality signal): train a unigram
+  LM over the corpus itself (token -> count, one shuffle with
+  map-side partials), then score every document by its average
+  negative log2 probability under add-one smoothing. The doc-side
+  groupBy keys are (doc_id, token) — doc_id-prefixed, so no hot key —
+  and the vocab join is 1:1 on token (vocab is unique on token, so a
+  frequent token fans out to its (doc,token) pairs only, which is the
+  input cardinality, not a blow-up). The per-doc float sum runs as a
+  sequential fold over the token-sorted contribution list — the same
+  order-pinned-fold discipline as `doc_char_entropy`, bit-identical
+  across engines. NTILE(3) over the score assigns the CCNet
+  head/middle/tail bucket with a doc_id tie-break.
+
+- `substring_span_dedup` (Lee et al. 2022, "Deduplicating Training
+  Data Makes Language Models Better", arXiv:2107.06499 — the
+  character-level view exact-substring dedup approximates): slide a
+  30-char window at stride 10 over each doc, hash each window
+  (md5 — content-derived, engine-portable), and mark spans whose hash
+  occurs in >= 2 distinct docs. Per-doc output: span counts and the
+  duplicated-span fraction. Shape at scale: the window explode is a
+  narrow map-side fan-out (~len/10 rows per doc); the shared-span
+  detection is ONE groupBy(hash) with partial aggregation (hot
+  hashes — boilerplate — concentrate on the agg side, absorbed by
+  combiners, never a join fan-out); the per-doc rollup joins spans
+  to the (small) shared set — Catalyst broadcasts it when small, AQE
+  decides at runtime otherwise (no forced hint; see VERDICT r4 on
+  broadcast-by-ratio being wrong).
+
+- `contamination_bloom` (GPT-3 appendix-C decontamination, Bloom
+  edition): the exact-verify contamination pass (`contamination_4gram`)
+  probes every corpus shingle through a JOIN against the benchmark
+  set. At 100 TB the cheaper shape is: build a Bloom filter over the
+  benchmark 4-grams (tiny — here 2^16 bits = 1024 int64 words,
+  k=3 hash functions, built with one bit_or aggregation), broadcast
+  the 1-row word array to every executor, and drop non-candidate
+  shingles MAP-SIDE with three xxhash64 probes — zero shuffle for the
+  overwhelmingly-clean corpus. Only surviving candidates (true hits +
+  Bloom false positives) reach the exact verify join, which makes the
+  FINAL output exactly the true contamination set: Bloom filters have
+  no false negatives, and the verify join removes false positives.
+  The DuckDB oracle is therefore the plain exact SQL — the Bloom is a
+  Spark-side physical optimization with no semantic footprint, which
+  is precisely the property that makes it safe to deploy. (Spark's
+  own runtime-filter bloom — spark.sql.optimizer.runtimeFilter.* —
+  applies the same idea engine-side; this operator demonstrates the
+  explicit, plan-controlled form.)
+
+Determinism rules are the registry's: integer counts everywhere,
+float work only in order-pinned folds or single expressions, ROUND(9)
+on reported doubles, every ORDER BY carries a unique tie-break.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ["documents"])
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "LM-data operator (scale notes in the module docstring). "
+        f"Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- unigram-LM document scoring (perplexity proxy) ------------------------
+# score(doc) = -(1/|doc|) * sum_t log2 P(t),  P(t) = (cf(t)+1)/(N+V)
+# (add-one smoothing over the corpus unigram model). Head/middle/tail
+# bucket via NTILE(3) ordered by (score, doc_id).
+
+_LM_SPARK = """
+WITH toks AS (
+    SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+    FROM documents WHERE length(text) > 0
+),
+vocab AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT tok) AS v FROM toks),
+doc_tok AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+contrib AS (
+    SELECT d.doc_id, d.tok, d.c,
+           -d.c * (ln(CAST(w.cf + 1 AS DOUBLE) / (t.n + t.v)) / ln(2)) AS nll
+    FROM doc_tok d JOIN vocab w ON d.tok = w.tok CROSS JOIN tot t
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           aggregate(array_sort(collect_list(struct(tok, nll))),
+                     CAST(0.0 AS DOUBLE),
+                     (acc, x) -> acc + x.nll) AS total_nll
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       ROUND(total_nll / n_tokens, 9) AS avg_neg_log2p,
+       CASE NTILE(3) OVER (ORDER BY ROUND(total_nll / n_tokens, 9), doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ccnet_bucket
+FROM folded
+ORDER BY doc_id
+"""
+
+_LM_DUCK = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok
+    FROM documents WHERE length(text) > 0
+),
+vocab AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
+tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT tok) AS v FROM toks),
+doc_tok AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+contrib AS (
+    SELECT d.doc_id, d.tok, d.c,
+           -d.c * (ln(CAST(w.cf + 1 AS DOUBLE) / (t.n + t.v)) / ln(2)) AS nll
+    FROM doc_tok d JOIN vocab w ON d.tok = w.tok CROSS JOIN tot t
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                                    list(nll ORDER BY tok)),
+                       (acc, x) -> acc + x) AS total_nll
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       ROUND(total_nll / n_tokens, 9) AS avg_neg_log2p,
+       CASE NTILE(3) OVER (ORDER BY ROUND(total_nll / n_tokens, 9), doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ccnet_bucket
+FROM folded
+ORDER BY doc_id
+"""
+
+_pair(
+    "ngram_lm_doc_score",
+    _LM_SPARK,
+    _LM_DUCK,
+    tags=("lmdata", "text", "quality", "perplexity"),
+)
+
+
+# --- character-level substring-span duplication ----------------------------
+# 30-char windows at stride 10; a span is duplicated if its hash occurs
+# in >= 2 distinct documents.
+
+_SPAN_SPARK = """
+WITH spans AS (
+    SELECT DISTINCT doc_id, md5(substr(text, start, 30)) AS h
+    FROM (
+        SELECT doc_id, text,
+               explode(sequence(1, length(text) - 29, 10)) AS start
+        FROM documents WHERE length(text) >= 30
+    )
+),
+shared AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+per_doc AS (
+    SELECT d.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(s.h) AS dup_spans
+    FROM spans d LEFT JOIN shared s ON d.h = s.h
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(dup_spans AS BIGINT) AS dup_spans,
+       ROUND(CAST(dup_spans AS DOUBLE) / n_spans, 9) AS dup_fraction
+FROM per_doc
+ORDER BY doc_id
+"""
+
+_SPAN_DUCK = """
+WITH spans AS (
+    SELECT DISTINCT doc_id, md5(substr(text, CAST(start AS INT), 30)) AS h
+    FROM documents,
+         unnest(range(1, length(text) - 28, 10)) t(start)
+    WHERE length(text) >= 30
+),
+shared AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+per_doc AS (
+    SELECT d.doc_id,
+           COUNT(*) AS n_spans,
+           COUNT(s.h) AS dup_spans
+    FROM spans d LEFT JOIN shared s ON d.h = s.h
+    GROUP BY d.doc_id
+)
+SELECT doc_id,
+       CAST(n_spans AS BIGINT) AS n_spans,
+       CAST(dup_spans AS BIGINT) AS dup_spans,
+       ROUND(CAST(dup_spans AS DOUBLE) / n_spans, 9) AS dup_fraction
+FROM per_doc
+ORDER BY doc_id
+"""
+
+_pair(
+    "substring_span_dedup",
+    _SPAN_SPARK,
+    _SPAN_DUCK,
+    tags=("lmdata", "dedup", "substring"),
+)
+
+
+# --- Bloom-prefiltered decontamination -------------------------------------
+# Same benchmark split as contamination_4gram (every 17th doc), per-DOC
+# output (the contaminated docs with matched-shingle counts — the list a
+# pipeline would route to quarantine). Spark side probes through an
+# explicit 2^16-bit / k=3 Bloom built with one bit_or aggregation and
+# broadcast as a single 1024-word array row; the oracle is the exact
+# SQL (the Bloom is physical, not semantic — no false negatives, and
+# false positives die in the verify join).
+
+_M_BITS = 1 << 16  # 65536 bits = 1024 int64 words
+_K = 3
+
+
+def _spark_4grams(src: str) -> str:
+    words = ", ".join(f"element_at(ws, i + {j})" for j in range(4))
+    return (
+        f"SELECT DISTINCT doc_id, s FROM (\n"
+        f"  SELECT doc_id, explode(transform(sequence(1, size(ws) - 3),\n"
+        f"         i -> concat_ws(' ', {words}))) AS s\n"
+        f"  FROM (SELECT doc_id, split(text, ' ') AS ws FROM {src})\n"
+        f"  WHERE size(ws) >= 4)"
+    )
+
+
+def _duck_4grams(src: str) -> str:
+    words = " || ' ' || ".join(f"ws[i + {j}]" for j in range(4))
+    return (
+        f"SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 2),\n"
+        f"       i -> {words})) AS s\n"
+        f"    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM {src})\n"
+        f"    WHERE len(ws) >= 4"
+    )
+
+
+def _bit_probe(j: int) -> str:
+    """Spark predicate: bit j of shingle c.s is set in the bloom array."""
+    pos = f"pmod(xxhash64(concat(c.s, '|{j}')), {_M_BITS})"
+    word = f"element_at(b.words, CAST({pos} DIV 64 AS INT) + 1)"
+    bit = f"shiftleft(CAST(1 AS BIGINT), CAST({pos} % 64 AS INT))"
+    return f"({word} & {bit}) <> 0"
+
+
+_BLOOM_SPARK = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+csh AS ({_spark_4grams("corpus")}),
+bsh AS (SELECT DISTINCT s FROM ({_spark_4grams("bench")})),
+bits AS (
+    SELECT DISTINCT
+           pmod(xxhash64(concat(s, '|', CAST(j AS STRING))), {_M_BITS}) AS bitpos
+    FROM bsh
+    LATERAL VIEW explode(sequence(0, {_K - 1})) t AS j
+),
+words AS (
+    SELECT CAST(bitpos DIV 64 AS INT) AS w,
+           bit_or(shiftleft(CAST(1 AS BIGINT), CAST(bitpos % 64 AS INT))) AS bw
+    FROM bits GROUP BY CAST(bitpos DIV 64 AS INT)
+),
+bloom AS (
+    SELECT transform(sequence(0, {_M_BITS // 64 - 1}),
+                     wi -> coalesce(element_at(wmap, wi), CAST(0 AS BIGINT)))
+               AS words
+    FROM (SELECT map_from_entries(collect_list(struct(w, bw))) AS wmap
+          FROM words)
+),
+cand AS (
+    SELECT c.doc_id, c.s
+    FROM csh c CROSS JOIN bloom b
+    WHERE {" AND ".join(_bit_probe(j) for j in range(_K))}
+),
+verified AS (
+    SELECT cand.doc_id, COUNT(*) AS matched
+    FROM cand JOIN bsh ON cand.s = bsh.s
+    GROUP BY cand.doc_id
+)
+SELECT doc_id, CAST(matched AS BIGINT) AS matched_ngrams
+FROM verified
+ORDER BY doc_id
+"""
+
+_BLOOM_DUCK_ORACLE = f"""
+WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+csh AS ({_duck_4grams("corpus")}),
+bsh AS (SELECT DISTINCT s FROM ({_duck_4grams("bench")}))
+SELECT csh.doc_id, CAST(COUNT(*) AS BIGINT) AS matched_ngrams
+FROM csh JOIN bsh ON csh.s = bsh.s
+GROUP BY csh.doc_id
+ORDER BY doc_id
+"""
+
+_pair(
+    "contamination_bloom",
+    _BLOOM_SPARK,
+    _BLOOM_DUCK_ORACLE,
+    tags=("lmdata", "trainprep", "bloom", "decontamination"),
+)

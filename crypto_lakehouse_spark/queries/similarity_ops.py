@@ -423,3 +423,162 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dim")
     )
+
+
+# --- product quantization (PQ) + asymmetric-distance top-k -----------------
+# The missing tier between int8 scalar quantization (above) and
+# IVF/LSH candidate generation: PQ compresses each 64-d vector to 8
+# one-byte codes (8 subspaces x 8 dims, 16-entry codebook each) and
+# ranks neighbors by ASYMMETRIC distance — exact query subvector vs
+# the neighbor's reconstructed codeword — the Jegou et al. 2011
+# ("Product Quantization for Nearest Neighbor Search", TPAMI) ADC
+# scheme that powers FAISS's IVF-PQ indexes.
+#
+# Codebook here = the subvectors of the first 16 vectors (a
+# deterministic training sample — production would run a few Lloyd
+# iterations per subspace; `kmeans_one_step` above demonstrates
+# exactly that step, so the composition is proven piecewise while the
+# oracle stays closed-form).
+#
+# Scale shape: the codebook is 16 x 8 rows — broadcast; encoding is a
+# broadcast join + per-(vec, subspace) argmin (ROW_NUMBER with a code
+# tie-break), i.e. map-side against a 128-row build side; the ADC
+# fold is one groupBy(vec_id) over 8 rows each. At 100 TB the
+# lookup-table trick applies unchanged: the query's 8x16 distance
+# table is a broadcast literal and scoring is 8 array lookups per
+# vector — zero shuffle until the global top-k.
+#
+# Determinism: every L2^2 is a sequential fold over dims in index
+# order; the per-vector sum folds subspace terms in subspace order;
+# argmin ties break on code id, top-k ties on vec_id. ROUND(9) only
+# on output.
+
+_PQ_L2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PQ_L2_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 9), i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def _pq_core(dbl: str, l2: str, msrc: str, slice_: str, fold_adc: str) -> str:
+    """Shared CTE chain: subvectors -> codebook -> encode -> ADC."""
+    return f"""
+corpus AS (
+    SELECT vec_id, {dbl.format(e='embedding')} AS vec FROM embeddings
+),
+subs AS (
+    SELECT vec_id, m, {slice_} AS sv
+    FROM corpus CROSS JOIN {msrc}
+),
+cb AS (SELECT vec_id AS code, m, sv AS cw FROM subs WHERE vec_id < 16),
+encd AS (
+    SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (
+                   PARTITION BY s.vec_id, s.m
+                   ORDER BY {l2.format(a='s.sv', b='c.cw')}, c.code) AS rn
+        FROM subs s JOIN cb c ON s.m = c.m
+    ) WHERE rn = 1
+),
+qsub AS (SELECT m, sv FROM subs WHERE vec_id = 0),
+terms AS (
+    SELECT e.vec_id, e.m, {l2.format(a='q.sv', b='c.cw')} AS term
+    FROM encd e
+    JOIN cb c ON e.m = c.m AND e.code = c.code
+    JOIN qsub q ON e.m = q.m
+),
+adc AS (
+    SELECT vec_id, {fold_adc} AS adc_dist
+    FROM terms GROUP BY vec_id
+)"""
+
+
+_PQ_SPARK_CORE = _pq_core(
+    _D_SPARK,
+    _PQ_L2_SPARK,
+    "(SELECT explode(sequence(0, 7)) AS m)",
+    "slice(vec, m * 8 + 1, 8)",
+    "aggregate(array_sort(collect_list(struct(m, term))), "
+    "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term)",
+)
+
+_PQ_DUCK_CORE = _pq_core(
+    _D_DUCK,
+    _PQ_L2_DUCK,
+    "range(0, 8) t(m)",
+    "vec[m * 8 + 1 : m * 8 + 8]",
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(term ORDER BY m)), "
+    "(acc, x) -> acc + x)",
+)
+
+_PQ_TOPK_TAIL = """
+SELECT CAST(0 AS BIGINT) AS query_id,
+       vec_id AS neighbor_id,
+       ROUND(adc_dist, 9) AS adc_dist,
+       CAST(rn AS BIGINT) AS rank
+FROM (
+    SELECT vec_id, adc_dist,
+           ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS rn
+    FROM adc WHERE vec_id <> 0
+)
+WHERE rn <= 10
+ORDER BY rank
+"""
+
+_pair(
+    "pq_adc_topk",
+    f"WITH {_PQ_SPARK_CORE}\n{_PQ_TOPK_TAIL}",
+    f"WITH {_PQ_DUCK_CORE}\n{_PQ_TOPK_TAIL}",
+    tags=("similarity", "embedding", "pq", "ann"),
+)
+
+
+# PQ quality eval — recall@10 of the ADC ranking vs the exact L2
+# ranking, same one-query quality-eval pattern as ann_recall_at_5.
+def _pq_recall_sql(core: str, l2_64: str, dbl: str) -> str:
+    return f"""
+WITH {core},
+exact AS (
+    SELECT c.vec_id,
+           ROW_NUMBER() OVER (
+               ORDER BY {l2_64}, c.vec_id) AS rn
+    FROM corpus c CROSS JOIN (SELECT vec FROM corpus WHERE vec_id = 0) q
+    WHERE c.vec_id <> 0
+),
+exact10 AS (SELECT vec_id FROM exact WHERE rn <= 10),
+adc10 AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc WHERE vec_id <> 0
+    ) WHERE rn <= 10
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       CAST((SELECT COUNT(*) FROM exact10 JOIN adc10
+             ON exact10.vec_id = adc10.vec_id) AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       ROUND(CAST((SELECT COUNT(*) FROM exact10 JOIN adc10
+                   ON exact10.vec_id = adc10.vec_id) AS DOUBLE) / 10, 9)
+           AS recall_at_10
+"""
+
+
+_PQ_L2_64_SPARK = (
+    "aggregate(zip_with(c.vec, q.vec, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_PQ_L2_64_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), i -> (c.vec[i] - q.vec[i]) * (c.vec[i] - q.vec[i]))), "
+    "(acc, v) -> acc + v)"
+)
+
+_pair(
+    "pq_recall_at_10",
+    _pq_recall_sql(_PQ_SPARK_CORE, _PQ_L2_64_SPARK, _D_SPARK),
+    _pq_recall_sql(_PQ_DUCK_CORE, _PQ_L2_64_DUCK, _D_DUCK),
+    tags=("similarity", "embedding", "pq", "quality-eval"),
+)

@@ -253,3 +253,45 @@ def _wire_ss_join_oracle() -> None:
 
 
 _wire_ss_join_oracle()
+
+
+@query(
+    "streaming_merge_upsert",
+    oracle="""
+WITH u1 AS (
+    SELECT o_orderkey, 'U1' AS st, o_totalprice + 100 AS tp
+    FROM orders WHERE o_orderkey % 10 = 0
+),
+u2 AS (
+    SELECT o_orderkey, 'U2' AS st, o_totalprice + 250 AS tp
+    FROM orders WHERE o_orderkey % 100 = 0
+),
+final AS (
+    SELECT b.o_orderkey,
+           COALESCE(u2.st, u1.st, b.o_orderstatus) AS status,
+           COALESCE(u2.tp, u1.tp, b.o_totalprice) AS totalprice
+    FROM orders b
+    LEFT JOIN u1 ON b.o_orderkey = u1.o_orderkey
+    LEFT JOIN u2 ON b.o_orderkey = u2.o_orderkey
+)
+SELECT status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM final
+GROUP BY status
+ORDER BY status
+""",
+    tags=("streaming", "merge", "cdc", "foreachBatch", "lakehouse"),
+    bench=False,
+)
+def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/J4/T1-T3 composed: a streaming change feed upserted into a
+    partitioned silver table via foreachBatch + MERGE (the Delta
+    streaming-MERGE recipe), final state proven equal to the
+    relational latest-row-per-key derivation. See
+    streaming/file_stream.run_stream_merge_upsert for the
+    exactly-once and partition-pruning rationale."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import run_stream_merge_upsert
+
+    return run_stream_merge_upsert(spark, sf_dir)

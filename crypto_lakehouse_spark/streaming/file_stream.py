@@ -697,3 +697,89 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("purchase_id", "click_id")
+
+
+def run_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CDC upsert: a 3-batch change feed drained through
+    foreachBatch into a partitioned LakehouseTable MERGE — the
+    continuous silver-maintenance mode a lakehouse actually runs
+    (Delta's `foreachBatch + MERGE` recipe; reference
+    bronze_to_silver.py:156-188 runs the same MERGE in batch).
+
+    Replay: batch 0 is the full orders base; batch 1 updates every
+    10th key (status -> 'U1', price +100); batch 2 updates every
+    100th key again (status -> 'U2', price +250). Each micro-batch is
+    unique on the merge key (MERGE's contract) and leaves the
+    partition column (o_orderpriority) untouched, so every merge is a
+    pruned dynamic-partition overwrite — at scale only the partitions
+    a batch touches are rewritten, and exactly-once holds because the
+    file-source checkpoint replays no committed batch.
+
+    Returns the final table state aggregated per status — the latest
+    row per key wins, which is what the latest-state SQL oracle
+    re-derives relationally.
+    """
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.tables import LakehouseTable
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    u1 = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn("o_orderstatus", F.lit("U1"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 100)
+    )
+    u2 = (
+        orders.filter(F.col("o_orderkey") % 100 == 0)
+        .withColumn("o_orderstatus", F.lit("U2"))
+        .withColumn("o_totalprice", F.col("o_totalprice") + 250)
+    )
+
+    feed = tempfile.mkdtemp(prefix="cdc_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="cdc_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
+
+    _stage(orders, 0)
+    _stage(u1, 1)
+    _stage(u2, 2)
+
+    table = LakehouseTable(
+        spark,
+        os.path.join(tempfile.mkdtemp(prefix="cdc_tbl_"), "orders_silver"),
+        partition_by=["o_orderpriority"],
+    )
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        table.merge(batch_df.select(*cols), keys=["o_orderkey"])
+
+    stream = (
+        spark.readStream.schema(_stream_schema(spark, feed))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    return (
+        table.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("price_sum"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            F.col("price_sum").cast("double").alias("price_sum"),
+        )
+        .orderBy("status")
+    )
