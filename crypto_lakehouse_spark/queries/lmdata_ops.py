@@ -319,3 +319,138 @@ _pair(
     _BLOOM_DUCK_ORACLE,
     tags=("lmdata", "trainprep", "bloom", "decontamination"),
 )
+
+
+# --- two-phase heavy hitters (checked-exact top-k tokens) ------------------
+# Phase 1 shards the corpus on doc_id % 32 (a DETERMINISTIC key, so the
+# candidate set never depends on physical file layout) and keeps tokens
+# with any per-shard count >= T=8. A token with global count G has max
+# shard count >= ceil(G/32), so every token with G >= 32*T=256 is a
+# candidate — the Misra-Gries-style superset guarantee. Phase 2
+# recounts ONLY candidates exactly (broadcast candidate probe, one
+# small groupBy) and takes the top 10. The `provably_exact` column
+# checks the guarantee at runtime: if the reported 10th count >= 256,
+# the result equals the true top-10 by construction — the same honest
+# value-gating as the sketch twins.
+#
+# At 100 TB the win over a naive global groupBy(token) is memory, not
+# shuffle count: when the vocabulary exceeds the combiner hash map,
+# partial aggregation spills; the sharded phase bounds each final-agg
+# key's traffic to 32 partial rows and phase 2 shuffles only the
+# candidate subset. (Spark's own partial agg covers the small-vocab
+# case — the docless naive form stays `vocab_top_tokens`.)
+
+_HH_T = 8
+_HH_SHARDS = 32
+_HH_BOUND = _HH_T * _HH_SHARDS
+
+_HH_SPARK = f"""
+WITH toks AS (
+    SELECT doc_id % {_HH_SHARDS} AS shard, doc_id,
+           explode(split(text, ' ')) AS token
+    FROM documents
+),
+shard_counts AS (
+    SELECT shard, token, COUNT(*) AS c FROM toks GROUP BY shard, token
+),
+cand AS (SELECT DISTINCT token FROM shard_counts WHERE c >= {_HH_T}),
+exact AS (
+    SELECT t.token, COUNT(*) AS tf
+    FROM toks t JOIN cand ON t.token = cand.token
+    GROUP BY t.token
+),
+topk AS (
+    SELECT token, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+    FROM exact
+)
+SELECT token, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank,
+       MIN(tf) OVER () >= {_HH_BOUND} AS provably_exact
+FROM topk WHERE rank <= 10
+ORDER BY rank
+"""
+
+# Oracle: the plain exact top-10 with the same bound column — when the
+# bound holds, the two-phase result is provably identical; when it
+# does not, the hashes diverge and the gate fails loudly.
+_HH_DUCK = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+exact AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+topk AS (
+    SELECT token, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+    FROM exact
+)
+SELECT token, CAST(tf AS BIGINT) AS tf, CAST(rank AS BIGINT) AS rank,
+       MIN(tf) OVER () >= {_HH_BOUND} AS provably_exact
+FROM topk WHERE rank <= 10
+ORDER BY rank
+"""
+
+_pair(
+    "heavy_hitters_twophase",
+    _HH_SPARK,
+    _HH_DUCK,
+    tags=("lmdata", "heavy-hitters", "two-phase", "gated-exact"),
+)
+
+
+# --- tokenizer OOV rate ----------------------------------------------------
+# Vocabulary = top-256 tokens by (tf DESC, token); per-doc
+# out-of-vocabulary fraction — the cheap "will my tokenizer shred this
+# document into bytes" signal a corpus report includes. The vocab is
+# 256 rows (broadcast by construction); the probe is a map-side left
+# join + one groupBy(doc_id).
+
+_OOV_SPARK = """
+WITH toks AS (
+    SELECT doc_id, explode(split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+        ORDER BY tf DESC, token LIMIT 256
+    )
+),
+per_doc AS (
+    SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(v.token) AS in_vocab
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - in_vocab AS BIGINT) AS oov_tokens,
+       ROUND(CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens, 9) AS oov_rate
+FROM per_doc
+ORDER BY doc_id
+"""
+
+_OOV_DUCK = """
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+),
+vocab AS (
+    SELECT token FROM (
+        SELECT token, COUNT(*) AS tf FROM toks GROUP BY token
+        ORDER BY tf DESC, token LIMIT 256
+    )
+),
+per_doc AS (
+    SELECT t.doc_id, COUNT(*) AS n_tokens, COUNT(v.token) AS in_vocab
+    FROM toks t LEFT JOIN vocab v ON t.token = v.token
+    GROUP BY t.doc_id
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens - in_vocab AS BIGINT) AS oov_tokens,
+       ROUND(CAST(n_tokens - in_vocab AS DOUBLE) / n_tokens, 9) AS oov_rate
+FROM per_doc
+ORDER BY doc_id
+"""
+
+_pair(
+    "tokenizer_oov_rate",
+    _OOV_SPARK,
+    _OOV_DUCK,
+    tags=("lmdata", "text", "tokenizer"),
+)
