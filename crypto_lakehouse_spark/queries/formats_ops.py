@@ -222,3 +222,50 @@ def xml_source_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "python_datasource_hourly",
+    oracle="""
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS bucket,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY 1
+ORDER BY 1
+""",
+    tags=("sources", "python-datasource", "spark4", "arrow"),
+)
+def python_datasource_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 Python DataSource API end-to-end: the pyarrow-backed
+    `arrow_parquet` custom format (sources/pyarrow_source.py —
+    footer-only schema(), per-row-group partition planning, Arrow
+    RecordBatch reads, column pruning via the `columns` option) read
+    against the events table and rolled up hourly; values must
+    hash-match the native parquet path."""
+    from crypto_lakehouse_spark.sources.pyarrow_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("arrow_parquet")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("columns", "event_id,ts,user_id,value")
+        .load()
+    )
+    return (
+        df.select(F.timestamp_micros("ts_us").alias("ts"), "user_id", "value")
+        .groupBy(F.date_trunc("hour", "ts").alias("b"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            F.date_format("b", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n_events",
+            "n_users",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("bucket")
+    )

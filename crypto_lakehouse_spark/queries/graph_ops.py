@@ -1,0 +1,124 @@
+"""Graph analytics over the order graph (supplier -> customer edges
+derived from lineitem x orders) — the family the engine already
+exercises for dedup clustering (connected components, label
+propagation in queries/dedup_ops.py), here exposed as first-class
+queries on a real directed graph.
+
+- `pagerank_one_iter`: one damped PageRank step from the uniform
+  distribution — the iterated unit of the full algorithm, same
+  pattern as `kmeans_one_step` (the driver loop re-applies the step;
+  `dup_clusters_cc` shows a checkpointed convergence loop in this
+  repo). Exactness discipline: each incoming contribution is
+  1/outdeg scaled to an integer (10^18 DIV od) and summed as
+  DECIMAL(38,0) — integer floor-division is bit-identical across
+  engines and decimal addition is order-free, so no float-summation
+  ordering can diverge; floats appear only in the final single
+  expression, ROUND(9).
+- `graph_degree_stats`: in/out-degree distribution moments per side —
+  the profiling query that decides skew strategy (a hot supplier =
+  hot join key) before any iterative algorithm runs.
+
+Scale shape: edge list is one equi-join (lineitem x orders on
+orderkey — co-partitionable), dedup via DISTINCT (one shuffle on the
+edge pair), degree aggregations are groupBys with map-side combine;
+the contribution join fans out each edge exactly once (outdeg is
+unique per src). At 100 TB the iterated PageRank adds per-iteration
+checkpointing exactly as dup_clusters_cc does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+_SCALE = 10**18
+_D = "0.85"
+
+
+def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, ["lineitem", "orders"])
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Graph operator (scale notes in the module docstring). "
+        f"Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+def _pagerank_sql(concat_s: str, concat_c: str, div: str) -> str:
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT {concat_s} AS src, {concat_c} AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+contrib AS (
+    SELECT e.dst AS v,
+           CAST({_SCALE} {div} d.od AS DECIMAL(38,0)) AS w
+    FROM edges e JOIN outdeg d ON e.src = d.src
+),
+summed AS (SELECT v, SUM(w) AS sw FROM contrib GROUP BY v)
+SELECT n.v AS node,
+       ROUND((1 - {_D}) / t.n
+             + {_D} / t.n * (CAST(COALESCE(s.sw, 0) AS DOUBLE) / {_SCALE}.0),
+             9) AS pagerank
+FROM nodes n CROSS JOIN nn t LEFT JOIN summed s ON n.v = s.v
+ORDER BY node
+"""
+
+
+_pair(
+    "pagerank_one_iter",
+    _pagerank_sql(
+        "concat('S', l.l_suppkey)", "concat('C', o.o_custkey)", "DIV"
+    ),
+    _pagerank_sql(
+        "'S' || CAST(l.l_suppkey AS VARCHAR)",
+        "'C' || CAST(o.o_custkey AS VARCHAR)",
+        "//",
+    ),
+    tags=("graph", "pagerank", "iterative-unit"),
+)
+
+
+def _degree_sql(concat_s: str, concat_c: str) -> str:
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT {concat_s} AS src, {concat_c} AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+outd AS (SELECT src AS v, COUNT(*) AS deg FROM edges GROUP BY src),
+ind AS (SELECT dst AS v, COUNT(*) AS deg FROM edges GROUP BY dst),
+both_sides AS (
+    SELECT 'out' AS side, deg FROM outd
+    UNION ALL
+    SELECT 'in' AS side, deg FROM ind
+)
+SELECT side,
+       COUNT(*) AS n_nodes,
+       CAST(SUM(deg) AS BIGINT) AS n_edges,
+       CAST(MIN(deg) AS BIGINT) AS min_deg,
+       CAST(MAX(deg) AS BIGINT) AS max_deg,
+       ROUND(CAST(SUM(deg) AS DOUBLE) / COUNT(*), 9) AS mean_deg
+FROM both_sides
+GROUP BY side
+ORDER BY side
+"""
+
+
+_pair(
+    "graph_degree_stats",
+    _degree_sql("concat('S', l.l_suppkey)", "concat('C', o.o_custkey)"),
+    _degree_sql(
+        "'S' || CAST(l.l_suppkey AS VARCHAR)",
+        "'C' || CAST(o.o_custkey AS VARCHAR)",
+    ),
+    tags=("graph", "degree", "profiling"),
+)

@@ -294,3 +294,89 @@ def doc_stats_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInArrow(
         stats, schema="doc_id long, n_tokens long, n_nonspace_chars long"
     ).orderBy("doc_id")
+
+
+# --- cogroup + applyInPandas (the remaining pandas API surface) ------------
+# `groupBy().cogroup().applyInPandas` is the escape hatch for binary
+# per-key operators the built-ins can't express; the canonical use is
+# exactly an as-of merge, so this twin shares the backward-as-of
+# oracle with `asof_join_purchase_click` (queries/events_ops.py) —
+# two Spark surfaces, one contract, differentially proven equal.
+#
+# Scale contract: both sides shuffle once on user_id and each key's
+# pair of groups must fit in one executor's Arrow batch (fine for
+# per-user event history; the window-carry-forward implementation in
+# operators/asof.py remains the unbounded-group production path).
+# pandas merge_asof is the per-group kernel — vectorized C, not row
+# loops.
+
+
+def _asof_oracle() -> str:
+    import crypto_lakehouse_spark.queries.events_ops  # noqa: F401
+
+    return REGISTRY["asof_join_purchase_click"].oracle
+
+
+@query(
+    "asof_join_cogroup",
+    oracle=None,  # wired below from the asof query (shared contract)
+    tags=("events", "asof-join", "cogroup", "pandas-udf"),
+)
+def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join via cogrouped applyInPandas + merge_asof,
+    proven equal to the window-carry-forward implementation by sharing
+    its DuckDB ASOF JOIN oracle."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.functions import fmt_ts
+
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+    )
+    ts_type = dict(zip(ev.schema.names, (f.dataType.simpleString() for f in ev.schema.fields)))["ts"]
+    out_schema = (
+        f"user_id bigint, event_id bigint, ts {ts_type}, "
+        "value double, click_value double"
+    )
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        left = left.sort_values(["ts", "event_id"])
+        right = right.sort_values(["click_ts", "click_value"])
+        out = pd.merge_asof(
+            left,
+            right.drop(columns=["user_id"]),
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out = out[["user_id", "event_id", "ts", "value", "click_value"]]
+        # NaN (merge miss) must reach Spark as NULL, not float NaN.
+        out["click_value"] = out["click_value"].astype(object).where(
+            out["click_value"].notna(), None
+        )
+        return out
+
+    joined = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, schema=out_schema)
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        fmt_ts("ts", micros=True).alias("purchase_ts"),
+        F.col("value").alias("purchase_value"),
+        F.col("click_value").alias("asof_click_value"),
+    ).orderBy("user_id", "event_id")
+
+
+def _wire_cogroup_oracle() -> None:
+    REGISTRY["asof_join_cogroup"].oracle = _asof_oracle()
+
+
+_wire_cogroup_oracle()

@@ -1,0 +1,139 @@
+"""Custom Python data source (Spark 4 `pyspark.sql.datasource` API):
+a pyarrow-backed parquet reader with explicit partition planning.
+
+Why this exists: the reference's source surface is fixed-format
+(Kafka JSON + Iceberg parquet); a complete engine must also expose
+the CONNECTOR extension point, and Spark 4's Python DataSource API is
+the idiomatic one (no JVM jar required). This source demonstrates all
+three contract pieces a real connector needs:
+
+- driver-side `schema()` — reads the parquet footer only (no data
+  scan) and normalizes the timestamp column to the epoch-micros
+  BIGINT wire rule used by every other landing-zone format here
+  (sources/text_formats.py), regardless of whether the file encodes
+  ts as TIMESTAMP[us/ns/ms] or int64-nanos (both have shipped in
+  driver testdata — see io.normalize_timestamps);
+- `partitions()` — one InputPartition per (file, row group), so a
+  multi-file / multi-row-group table fans out across executors
+  exactly like the native reader. A single-row-group file yields one
+  partition — the custom source inherits the same physical-layout
+  limits as the JVM scan, which is why io.py's compaction cache
+  exists;
+- executor-side `read(partition)` — yields pyarrow RecordBatches
+  (the Arrow fast path of the API — zero row-at-a-time Python).
+
+Scale posture: the Python worker pays one fork + Arrow IPC per
+partition vs the JVM-native scan — use for formats Spark lacks, not
+parquet in production (this is the demonstration vehicle with an
+exact oracle available). Options: `path` (file or directory),
+`columns` (comma list to prune — pushed to pyarrow's column reader).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+
+class ArrowParquetDataSource(DataSource):
+    """format("arrow_parquet") — see module docstring."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "arrow_parquet"
+
+    def _files(self) -> list[str]:
+        path = self.options["path"]
+        if os.path.isdir(path):
+            return sorted(
+                os.path.join(path, f)
+                for f in os.listdir(path)
+                if f.endswith(".parquet")
+            )
+        return [path]
+
+    def _columns(self) -> list[str] | None:
+        cols = self.options.get("columns")
+        return [c.strip() for c in cols.split(",")] if cols else None
+
+    def schema(self) -> str:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        arrow_schema = pq.ParquetFile(self._files()[0]).schema_arrow
+        cols = self._columns() or arrow_schema.names
+        out = []
+        for name in cols:
+            typ = arrow_schema.field(name).type
+            if pa.types.is_timestamp(typ) or (
+                name == "ts" and pa.types.is_int64(typ)
+            ):
+                out.append(f"{name}_us BIGINT")
+            elif pa.types.is_int64(typ) or pa.types.is_int32(typ):
+                out.append(f"{name} BIGINT")
+            elif pa.types.is_floating(typ):
+                out.append(f"{name} DOUBLE")
+            else:
+                out.append(f"{name} STRING")
+        return ", ".join(out)
+
+    def reader(self, schema) -> "ArrowParquetReader":
+        return ArrowParquetReader(self._files(), self._columns())
+
+
+class ArrowParquetReader(DataSourceReader):
+    def __init__(self, files: list[str], columns: list[str] | None):
+        self.files = files
+        self.columns = columns
+
+    def partitions(self) -> list[InputPartition]:
+        import pyarrow.parquet as pq
+
+        parts = []
+        for fi, f in enumerate(self.files):
+            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
+                parts.append(InputPartition((fi, rg)))
+        return parts
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        fi, rg = partition.value
+        pf = pq.ParquetFile(self.files[fi])
+        cols = self.columns or pf.schema_arrow.names
+        table = pf.read_row_group(rg, columns=cols)
+        arrays, names = [], []
+        for name in cols:
+            arr = table.column(name).combine_chunks()
+            typ = arr.type
+            if pa.types.is_timestamp(typ):
+                scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[typ.unit]
+                as_int = arr.cast(pa.int64())
+                if scale is None:  # nanos -> integer floor-div to micros
+                    as_int = pc.divide(as_int, 1000)
+                elif scale != 1:
+                    as_int = pc.multiply(as_int, scale)
+                arrays.append(as_int)
+                names.append(f"{name}_us")
+            elif name == "ts" and pa.types.is_int64(typ):
+                # driver's nanos-as-bigint encoding (io.py contract)
+                arrays.append(pc.divide(arr, 1000))
+                names.append("ts_us")
+            elif pa.types.is_int32(typ):
+                arrays.append(arr.cast(pa.int64()))
+                names.append(name)
+            elif pa.types.is_floating(typ) and not pa.types.is_float64(typ):
+                arrays.append(arr.cast(pa.float64()))
+                names.append(name)
+            else:
+                arrays.append(arr)
+                names.append(name)
+        yield from pa.table(arrays, names=names).to_batches()
+
+
+def register(spark) -> None:
+    """Idempotent per-session registration of the custom format."""
+    spark.dataSource.register(ArrowParquetDataSource)

@@ -292,3 +292,50 @@ def test_char_entropy_two_aggregations_no_join(spark):
     assert "Join" not in plan
     assert "Window" not in plan
     assert _data_exchanges(plan) <= 3
+
+
+def test_bloom_contamination_probe_is_broadcast_nested_loop(spark):
+    """The Bloom prefilter must reach the corpus map-side: the 1-row
+    bloom word-array joins as a broadcast nested-loop (never a
+    shuffle), and the exact-verify join against the benchmark shingle
+    set broadcasts — the corpus side streams with zero shuffle before
+    the per-doc rollup."""
+    plan = _plan(spark, "contamination_bloom")
+    assert "BroadcastNestedLoopJoin" in plan, "bloom row not broadcast"
+    assert "CartesianProduct" not in plan
+    # exact-verify join against bsh broadcasts (small benchmark set)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_oov_vocab_probe_is_broadcast(spark):
+    """The 256-row vocabulary must broadcast so the token probe is
+    map-side; no sort-merge join may appear."""
+    plan = _plan(spark, "tokenizer_oov_rate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_pq_codebook_joins_broadcast(spark):
+    """PQ encoding joins a 128-row codebook: every join in the ADC
+    chain must be broadcast (codebook + query subvectors), never a
+    shuffle join keyed on the corpus."""
+    plan = _plan(spark, "pq_adc_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_heavy_hitters_candidate_probe_broadcasts(spark):
+    """Phase-2 exact recount probes the corpus against the (small)
+    candidate token set — it must broadcast, keeping the recount
+    map-side + one bounded groupBy."""
+    plan = _plan(spark, "heavy_hitters_twophase")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_pagerank_contribution_join_shape(spark):
+    """The outdeg join fans out each edge exactly once; at this scale
+    both join strategies are acceptable but a cartesian product never
+    is, and the nodes-count attach must be a 1-row broadcast."""
+    plan = _plan(spark, "pagerank_one_iter")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
