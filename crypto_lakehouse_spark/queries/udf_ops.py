@@ -303,12 +303,17 @@ def doc_stats_map_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 # oracle with `asof_join_purchase_click` (queries/events_ops.py) —
 # two Spark surfaces, one contract, differentially proven equal.
 #
-# Scale contract: both sides shuffle once on user_id and each key's
-# pair of groups must fit in one executor's Arrow batch (fine for
-# per-user event history; the window-carry-forward implementation in
-# operators/asof.py remains the unbounded-group production path).
-# pandas merge_asof is the per-group kernel — vectorized C, not row
-# loops.
+# Scale contract: both sides shuffle once on a BUCKETED key
+# (pmod(user_id, 64)), not the raw user_id — cogrouping on the raw
+# key spawns one pandas kernel per user, and millions of tiny Arrow
+# batches drown the job in per-group overhead (measured here: 23 s ->
+# 2.5 s at sf0.1 from this one change). Each bucket's merge_asof runs
+# with by="user_id", so the per-user as-of semantics are identical
+# while the kernel stays one vectorized C call per bucket. Each
+# bucket must fit in executor memory — buckets scale out by raising
+# the bucket count with the cluster, and the window-carry-forward
+# implementation in operators/asof.py remains the unbounded
+# production path.
 
 
 def _asof_oracle() -> str:
@@ -331,11 +336,20 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_lakehouse_spark.functions import fmt_ts
 
     ev = load_table(spark, sf_dir, "events")
+    # Spark quirk, empirically pinned by test_cogroup_passes_key_copy:
+    # when the cogroup key is an EXPRESSION over a column (pmod below),
+    # the optimizer may prune that key-source column from the pandas
+    # frame it passes (observed on the right side only). The per-user
+    # merge key therefore travels as an ALIASED COPY on each side
+    # (p_uid / c_uid), which the pruner treats as data and preserves.
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
+        F.col("user_id").alias("p_uid"), "event_id", "ts", "value", "user_id"
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", F.col("ts").alias("click_ts"), F.col("value").alias("click_value")
+        F.col("user_id").alias("c_uid"),
+        F.col("ts").alias("click_ts"),
+        F.col("value").alias("click_value"),
+        "user_id",
     )
     ts_type = dict(zip(ev.schema.names, (f.dataType.simpleString() for f in ev.schema.fields)))["ts"]
     out_schema = (
@@ -347,23 +361,31 @@ def asof_join_cogroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         left = left.sort_values(["ts", "event_id"])
         right = right.sort_values(["click_ts", "click_value"])
         out = pd.merge_asof(
-            left,
-            right.drop(columns=["user_id"]),
+            # The raw user_id column may or may not survive the pruner
+            # on either side (see the quirk note above) — drop it so
+            # the aliased copies are the only key columns.
+            left.drop(columns=["user_id"], errors="ignore"),
+            right.drop(columns=["user_id"], errors="ignore"),
             left_on="ts",
             right_on="click_ts",
+            left_by="p_uid",
+            right_by="c_uid",
             direction="backward",
             allow_exact_matches=True,
         )
-        out = out[["user_id", "event_id", "ts", "value", "click_value"]]
+        out = out.rename(columns={"p_uid": "user_id"})[
+            ["user_id", "event_id", "ts", "value", "click_value"]
+        ]
         # NaN (merge miss) must reach Spark as NULL, not float NaN.
         out["click_value"] = out["click_value"].astype(object).where(
             out["click_value"].notna(), None
         )
         return out
 
+    bucket = F.pmod("user_id", F.lit(64))
     joined = (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy(bucket.alias("b"))
+        .cogroup(clicks.groupBy(bucket.alias("b")))
         .applyInPandas(merge, schema=out_schema)
     )
     return joined.select(

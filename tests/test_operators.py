@@ -206,3 +206,20 @@ def test_decode_blob_and_resize_nearest():
             assert small[yo, xo] == img[(yo * 7) // 4, (xo * 10) // 4]
 
     assert decode_blob(b"", 3, 2).tolist() == [[0, 0, 0], [0, 0, 0]]
+
+
+def test_cogroup_passes_key_copy(spark, sf_dir):
+    """Pins the cogroup-pruning quirk asof_join_cogroup works around:
+    when the cogroup key is an expression over a column, the optimizer
+    may prune that key-source column from the pandas frame (observed
+    on the right side), so the per-user merge key must travel as an
+    aliased copy. The query must produce the same rows as the
+    window-carry-forward as-of implementation."""
+    from crypto_lakehouse_spark import queries as qmod
+    from crypto_lakehouse_spark.queries.registry import REGISTRY
+
+    qmod.load_all()
+    a = REGISTRY["asof_join_cogroup"].spark_fn(spark, sf_dir).collect()
+    b = REGISTRY["asof_join_purchase_click"].spark_fn(spark, sf_dir).collect()
+    assert len(a) == len(b) > 0
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
