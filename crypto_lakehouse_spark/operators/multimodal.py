@@ -183,3 +183,83 @@ def frame_sample(blobs: DataFrame, every_n_bytes: int = 16) -> DataFrame:
             yield pd.DataFrame(out)
 
     return blobs.mapInPandas(batches, schema="doc_id BIGINT, frame_no INT, frame BINARY")
+
+
+# --- perceptual-hash (aHash) near-duplicate detection ----------------------
+# The image-dedup tier of the pipeline: render each document as a
+# deterministic 8x8 "thumbnail" (a 64-bin md5-token-histogram blob —
+# stands in for a real decoded+resized image; with PIL installed,
+# decode_image + resize_nearest produce the same 8x8 input from real
+# bytes), average-hash it (bit i = pixel_i * 64 >= sum(pixels) — the
+# classic aHash threshold in overflow-free integer form), and emit the
+# 64-bit signature as four 16-bit bands. Banding makes candidate
+# generation an equi-join: any pair within Hamming distance 3 differs
+# in at most 3 bands (pigeonhole), so joining on band equality finds
+# EVERY such pair — the same guarantee structure as the SimHash
+# prefix buckets in queries/dedup_ops.py.
+
+AHASH_SCHEMA = "doc_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT"
+
+
+def attach_token_histogram_blobs(documents: DataFrame) -> DataFrame:
+    """Encode each doc as a 64-byte binary blob: byte k = count of
+    tokens whose md5 leading byte mod 64 == k (clipped at 255). A
+    real pipeline would carry decoded image bytes here; the histogram
+    blob keeps every downstream step (binary column, decode, hash)
+    identical while remaining oracle-reproducible."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                counts = np.zeros(64, dtype=np.int64)
+                for tok in (text or "").split(" "):
+                    bk = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % 64
+                    counts[bk] += 1
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "media_type": "image/fake",
+                        "width": 8,
+                        "height": 8,
+                        "blob": bytes(np.minimum(counts, 255).astype(np.uint8)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return documents.select("doc_id", "text").mapInPandas(
+        batches, schema=BLOB_SCHEMA
+    )
+
+
+def ahash_bands(blobs: DataFrame) -> DataFrame:
+    """Decode each 8x8 blob and compute its aHash as four 16-bit
+    bands (b0..b3, bit j of band k = aHash bit 16k+j)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, w, h, blob in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["blob"]
+            ):
+                img = decode_blob(bytes(blob), int(w), int(h))
+                px = img.astype(np.int64).ravel()
+                total = int(px.sum())
+                bits = (px * 64 >= total).astype(np.int64)
+                bands = [
+                    int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=AHASH_SCHEMA)

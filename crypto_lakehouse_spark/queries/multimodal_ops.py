@@ -134,3 +134,118 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return decode_resize_features(attach_blobs(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_ahash_near_dup",
+    oracle="""
+WITH toks AS (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+b AS (
+    SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 2)) AS INT) % 64 AS bk,
+           CAST(COUNT(*) AS INT) AS c
+    FROM toks GROUP BY doc_id, CAST(('0x' || substr(md5(tok), 1, 2)) AS INT) % 64
+),
+cell AS (
+    SELECT d.doc_id, t.i, COALESCE(b.c, 0) AS v
+    FROM (SELECT DISTINCT doc_id FROM b) d
+    CROSS JOIN range(0, 64) t(i)
+    LEFT JOIN b ON b.doc_id = d.doc_id AND b.bk = t.i
+),
+px AS (SELECT doc_id, list(LEAST(v, 255) ORDER BY i) AS p FROM cell GROUP BY doc_id),
+hashed AS (SELECT doc_id, p, list_sum(p) AS s FROM px),
+bits AS (
+    SELECT doc_id,
+           list_transform(range(0, 64),
+                          i -> CASE WHEN p[i + 1] * 64 >= s THEN 1 ELSE 0 END) AS bt
+    FROM hashed
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b2.doc_id AS doc_b,
+           len(list_filter(range(0, 64), i -> a.bt[i + 1] <> b2.bt[i + 1])) AS ham
+    FROM bits a JOIN bits b2 ON a.doc_id < b2.doc_id
+)
+SELECT CAST(ham AS BIGINT) AS hamming,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(doc_a + doc_b) AS BIGINT) AS pair_id_checksum,
+       COUNT(DISTINCT doc_a) AS n_left_docs
+FROM pairs WHERE ham <= 3
+GROUP BY ham
+ORDER BY hamming
+""",
+    tags=("multimodal", "dedup", "ahash", "perceptual-hash"),
+)
+def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image near-dup: encode each doc as an 8x8
+    histogram thumbnail BLOB (operators/multimodal.py
+    attach_token_histogram_blobs — a real pipeline carries decoded
+    image bytes through the identical path), decode + average-hash it
+    into four 16-bit bands (ahash_bands), then find all pairs within
+    Hamming distance 3 via four band equi-joins (pigeonhole-complete
+    for <=3, the SimHash-bucket guarantee) and a bit_count(xor)
+    verify. The oracle recomputes every pixel, bit, and distance
+    relationally via the all-pairs definition — the banded plan must
+    produce EXACTLY the exhaustive answer. At 100 TB the band join is
+    the only pair generator (no all-pairs product), hot bands are
+    aggregation-side, and the verify touches one row per candidate. Output is the per-distance
+    pair census (count + id checksum + distinct-left-doc count) —
+    the pair SET is fully determined up to checksum collisions
+    while the result stays linear in docs, not quadratic in
+    near-dup pairs."""
+    from crypto_lakehouse_spark.operators.multimodal import (
+        ahash_bands,
+        attach_token_histogram_blobs,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = ahash_bands(attach_token_histogram_blobs(docs))
+    sig.createOrReplaceTempView("ahash_sig")
+    return spark.sql(
+        """
+WITH ham AS (
+    -- hamming computed inline per band branch (both rows' bands are
+    -- on hand after the equi-join) and filtered BEFORE the distinct,
+    -- so only true near-dup pairs are ever materialized — no
+    -- candidate relation, no verify re-join.
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
+    FROM ahash_sig a JOIN ahash_sig b
+      ON a.b0 = b.b0 AND a.doc_id < b.doc_id
+    WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
+    UNION
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
+    FROM ahash_sig a JOIN ahash_sig b
+      ON a.b1 = b.b1 AND a.doc_id < b.doc_id
+    WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
+    UNION
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
+    FROM ahash_sig a JOIN ahash_sig b
+      ON a.b2 = b.b2 AND a.doc_id < b.doc_id
+    WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
+    UNION
+    SELECT a.doc_id AS da, b.doc_id AS db,
+           bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
+    FROM ahash_sig a JOIN ahash_sig b
+      ON a.b3 = b.b3 AND a.doc_id < b.doc_id
+    WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
+         + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
+)
+SELECT CAST(hamming AS BIGINT) AS hamming,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(da + db) AS BIGINT) AS pair_id_checksum,
+       COUNT(DISTINCT da) AS n_left_docs
+FROM ham WHERE hamming <= 3
+GROUP BY hamming
+ORDER BY hamming
+"""
+    )
