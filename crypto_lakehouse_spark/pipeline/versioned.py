@@ -430,6 +430,50 @@ class VersionedTable:
             df = df.coalesce(target_files_per_partition)
         return self._commit(self._write_files(df), "compact", base=cur)
 
+    def optimize(self, target_file_mb: int = 128) -> dict:
+        """Size-targeted bin-packing compaction — the engine-level
+        `OPTIMIZE` a Delta/Iceberg user expects (reference
+        compaction.py:30-42 targets file size the same way via
+        rewrite_data_files' target-file-size option). Reads ONLY
+        manifest + filesystem metadata to decide: live bytes of the
+        current snapshot divided by the target size gives the
+        files-per-partition budget; if the layout already meets it,
+        returns without committing (idempotent — no empty versions).
+        At 100 TB this is the nightly small-file sweep: metadata-only
+        planning, partition-local rewrite, old snapshots untouched
+        until expire_snapshots."""
+        import math
+
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        files = self._load(cur)["files"]
+        sizes = [os.path.getsize(os.path.join(self.path, f)) for f in files]
+        total = sum(sizes)
+        target = target_file_mb * 1024 * 1024
+        if self.partition_by:
+            nparts = max(1, len({os.path.dirname(f) for f in files}))
+        else:
+            nparts = 1
+        per_part = max(1, math.ceil(total / nparts / target))
+        if len(files) <= per_part * nparts:
+            return {
+                "skipped": True,
+                "reason": "layout within target",
+                "files": len(files),
+                "bytes_total": total,
+            }
+        version = self.compact(per_part)
+        after = len(self._load(version)["files"])
+        return {
+            "skipped": False,
+            "version": version,
+            "files_before": len(files),
+            "files_after": after,
+            "bytes_total": total,
+            "target_files_per_partition": per_part,
+        }
+
     def expire_snapshots(self, retain_last: int = 5) -> dict[str, int]:
         """Expire old manifests and delete data files no remaining
         manifest references (expire_snapshots + remove_orphan_files,

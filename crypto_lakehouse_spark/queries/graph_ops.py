@@ -122,3 +122,118 @@ _pair(
     ),
     tags=("graph", "degree", "profiling"),
 )
+
+
+# --- iterated PageRank (3 exact integer iterations) ------------------------
+# The driver-loop form of the full algorithm (same pattern as
+# dup_clusters_cc's checkpointed label propagation): ranks are kept as
+# integers scaled by 10^18 and every update is
+#   R_{i+1}(v) = 15*(SCALE/100)/N  +  85 * (S_i(v) / 100)
+#   S_i(v)     = sum over incoming u of (R_i(u) / outdeg(u))
+# with every division an integer floor-div — bit-identical across
+# engines and across any execution order (integer sums are
+# order-free), so three unrolled CTE iterations in DuckDB reproduce
+# the loop exactly. Dangling nodes (customers) leak rank, as in the
+# simplified formulation — both sides implement the identical recurrence.
+# Scale: each iteration is one join (edges x ranks on src — the AQE
+# skew-join handles hubs) + one groupBy(dst) with map-side combine;
+# the loop persists each frontier like the CC iterations do.
+
+_PR_SCALE = 10**18
+
+
+def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-iteration integer PageRank over the supplier->customer graph
+    (recurrence + scale notes in the block comment above)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    edges = spark.sql(
+        """
+        SELECT DISTINCT concat('S', l.l_suppkey) AS src,
+                        concat('C', o.o_custkey) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        """
+    ).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = 15 * (_PR_SCALE // 100) // n
+
+    rank = nodes.select("v", F.lit(_PR_SCALE // n).alias("r"))
+    for _ in range(3):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(rank.withColumnRenamed("v", "src"), "src")
+            .select("dst", F.expr("r DIV od").alias("c"))
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        rank = (
+            nodes.join(s, nodes["v"] == s["dst"], "left")
+            .select(
+                nodes["v"],
+                (F.lit(base) + 85 * F.expr("COALESCE(s, 0L) DIV 100")).alias("r"),
+            )
+            # Cut the growing lineage each round, exactly like the CC
+            # iterations — at scale this is checkpoint(), locally the
+            # cheap in-memory form suffices.
+            .localCheckpoint(eager=True)
+        )
+    out = rank.select(
+        F.col("v").alias("node"),
+        F.col("r").cast("bigint").alias("pagerank_scaled"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 9).alias("pagerank"),
+    ).orderBy("node")
+    edges.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _pr_oracle() -> str:
+    head = """
+WITH edges AS (
+    SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+                    'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+nodes AS (SELECT src AS v FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS (
+    SELECT v, {scale} // t.n AS r FROM nodes CROSS JOIN nn t
+)"""
+    iters = []
+    for i in range(1, 4):
+        iters.append(f"""
+s{i} AS (
+    SELECT e.dst AS v, SUM(r.r // d.od) AS s
+    FROM edges e
+    JOIN outdeg d ON e.src = d.src
+    JOIN r{i - 1} r ON r.v = e.src
+    GROUP BY e.dst
+),
+r{i} AS (
+    SELECT n0.v,
+           (15 * {10**16} // t.n) + 85 * (COALESCE(s{i}.s, 0) // 100) AS r
+    FROM nodes n0 CROSS JOIN nn t LEFT JOIN s{i} ON s{i}.v = n0.v
+)""")
+    tail = f"""
+SELECT v AS node,
+       CAST(r AS BIGINT) AS pagerank_scaled,
+       ROUND(r / {_PR_SCALE}.0, 9) AS pagerank
+FROM r3 ORDER BY node
+"""
+    return head.format(scale=_PR_SCALE) + "," + ",".join(iters) + tail
+
+
+_pagerank_iterated.__name__ = "pagerank_iterated"
+query(
+    "pagerank_iterated",
+    oracle=_pr_oracle(),
+    tags=("graph", "pagerank", "iterative", "checkpointed"),
+)(_pagerank_iterated)

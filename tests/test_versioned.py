@@ -276,3 +276,34 @@ def test_merge_partition_key_in_merge_keys_skips_guard(spark, table):
     table.merge(_df(spark, [(1, "b", 99)]), keys=["k", "day"])
     got = {(r.k, r.day, r.v) for r in table.read().collect()}
     assert got == {(1, "a", 10), (1, "b", 99)}
+
+
+# --- size-targeted OPTIMIZE -------------------------------------------------
+
+
+def test_optimize_bin_packs_small_files(spark, table):
+    # Ten 1-row appends -> >= 10 small files across 2 partitions.
+    for i in range(10):
+        table.append(_df(spark, [(i, "a" if i % 2 else "b", i)]))
+    before = len(table._load(table.current_version())["files"])
+    assert before >= 10
+    # Any sane MB target dwarfs these tiny files -> 1 file/partition.
+    res = table.optimize(target_file_mb=128)
+    assert res["skipped"] is False
+    assert res["files_after"] <= 2  # one per partition
+    assert table.read().count() == 10
+    # Content identical through the rewrite.
+    got = {(r.k, r.day, r.v) for r in table.read().collect()}
+    assert got == {(i, "a" if i % 2 else "b", i) for i in range(10)}
+    # Pre-optimize snapshot still time-travels to the old layout.
+    assert table.read(version=res["version"] - 1).count() == 10
+    # Second run is a metadata-only no-op: no new version committed.
+    v = table.current_version()
+    res2 = table.optimize(target_file_mb=128)
+    assert res2["skipped"] is True
+    assert table.current_version() == v
+
+
+def test_optimize_empty_table_is_noop(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "empty"))
+    assert t.optimize()["skipped"] is True
