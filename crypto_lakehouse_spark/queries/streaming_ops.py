@@ -295,3 +295,54 @@ def streaming_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_lakehouse_spark.streaming.file_stream import run_stream_merge_upsert
 
     return run_stream_merge_upsert(spark, sf_dir)
+
+
+@query(
+    "streaming_session_window",
+    oracle="""
+WITH o AS (
+    SELECT user_id, event_id, ts, epoch_us(ts) AS us,
+           LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+    FROM events
+),
+m AS (
+    SELECT user_id, ts,
+           SUM(CASE WHEN prev_us IS NULL
+                         OR us - prev_us >= 1800000000
+                    THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+    FROM o
+),
+sess AS (
+    SELECT user_id,
+           MIN(ts) AS s_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS s_end,
+           COUNT(*) AS n_events
+    FROM m GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(s_start, '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(s_end, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       n_events
+FROM sess
+WHERE s_end <= (SELECT MAX(ts) FROM events) - INTERVAL 30 MINUTE
+ORDER BY user_id, session_start
+""",
+    tags=("streaming", "session-window", "watermark", "sessionization"),
+    bench=False,
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4/T5 composed with dynamic windows: native session_window
+    under a real watermark, drained availableNow in append mode —
+    emits exactly the sessions finalized under max_ts - delay, which
+    the oracle re-derives relationally (the same lag/cumsum session
+    derivation as `session_window_native`, watermark-filtered). See
+    streaming/file_stream.run_streaming_session_window for why
+    chronological replay makes the emitted set exact."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_streaming_session_window,
+    )
+
+    return run_streaming_session_window(spark, sf_dir)

@@ -783,3 +783,73 @@ def run_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def run_streaming_session_window(
+    spark: SparkSession, sf_dir: str, gap: str = "30 minutes", delay: str = "30 minutes"
+) -> DataFrame:
+    """Streaming sessionization with the NATIVE session_window operator
+    under a real event-time watermark — the streaming twin of
+    `session_window_native` (queries/events_ops.py), whose dynamic
+    gap-merged windows carry over unchanged (that's the point of using
+    the native operator: the same expression runs batch and stream).
+
+    Replay is 2 chronological halves, which makes the emitted set
+    exact batch SQL: chronological order means a session still open at
+    a batch boundary can always absorb the next batch's events before
+    the watermark passes its end (an open session's end is within
+    `gap` of the boundary, while the watermark trails by `delay` >= 0
+    behind max event time), so no session is finalized early or split.
+    Append mode emits exactly the sessions whose end <= final
+    watermark (max_ts - delay); the oracle filters the batch session
+    derivation the same way.
+    """
+    from crypto_lakehouse_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    mid_us = int(
+        ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    )
+    mid = F.timestamp_micros(F.lit(mid_us))
+    feed = tempfile.mkdtemp(prefix="sess_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="sess_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
+
+    _stage(ev.filter(F.col("ts") <= mid), 0)
+    _stage(ev.filter(F.col("ts") > mid), 1)
+
+    stream = (
+        spark.readStream.schema(_stream_schema(spark, feed))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withWatermark("ts", delay)
+        .groupBy("user_id", F.session_window("ts", gap).alias("sw"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.date_format("sw.start", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_start"
+            ),
+            F.date_format("sw.end", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+    )
+    name = f"sess_win_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("user_id", "session_start")
