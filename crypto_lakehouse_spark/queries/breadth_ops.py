@@ -676,3 +676,95 @@ _pair(
     tables=["nation", "region"],
     tags=("relational", "null-safe-join"),
 )
+
+
+# --- LISTAGG WITHIN GROUP (Spark 4 / ANSI ordered string agg) --------------
+# The ANSI ordered string aggregation, new in Spark 4 — the
+# deterministic form of string concatenation (an explicit WITHIN GROUP
+# order, vs collect_list whose order is partition-dependent; compare
+# `collect_order_statuses`, which had to sort explicitly). DuckDB's
+# string_agg(x, sep ORDER BY ...) is the same operator.
+_LISTAGG_SPARK = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       listagg(DISTINCT o_orderstatus, ',')
+           WITHIN GROUP (ORDER BY o_orderstatus) AS statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_LISTAGG_DUCK = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus)
+           AS statuses
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+_pair(
+    "listagg_order_statuses",
+    _LISTAGG_SPARK,
+    _LISTAGG_DUCK,
+    tables=["orders"],
+    tags=("relational", "listagg", "spark4"),
+)
+
+
+# --- approx_top_k (Spark 4 frequent-items sketch) --------------------------
+# The engine-side sketch twin of `heavy_hitters_twophase`: Spark 4's
+# approx_top_k tracks maxItemsTracked counters (a space-saving-style
+# summary). Gating pattern (same honesty rule as the HLL/percentile
+# sketch twins): the tracked-capacity here (8192) exceeds this
+# corpus's whole vocabulary, making the sketch EXACT, so the exact
+# top-k SQL is a true oracle; at 100 TB capacity < vocabulary makes it
+# approximate, and `heavy_hitters_twophase` (checked-exact) or
+# `vocab_top_tokens` (exact) are the verification anchors. Ties are
+# re-ranked deterministically (count DESC, token) after exploding the
+# sketch result — the sketch's own tie order is unspecified, so k is
+# requested well past the reported top-10 (k=100 > this corpus's
+# whole vocabulary) and the boundary is re-cut after the re-rank.
+_ATK_SPARK = """
+WITH toks AS (
+    SELECT explode(split(text, ' ')) AS tok FROM documents
+),
+sketch AS (
+    SELECT approx_top_k(tok, 100, 8192) AS tk FROM toks
+),
+flat AS (
+    SELECT x.item AS token, x.count AS tf
+    FROM sketch LATERAL VIEW explode(tk) t AS x
+)
+SELECT token, tf, rank FROM (
+    SELECT token, CAST(tf AS BIGINT) AS tf,
+           CAST(ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS BIGINT) AS rank
+    FROM flat
+)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+_ATK_DUCK = """
+WITH toks AS (
+    SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+),
+counts AS (SELECT tok AS token, COUNT(*) AS tf FROM toks GROUP BY tok)
+SELECT token, CAST(tf AS BIGINT) AS tf,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+    SELECT token, tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rank
+    FROM counts
+)
+WHERE rank <= 10
+ORDER BY rank
+"""
+
+_pair(
+    "approx_top_k_tokens",
+    _ATK_SPARK,
+    _ATK_DUCK,
+    tables=["documents"],
+    tags=("lmdata", "sketch", "heavy-hitters", "spark4", "gated-exact"),
+)

@@ -250,3 +250,85 @@ def versioned_time_travel_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return snap(0, 0).unionByName(snap(None, 1)).orderBy("version", "o_orderkey")
+
+
+_MERGE_DEL_SRC_SQL = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 12 = 0 THEN 'DEL' ELSE 'UPD' END
+           AS o_orderstatus,
+       o_totalprice + 50 AS o_totalprice,
+       o_orderpriority
+FROM orders WHERE o_orderkey % 6 = 0
+"""
+
+
+@query(
+    "merge_delete_result",
+    oracle=f"""
+WITH target AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+src AS (
+{_MERGE_DEL_SRC_SQL}
+),
+upserts AS (SELECT * FROM src WHERE o_orderstatus <> 'DEL')
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM (
+    SELECT * FROM upserts
+    UNION ALL
+    SELECT t.* FROM target t
+    WHERE NOT EXISTS (SELECT 1 FROM src s WHERE s.o_orderkey = t.o_orderkey)
+)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+    tags=("lakehouse", "merge", "delete", "table"),
+    bench=False,
+)
+def merge_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5/J4 extended with Delta's third MERGE clause: WHEN MATCHED
+    AND <pred> THEN DELETE. Every 6th key is merged (every 12th marked
+    DEL and removed, the rest updated +50); the STORED table's
+    per-priority census is returned and must equal the relational
+    derivation. Partition pruning holds (o_orderpriority stable under
+    the update), and fully-emptied partitions are dropped, not left
+    behind (tables.py merge docstring)."""
+    from crypto_lakehouse_spark.tables import LakehouseTable
+
+    register_views(spark, sf_dir, ["orders"])
+    target = spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        """
+    )
+    t = LakehouseTable(
+        spark,
+        tempfile.mkdtemp(prefix="merge_del_q_") + "/t",
+        partition_by=["o_orderpriority"],
+    )
+    t.overwrite(target)
+    t.merge(
+        spark.sql(_MERGE_DEL_SRC_SQL),
+        keys=["o_orderkey"],
+        delete_match="o_orderstatus = 'DEL'",
+    )
+    from pyspark.sql import functions as F
+
+    return (
+        t.read()
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("price_sum"),
+        )
+        .select(
+            "o_orderpriority",
+            "n_orders",
+            F.col("price_sum").cast("double").alias("price_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -126,9 +126,19 @@ class LakehouseTable:
         self._refresh()
 
     # -- merge -------------------------------------------------------------
-    def merge(self, source: DataFrame, keys: list[str]) -> None:
+    def merge(
+        self, source: DataFrame, keys: list[str], delete_match: str | None = None
+    ) -> None:
         """Upsert `source` by `keys` (MERGE WHEN MATCHED UPDATE SET * /
         WHEN NOT MATCHED INSERT *). Rewrites only touched partitions.
+
+        `delete_match` adds Delta's third clause — WHEN MATCHED AND
+        <predicate> THEN DELETE: source rows satisfying the predicate
+        (a SQL expression over source columns) remove the matched
+        target row instead of replacing it; a delete-marked key with
+        no target match is a no-op, exactly as in Delta. The rewrite
+        stays partition-pruned: a deleted key's partition is touched
+        by definition (the target row lives there).
         """
         dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
         if dup:
@@ -136,8 +146,12 @@ class LakehouseTable:
                 f"MERGE source is not unique on keys {keys} "
                 "(same contract as Delta: multiple source matches are an error)"
             )
+        if delete_match is not None:
+            upserts = source.filter(~F.expr(delete_match))
+        else:
+            upserts = source
         if not self.exists():
-            self.overwrite(source)
+            self.overwrite(upserts)
             return
 
         target = self.read().select(*source.columns)  # align column order
@@ -168,10 +182,34 @@ class LakehouseTable:
                         "delete+insert."
                     )
             target = target.join(F.broadcast(parts), self.partition_by, "left_semi")
+        # Anti-join against ALL source keys (updates AND deletes): a
+        # matched target row is either replaced by its upsert row or
+        # dropped by its delete row; only `upserts` re-enter.
         keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
-        merged = keep.unionByName(source)
+        merged = keep.unionByName(upserts)
         if self.partition_by:
+            # Dynamic overwrite only replaces partitions PRESENT in the
+            # output: a partition whose every row was deleted would
+            # silently survive. Find source-touched partitions that end
+            # up empty and drop their directories explicitly (Delta
+            # records the same as remove-actions in its log).
+            emptied = (
+                parts.join(
+                    merged.select(*self.partition_by).distinct(),
+                    self.partition_by,
+                    "left_anti",
+                ).collect()
+                if delete_match is not None
+                else []
+            )
             self.overwrite_partitions(merged)
+            for row in emptied:
+                rel = "/".join(
+                    f"{c}={row[c]}" for c in self.partition_by
+                )
+                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+            if emptied:
+                self._refresh()
         else:
             # Unpartitioned: stage then swap (full rewrite is inherent).
             tmp = f"{self.path}__staging_{int(time.time() * 1000)}"

@@ -93,3 +93,38 @@ def test_merge_rejects_partition_moving_key_lakehouse(spark, tmp_path):
         t.merge(_df(spark, [(1, "A", "y")]), ["k"])
     # Table unchanged by the failed merge.
     assert {(r.k, r.p) for r in t.read().collect()} == {(1, "x"), (2, "y")}
+
+
+# --- MERGE WHEN MATCHED DELETE ---------------------------------------------
+
+
+def test_merge_delete_matched(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", "x"), (2, "b", "x"), (3, "c", "y")]), ["k"])
+    # k=2 deleted, k=3 updated, k=4 inserted; k=9 delete-of-absent is a no-op.
+    t.merge(
+        _df(spark, [(2, "DEL", "x"), (3, "c2", "y"), (4, "d", "y"), (9, "DEL", "x")]),
+        ["k"],
+        delete_match="v = 'DEL'",
+    )
+    got = {(r.k, r.v, r.p) for r in t.read().collect()}
+    assert got == {(1, "a", "x"), (3, "c2", "y"), (4, "d", "y")}
+
+
+def test_merge_delete_empties_whole_partition(spark, tmp_path):
+    import os
+
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"])
+    # Deleting the only row of partition p=x must remove the partition
+    # itself — dynamic overwrite alone would leave it behind.
+    t.merge(_df(spark, [(1, "DEL", "x")]), ["k"], delete_match="v = 'DEL'")
+    assert {(r.k, r.p) for r in t.read().collect()} == {(2, "y")}
+    assert not os.path.isdir(os.path.join(t.path, "p=x"))
+
+
+def test_merge_delete_unpartitioned(spark, tmp_path):
+    t = LakehouseTable(spark, str(tmp_path / "t"))
+    t.merge(_df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"])
+    t.merge(_df(spark, [(2, "DEL", "y")]), ["k"], delete_match="v = 'DEL'")
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a")}
