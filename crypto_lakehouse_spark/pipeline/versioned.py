@@ -474,6 +474,62 @@ class VersionedTable:
             "target_files_per_partition": per_part,
         }
 
+    def restore(self, version: int) -> int:
+        """Delta `RESTORE TABLE ... TO VERSION AS OF` analog: publish a
+        NEW commit whose file list is the target snapshot's — pure
+        metadata (no data rewrite; files are immutable and still on
+        disk until expire_snapshots), history preserved, and the
+        restore itself is undoable by another restore. Per-file stats
+        and schema-evolution metadata travel with the restored
+        snapshot."""
+        if version not in self.versions():
+            raise ValueError(
+                f"{self.path}: cannot restore to v{version}: not in "
+                f"retained history {self.versions()}"
+            )
+        snap = self._load(version)
+        # Route the restored snapshot's stats through the commit path.
+        self._last_write_stats = dict(snap.get("stats", {}))
+        try:
+            return self._commit(
+                snap["files"],
+                f"restore(v{version})",
+                base=self.current_version(),
+                added_columns=snap.get("added_columns", {}),
+            )
+        finally:
+            self._last_write_stats = {}
+
+    def clone_to(self, dest_path: str) -> "VersionedTable":
+        """Delta shallow-CLONE analog: an independent table at
+        `dest_path` whose v0 references the CURRENT snapshot's data as
+        hard links — zero bytes of data copied (same filesystem), and
+        because part files are immutable, writes on either side can
+        never corrupt the other: each table's subsequent commits write
+        new files under its own path."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"{self.path}: cannot clone an empty table")
+        snap = self._load(cur)
+        dest = VersionedTable(self.spark, dest_path, partition_by=self.partition_by)
+        os.makedirs(dest_path, exist_ok=True)
+        for rel in snap["files"]:
+            src = os.path.join(self.path, rel)
+            dst = os.path.join(dest_path, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            os.link(src, dst)
+        dest._last_write_stats = dict(snap.get("stats", {}))
+        try:
+            dest._commit(
+                snap["files"],
+                f"clone({self.path}@v{cur})",
+                base=None,
+                added_columns=snap.get("added_columns", {}),
+            )
+        finally:
+            dest._last_write_stats = {}
+        return dest
+
     def expire_snapshots(self, retain_last: int = 5) -> dict[str, int]:
         """Expire old manifests and delete data files no remaining
         manifest references (expire_snapshots + remove_orphan_files,

@@ -307,3 +307,46 @@ def test_optimize_bin_packs_small_files(spark, table):
 def test_optimize_empty_table_is_noop(spark, tmp_path):
     t = VersionedTable(spark, str(tmp_path / "empty"))
     assert t.optimize()["skipped"] is True
+
+
+# --- RESTORE / shallow CLONE ------------------------------------------------
+
+
+def test_restore_to_old_version(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))           # v0
+    table.append(_df(spark, [(2, "b", 20)]))           # v1
+    table.overwrite(_df(spark, [(9, "a", 90)]))        # v2
+    v = table.restore(1)
+    assert v == 3
+    assert {(r.k, r.v) for r in table.read().collect()} == {(1, 10), (2, 20)}
+    # History preserved: the pre-restore state still time-travels.
+    assert {r.k for r in table.read(version=2).collect()} == {9}
+    # Restore is itself undoable.
+    table.restore(2)
+    assert {r.k for r in table.read().collect()} == {9}
+
+
+def test_restore_unknown_version_raises(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not in"):
+        table.restore(7)
+
+
+def test_shallow_clone_is_independent(spark, table, tmp_path):
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    clone = table.clone_to(str(tmp_path / "clone"))
+    assert {(r.k, r.v) for r in clone.read().collect()} == {(1, 10), (2, 20)}
+    # Diverge both sides; neither sees the other's writes.
+    clone.append(_df(spark, [(3, "a", 30)]))
+    table.append(_df(spark, [(4, "b", 40)]))
+    assert {r.k for r in clone.read().collect()} == {1, 2, 3}
+    assert {r.k for r in table.read().collect()} == {1, 2, 4}
+    # Zero-copy: the cloned v0 files are hard links (same inode).
+    import os
+
+    rel = clone._load(0)["files"][0]
+    assert os.stat(os.path.join(clone.path, rel)).st_ino == os.stat(
+        os.path.join(table.path, rel)
+    ).st_ino
