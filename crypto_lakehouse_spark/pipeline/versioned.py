@@ -474,6 +474,70 @@ class VersionedTable:
             "target_files_per_partition": per_part,
         }
 
+    def table_changes(
+        self, keys: list[str], v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Delta Change-Data-Feed analog (`table_changes(...)`):
+        row-level diff between two snapshots, derived by a key-join of
+        the snapshots themselves rather than per-commit change files —
+        the snapshot-diff formulation every CDC backfill reduces to.
+        Emits each changed row with a `_change_type` column:
+        'insert' (key only in v_to), 'delete' (key only in v_from,
+        pre-image values), 'update_preimage'/'update_postimage' (key
+        in both with any non-key column changed — both images, Delta's
+        contract). Unchanged rows are excluded.
+
+        Scale shape: one full-outer join on the keys (co-partitioned
+        shuffle; at 100 TB both sides are the same table so bucketed
+        layouts co-locate it), change detection via null-safe struct
+        comparison — no per-column UDF, whole-stage codegen applies.
+        """
+        from pyspark.sql import functions as F
+
+        if v_to is None:
+            v_to = self.current_version()
+        old = self.read(version=v_from)
+        new = self.read(version=v_to)
+        cols = new.columns
+        val_cols = [c for c in cols if c not in keys]
+        o = old.select(
+            *[F.col(c).alias(f"__o_{c}") for c in cols],
+            F.lit(True).alias("__in_old"),
+        )
+        nw = new.select(
+            *[F.col(c).alias(f"__n_{c}") for c in cols],
+            F.lit(True).alias("__in_new"),
+        )
+        cond = [o[f"__o_{k}"] == nw[f"__n_{k}"] for k in keys]
+        j = o.join(nw, cond, "full_outer")
+        changed = F.coalesce(
+            F.struct(*[F.col(f"__o_{c}") for c in val_cols]).eqNullSafe(
+                F.struct(*[F.col(f"__n_{c}") for c in val_cols])
+            )
+            == F.lit(False),
+            F.lit(True),
+        )
+
+        def img(prefix: str, ctype: str) -> DataFrame:
+            return j.select(
+                *[F.col(f"{prefix}{c}").alias(c) for c in cols],
+                F.lit(ctype).alias("_change_type"),
+                changed.alias("__chg"),
+                F.col("__in_old").alias("__io"),
+                F.col("__in_new").alias("__in"),
+            )
+
+        inserts = img("__n_", "insert").where(F.col("__io").isNull())
+        deletes = img("__o_", "delete").where(F.col("__in").isNull())
+        upd_pre = img("__o_", "update_preimage").where(
+            F.col("__io").isNotNull() & F.col("__in").isNotNull() & F.col("__chg")
+        )
+        upd_post = img("__n_", "update_postimage").where(
+            F.col("__io").isNotNull() & F.col("__in").isNotNull() & F.col("__chg")
+        )
+        out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
+        return out.select(*cols, "_change_type")
+
     def restore(self, version: int) -> int:
         """Delta `RESTORE TABLE ... TO VERSION AS OF` analog: publish a
         NEW commit whose file list is the target snapshot's — pure

@@ -332,3 +332,78 @@ def merge_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "versioned_change_feed",
+    oracle=f"""
+WITH target AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders WHERE o_orderkey % 3 = 0
+),
+src AS (
+{_MERGE_SRC_SQL}
+),
+ins AS (
+    SELECT s.*, 'insert' AS _change_type FROM src s
+    WHERE NOT EXISTS (SELECT 1 FROM target t
+                      WHERE t.o_orderkey = s.o_orderkey)
+),
+upd_keys AS (
+    SELECT s.o_orderkey FROM src s JOIN target t
+      ON s.o_orderkey = t.o_orderkey
+    WHERE s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+       OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+       OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+),
+pre AS (
+    SELECT t.*, 'update_preimage' AS _change_type
+    FROM target t JOIN upd_keys u ON t.o_orderkey = u.o_orderkey
+),
+post AS (
+    SELECT s.*, 'update_postimage' AS _change_type
+    FROM src s JOIN upd_keys u ON s.o_orderkey = u.o_orderkey
+)
+SELECT o_orderkey, o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS total_price,
+       o_orderpriority, _change_type
+FROM (SELECT * FROM ins UNION ALL SELECT * FROM pre
+      UNION ALL SELECT * FROM post)
+ORDER BY o_orderkey, _change_type
+""",
+    tags=("lakehouse", "cdf", "change-data-feed", "versioned"),
+    bench=False,
+)
+def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta Change-Data-Feed analog: v0 = the orders subset, v1 = the
+    MERGE upsert (same source as merge_upsert_result), then
+    table_changes(keys, 0, 1) emits inserts and both update images —
+    proven against the relational snapshot-diff derivation. See
+    pipeline/versioned.table_changes for the one-join scale shape."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    register_views(spark, sf_dir, ["orders"])
+    target = spark.sql(
+        """
+        SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 3 = 0
+        """
+    )
+    t = VersionedTable(spark, _tf.mkdtemp(prefix="cdf_q_") + "/t")
+    t.overwrite(target)                                   # v0
+    t.merge(spark.sql(_MERGE_SRC_SQL), keys=["o_orderkey"])  # v1
+    return (
+        t.table_changes(["o_orderkey"], 0, 1)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("total_price"),
+            "o_orderpriority",
+            "_change_type",
+        )
+        .orderBy("o_orderkey", "_change_type")
+    )

@@ -350,3 +350,26 @@ def test_shallow_clone_is_independent(spark, table, tmp_path):
     assert os.stat(os.path.join(clone.path, rel)).st_ino == os.stat(
         os.path.join(table.path, rel)
     ).st_ino
+
+
+# --- Change Data Feed -------------------------------------------------------
+
+
+def test_table_changes_covers_all_change_types(spark, tmp_path):
+    t = VersionedTable(spark, str(tmp_path / "cdf"))
+    t.overwrite(_df(spark, [(1, "a", 10), (2, "b", 20), (3, "c", 30)]))  # v0
+    # v1: update k=1, delete nothing via merge... use overwrite to get
+    # a delete too: k=3 gone, k=4 new, k=1 changed, k=2 unchanged.
+    t.overwrite(_df(spark, [(1, "a", 11), (2, "b", 20), (4, "d", 40)]))  # v1
+    rows = {
+        (r.k, r.day, r.v, r._change_type)
+        for r in t.table_changes(["k"], 0, 1).collect()
+    }
+    assert rows == {
+        (1, "a", 10, "update_preimage"),
+        (1, "a", 11, "update_postimage"),
+        (3, "c", 30, "delete"),
+        (4, "d", 40, "insert"),
+    }
+    # Unchanged k=2 emitted nowhere.
+    assert not any(r[0] == 2 for r in rows)
