@@ -346,3 +346,31 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_streaming_session_window(spark, sf_dir)
+
+
+@query(
+    "python_datasource_stream_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "python-datasource", "spark4", "connector"),
+    bench=False,
+)
+def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 through the CONNECTOR extension point: the custom Python
+    data source's streaming reader (row-range offsets, 3
+    micro-batches, checkpointed) feeding a complete-mode streaming
+    aggregation; values must hash-match the batch oracle. See
+    streaming/file_stream.run_python_datasource_stream."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_python_datasource_stream,
+    )
+
+    return run_python_datasource_stream(spark, sf_dir)

@@ -33,7 +33,12 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 
 class ArrowParquetDataSource(DataSource):
@@ -137,3 +142,92 @@ class ArrowParquetReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent per-session registration of the custom format."""
     spark.dataSource.register(ArrowParquetDataSource)
+
+
+class ArrowParquetStreamReader(DataSourceStreamReader):
+    """Streaming half of the connector contract (Spark 4
+    DataSourceStreamReader): replays the parquet table as a bounded
+    stream of micro-batches. Offsets are ROW positions ({"rows": n} —
+    JSON-dict offsets, exactly-once via the checkpoint like any
+    source); each latestOffset() call advances by one chunk until the
+    table is exhausted, and partitions(start, end) maps the row range
+    to one InputPartition (production would split ranges on row-group
+    boundaries; the demonstration table is small enough to slice).
+    """
+
+    def __init__(self, files: list[str], columns: list[str] | None, n_batches: int):
+        self.files = files
+        self.columns = columns
+        import pyarrow.parquet as pq
+
+        self.total = sum(pq.ParquetFile(f).metadata.num_rows for f in self.files)
+        self.chunk = max(1, -(-self.total // n_batches))
+
+    def initialOffset(self) -> dict:
+        return {"rows": 0}
+
+    def latestOffset(self) -> dict:
+        # Called once per micro-batch trigger; advance one chunk.
+        cur = getattr(self, "_cur", 0)
+        self._cur = min(self.total, cur + self.chunk)
+        return {"rows": self._cur}
+
+    def partitions(self, start: dict, end: dict):
+        return [InputPartition((start["rows"], end["rows"]))]
+
+    def commit(self, end: dict) -> None:
+        pass  # files are immutable; nothing to release
+
+    def read(self, partition: InputPartition):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        lo, hi = partition.value
+        if hi <= lo:
+            return
+        tables = []
+        seen = 0
+        for f in self.files:
+            pf = pq.ParquetFile(f)
+            n = pf.metadata.num_rows
+            if seen + n <= lo or seen >= hi:
+                seen += n
+                continue
+            cols = self.columns or pf.schema_arrow.names
+            t = pf.read(columns=cols)
+            t = t.slice(max(0, lo - seen), min(hi, seen + n) - max(lo, seen))
+            tables.append(t)
+            seen += n
+        if not tables:
+            return
+        table = pa.concat_tables(tables)
+        arrays, names = [], []
+        for name in table.schema.names:
+            arr = table.column(name).combine_chunks()
+            typ = arr.type
+            if pa.types.is_timestamp(typ):
+                scale = {"s": 1_000_000, "ms": 1_000, "us": 1, "ns": None}[typ.unit]
+                as_int = arr.cast(pa.int64())
+                if scale is None:
+                    as_int = pc.divide(as_int, 1000)
+                elif scale != 1:
+                    as_int = pc.multiply(as_int, scale)
+                arrays.append(as_int)
+                names.append(f"{name}_us")
+            elif name == "ts" and pa.types.is_int64(typ):
+                arrays.append(pc.divide(arr, 1000))
+                names.append("ts_us")
+            else:
+                arrays.append(arr)
+                names.append(name)
+        yield from pa.table(arrays, names=names).to_batches()
+
+
+def _patched_stream_reader(self, schema):
+    return ArrowParquetStreamReader(
+        self._files(), self._columns(), int(self.options.get("n_batches", "4"))
+    )
+
+
+ArrowParquetDataSource.streamReader = _patched_stream_reader

@@ -853,3 +853,80 @@ def run_streaming_session_window(
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_start")
+
+
+def run_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming aggregation through the CUSTOM Python data source
+    (sources/pyarrow_source.ArrowParquetStreamReader): the events
+    table replayed as 3 row-range micro-batches with JSON-dict
+    offsets and checkpoint-tracked exactly-once progress, aggregated
+    per event_type in complete mode. Proves the connector's streaming
+    half end-to-end — offsets, partition planning, Arrow batch reads —
+    against the same batch oracle as the native path.
+
+    The source is unbounded from Spark's perspective (latestOffset
+    advances one chunk per trigger), so the drain is: poll the memory
+    sink until the aggregated row count equals the table's footer
+    row count, then stop — the Python-source equivalent of
+    availableNow (which caps at the FIRST latestOffset and would
+    replay only one chunk)."""
+    import time as _time
+
+    import pyarrow.parquet as _pq
+
+    from crypto_lakehouse_spark.sources.pyarrow_source import register
+
+    register(spark)
+    src = f"{sf_dir}/events.parquet"
+    files = (
+        sorted(
+            os.path.join(src, f) for f in os.listdir(src) if f.endswith(".parquet")
+        )
+        if os.path.isdir(src)
+        else [src]
+    )
+    total = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+
+    df = (
+        spark.readStream.format("arrow_parquet")
+        .option("path", src)
+        .option("columns", "event_id,ts,event_type,value")
+        .option("n_batches", "3")
+        .load()
+    )
+    agg = (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+    )
+    name = f"pyds_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pydss_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    deadline = _time.time() + 120
+    while _time.time() < deadline:
+        done = (
+            spark.table(name).agg(F.sum("n_events").alias("n")).collect()[0]["n"]
+        )
+        if done == total:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    return (
+        spark.table(name)
+        .select(
+            "event_type",
+            "n_events",
+            "min_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )
