@@ -768,3 +768,55 @@ _pair(
     tables=["documents"],
     tags=("lmdata", "sketch", "heavy-hitters", "spark4", "gated-exact"),
 )
+
+
+# --- SQL-defined scalar UDF (Spark 4 CREATE FUNCTION ... RETURN) -----------
+# The declarative UDF tier: a function DEFINED IN SQL is inlined by
+# the analyzer into the calling plan — zero Python, zero JVM class,
+# full whole-stage codegen — which is why it's the first escape hatch
+# to reach for before pandas/Python UDFs (queries/udf_ops.py ranks
+# the rest of the ladder). The oracle simply inlines the body.
+_SQL_UDF_BODY = """
+CASE WHEN {p} < 100000 THEN 'low'
+     WHEN {p} < 300000 THEN 'mid'
+     ELSE 'high' END
+"""
+
+
+def _sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL scalar UDF (CREATE TEMPORARY FUNCTION ... RETURNS
+    ... RETURN <expr>), analyzer-inlined; census per band must
+    hash-match the oracle that expands the body textually."""
+    from crypto_lakehouse_spark.io import register_views
+
+    register_views(spark, sf_dir, ["orders"])
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE) "
+        "RETURNS STRING RETURN " + _SQL_UDF_BODY.format(p="p")
+    )
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                   AS price_sum
+        FROM orders
+        GROUP BY price_band(o_totalprice)
+        ORDER BY band
+        """
+    )
+
+
+_sql_udf_price_bands.__name__ = "sql_udf_price_bands"
+query(
+    "sql_udf_price_bands",
+    oracle=f"""
+SELECT {_SQL_UDF_BODY.format(p="o_totalprice")} AS band,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM orders
+GROUP BY 1
+ORDER BY band
+""",
+    tags=("relational", "sql-udf", "spark4"),
+)(_sql_udf_price_bands)

@@ -518,3 +518,69 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+# --- EWMA (exponentially weighted moving average) ---------------------------
+# The recursive smoother ewma_d = a*x_d + (1-a)*ewma_{d-1} cannot be a
+# plain window sum (the closed-form power weights explode numerically
+# and hash-agg float sums aren't order-pinned); it IS a sequential
+# fold, so both engines run the identical day-sorted left fold per
+# group — the same discipline as every float fold in this repo. One
+# exact-decimal daily aggregation + one per-group fold; scale shape is
+# one shuffle on (type, day) then one on type.
+_EWMA_A = "0.2"
+_EWMA_SENTINEL = "-1e300"
+
+
+@query(
+    "ewma_daily_price",
+    oracle=f"""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS x
+    FROM events
+    GROUP BY event_type, date_trunc('day', ts)
+)
+SELECT event_type,
+       COUNT(*) AS n_days,
+       strftime(MAX(day), '%Y-%m-%d') AS last_day,
+       ROUND(list_reduce(
+           list_prepend(CAST({_EWMA_SENTINEL} AS DOUBLE),
+                        list(x ORDER BY day)),
+           (acc, x) -> CASE WHEN acc = {_EWMA_SENTINEL} THEN x
+                            ELSE {_EWMA_A} * x + (1 - {_EWMA_A}) * acc END),
+           9) AS ewma_price
+FROM daily
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "ewma", "time-series"),
+)
+def ewma_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest EWMA (alpha=0.2) of the daily mean value per event type
+    via a day-sorted sequential fold (block comment above)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("x")
+        )
+    )
+    fold = (
+        f"aggregate(array_sort(collect_list(struct(day, x))), "
+        f"CAST({_EWMA_SENTINEL} AS DOUBLE), "
+        f"(acc, e) -> CASE WHEN acc = {_EWMA_SENTINEL} THEN e.x "
+        f"ELSE {_EWMA_A} * e.x + (1 - {_EWMA_A}) * acc END)"
+    )
+    return (
+        daily.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+            F.round(F.expr(fold), 9).alias("ewma_price"),
+        )
+        .orderBy("event_type")
+    )
