@@ -269,3 +269,51 @@ def python_datasource_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "python_datasource_write_roundtrip",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       MIN(event_id) AS min_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sources", "python-datasource", "write", "spark4"),
+    bench=False,
+)
+def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The connector's WRITE half (DataSourceArrowWriter, two-phase
+    commit: task-staged files -> driver publish + _SUCCESS): events
+    written through format('arrow_parquet') and read back natively
+    must hash-match the original table's aggregate — proving the
+    Arrow write path loses nothing."""
+    import tempfile as _tf
+
+    from crypto_lakehouse_spark.sources.pyarrow_source import register
+
+    register(spark)
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    out = _tf.mkdtemp(prefix="pyds_write_q_") + "/t"
+    ev.write.format("arrow_parquet").option("path", out).mode("append").save()
+    return (
+        spark.read.parquet(out)
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

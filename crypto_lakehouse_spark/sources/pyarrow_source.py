@@ -33,11 +33,15 @@ from __future__ import annotations
 
 import os
 
+from dataclasses import dataclass
+
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     DataSourceStreamReader,
     InputPartition,
+    WriterCommitMessage,
 )
 
 
@@ -231,3 +235,78 @@ def _patched_stream_reader(self, schema):
 
 
 ArrowParquetDataSource.streamReader = _patched_stream_reader
+
+
+@dataclass
+class _PartFileCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file this task produced."""
+
+    staged: str
+    rows: int
+
+
+class ArrowParquetWriter(DataSourceArrowWriter):
+    """Write half of the connector contract: a two-phase-commit batch
+    writer. Each task streams its Arrow record batches into ONE
+    staged parquet file (task-uuid name — no coordination needed) and
+    reports it in its commit message; the driver's commit() publishes
+    all staged files atomically-enough for a filesystem (rename into
+    the final dir, then `_SUCCESS`), and abort() removes the staging
+    dir so failed jobs leave no partial output — the same
+    task-commit/job-commit split as Spark's own FileOutputCommitter.
+    """
+
+    def __init__(self, path: str, overwrite: bool):
+        self.path = path
+        self.overwrite = overwrite
+        self.staging = os.path.join(path, "_staging")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        batches = list(iterator)
+        os.makedirs(self.staging, exist_ok=True)
+        staged = os.path.join(self.staging, f"part-{uuid.uuid4().hex}.parquet")
+        table = (
+            pa.Table.from_batches(batches)
+            if batches
+            else None
+        )
+        if table is None or table.num_rows == 0:
+            return _PartFileCommit(staged="", rows=0)
+        pq.write_table(table, staged)
+        return _PartFileCommit(staged=staged, rows=table.num_rows)
+
+    def commit(self, messages) -> None:
+        import shutil
+
+        if self.overwrite:
+            for f in os.listdir(self.path):
+                if f.endswith(".parquet"):
+                    os.remove(os.path.join(self.path, f))
+        for m in messages:
+            if m and m.staged:
+                os.rename(
+                    m.staged,
+                    os.path.join(self.path, os.path.basename(m.staged)),
+                )
+        shutil.rmtree(self.staging, ignore_errors=True)
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
+            f.write("")
+
+    def abort(self, messages) -> None:
+        import shutil
+
+        shutil.rmtree(self.staging, ignore_errors=True)
+
+
+def _patched_writer(self, schema, overwrite: bool):
+    path = self.options["path"]
+    os.makedirs(path, exist_ok=True)
+    return ArrowParquetWriter(path, overwrite)
+
+
+ArrowParquetDataSource.writer = _patched_writer

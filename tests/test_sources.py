@@ -76,3 +76,31 @@ def test_jsonl_malformed_rows_route_to_dlq(spark, tmp_path):
     good, dlq = read_with_dlq(spark, str(bad_dir), "jsonl")
     assert sorted(r.event_id for r in good.collect()) == [1, 3]
     assert dlq.count() == 1
+
+
+# --- custom Python data source: write path ----------------------------------
+
+
+def test_arrow_parquet_writer_roundtrip_and_overwrite(spark, sf_dir, tmp_path):
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.sources.pyarrow_source import register
+
+    register(spark)
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "pyds_write")
+    ev.write.format("arrow_parquet").option("path", out).mode("append").save()
+    import os
+
+    assert os.path.isfile(os.path.join(out, "_SUCCESS"))
+    assert not os.path.isdir(os.path.join(out, "_staging"))  # staging cleaned
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert {r.event_id for r in back.collect()} == {
+        r.event_id for r in ev.collect()
+    }
+    # Overwrite replaces previous part files.
+    ev.limit(7).write.format("arrow_parquet").option("path", out).mode(
+        "overwrite"
+    ).save()
+    spark.catalog.refreshByPath(out)
+    assert spark.read.parquet(out).count() == 7
