@@ -210,13 +210,24 @@ def attach_token_histogram_blobs(documents: DataFrame) -> DataFrame:
     import hashlib
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Token -> bucket memo, shared across the worker's batches:
+        # natural-language vocabularies are far smaller than token
+        # counts, so hashing each OCCURRENCE is pure waste.
+        bucket_of: dict[str, int] = {}
+
+        def _bucket(tok: str) -> int:
+            b = bucket_of.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % 64
+                bucket_of[tok] = b
+            return b
+
         for pdf in it:
             rows = []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 counts = np.zeros(64, dtype=np.int64)
                 for tok in (text or "").split(" "):
-                    bk = int(hashlib.md5(tok.encode()).hexdigest()[:2], 16) % 64
-                    counts[bk] += 1
+                    counts[_bucket(tok)] += 1
                 rows.append(
                     {
                         "doc_id": doc_id,

@@ -187,8 +187,16 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify. The oracle recomputes every pixel, bit, and distance
     relationally via the all-pairs definition — the banded plan must
     produce EXACTLY the exhaustive answer. At 100 TB the band join is
-    the only pair generator (no all-pairs product), hot bands are
-    aggregation-side, and the verify touches one row per candidate. Output is the per-distance
+    the only pair generator (no all-pairs product). Hot band values
+    are the known LSH failure mode: on THIS corpus (pathologically
+    self-similar) the four joins emit ~4M candidates for ~277k true
+    pairs at sf0.1 — an irreducible volume, since the exhaustive
+    answer itself is that large; a corpus with normal near-dup rates
+    collapses the buckets. Production knobs when buckets do run hot:
+    wider bands (lower collision rate, same <=3 guarantee needs more
+    bands) or a bucket-size cap (the df-cap pattern from the shingle
+    joins — explicitly sacrificing completeness for capped buckets,
+    which this oracle-exact query does not do). Output is the per-distance
     pair census (count + id checksum + distinct-left-doc count) —
     the pair SET is fully determined up to checksum collisions
     while the result stays linear in docs, not quadratic in
