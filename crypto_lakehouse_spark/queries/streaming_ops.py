@@ -374,3 +374,62 @@ def python_datasource_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return run_python_datasource_stream(spark, sf_dir)
+
+
+@query(
+    "streaming_stream_stream_left_join",
+    oracle="""
+WITH clicks AS (
+    SELECT user_id, event_id AS click_id, ts AS click_ts
+    FROM events WHERE event_type = 'click'
+),
+purchases AS (
+    SELECT user_id, event_id AS purchase_id, ts AS p_ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+wm AS (
+    SELECT LEAST((SELECT MAX(click_ts) FROM clicks),
+                 (SELECT MAX(p_ts) FROM purchases))
+           - INTERVAL 1 HOUR AS w
+),
+matched AS (
+    SELECT c.click_id, c.user_id, p.purchase_id,
+           CAST(p.value AS DOUBLE) AS purchase_value
+    FROM clicks c JOIN purchases p
+      ON c.user_id = p.user_id
+     AND c.click_ts >= p.p_ts - INTERVAL 5 MINUTE
+     AND c.click_ts < p.p_ts
+),
+unmatched AS (
+    SELECT c.click_id, c.user_id,
+           CAST(NULL AS BIGINT) AS purchase_id,
+           CAST(NULL AS DOUBLE) AS purchase_value
+    FROM clicks c CROSS JOIN wm
+    WHERE NOT EXISTS (
+        SELECT 1 FROM purchases p
+        WHERE p.user_id = c.user_id
+          AND c.click_ts >= p.p_ts - INTERVAL 5 MINUTE
+          AND c.click_ts < p.p_ts
+    )
+    AND c.click_ts + INTERVAL 5 MINUTE <= wm.w
+)
+SELECT * FROM matched
+UNION ALL
+SELECT * FROM unmatched
+ORDER BY click_id, purchase_id
+""",
+    tags=("streaming", "stream-stream-join", "outer-join", "watermark"),
+    bench=False,
+)
+def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join drained availableNow:
+    matches emit on match; unmatched clicks emit with nulls exactly
+    when the watermark proves no purchase can still arrive. The oracle
+    derives both sets relationally (see
+    streaming/file_stream.run_stream_stream_left_join)."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_stream_stream_left_join,
+    )
+
+    return run_stream_stream_left_join(spark, sf_dir)

@@ -930,3 +930,93 @@ def run_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def run_stream_stream_left_join(
+    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join — the outer variant of
+    run_stream_stream_join, exercising the semantics inner joins never
+    touch: an unmatched left row is held in state until the watermark
+    proves no future right row can match (here: wm > click_ts + 5min,
+    from the join's time bound), then emitted with nulls. Matched rows
+    emit on match, as in the inner join.
+
+    Replay is 2 chronological halves of the events file; the final
+    global watermark is min(max click_ts, max purchase_ts) - delay
+    (Spark takes the min across watermark operators), so the emitted
+    set is: ALL matches, plus exactly the unmatched clicks whose
+    last-possible-match instant (click_ts + 5min) is at or below that
+    watermark — which is what the batch oracle derives.
+    """
+    from crypto_lakehouse_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    mid_us = int(
+        ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
+    )
+    mid = F.timestamp_micros(F.lit(mid_us))
+    feed = tempfile.mkdtemp(prefix="ssl_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = tempfile.mkdtemp(prefix="ssl_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
+
+    _stage(ev.filter(F.col("ts") <= mid), 0)
+    _stage(ev.filter(F.col("ts") > mid), 1)
+
+    def _src() -> DataFrame:
+        return (
+            spark.readStream.schema(_stream_schema(spark, feed))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    clicks = (
+        _src()
+        .where("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", delay)
+    )
+    purchases = (
+        _src()
+        .where("event_type = 'purchase'")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", delay)
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") < F.col("p_ts")),
+        "left_outer",
+    ).select(
+        "click_id",
+        F.col("c_user").alias("user_id"),
+        "purchase_id",
+        F.col("purchase_value").cast("double").alias("purchase_value"),
+    )
+    name = f"ssl_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssl_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name).orderBy("click_id", "purchase_id")

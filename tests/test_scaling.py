@@ -37,6 +37,10 @@ RAMP_QUERIES = [
     "dup_clusters_cc_star",
     "levenshtein_blocked_linkage",
     "minute_gap_fill_ffill",
+    # round-5 additions to the expensive tier
+    "pagerank_iterated",
+    "multimodal_ahash_near_dup",
+    "asof_join_cogroup",
 ]
 
 RATIO_MAX = 30.0
