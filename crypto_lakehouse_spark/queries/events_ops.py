@@ -584,3 +584,95 @@ def ewma_daily_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- point-in-time (SCD2) dimension join ------------------------------------
+# The feature-store correctness pattern: every fact row must join the
+# dimension version VALID AT ITS OWN TIMESTAMP — joining the current
+# version leaks future attributes into training data. The dimension
+# here is derived from the event stream itself (every 50th event is a
+# tier-change for its user; validity = [change_ts, next_change_ts)),
+# the facts are purchases, and the join predicate is the half-open
+# interval containment. Scale shape: both sides shuffle once on
+# user_id; within a user the interval containment is resolved by the
+# range condition (Spark compiles user-equi + range to a sort-merge
+# join with interval pruning; the generic range-join posture is
+# documented at range_join_click_purchase). The engine's SCD2 WRITER
+# (pipeline/scd.py, tested) produces exactly this layout.
+
+
+@query(
+    "pit_scd2_dimension_join",
+    oracle="""
+WITH changes AS (
+    SELECT user_id, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS valid_to,
+           CAST(event_id % 3 AS INT) AS tier
+    FROM events WHERE event_id % 50 = 0
+),
+facts AS (
+    SELECT user_id, event_id, ts, value FROM events
+    WHERE event_type = 'purchase'
+),
+joined AS (
+    SELECT f.user_id, f.event_id, f.value, c.tier
+    FROM facts f JOIN changes c
+      ON f.user_id = c.user_id
+     AND f.ts >= c.valid_from
+     AND (c.valid_to IS NULL OR f.ts < c.valid_to)
+)
+SELECT tier,
+       COUNT(*) AS n_purchases,
+       COUNT(DISTINCT user_id) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM joined
+GROUP BY tier
+ORDER BY tier
+""",
+    tags=("events", "scd2", "point-in-time", "range-join"),
+)
+def pit_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join of purchase facts against an SCD2-shaped
+    dimension (block comment above): each purchase picks the tier
+    version valid at its own timestamp — never the current one."""
+    ev = load_table(spark, sf_dir, "events")
+    changes = (
+        ev.filter(F.col("event_id") % 50 == 0)
+        .select(
+            "user_id",
+            F.col("ts").alias("valid_from"),
+            (F.col("event_id") % 3).cast("int").alias("tier"),
+            "event_id",
+        )
+        .withColumn(
+            "valid_to",
+            F.lead("valid_from").over(
+                Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+            ),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    joined = facts.alias("f").join(
+        changes.alias("c"),
+        (F.col("f.user_id") == F.col("c.user_id"))
+        & (F.col("f.ts") >= F.col("c.valid_from"))
+        & (F.col("c.valid_to").isNull() | (F.col("f.ts") < F.col("c.valid_to"))),
+    )
+    return (
+        joined.groupBy("c.tier")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.countDistinct("f.user_id").alias("n_users"),
+            F.sum(F.col("f.value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            F.col("tier"),
+            "n_purchases",
+            "n_users",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("tier")
+    )
