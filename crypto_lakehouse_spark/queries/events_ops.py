@@ -676,3 +676,80 @@ def pit_scd2_dimension_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tier")
     )
+
+
+# --- z-score anomaly detection ----------------------------------------------
+# Daily value sums per type -> per-type population mean/std via exact
+# decimal power sums (the corr/stddev one-pass discipline from
+# sampling_ops) -> flag |z| > 1.5 days. Floats appear only in the
+# final per-row expression from exact ingredients, so both engines
+# compute identical doubles. Scale: one (type, day) aggregation, one
+# 5-row stats aggregate joined back broadcast.
+
+
+@query(
+    "daily_value_outliers",
+    oracle="""
+WITH daily AS (
+    SELECT event_type, date_trunc('day', ts) AS day,
+           SUM(CAST(value AS DECIMAL(18,4))) AS s
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+),
+stats AS (
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(s) AS s1,
+           SUM(CAST(s AS DECIMAL(38,8)) * s) AS s2
+    FROM daily GROUP BY event_type
+),
+scored AS (
+    SELECT d.event_type,
+           strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(d.s AS DOUBLE) AS value_sum,
+           (CAST(d.s AS DOUBLE) - CAST(t.s1 AS DOUBLE) / t.n)
+             / SQRT((CAST(t.s2 AS DOUBLE)
+                     - CAST(t.s1 AS DOUBLE) * CAST(t.s1 AS DOUBLE) / t.n)
+                    / t.n) AS z
+    FROM daily d JOIN stats t ON d.event_type = t.event_type
+)
+SELECT event_type, day, value_sum, ROUND(z, 9) AS zscore
+FROM scored
+WHERE ABS(z) > 1.5
+ORDER BY event_type, day
+""",
+    tags=("events", "anomaly", "zscore", "time-series"),
+)
+def daily_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Days whose total value is a >1.5-sigma outlier for their event
+    type (block comment above has the exactness discipline)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,4)")).alias("s"))
+    stats = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s").alias("s1"),
+        F.sum(F.col("s").cast("decimal(38,8)") * F.col("s")).alias("s2"),
+    )
+    scored = daily.join(stats, "event_type").select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("s").cast("double").alias("value_sum"),
+        (
+            (F.col("s").cast("double") - F.col("s1").cast("double") / F.col("n"))
+            / F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double")
+                    * F.col("s1").cast("double")
+                    / F.col("n")
+                )
+                / F.col("n")
+            )
+        ).alias("z"),
+    )
+    return (
+        scored.filter(F.abs("z") > 1.5)
+        .select("event_type", "day", "value_sum", F.round("z", 9).alias("zscore"))
+        .orderBy("event_type", "day")
+    )

@@ -407,3 +407,158 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "_change_type")
     )
+
+
+@query(
+    "dq_documents_report",
+    oracle="""
+SELECT 'doc_id_not_null' AS check_name,
+       CAST(SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_failed,
+       SUM(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM documents
+UNION ALL
+SELECT 'text_nonempty',
+       CAST(SUM(CASE WHEN text IS NULL OR length(text) = 0
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN text IS NULL OR length(text) = 0
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'lang_accepted',
+       CAST(SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN lang NOT IN ('en','de','es','fr','zh')
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'n_chars_consistent',
+       CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+           AS BIGINT),
+       SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'n_chars_range',
+       CAST(SUM(CASE WHEN n_chars < 1 OR n_chars > 100000
+                     THEN 1 ELSE 0 END) AS BIGINT),
+       SUM(CASE WHEN n_chars < 1 OR n_chars > 100000
+                THEN 1 ELSE 0 END) = 0
+FROM documents
+UNION ALL
+SELECT 'doc_id_unique',
+       CAST(COALESCE((SELECT SUM(c - 1) FROM
+             (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id
+              HAVING COUNT(*) > 1)), 0) AS BIGINT),
+       COALESCE((SELECT SUM(c - 1) FROM
+             (SELECT COUNT(*) AS c FROM documents GROUP BY doc_id
+              HAVING COUNT(*) > 1)), 0) = 0
+ORDER BY check_name
+""",
+    tags=("lakehouse", "data-quality", "expectations"),
+    bench=False,
+)
+def dq_documents_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite over the documents corpus
+    through pipeline/quality.run_checks (the engine analog of the
+    reference's Great Expectations suites — every row predicate in ONE
+    aggregation pass, uniqueness in one more; quality.py module
+    docstring has the one-scan rationale). The report the suite
+    returns must hash-match the oracle recomputing each failure count
+    relationally."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.quality import Check, Unique, run_checks
+
+    docs = load_table(spark, sf_dir, "documents")
+    suite = [
+        Check("doc_id_not_null", F.col("doc_id").isNotNull()),
+        Check(
+            "text_nonempty",
+            F.col("text").isNotNull() & (F.length("text") > 0),
+        ),
+        Check("lang_accepted", F.col("lang").isin("en", "de", "es", "fr", "zh")),
+        Check("n_chars_consistent", F.col("n_chars") == F.length("text")),
+        Check("n_chars_range", F.col("n_chars").between(1, 100000)),
+        Unique("doc_id_unique", ("doc_id",)),
+    ]
+    results = run_checks(docs, suite)
+    return (
+        spark.createDataFrame(
+            [(r.name, r.n_failed, r.passed) for r in results],
+            "check_name STRING, n_failed BIGINT, passed BOOLEAN",
+        )
+        .orderBy("check_name")
+    )
+
+
+@query(
+    "fk_integrity_audit",
+    oracle="""
+SELECT 'lineitem.orderkey->orders' AS relationship,
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans,
+       (SELECT COUNT(*) FROM lineitem) AS n_rows
+UNION ALL
+SELECT 'orders.custkey->customer',
+       (SELECT COUNT(*) FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)),
+       (SELECT COUNT(*) FROM orders)
+UNION ALL
+SELECT 'customer.nationkey->nation',
+       (SELECT COUNT(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = c.c_nationkey)),
+       (SELECT COUNT(*) FROM customer)
+UNION ALL
+SELECT 'supplier.nationkey->nation',
+       (SELECT COUNT(*) FROM supplier s
+        WHERE NOT EXISTS (SELECT 1 FROM nation n
+                          WHERE n.n_nationkey = s.s_nationkey)),
+       (SELECT COUNT(*) FROM supplier)
+UNION ALL
+SELECT 'lineitem.partkey->part',
+       (SELECT COUNT(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p
+                          WHERE p.p_partkey = l.l_partkey)),
+       (SELECT COUNT(*) FROM lineitem)
+ORDER BY relationship
+""",
+    tags=("lakehouse", "data-quality", "referential-integrity"),
+    bench=False,
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema: orphan
+    counts per FK relationship via LEFT ANTI joins (each one shuffle
+    or broadcast — Catalyst picks; nation/part/customer are
+    broadcast-sized dims). The report a warehouse runs before
+    trusting joins for training-data extraction."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+
+    def audit(name, child, child_key, parent, parent_key):
+        orphans = child.join(
+            parent, child[child_key] == parent[parent_key], "left_anti"
+        ).count()
+        return (name, orphans, child.count())
+
+    rows = [
+        audit("lineitem.orderkey->orders", li, "l_orderkey", orders, "o_orderkey"),
+        audit("orders.custkey->customer", orders, "o_custkey", cust, "c_custkey"),
+        audit("customer.nationkey->nation", cust, "c_nationkey", nation, "n_nationkey"),
+        audit("supplier.nationkey->nation", supp, "s_nationkey", nation, "n_nationkey"),
+        audit("lineitem.partkey->part", li, "l_partkey", part, "p_partkey"),
+    ]
+    return spark.createDataFrame(
+        rows, "relationship STRING, n_orphans BIGINT, n_rows BIGINT"
+    ).orderBy("relationship")
