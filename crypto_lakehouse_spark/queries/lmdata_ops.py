@@ -454,3 +454,67 @@ _pair(
     _OOV_DUCK,
     tags=("lmdata", "text", "tokenizer"),
 )
+
+
+# --- quality-weighted curriculum resampling ---------------------------------
+# The DCLM/FineWeb-style quality-weighted keep/drop: rank every doc
+# into quality deciles (the doc_quality_score signal: length mix,
+# lexical diversity, stopword density), then keep each doc with
+# probability decile/10 — best decile kept whole, worst kept 10% —
+# where "probability" is the repo's deterministic md5-bucket uniform
+# (portable across engines/runs/cluster sizes; no RNG state). One
+# global NTILE sort (at 100 TB: approx-quantile decile cuts replace
+# the global sort — same contract, documented tradeoff) + a map-side
+# keep/drop; the census reports per-decile yield.
+
+_Q_BUCKET = (
+    "(ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 4, 1)) * 65536"
+    " + ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 5, 1)) * 256"
+    " + ASCII(SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 6, 1))) % 10"
+)
+
+
+def _curriculum_sql(size_fn: str, split_fn: str, filter_fn: str, distinct_fn: str) -> str:
+    return f"""
+WITH q AS (
+    SELECT doc_id, source,
+           CAST(LEAST(n_tok, 200) AS DOUBLE) / 200 * 0.3
+             + CAST(n_distinct AS DOUBLE) / n_tok * 0.4
+             + CAST(n_stop AS DOUBLE) / n_tok * 0.3 AS quality_score
+    FROM (
+        SELECT doc_id, source,
+               {size_fn}({split_fn}(text, ' ')) AS n_tok,
+               {size_fn}({distinct_fn}({split_fn}(text, ' '))) AS n_distinct,
+               {size_fn}({filter_fn}({split_fn}(text, ' '),
+                   t -> t IN ('the', 'a', 'of', 'and', 'to', 'in', 'is')))
+                   AS n_stop
+        FROM documents
+    )
+),
+ranked AS (
+    SELECT doc_id, source, quality_score,
+           NTILE(10) OVER (ORDER BY quality_score, doc_id) AS decile
+    FROM q
+),
+decided AS (
+    SELECT decile, doc_id,
+           CASE WHEN {_Q_BUCKET} < decile THEN 1 ELSE 0 END AS kept
+    FROM ranked
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       COUNT(*) AS n_docs,
+       CAST(SUM(kept) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN kept = 1 THEN doc_id ELSE 0 END) AS BIGINT)
+           AS kept_id_checksum
+FROM decided
+GROUP BY decile
+ORDER BY decile
+"""
+
+
+_pair(
+    "curriculum_quality_resample",
+    _curriculum_sql("size", "split", "filter", "array_distinct"),
+    _curriculum_sql("len", "string_split", "list_filter", "list_distinct"),
+    tags=("lmdata", "sampling", "curriculum", "quality"),
+)
