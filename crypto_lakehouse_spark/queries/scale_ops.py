@@ -284,3 +284,54 @@ query(
     oracle=_ZORDER.replace("%%DIV%%", "//"),
     tags=("scale", "data-layout", "zorder"),
 )(_zorder_fn)
+
+
+# --- mergeable HLL rollup (sketch algebra proof) ---------------------------
+# The property that makes sketches the 100 TB pre-aggregation story is
+# MERGEABILITY: per-shard sketches unioned later must estimate like a
+# single global pass. This query proves it value-gated: both the
+# sharded-then-unioned and the single-pass datasketches HLL estimates
+# of distinct users must sit within 2% of the exact count (booleans in
+# the output — a drifting sketch breaks the hash loudly). Exact
+# equality of the two estimates is NOT asserted: hll_union_agg
+# promotes the sketch's target type, which can shift the estimator by
+# ulps (observed: 500 vs 499 on a 500-distinct probe) — the honest
+# contract is the error bound, not sketch-state identity.
+
+
+@query(
+    "hll_mergeable_rollup",
+    oracle="""
+SELECT COUNT(DISTINCT user_id) AS exact_distinct,
+       TRUE AS sharded_within_2pct,
+       TRUE AS global_within_2pct
+FROM events
+""",
+    tags=("scale", "sketch", "hll", "mergeable", "gated-exact"),
+)
+def hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sharded hll_sketch_agg -> hll_union_agg vs single-pass sketch
+    vs exact distinct, 2%-gated (block comment above)."""
+    from crypto_lakehouse_spark.io import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+WITH shards AS (
+    SELECT pmod(event_id, 8) AS shard,
+           hll_sketch_agg(user_id, 12) AS sk
+    FROM events GROUP BY pmod(event_id, 8)
+),
+m AS (SELECT hll_sketch_estimate(hll_union_agg(sk, false)) AS est_sharded
+      FROM shards),
+g AS (SELECT hll_sketch_estimate(hll_sketch_agg(user_id, 12)) AS est_global
+      FROM events),
+e AS (SELECT COUNT(DISTINCT user_id) AS exact_distinct FROM events)
+SELECT e.exact_distinct,
+       ABS(m.est_sharded - e.exact_distinct)
+           <= 0.02 * e.exact_distinct AS sharded_within_2pct,
+       ABS(g.est_global - e.exact_distinct)
+           <= 0.02 * e.exact_distinct AS global_within_2pct
+FROM e CROSS JOIN m CROSS JOIN g
+"""
+    )
