@@ -339,3 +339,32 @@ def test_pagerank_contribution_join_shape(spark):
     plan = _plan(spark, "pagerank_one_iter")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_pit_scd2_join_no_cartesian_and_single_pass(spark):
+    """The point-in-time join must stay a user-equi join with a range
+    residual — never a cartesian; the tier census is one aggregation
+    after it."""
+    plan = _plan(spark, "pit_scd2_dimension_join")
+    assert "CartesianProduct" not in plan
+    assert "Join" in plan
+
+
+def test_dq_report_is_one_pass_per_predicate_class(spark):
+    """The quality suite's row predicates must collapse into ONE
+    aggregation over one scan (quality.py's design contract), plus one
+    distinct pass for uniqueness — not a scan per check."""
+    plan = _plan(spark, "dq_documents_report")
+    # The report frame itself is a local relation (driver-assembled
+    # from the two aggregation results) — the heavy lifting happened
+    # in run_checks; the plan must not contain any join of repeated
+    # scans.
+    assert "CartesianProduct" not in plan
+
+
+def test_curriculum_resample_single_global_sort(spark):
+    """NTILE decile assignment is one global sort; keep/drop is a
+    map-side projection — no join anywhere."""
+    plan = _plan(spark, "curriculum_quality_resample")
+    assert "Join" not in plan
+    assert plan.count("Sort") >= 1
