@@ -562,3 +562,68 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "relationship STRING, n_orphans BIGINT, n_rows BIGINT"
     ).orderBy("relationship")
+
+
+@query(
+    "versioned_history_report",
+    oracle="""
+WITH src AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    WHERE o_orderkey % 4 = 0
+),
+ver AS (
+    SELECT 0 AS version, 'overwrite' AS op,
+           (SELECT COUNT(*) FROM src) AS n_rows
+    UNION ALL
+    SELECT 1, 'append',
+           (SELECT COUNT(*) FROM src)
+           + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 1)
+    UNION ALL
+    SELECT 2, 'merge',
+           (SELECT COUNT(*) FROM src)
+           + (SELECT COUNT(*) FROM orders WHERE o_orderkey % 4 = 1)
+    UNION ALL
+    SELECT 3, 'restore(v0)', (SELECT COUNT(*) FROM src)
+)
+SELECT version, op, n_rows FROM ver ORDER BY version
+""",
+    tags=("lakehouse", "history", "time-travel", "versioned"),
+    bench=False,
+)
+def versioned_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE HISTORY analog as a query: drive a versioned table
+    through overwrite -> append -> merge -> restore and report each
+    commit's op plus its snapshot's row count (time travel exercised
+    for every version). Wall-clock timestamps and physical file
+    counts are excluded from the report — only the deterministic
+    ledger is value-checked."""
+    import tempfile as _tf
+
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    register_views(spark, sf_dir, ["orders"])
+    base = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderkey % 4 = 0"
+    )
+    extra = spark.sql(
+        "SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders "
+        "WHERE o_orderkey % 4 = 1"
+    )
+    upd = base.withColumn("o_totalprice", F.col("o_totalprice") + 1)
+
+    t = VersionedTable(spark, _tf.mkdtemp(prefix="hist_q_") + "/t")
+    t.overwrite(base)       # v0
+    t.append(extra)         # v1
+    t.merge(upd, keys=["o_orderkey"])  # v2 (updates only: row count stable)
+    t.restore(0)            # v3
+
+    rows = [
+        (h["version"], h["op"], t.read(version=h["version"]).count())
+        for h in t.history()
+    ]
+    return spark.createDataFrame(
+        rows, "version BIGINT, op STRING, n_rows BIGINT"
+    ).orderBy("version")
