@@ -594,11 +594,24 @@ class VersionedTable:
             dest._last_write_stats = {}
         return dest
 
-    def expire_snapshots(self, retain_last: int = 5) -> dict[str, int]:
+    def expire_snapshots(
+        self, retain_last: int = 5, orphan_retention_s: float = 3600.0
+    ) -> dict[str, int]:
         """Expire old manifests and delete data files no remaining
         manifest references (expire_snapshots + remove_orphan_files,
         reference compaction.py:45-79). Also sweeps crashed-writer
-        staging dirs."""
+        staging dirs.
+
+        Orphan removal is AGE-GATED (Delta VACUUM / Iceberg
+        remove_orphan_files ``older_than`` semantics): a file or
+        staging dir is only deleted when its mtime is older than
+        ``orphan_retention_s`` seconds. An in-flight commit's
+        already-moved data files are by definition younger than the
+        window, so racing writers cannot lose data to the sweep —
+        without the gate, a concurrently publishing manifest could end
+        up referencing deleted files. Pass ``orphan_retention_s=0.0``
+        ONLY when the caller guarantees no concurrent writers (e.g. a
+        single-writer maintenance window, as in tests)."""
         vs = self.versions()
         expired = vs[:-retain_last] if retain_last else vs[:-1]
         for v in expired:
@@ -608,16 +621,30 @@ class VersionedTable:
         for v in self.versions():
             live.update(self._load(v)["files"])
         removed = 0
+        cutoff = time.time() - orphan_retention_s
+
+        def _old_enough(p: str) -> bool:
+            try:
+                return os.path.getmtime(p) <= cutoff
+            except OSError:
+                return False  # vanished mid-scan: another process owns it
+
         for root, dirs, names in os.walk(self.path, topdown=True):
             dirs[:] = [d for d in dirs if d != _MANIFEST_DIR]
             for d in list(dirs):
-                if d.startswith("_staging-"):
-                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
+                full = os.path.join(root, d)
+                if d.startswith("_staging-") and _old_enough(full):
+                    shutil.rmtree(full, ignore_errors=True)
                     dirs.remove(d)
                     removed += 1
             for name in names:
-                rel = os.path.relpath(os.path.join(root, name), self.path)
-                if name.endswith(".parquet") and rel not in live:
-                    os.remove(os.path.join(root, name))
+                full = os.path.join(root, name)
+                rel = os.path.relpath(full, self.path)
+                if (
+                    name.endswith(".parquet")
+                    and rel not in live
+                    and _old_enough(full)
+                ):
+                    os.remove(full)
                     removed += 1
         return {"expired_versions": len(expired), "removed_files": removed}

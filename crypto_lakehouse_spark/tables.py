@@ -37,6 +37,27 @@ from pyspark.sql import functions as F
 
 _SCHEMA_SIDECAR = "_schema.json"
 
+# Replicates Spark's ExternalCatalogUtils.escapePathName /
+# DEFAULT_PARTITION_NAME so directory names computed here always match
+# what Spark wrote — including NULL values and special characters
+# ('%', ':', '=', '/', control chars, ...). ADVICE r5: an f"{col}={val}"
+# path misses those and the cleanup silently no-ops.
+_HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^\x7f') | {chr(c) for c in range(0x20)}
+
+
+def _escape_path_name(value) -> str:
+    """Spark-compatible partition-dir value encoding (catalog/
+    ExternalCatalogUtils.scala escapePathName)."""
+    if value is None:
+        return _HIVE_DEFAULT_PARTITION
+    s = str(value)
+    if s == "":
+        return _HIVE_DEFAULT_PARTITION
+    return "".join(
+        f"%{ord(ch):02X}" if ch in _PATH_ESCAPE_CHARS else ch for ch in s
+    )
+
 
 class LakehouseTable:
     """A partitioned parquet table with append / overwrite / merge."""
@@ -159,6 +180,16 @@ class LakehouseTable:
             # Prune target read to touched partitions; at scale this is
             # partition pruning on the parquet scan, not a full read.
             parts = source.select(*self.partition_by).distinct()
+            # Partition-column joins must be NULL-safe: a NULL
+            # partition value is a legal partition
+            # (__HIVE_DEFAULT_PARTITION__ on disk), and plain equality
+            # would never match it — the pruned rewrite would then drop
+            # the NULL partition's unmatched target rows.
+            part_cond = None
+            for c in self.partition_by:
+                eq = F.col(f"t.{c}").eqNullSafe(F.col(f"sp.{c}"))
+                part_cond = eq if part_cond is None else (part_cond & eq)
+            t_al, p_al = target.alias("t"), F.broadcast(parts.alias("sp"))
             if not set(self.partition_by) <= set(keys):
                 # A matched key whose partition column changed would
                 # sit in an UNtouched partition and survive the pruned
@@ -166,7 +197,7 @@ class LakehouseTable:
                 # the partition columns in `keys` makes this
                 # structurally impossible (check skipped).
                 moved = (
-                    target.join(F.broadcast(parts), self.partition_by, "left_anti")
+                    t_al.join(p_al, part_cond, "left_anti")
                     .join(source.select(*keys).distinct(), keys, "left_semi")
                     .limit(1)
                     .count()
@@ -181,7 +212,7 @@ class LakehouseTable:
                         "merge keys, or route the correction as a "
                         "delete+insert."
                     )
-            target = target.join(F.broadcast(parts), self.partition_by, "left_semi")
+            target = t_al.join(p_al, part_cond, "left_semi")
         # Anti-join against ALL source keys (updates AND deletes): a
         # matched target row is either replaced by its upsert row or
         # dropped by its delete row; only `upserts` re-enter.
@@ -193,21 +224,41 @@ class LakehouseTable:
             # silently survive. Find source-touched partitions that end
             # up empty and drop their directories explicitly (Delta
             # records the same as remove-actions in its log).
+            # NULL-safe anti-join for the same reason as above: a
+            # plain-equality anti-join would flag a still-populated
+            # NULL partition as emptied and delete fresh data.
+            m_cond = None
+            for c in self.partition_by:
+                eq = F.col(f"sp.{c}").eqNullSafe(F.col(f"m.{c}"))
+                m_cond = eq if m_cond is None else (m_cond & eq)
             emptied = (
-                parts.join(
-                    merged.select(*self.partition_by).distinct(),
-                    self.partition_by,
+                parts.alias("sp")
+                .join(
+                    merged.select(*self.partition_by).distinct().alias("m"),
+                    m_cond,
                     "left_anti",
-                ).collect()
+                )
+                .collect()
                 if delete_match is not None
                 else []
             )
             self.overwrite_partitions(merged)
             for row in emptied:
                 rel = "/".join(
-                    f"{c}={row[c]}" for c in self.partition_by
+                    f"{c}={_escape_path_name(row[c])}" for c in self.partition_by
                 )
-                shutil.rmtree(os.path.join(self.path, rel), ignore_errors=True)
+                full = os.path.join(self.path, rel)
+                if not os.path.isdir(full):
+                    # Fail loudly: a missed directory here means the
+                    # fully-deleted partition's rows would survive
+                    # reads — the silent-no-op bug ADVICE r5 flagged.
+                    raise RuntimeError(
+                        f"MERGE delete emptied partition {rel!r} but no "
+                        f"such directory exists under {self.path}; "
+                        f"on-disk partition dirs: "
+                        f"{sorted(os.listdir(self.path))[:20]}"
+                    )
+                shutil.rmtree(full)
             if emptied:
                 self._refresh()
         else:

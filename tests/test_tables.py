@@ -128,3 +128,36 @@ def test_merge_delete_unpartitioned(spark, tmp_path):
     t.merge(_df(spark, [(1, "a", "x"), (2, "b", "y")]), ["k"])
     t.merge(_df(spark, [(2, "DEL", "y")]), ["k"], delete_match="v = 'DEL'")
     assert {(r.k, r.v) for r in t.read().collect()} == {(1, "a")}
+
+
+def test_merge_delete_empties_escaped_partition(spark, tmp_path):
+    """ADVICE r5 (tables.py merge cleanup): partition values Spark
+    escapes on disk ('a:b' → 'a%3Ab') must still be found and removed
+    when a MERGE delete empties the partition — previously the
+    f"{col}={val}" path missed the escaped name and the rows survived."""
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", "a:b"), (2, "b", "ok")]), ["k"])
+    assert glob.glob(str(tmp_path / "t" / "p=a%3Ab" / "*.parquet"))
+    t.merge(_df(spark, [(1, "DEL", "a:b")]), ["k"], delete_match="v = 'DEL'")
+    assert {(r.k, r.p) for r in t.read().collect()} == {(2, "ok")}
+    assert not glob.glob(str(tmp_path / "t" / "p=a%3Ab"))
+
+
+def test_merge_delete_empties_null_partition(spark, tmp_path):
+    """NULL partition value lands in __HIVE_DEFAULT_PARTITION__;
+    emptying it via MERGE delete must remove that directory."""
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", None), (2, "b", "ok")]), ["k"])
+    assert glob.glob(str(tmp_path / "t" / "p=__HIVE_DEFAULT_PARTITION__"))
+    t.merge(_df(spark, [(1, "DEL", None)]), ["k"], delete_match="v = 'DEL'")
+    assert {(r.k, r.p) for r in t.read().collect()} == {(2, "ok")}
+    assert not glob.glob(str(tmp_path / "t" / "p=__HIVE_DEFAULT_PARTITION__"))
+
+
+def test_merge_upsert_preserves_null_partition_rows(spark, tmp_path):
+    """Pruned-rewrite join must be NULL-safe: merging into the NULL
+    partition must keep its unmatched target rows."""
+    t = LakehouseTable(spark, str(tmp_path / "t"), ["p"])
+    t.merge(_df(spark, [(1, "a", None), (2, "b", None)]), ["k"])
+    t.merge(_df(spark, [(1, "A", None)]), ["k"])
+    assert {(r.k, r.v) for r in t.read().collect()} == {(1, "A"), (2, "b")}

@@ -82,7 +82,7 @@ def test_compact_then_expire_removes_orphans(spark, table):
     # All versions still readable pre-expiry.
     assert table.read(version=0).count() == 1
 
-    stats = table.expire_snapshots(retain_last=1)
+    stats = table.expire_snapshots(retain_last=1, orphan_retention_s=0.0)
     assert stats["expired_versions"] == 3
     n_files_after = len(glob.glob(f"{table.path}/day=*/*.parquet"))
     assert n_files_after == 1 and n_files_before >= 3
@@ -104,7 +104,7 @@ def test_partition_pruning_on_snapshot_read(spark, table):
 def test_crashed_staging_swept(spark, table):
     table.append(_df(spark, [(1, "a", 10)]))
     os.makedirs(os.path.join(table.path, "_staging-deadbeef/day=z"))
-    table.expire_snapshots(retain_last=5)
+    table.expire_snapshots(retain_last=5, orphan_retention_s=0.0)
     assert not glob.glob(f"{table.path}/_staging-*")
 
 
@@ -249,7 +249,7 @@ def test_conflict_loser_files_are_orphans(spark, table):
         for p in glob.glob(os.path.join(table.path, "**", "*.parquet"), recursive=True)
     }
     assert set(staged) <= on_disk
-    table.expire_snapshots(retain_last=10)
+    table.expire_snapshots(retain_last=10, orphan_retention_s=0.0)
     on_disk_after = {
         os.path.relpath(p, table.path)
         for p in glob.glob(os.path.join(table.path, "**", "*.parquet"), recursive=True)
@@ -373,3 +373,23 @@ def test_table_changes_covers_all_change_types(spark, tmp_path):
     }
     # Unchanged k=2 emitted nowhere.
     assert not any(r[0] == 2 for r in rows)
+
+
+def test_orphan_retention_protects_inflight_writer(spark, table):
+    """ADVICE r5 (versioned.py expire_snapshots): a racing writer's
+    freshly-moved but not-yet-committed data files must survive the
+    orphan sweep under the default retention window; only age-expired
+    orphans are removed. The writer then commits and its snapshot
+    references intact files."""
+    table.append(_df(spark, [(1, "a", 10)]))
+    staged = table._write_files(_df(spark, [(7, "q", 70)]))
+    stats = table.expire_snapshots(retain_last=5)  # default 1h retention
+    on_disk = {
+        os.path.relpath(p, table.path)
+        for p in glob.glob(os.path.join(table.path, "**", "*.parquet"), recursive=True)
+    }
+    assert set(staged) <= on_disk, "fresh orphan deleted inside retention window"
+    assert stats["removed_files"] == 0
+    base = table.current_version()
+    table._commit(table._load(base)["files"] + staged, "append", base=base)
+    assert {r.k for r in table.read().collect()} == {1, 7}
