@@ -170,17 +170,32 @@ class ArrowParquetStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         return {"rows": 0}
 
+    def _observe(self, off: dict) -> None:
+        """Restart recovery (ADVICE r5): `_cur` is in-memory and starts
+        at 0 in a fresh process, but after a checkpoint restart Spark
+        hands us the committed offsets through partitions()/commit() —
+        fold every offset we see into `_cur` so latestOffset() never
+        plans an end behind the committed start."""
+        self._cur = max(getattr(self, "_cur", 0), int(off.get("rows", 0)))
+
     def latestOffset(self) -> dict:
-        # Called once per micro-batch trigger; advance one chunk.
+        # Called once per micro-batch trigger; advance one chunk past
+        # the highest offset observed so far (monotonic across
+        # restarts once partitions()/commit() has replayed the
+        # checkpointed range).
         cur = getattr(self, "_cur", 0)
         self._cur = min(self.total, cur + self.chunk)
         return {"rows": self._cur}
 
     def partitions(self, start: dict, end: dict):
+        self._observe(start)
+        self._observe(end)
         return [InputPartition((start["rows"], end["rows"]))]
 
     def commit(self, end: dict) -> None:
-        pass  # files are immutable; nothing to release
+        # Files are immutable — nothing to release — but record the
+        # committed offset for monotonic restart planning.
+        self._observe(end)
 
     def read(self, partition: InputPartition):
         import pyarrow as pa

@@ -21,7 +21,9 @@ Semantics carried over from the reference:
 
 from __future__ import annotations
 
+import atexit
 import os
+import shutil
 import tempfile
 import threading
 import time
@@ -31,6 +33,24 @@ import warnings
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
+
+# Staging/feed/checkpoint dirs are process-scoped scratch; register
+# every one for atexit removal so long driver/bench sessions don't
+# accumulate temp dirs (same pattern as queries/formats_ops._STAGED).
+_SCRATCH: list[str] = []
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH.clear()
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH.append(d)
+    return d
 
 def _stream_schema(spark: SparkSession, path: str):
     """Schema for a file-source stream, read from the ACTUAL parquet
@@ -53,7 +73,7 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_lakehouse_spark.io import normalize_timestamps
 
     src = f"{sf_dir}/events.parquet"
-    stage = tempfile.mkdtemp(prefix="stream_src_")
+    stage = _scratch_dir("stream_src_")
     os.symlink(src, f"{stage}/events.parquet")
     raw = (
         spark.readStream.schema(_stream_schema(spark, src))
@@ -174,10 +194,10 @@ def run_kafka_wire_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ingested_at").alias("timestamp"),
         F.lit(0).alias("timestampType"),
     )
-    feed = tempfile.mkdtemp(prefix="kafka_wire_")
+    feed = _scratch_dir("kafka_wire_")
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="kw_chunk_")
+        tmp = _scratch_dir("kw_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
@@ -198,7 +218,7 @@ def run_kafka_wire_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_kafka_partition",
     )
     name = f"kafka_wire_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     q = (
         parsed.writeStream.format("memory")
         .queryName(name)
@@ -245,7 +265,7 @@ def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan (partial aggs -> stateful window agg) is identical.
     """
     name = f"win_counts_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     stream = events_stream(spark, sf_dir)
     agg = (
         stream.groupBy(
@@ -306,10 +326,10 @@ def run_watermarked_counts(
         ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
     )
     mid = F.timestamp_micros(F.lit(mid_us))
-    feed = tempfile.mkdtemp(prefix="wm_feed_")
+    feed = _scratch_dir("wm_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="wm_chunk_")
+        tmp = _scratch_dir("wm_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
@@ -338,7 +358,7 @@ def run_watermarked_counts(
         )
     )
     name = f"wm_counts_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -442,12 +462,12 @@ def run_stream_ingest(
     from crypto_lakehouse_spark.pipeline.lakehouse import Lakehouse
     from crypto_lakehouse_spark.sources.trade_feed import trade_feed
 
-    stage = stage_dir or tempfile.mkdtemp(prefix="ingest_feed_")
+    stage = stage_dir or _scratch_dir("ingest_feed_")
     fresh = not os.listdir(stage) if os.path.isdir(stage) else True
     os.makedirs(stage, exist_ok=True)
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="ingest_chunk_")
+        tmp = _scratch_dir("ingest_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(stage, f"{n:03d}.parquet"))
@@ -480,7 +500,7 @@ def run_stream_ingest(
             # run inside the micro-batch — the continuous-medallion mode.
             each_batch(lh, batch_id)
 
-    ckpt = ckpt_dir or tempfile.mkdtemp(prefix="ckpt_ingest_")
+    ckpt = ckpt_dir or _scratch_dir("ckpt_ingest_")
     listener = IngestMetricsListener()
     spark.streams.addListener(listener)
     try:
@@ -523,7 +543,7 @@ def run_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicates (T6 extension): exactly-once event ids
     within the stream, then per-type counts. availableNow drain."""
     name = f"dedup_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     stream = events_stream(spark, sf_dir)
     agg = (
         stream.dropDuplicates(["event_id"])
@@ -556,10 +576,10 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_lakehouse_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    feed = tempfile.mkdtemp(prefix="ddw_feed_")
+    feed = _scratch_dir("ddw_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="ddw_chunk_")
+        tmp = _scratch_dir("ddw_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
@@ -577,7 +597,7 @@ def run_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_events"))
     name = f"ddw_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     q = (
         agg.writeStream.format("memory")
         .queryName(name)
@@ -608,7 +628,7 @@ def run_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_lakehouse_spark.io import load_table
 
     name = f"enrich_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     nation = load_table(spark, sf_dir, "nation").select(
         F.col("n_nationkey").alias("nk"), "n_name"
     )
@@ -653,7 +673,7 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     append mode, which is why batch equivalence holds.
     """
     name = f"ss_join_{uuid.uuid4().hex[:8]}"
-    ckpt = tempfile.mkdtemp(prefix="ckpt_")
+    ckpt = _scratch_dir("ckpt_")
     clicks = (
         events_stream(spark, sf_dir)
         .where("event_type = 'click'")
@@ -735,10 +755,10 @@ def run_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("o_totalprice", F.col("o_totalprice") + 250)
     )
 
-    feed = tempfile.mkdtemp(prefix="cdc_feed_")
+    feed = _scratch_dir("cdc_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="cdc_chunk_")
+        tmp = _scratch_dir("cdc_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
@@ -749,7 +769,7 @@ def run_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     table = LakehouseTable(
         spark,
-        os.path.join(tempfile.mkdtemp(prefix="cdc_tbl_"), "orders_silver"),
+        os.path.join(_scratch_dir("cdc_tbl_"), "orders_silver"),
         partition_by=["o_orderpriority"],
     )
 
@@ -763,7 +783,7 @@ def run_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(_process)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_cdc_"))
+        .option("checkpointLocation", _scratch_dir("ckpt_cdc_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -811,10 +831,10 @@ def run_streaming_session_window(
         ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
     )
     mid = F.timestamp_micros(F.lit(mid_us))
-    feed = tempfile.mkdtemp(prefix="sess_feed_")
+    feed = _scratch_dir("sess_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="sess_chunk_")
+        tmp = _scratch_dir("sess_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
@@ -847,7 +867,7 @@ def run_streaming_session_window(
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_sess_"))
+        .option("checkpointLocation", _scratch_dir("ckpt_sess_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -907,11 +927,12 @@ def run_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         agg.writeStream.format("memory")
         .queryName(name)
         .outputMode("complete")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_pydss_"))
+        .option("checkpointLocation", _scratch_dir("ckpt_pydss_"))
         .trigger(processingTime="0 seconds")
         .start()
     )
     deadline = _time.time() + 120
+    done = None
     while _time.time() < deadline:
         done = (
             spark.table(name).agg(F.sum("n_events").alias("n")).collect()[0]["n"]
@@ -920,6 +941,14 @@ def run_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
             break
         _time.sleep(0.3)
     q.stop()
+    if done != total:
+        # Fail loudly (ADVICE r5): a silent fall-through here returns a
+        # partial aggregate that only surfaces as a distant value-hash
+        # mismatch in the differential.
+        raise TimeoutError(
+            f"python-datasource stream drained {done} of {total} rows "
+            f"within 120 s (memory sink {name!r})"
+        )
     return (
         spark.table(name)
         .select(
@@ -958,10 +987,10 @@ def run_stream_stream_left_join(
         ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
     )
     mid = F.timestamp_micros(F.lit(mid_us))
-    feed = tempfile.mkdtemp(prefix="ssl_feed_")
+    feed = _scratch_dir("ssl_feed_")
 
     def _stage(df: DataFrame, n: int) -> None:
-        tmp = tempfile.mkdtemp(prefix="ssl_chunk_")
+        tmp = _scratch_dir("ssl_chunk_")
         df.coalesce(1).write.mode("overwrite").parquet(tmp)
         part = next(p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet"))
         os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
@@ -1014,7 +1043,7 @@ def run_stream_stream_left_join(
         joined.writeStream.format("memory")
         .queryName(name)
         .outputMode("append")
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_ssl_"))
+        .option("checkpointLocation", _scratch_dir("ckpt_ssl_"))
         .trigger(availableNow=True)
         .start()
     )

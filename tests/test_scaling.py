@@ -41,6 +41,8 @@ RAMP_QUERIES = [
     "pagerank_iterated",
     "multimodal_ahash_near_dup",
     "asof_join_cogroup",
+    # round-6: the hot-band-capped scale path + recall census
+    "multimodal_ahash_near_dup_capped",
 ]
 
 RATIO_MAX = 30.0

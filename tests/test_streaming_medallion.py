@@ -176,3 +176,77 @@ def test_checkpoint_recovery_no_reprocessing(spark, tmp_path):
     lh3, m3 = run_stream_ingest(spark, sf, wh, stage_dir=stage, ckpt_dir=ckpt)
     assert len(m3) == 1
     assert lh3.bronze.read().count() == bronze_after_first + n_late
+
+
+def test_cdc_merge_crash_replay_exactly_once(spark, tmp_path):
+    """VERDICT r5 item 3: kill the CDC MERGE stream mid-feed (after a
+    batch's merge ran but before its checkpoint offset committed),
+    restart from the same checkpoint, and prove the final table equals
+    the latest-row-per-key oracle. The crashed batch is REPLAYED on
+    restart (observed via batch-id log) and the MERGE re-applies
+    idempotently — the foreachBatch+MERGE exactly-once recipe."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from crypto_lakehouse_spark.tables import LakehouseTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def _mk(rows):
+        return spark.createDataFrame(rows, "k BIGINT, v STRING, p STRING")
+
+    def _stage(df, n):
+        tmp = str(tmp_path / f"chunk{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _g
+        import os as _o
+
+        part = next(iter(sorted(_g.glob(f"{tmp}/*.parquet"))))
+        _o.rename(part, str(feed / f"{n:03d}.parquet"))
+
+    base = [(k, "base", "x" if k % 2 else "y") for k in range(20)]
+    upd1 = [(k, "u1", "x" if k % 2 else "y") for k in range(0, 20, 2)]
+    upd2 = [(k, "u2", "x" if k % 2 else "y") for k in range(0, 20, 4)]
+    _stage(_mk(base), 0)
+    _stage(_mk(upd1), 1)
+    _stage(_mk(upd2), 2)
+
+    table = LakehouseTable(spark, str(tmp_path / "tbl"), partition_by=["p"])
+    ckpt = str(tmp_path / "ckpt")
+    seen: list[int] = []
+
+    def _run(crash_at):
+        def _process(batch_df, batch_id):
+            table.merge(batch_df.select("k", "v", "p"), keys=["k"])
+            seen.append(batch_id)
+            if batch_id == crash_at:
+                # Crash AFTER the sink write, BEFORE the offset commit:
+                # the replay-on-restart scenario exactly-once must survive.
+                raise RuntimeError("injected crash")
+
+        q = (
+            spark.readStream.schema("k BIGINT, v STRING, p STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        _run(crash_at=1)
+    assert seen == [0, 1], "crash must land after batch 1's merge ran"
+
+    _run(crash_at=None)  # restart from the checkpoint; drain the rest
+    # Batch 1's offsets never committed, so it is REPLAYED: its merge
+    # runs twice in total. Idempotency is the point under test.
+    assert seen == [0, 1, 1, 2]
+
+    expect = {(k, "base") for k in range(20) if k % 2}
+    expect |= {(k, "u1") for k in range(0, 20, 2) if k % 4}
+    expect |= {(k, "u2") for k in range(0, 20, 4)}
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == expect
