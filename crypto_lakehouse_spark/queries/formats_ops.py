@@ -317,3 +317,61 @@ def python_datasource_write_roundtrip(spark: SparkSession, sf_dir: str) -> DataF
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "python_datasource_filter_pushdown",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(MAX(event_id) AS BIGINT) AS max_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+WHERE event_id >= 1000 AND event_id < 5000 AND value > 50.0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("sources", "python-datasource", "spark4", "pushdown"),
+)
+def python_datasource_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4.1 pushFilters seam end-to-end (VERDICT r5 item 2): the
+    selective predicates reach ArrowParquetReader.pushFilters, which
+    prunes row groups on footer min/max before planning (partial
+    pushdown — Spark re-evaluates every filter, so values are exact
+    regardless of file layout). Driver files are often single-row-group
+    so pruning may be a no-op here; the partition-count assertion lives
+    in tests/test_sources.py over a 10-row-group fixture. This query
+    pins VALUE parity through the pushdown path against the native
+    scan's oracle."""
+    from crypto_lakehouse_spark.sources.pyarrow_source import register
+
+    register(spark)
+    df = (
+        spark.read.format("arrow_parquet")
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("columns", "event_id,event_type,value")
+        .load()
+    )
+    return (
+        df.filter(
+            (F.col("event_id") >= 1000)
+            & (F.col("event_id") < 5000)
+            & (F.col("value") > 50.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.max("event_id").alias("max_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_id",
+            "max_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -71,6 +71,13 @@ def configure_session(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     try:
+        # Required for the Python DataSource pushFilters seam
+        # (sources/pyarrow_source.py); Spark errors on a reader that
+        # implements pushFilters while this is off.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
+    try:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     except Exception:
         pass

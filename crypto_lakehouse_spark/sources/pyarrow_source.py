@@ -95,15 +95,109 @@ class ArrowParquetReader(DataSourceReader):
     def __init__(self, files: list[str], columns: list[str] | None):
         self.files = files
         self.columns = columns
+        # (output column name, op, literal) triples accepted by
+        # pushFilters; consulted by partitions() for row-group pruning.
+        self.pushed: list[tuple[str, str, object]] = []
+
+    def pushFilters(self, filters):
+        """Spark 4.1 pushdown seam (requires
+        spark.sql.python.filterPushdown.enabled, set by
+        configure_session). Comparison filters on top-level columns are
+        recorded and used to SKIP whole row groups whose footer min/max
+        proves them empty — the same stats partitions() already reads
+        for planning. This is deliberately PARTIAL pushdown: every
+        filter is returned for Spark to re-evaluate row-by-row, so the
+        pruning is a pure physical optimization and can never change
+        results (the same contract as parquet row-group skipping in the
+        native reader)."""
+        from pyspark.sql.datasource import (
+            EqualTo,
+            GreaterThan,
+            GreaterThanOrEqual,
+            LessThan,
+            LessThanOrEqual,
+        )
+
+        ops = {
+            EqualTo: "=",
+            GreaterThan: ">",
+            GreaterThanOrEqual: ">=",
+            LessThan: "<",
+            LessThanOrEqual: "<=",
+        }
+        for f in filters:
+            op = ops.get(type(f))
+            if op is not None and len(f.attribute) == 1:
+                self.pushed.append((f.attribute[0], op, f.value))
+        return filters  # partial pushdown: Spark still evaluates all
+
+    @staticmethod
+    def _stat_bounds(stats, out_name: str, file_col: str):
+        """(min, max) of a row-group column in OUTPUT units, or None
+        when stats are absent. `*_us` outputs need the footer's
+        native encoding (datetime for TIMESTAMP, int64 nanos for the
+        driver's bigint-ts files) converted to epoch micros."""
+        import datetime as _dt
+
+        if stats is None or not stats.has_min_max:
+            return None
+        lo, hi = stats.min, stats.max
+        if out_name == f"{file_col}_us":
+            def to_us(v):
+                if isinstance(v, _dt.datetime):
+                    epoch = _dt.datetime(1970, 1, 1, tzinfo=v.tzinfo)
+                    return int((v - epoch).total_seconds() * 1_000_000)
+                return int(v) // 1000  # int64 nanos
+            return to_us(lo), to_us(hi)
+        return lo, hi
+
+    def _rg_survives(self, pf, rg: int, out_cols: list[str]) -> bool:
+        """False iff some pushed predicate is provably false on this
+        row group's [min, max] — conservative: missing stats or
+        unmapped columns keep the group."""
+        if not self.pushed:
+            return True
+        md = pf.metadata.row_group(rg)
+        file_cols = {md.column(i).path_in_schema: i for i in range(md.num_columns)}
+        for name, op, val in self.pushed:
+            file_col = (
+                name
+                if name in file_cols
+                else (name[: -len("_us")] if name.endswith("_us") else None)
+            )
+            if file_col is None or file_col not in file_cols:
+                continue
+            bounds = self._stat_bounds(
+                md.column(file_cols[file_col]).statistics, name, file_col
+            )
+            if bounds is None:
+                continue
+            lo, hi = bounds
+            try:
+                if (
+                    (op == "=" and (val < lo or val > hi))
+                    or (op == ">" and hi <= val)
+                    or (op == ">=" and hi < val)
+                    or (op == "<" and lo >= val)
+                    or (op == "<=" and lo > val)
+                ):
+                    return False
+            except TypeError:
+                continue  # incomparable literal/stat types: keep group
+        return True
 
     def partitions(self) -> list[InputPartition]:
         import pyarrow.parquet as pq
 
+        out_cols = self.columns or []
         parts = []
         for fi, f in enumerate(self.files):
-            for rg in range(pq.ParquetFile(f).metadata.num_row_groups):
-                parts.append(InputPartition((fi, rg)))
-        return parts
+            pf = pq.ParquetFile(f)
+            for rg in range(pf.metadata.num_row_groups):
+                if self._rg_survives(pf, rg, out_cols):
+                    parts.append(InputPartition((fi, rg)))
+        # An all-pruned scan still needs >=1 (empty) partition.
+        return parts or [InputPartition((0, -1))]
 
     def read(self, partition: InputPartition):
         import pyarrow as pa
@@ -111,6 +205,8 @@ class ArrowParquetReader(DataSourceReader):
         import pyarrow.parquet as pq
 
         fi, rg = partition.value
+        if rg < 0:  # placeholder partition of an all-pruned scan
+            return
         pf = pq.ParquetFile(self.files[fi])
         cols = self.columns or pf.schema_arrow.names
         table = pf.read_row_group(rg, columns=cols)
@@ -146,6 +242,13 @@ class ArrowParquetReader(DataSourceReader):
 def register(spark) -> None:
     """Idempotent per-session registration of the custom format."""
     spark.dataSource.register(ArrowParquetDataSource)
+    try:
+        # The reader implements pushFilters; Spark refuses to plan it
+        # unless the pushdown conf is on. Set it at registration so a
+        # vanilla (driver-provided) session works.
+        spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    except Exception:
+        pass
 
 
 class ArrowParquetStreamReader(DataSourceStreamReader):

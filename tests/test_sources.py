@@ -104,3 +104,64 @@ def test_arrow_parquet_writer_roundtrip_and_overwrite(spark, sf_dir, tmp_path):
     ).save()
     spark.catalog.refreshByPath(out)
     assert spark.read.parquet(out).count() == 7
+
+
+def test_arrow_parquet_filter_pushdown_prunes_row_groups(spark, tmp_path):
+    """VERDICT r5 item 2: pushFilters + footer min/max must plan FEWER
+    row-group partitions under a selective predicate, with values
+    exactly equal to the native parquet read (partial pushdown — Spark
+    re-evaluates every filter, pruning is physical only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from crypto_lakehouse_spark.sources.pyarrow_source import register
+
+    register(spark)
+    # 10 row groups of 100 rows each, k strictly increasing => tight
+    # disjoint per-group [min, max] on k.
+    path = str(tmp_path / "rg.parquet")
+    tbl = pa.table(
+        {
+            "k": pa.array(range(1000), pa.int64()),
+            "v": pa.array([float(i % 7) for i in range(1000)], pa.float64()),
+        }
+    )
+    pq.write_table(tbl, path, row_group_size=100)
+
+    df = spark.read.format("arrow_parquet").option("path", path).load()
+    assert df.rdd.getNumPartitions() == 10
+
+    sel = df.filter((F.col("k") >= 250) & (F.col("k") < 450))
+    # k in [250, 450) spans row groups 2..4 only.
+    assert sel.rdd.getNumPartitions() == 3
+    native = spark.read.parquet(path).filter(
+        (F.col("k") >= 250) & (F.col("k") < 450)
+    )
+    assert sorted((r.k, r.v) for r in sel.collect()) == sorted(
+        (r.k, r.v) for r in native.collect()
+    )
+
+    # All-pruned scan: empty result, never an error.
+    assert df.filter(F.col("k") > 10_000).count() == 0
+
+    # Renamed timestamp column: predicate on ts_us maps back to the
+    # file's ts stats (datetime encoding) for pruning.
+    path2 = str(tmp_path / "ts.parquet")
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    tbl2 = pa.table(
+        {
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=i) for i in range(1000)],
+                pa.timestamp("us"),
+            ),
+            "v": pa.array(range(1000), pa.int64()),
+        }
+    )
+    pq.write_table(tbl2, path2, row_group_size=100)
+    df2 = spark.read.format("arrow_parquet").option("path", path2).load()
+    cut = int((base + dt.timedelta(minutes=900)).timestamp() * 1_000_000)
+    sel2 = df2.filter(F.col("ts_us") >= cut)
+    assert sel2.rdd.getNumPartitions() == 1
+    assert sel2.count() == 100
