@@ -430,7 +430,103 @@ class VersionedTable:
             df = df.coalesce(target_files_per_partition)
         return self._commit(self._write_files(df), "compact", base=cur)
 
-    def optimize(self, target_file_mb: int = 128) -> dict:
+    def optimize(
+        self, target_file_mb: float = 128, cluster_by: list[str] | None = None
+    ) -> dict:
+        """With `cluster_by=[c1, c2]`, runs Z-ORDER clustering instead
+        of size-only bin-packing — see `_optimize_clustered`."""
+        if cluster_by:
+            return self._optimize_clustered(cluster_by, target_file_mb)
+        return self._optimize_binpack(target_file_mb)
+
+    @staticmethod
+    def _morton_sql(a: str, b: str, bits: int = 8) -> str:
+        """SQL expression interleaving the low `bits` of two bucket
+        columns into a Morton/Z-order key (the same interleave as
+        queries/scale_ops.zorder_morton_cells)."""
+        terms = []
+        for k in range(bits):
+            terms.append(f"((({a}) div {1 << k}) % 2) * {1 << (2 * k)}")
+            terms.append(f"((({b}) div {1 << k}) % 2) * {1 << (2 * k + 1)}")
+        return " + ".join(terms)
+
+    def _optimize_clustered(
+        self, cluster_by: list[str], target_file_mb: float
+    ) -> dict:
+        """Delta `OPTIMIZE ... ZORDER BY (c1, c2)` analog (VERDICT r5
+        item 4): rewrite the current snapshot with rows range-
+        partitioned and sorted by the Morton interleave of the two
+        cluster columns (256 buckets per dimension), so every output
+        file covers a small Z-curve segment — a tight RECTANGLE in
+        (c1, c2) space. The manifest's per-file min/max (harvested on
+        commit) then makes `files_for_scan(between=...)` prune on BOTH
+        dimensions at once, which a single-column sort can only do for
+        its leading column. Bounds for bucketing come from one 4-scalar
+        aggregate (bounded driver data). At 100 TB: one shuffle
+        (range partition by z-key) per OPTIMIZE, per-file stats stay
+        metadata-only, old snapshots untouched."""
+        import math
+
+        if len(cluster_by) != 2:
+            raise ValueError(
+                "cluster_by supports exactly 2 columns (Morton interleave); "
+                f"got {cluster_by}"
+            )
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        files = self._load(cur)["files"]
+        total = sum(os.path.getsize(os.path.join(self.path, f)) for f in files)
+        n_files = max(2, math.ceil(total / (target_file_mb * 1024 * 1024)))
+
+        from pyspark.sql import functions as F
+
+        df = self.read()
+        c1, c2 = cluster_by
+        row = df.agg(
+            F.min(F.col(c1).cast("double")),
+            F.max(F.col(c1).cast("double")),
+            F.min(F.col(c2).cast("double")),
+            F.max(F.col(c2).cast("double")),
+        ).collect()[0]
+        lo1, hi1, lo2, hi2 = (float(v) for v in row)
+
+        def _bucket(col: str, lo: float, hi: float):
+            if hi <= lo:
+                return F.lit(0).cast("bigint")
+            scaled = (F.col(col).cast("double") - F.lit(lo)) * 256.0 / (
+                hi - lo
+            )
+            return F.greatest(
+                F.lit(0), F.least(F.lit(255), F.floor(scaled))
+            ).cast("bigint")
+
+        zdf = (
+            df.withColumn("__zb_a", _bucket(c1, lo1, hi1))
+            .withColumn("__zb_b", _bucket(c2, lo2, hi2))
+            .withColumn("__z", F.expr(self._morton_sql("__zb_a", "__zb_b")))
+        )
+        out = (
+            zdf.repartitionByRange(n_files, "__z")
+            .sortWithinPartitions("__z")
+            .drop("__zb_a", "__zb_b", "__z")
+        )
+        version = self._commit(
+            self._write_files(out),
+            f"optimize(cluster_by={cluster_by})",
+            base=cur,
+        )
+        after = len(self._load(version)["files"])
+        return {
+            "skipped": False,
+            "version": version,
+            "cluster_by": list(cluster_by),
+            "files_before": len(files),
+            "files_after": after,
+            "bytes_total": total,
+        }
+
+    def _optimize_binpack(self, target_file_mb: int = 128) -> dict:
         """Size-targeted bin-packing compaction — the engine-level
         `OPTIMIZE` a Delta/Iceberg user expects (reference
         compaction.py:30-42 targets file size the same way via

@@ -26,7 +26,27 @@ read-side plans.
 
 from __future__ import annotations
 
+import atexit
+import shutil
 import tempfile
+
+# Per-call temp warehouses, atexit-swept (same registry pattern as
+# streaming/file_stream._SCRATCH) so bench/driver loops don't
+# accumulate them on disk.
+_SCRATCH: list[str] = []
+
+
+@atexit.register
+def _cleanup_scratch() -> None:
+    for d in _SCRATCH:
+        shutil.rmtree(d, ignore_errors=True)
+    _SCRATCH.clear()
+
+
+def _scratch_dir(prefix: str) -> str:
+    d = tempfile.mkdtemp(prefix=prefix)
+    _SCRATCH.append(d)
+    return d
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -102,7 +122,7 @@ def merge_upsert_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = LakehouseTable(
         spark,
-        tempfile.mkdtemp(prefix="merge_q_") + "/t",
+        _scratch_dir("merge_q_") + "/t",
         partition_by=["o_orderstatus"],
     )
     t.overwrite(target)
@@ -170,7 +190,7 @@ def medallion_gold_ohlcv(spark: SparkSession, sf_dir: str) -> DataFrame:
     from crypto_lakehouse_spark.pipeline.lakehouse import Lakehouse
     from crypto_lakehouse_spark.sources.trade_feed import trade_feed
 
-    lh = Lakehouse(spark, tempfile.mkdtemp(prefix="wh_medallion_"))
+    lh = Lakehouse(spark, _scratch_dir("wh_medallion_"))
     lh.ingest_feed(trade_feed(spark, sf_dir))
     lh.bronze_to_silver(lookback_hours=None)
     lh.build_ohlcv("minute", lookback=None)
@@ -238,7 +258,7 @@ def versioned_time_travel_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = spark.sql(
         "SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 4 = 0"
     )
-    t = VersionedTable(spark, tempfile.mkdtemp(prefix="vt_q_") + "/t")
+    t = VersionedTable(spark, _scratch_dir("vt_q_") + "/t")
     assert t.append(base) == 0
     assert t.merge(spark.sql(_VT_SRC_SQL), keys=["o_orderkey"]) == 1
 
@@ -307,7 +327,7 @@ def merge_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = LakehouseTable(
         spark,
-        tempfile.mkdtemp(prefix="merge_del_q_") + "/t",
+        _scratch_dir("merge_del_q_") + "/t",
         partition_by=["o_orderpriority"],
     )
     t.overwrite(target)
@@ -393,7 +413,7 @@ def versioned_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders WHERE o_orderkey % 3 = 0
         """
     )
-    t = VersionedTable(spark, _tf.mkdtemp(prefix="cdf_q_") + "/t")
+    t = VersionedTable(spark, _scratch_dir("cdf_q_") + "/t")
     t.overwrite(target)                                   # v0
     t.merge(spark.sql(_MERGE_SRC_SQL), keys=["o_orderkey"])  # v1
     return (
@@ -614,7 +634,7 @@ def versioned_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     upd = base.withColumn("o_totalprice", F.col("o_totalprice") + 1)
 
-    t = VersionedTable(spark, _tf.mkdtemp(prefix="hist_q_") + "/t")
+    t = VersionedTable(spark, _scratch_dir("hist_q_") + "/t")
     t.overwrite(base)       # v0
     t.append(extra)         # v1
     t.merge(upd, keys=["o_orderkey"])  # v2 (updates only: row count stable)
@@ -627,3 +647,65 @@ def versioned_history_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "version BIGINT, op STRING, n_rows BIGINT"
     ).orderBy("version")
+
+
+@query(
+    "zorder_clustered_scan",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+WHERE epoch_us(ts) // 60000000 BETWEEN 28414080 AND 28421280
+  AND value BETWEEN 100.0 AND 200.0
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("lakehouse", "zorder", "data-skipping"),
+)
+def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end OPTIMIZE ZORDER proof over a real VersionedTable
+    (VERDICT r5 item 4): events land in the table, a Morton-clustered
+    rewrite follows (`optimize(cluster_by=["tmin", "value"])`), and
+    the bounded read goes through `files_for_scan` 2-D skipping plus
+    the residual row filter — the returned aggregate must equal the
+    plain relational filter over the source, whatever the file layout
+    did. (The file-count pruning assertions live in
+    tests/test_versioned.py; DuckDB cannot observe file layouts.)
+    tmin bounds are minutes-since-epoch for 2024-01-10 .. 2024-01-15."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        (F.unix_micros("ts") / F.lit(60_000_000)).cast("bigint").alias("tmin"),
+        "value",
+    )
+    t = VersionedTable(spark, _scratch_dir("zorder_q_") + "/t")
+    t.overwrite(events.repartition(8))
+    t.optimize(target_file_mb=0.2, cluster_by=["tmin", "value"])
+    lo_t, hi_t = 28_414_080, 28_421_280
+    bounded = t.read(between={"tmin": (lo_t, hi_t), "value": (100.0, 200.0)})
+    return (
+        bounded.filter(
+            F.col("tmin").between(lo_t, hi_t)
+            & F.col("value").between(100.0, 200.0)
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("value_sum"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_id",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -393,3 +393,62 @@ def test_orphan_retention_protects_inflight_writer(spark, table):
     base = table.current_version()
     table._commit(table._load(base)["files"] + staged, "append", base=base)
     assert {r.k for r in table.read().collect()} == {1, 7}
+
+
+def test_optimize_zorder_improves_2d_file_skipping(spark, tmp_path):
+    """VERDICT r5 item 4: OPTIMIZE ZORDER BY (x, y) must make
+    files_for_scan prune MORE files than an x-sorted layout under a
+    box predicate bounding BOTH dimensions, with read(between=...)
+    values unchanged."""
+    import pyspark.sql.functions as SF
+
+    t = VersionedTable(spark, str(tmp_path / "z"))
+    n = 20_000
+    # x-sorted, y uncorrelated: a y-bound alone prunes nothing.
+    df = (
+        spark.range(n)
+        .select(
+            SF.col("id").alias("x"),
+            ((SF.col("id") * 2654435761) % 10_000).alias("y"),
+            SF.col("id").alias("payload"),
+        )
+        .orderBy("x")
+        .coalesce(1)
+    )
+    t.overwrite(df)
+    # Rewrite into ~16 files in x order (leading-column sort layout).
+    t._commit(
+        t._write_files(t.read().repartitionByRange(16, "x").sortWithinPartitions("x")),
+        "sort-by-x",
+        base=t.current_version(),
+    )
+    box = {"x": (2_000, 4_000), "y": (1_000, 2_000)}
+    sel_sorted, total_sorted = t.files_for_scan(between=box)
+    expect = sorted(
+        (r.x, r.y) for r in t.read(between=box).select("x", "y").collect()
+    )
+
+    stats = t.optimize(target_file_mb=0.01, cluster_by=["x", "y"])
+    assert not stats["skipped"] and stats["files_after"] >= 8
+    sel_z, total_z = t.files_for_scan(between=box)
+    frac_sorted = len(sel_sorted) / total_sorted
+    frac_z = len(sel_z) / total_z
+    assert frac_z < frac_sorted, (
+        f"z-order should scan a smaller file fraction: "
+        f"sorted {len(sel_sorted)}/{total_sorted} vs z {len(sel_z)}/{total_z}"
+    )
+    got = sorted(
+        (r.x, r.y) for r in t.read(between=box).select("x", "y").collect()
+    )
+    assert got == expect
+
+    # The textbook case: a bound on the NON-leading dimension alone.
+    # The x-sorted layout can never prune on y (every file spans all
+    # of y); the z-ordered layout must.
+    ybox = {"y": (1_000, 2_000)}
+    sel_y, tot_y = t.files_for_scan(version=1, between=ybox)  # sorted layout
+    assert len(sel_y) == tot_y, "x-sorted layout cannot prune on y"
+    sel_yz, tot_yz = t.files_for_scan(between=ybox)  # z-ordered layout
+    assert len(sel_yz) / tot_yz < 0.8, (
+        f"z-order must prune on the second dimension: {len(sel_yz)}/{tot_yz}"
+    )
