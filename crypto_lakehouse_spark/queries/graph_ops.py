@@ -237,3 +237,168 @@ query(
     oracle=_pr_oracle(),
     tags=("graph", "pagerank", "iterative", "checkpointed"),
 )(_pagerank_iterated)
+
+
+# --- convergence-gated PageRank (VERDICT r5 item 6) ------------------------
+# Epsilon-terminated variant of the loop above, on a CYCLIC graph
+# (supplier->customer edges plus customer->supplier back-edges for
+# finished orders) so convergence depth is genuinely data-dependent —
+# the bipartite S->C DAG converges in a fixed 3 rounds, which would
+# make a convergence gate vacuous. Same integer-exact recurrence; the
+# loop stops when max_v |R_{i+1}(v) - R_i(v)| <= eps with
+# eps = 34 * (SCALE DIV n) DIV 5 (~6.8x the uniform initial rank —
+# deliberately relative to n so the gate engages at every scale) or at
+# 25 rounds, whichever first. The oracle replays the identical
+# recurrence as a DuckDB recursive CTE whose recursive term carries the
+# per-node delta and whose continuation predicate is the same global
+# max-delta gate — a data-dependent-depth oracle, like
+# recursive_amortization. n_rounds is emitted on every row so the
+# driver's value hash pins the DEPTH as well as the ranks.
+# (DuckDB quirk: sibling CTEs inside WITH RECURSIVE must avoid
+# top-level UNION — it mis-binds; DISTINCT over UNION ALL instead.)
+
+_PR_MAX_ROUNDS = 25
+
+
+def _pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epsilon-terminated integer PageRank (see block comment)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    edges = spark.sql(
+        """
+        SELECT DISTINCT src, dst FROM (
+            SELECT concat('S', l.l_suppkey) AS src,
+                   concat('C', o.o_custkey) AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            UNION ALL
+            SELECT concat('C', o.o_custkey), concat('S', l.l_suppkey)
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_orderstatus = 'F'
+        ) u
+        """
+    ).persist()
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # Loop-invariant: the (src, dst, od) relation never changes, so
+    # join it ONCE and persist — each round then only broadcast-joins
+    # the (small) rank relation onto it, no per-round edge shuffle.
+    weighted = edges.join(outdeg, "src").persist()
+    nodes = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()
+    base = 15 * (_PR_SCALE // 100) // n
+    eps = 34 * (_PR_SCALE // n) // 5
+
+    rank = nodes.select("v", F.lit(_PR_SCALE // n).alias("r"))
+    rounds = 0
+    while rounds < _PR_MAX_ROUNDS:
+        contrib = (
+            weighted.join(
+                F.broadcast(rank.withColumnRenamed("v", "src")), "src"
+            )
+            .select("dst", F.expr("r DIV od").alias("c"))
+        )
+        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        new_rank = (
+            nodes.join(s, nodes["v"] == s["dst"], "left")
+            .select(
+                nodes["v"],
+                (F.lit(base) + 85 * F.expr("COALESCE(s, 0L) DIV 100")).alias(
+                    "r"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+        rounds += 1
+        # Global convergence gate: one bounded scalar per round (the
+        # same driver-side check dup_clusters_cc uses for its label
+        # fixpoint).
+        delta = (
+            new_rank.withColumnRenamed("r", "nr")
+            .join(F.broadcast(rank), "v")
+            .agg(F.max(F.abs(F.col("nr") - F.col("r"))).alias("d"))
+            .collect()[0]["d"]
+        )
+        rank = new_rank
+        if delta is not None and delta <= eps:
+            break
+    out = rank.select(
+        F.col("v").alias("node"),
+        F.col("r").cast("bigint").alias("pagerank_scaled"),
+        F.round(F.col("r") / F.lit(float(_PR_SCALE)), 9).alias("pagerank"),
+        F.lit(rounds).cast("bigint").alias("n_rounds"),
+    ).orderBy("node")
+    edges.unpersist()
+    weighted.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def _pr_converged_oracle() -> str:
+    return f"""
+WITH RECURSIVE
+edges AS (
+    SELECT DISTINCT src, dst FROM (
+        SELECT 'S' || CAST(l.l_suppkey AS VARCHAR) AS src,
+               'C' || CAST(o.o_custkey AS VARCHAR) AS dst
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'C' || CAST(o.o_custkey AS VARCHAR),
+               'S' || CAST(l.l_suppkey AS VARCHAR)
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        WHERE o.o_orderstatus = 'F'
+    ) u
+),
+nodes AS (SELECT DISTINCT v FROM (
+    SELECT src AS v FROM edges UNION ALL SELECT dst FROM edges) u),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+epsv AS (SELECT 34 * ({_PR_SCALE} // n) // 5 AS e FROM nn),
+it(iter, v, r, delta) AS (
+    SELECT 0, v, {_PR_SCALE} // t.n, CAST(NULL AS BIGINT)
+    FROM nodes CROSS JOIN nn t
+    UNION ALL
+    SELECT iter + 1, v, nr, ABS(nr - r)
+    FROM (
+        SELECT prev.iter, prev.v, prev.r,
+               (15 * {10**16} // t.n)
+                 + 85 * (COALESCE(s.s, 0) // 100) AS nr
+        FROM it prev
+        JOIN (SELECT MAX(delta) AS md FROM it) g
+          ON (g.md IS NULL AND prev.iter = 0)
+             OR g.md > (SELECT e FROM epsv)
+        LEFT JOIN (
+            SELECT i.iter, e.dst AS v, SUM(i.r // d.od) AS s
+            FROM it i
+            JOIN edges e ON e.src = i.v
+            JOIN outdeg d ON d.src = i.v
+            GROUP BY i.iter, e.dst
+        ) s ON s.v = prev.v AND s.iter = prev.iter
+        CROSS JOIN nn t
+        WHERE prev.iter < {_PR_MAX_ROUNDS}
+    ) x
+)
+SELECT v AS node,
+       CAST(r AS BIGINT) AS pagerank_scaled,
+       ROUND(r / {_PR_SCALE}.0, 9) AS pagerank,
+       CAST(iter AS BIGINT) AS n_rounds
+FROM it
+WHERE iter = (SELECT MAX(iter) FROM it)
+ORDER BY node
+"""
+
+
+_pagerank_converged.__name__ = "pagerank_converged"
+query(
+    "pagerank_converged",
+    oracle=_pr_converged_oracle(),
+    tags=("graph", "pagerank", "iterative", "convergence-gated"),
+    # ~6 data-dependent rounds (~18 s at sf0.1): correctness-gated but
+    # kept out of the bench suite — pagerank_iterated is the benched
+    # fixed-depth representative of the same per-round plan.
+    bench=False,
+)(_pagerank_converged)
