@@ -291,6 +291,15 @@ class VersionedTable:
         )
         if self.partition_by:
             parts = source.select(*self.partition_by).distinct()
+            # NULL-safe partition joins (same fix as tables.py): a NULL
+            # partition value is legal on disk, and plain equality
+            # would silently drop its unmatched target rows from the
+            # pruned rewrite.
+            part_cond = None
+            for c in self.partition_by:
+                eq = F.col(f"t.{c}").eqNullSafe(F.col(f"sp.{c}"))
+                part_cond = eq if part_cond is None else (part_cond & eq)
+            t_al, p_al = target.alias("t"), F.broadcast(parts.alias("sp"))
             if not set(self.partition_by) <= set(keys):
                 # Partition-pruned MERGE is only sound if a matched key
                 # never moved partitions: a match sitting in an
@@ -299,7 +308,7 @@ class VersionedTable:
                 # columns in `keys` to make the check structurally
                 # unnecessary — then it is skipped).
                 moved = (
-                    target.join(F.broadcast(parts), self.partition_by, "left_anti")
+                    t_al.join(p_al, part_cond, "left_anti")
                     .join(source.select(*keys).distinct(), keys, "left_semi")
                     .limit(1)
                     .count()
@@ -314,7 +323,7 @@ class VersionedTable:
                         "merge keys, or route the correction as a "
                         "delete+insert."
                     )
-            target = target.join(F.broadcast(parts), self.partition_by, "left_semi")
+            target = t_al.join(p_al, part_cond, "left_semi")
         keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
         new_files = self._write_files(keep.unionByName(source))
 
