@@ -328,7 +328,7 @@ SELECT event_type,
        CAST(MAX(event_id) AS BIGINT) AS max_id,
        CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
 FROM events
-WHERE event_id >= 1000 AND event_id < 5000 AND value > 50.0
+WHERE event_id >= 100 AND event_id < 5000 AND value > 50.0
 GROUP BY event_type
 ORDER BY event_type
 """,
@@ -355,7 +355,7 @@ def python_datasource_filter_pushdown(spark: SparkSession, sf_dir: str) -> DataF
     )
     return (
         df.filter(
-            (F.col("event_id") >= 1000)
+            (F.col("event_id") >= 100)
             & (F.col("event_id") < 5000)
             & (F.col("value") > 50.0)
         )
