@@ -220,11 +220,13 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 AHASH_BUCKET_CAP = 96
 
 _AHASH_EXACT_SQL = """
-WITH ham AS (
+WITH cand AS (
     -- hamming computed inline per band branch (both rows' bands are
-    -- on hand after the equi-join) and filtered BEFORE the distinct,
-    -- so only true near-dup pairs are ever materialized — no
-    -- candidate relation, no verify re-join.
+    -- on hand after the equi-join) and filtered BEFORE the pair
+    -- aggregation, so only true near-dup pairs are ever materialized
+    -- — no candidate relation, no verify re-join. UNION ALL + one
+    -- GROUP BY (da, db) dedups across branches in a single shuffle,
+    -- which beats chained UNION-DISTINCTs (r6 measurement: ~2x).
     SELECT a.doc_id AS da, b.doc_id AS db,
            bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
@@ -232,7 +234,7 @@ WITH ham AS (
       ON a.b0 = b.b0 AND a.doc_id < b.doc_id
     WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
-    UNION
+    UNION ALL
     SELECT a.doc_id AS da, b.doc_id AS db,
            bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
@@ -240,7 +242,7 @@ WITH ham AS (
       ON a.b1 = b.b1 AND a.doc_id < b.doc_id
     WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
-    UNION
+    UNION ALL
     SELECT a.doc_id AS da, b.doc_id AS db,
            bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
@@ -248,7 +250,7 @@ WITH ham AS (
       ON a.b2 = b.b2 AND a.doc_id < b.doc_id
     WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
-    UNION
+    UNION ALL
     SELECT a.doc_id AS da, b.doc_id AS db,
            bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) AS hamming
@@ -256,12 +258,15 @@ WITH ham AS (
       ON a.b3 = b.b3 AND a.doc_id < b.doc_id
     WHERE bit_count(a.b0 ^ b.b0) + bit_count(a.b1 ^ b.b1)
          + bit_count(a.b2 ^ b.b2) + bit_count(a.b3 ^ b.b3) <= 3
+),
+ham AS (
+    SELECT da, db, MIN(hamming) AS hamming FROM cand GROUP BY da, db
 )
 SELECT CAST(hamming AS BIGINT) AS hamming,
        COUNT(*) AS n_pairs,
        CAST(SUM(da + db) AS BIGINT) AS pair_id_checksum,
        COUNT(DISTINCT da) AS n_left_docs
-FROM ham WHERE hamming <= 3
+FROM ham
 GROUP BY hamming
 ORDER BY hamming
 """
