@@ -367,6 +367,71 @@ class VersionedTable:
                 selected.append(f)
         return selected, len(files)
 
+    def version_as_of(self, ts: float) -> int:
+        """Delta `TIMESTAMP AS OF` resolution: the newest version whose
+        commit timestamp is <= `ts` (epoch seconds, the manifests' own
+        clock). Raises if `ts` predates the first commit."""
+        vs = self.versions()
+        eligible = [v for v in vs if self._load(v)["ts"] <= ts]
+        if not eligible:
+            raise ValueError(
+                f"{self.path}: no version committed at or before ts={ts} "
+                f"(first commit at {self._load(vs[0])['ts'] if vs else None})"
+            )
+        return eligible[-1]
+
+    def delete(self, condition: str) -> dict:
+        """Row-level DELETE (Delta `DELETE FROM t WHERE cond` COW
+        analog): rewrite ONLY the files that actually contain matching
+        rows; every other file is carried into the new manifest
+        byte-identical.
+
+        Touched files are found with one predicate-pushed scan that
+        projects `input_file_name()` — the parquet reader's row-group
+        stats prune non-matching files physically, so at 100 TB the
+        scan cost tracks the predicate's selectivity, not the table
+        size, and the rewrite cost tracks only the touched bytes (the
+        same shape as Delta's find-files + rewrite). No matching rows
+        => no-op (no empty commit), idempotent like optimize()."""
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        files = self._load(cur)["files"]
+        touched_uris = {
+            r.f
+            for r in self.read()
+            .filter(F.expr(condition))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        # input_file_name() returns absolute file: URIs; manifests hold
+        # table-relative paths.
+        touched = {
+            f
+            for f in files
+            if any(u.endswith("/" + os.path.basename(f)) for u in touched_uris)
+        }
+        if not touched:
+            return {"skipped": True, "reason": "no matching rows"}
+        reader = self.spark.read.option("basePath", self.path)
+        kept_rows = reader.parquet(
+            *(os.path.join(self.path, f) for f in sorted(touched))
+        ).filter(~F.expr(condition))
+        new_files = self._write_files(kept_rows)
+        carried = [f for f in files if f not in touched]
+        version = self._commit(
+            carried + new_files, f"delete({condition})", base=cur
+        )
+        return {
+            "skipped": False,
+            "version": version,
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+        }
+
     def read(
         self,
         version: int | None = None,

@@ -709,3 +709,64 @@ def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "versioned_delete_result",
+    oracle="""
+WITH target AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderpriority
+    FROM orders
+    WHERE NOT (o_orderstatus = 'F' AND CAST(o_totalprice AS DECIMAL(18,4)) > 150000.0)
+)
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM target
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+    tags=("lakehouse", "delete", "cow"),
+)
+def versioned_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level COW DELETE through the versioned table layer (round
+    6): orders land in a partitioned VersionedTable, `DELETE WHERE
+    status='F' AND price>150k` rewrites only files containing matches
+    (find-files via one predicate-pushed input_file_name scan —
+    Delta's DELETE shape), and the STORED post-delete state is
+    returned. The oracle is the complement filter over the source —
+    if the rewrite dropped a carried file or kept a deleted row, the
+    hash diverges. Pre-delete history remains readable (asserted in
+    tests/test_versioned.py)."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = VersionedTable(
+        spark,
+        _scratch_dir("vdel_q_") + "/t",
+        partition_by=["o_orderpriority"],
+    )
+    t.overwrite(orders.repartition(4))
+    t.delete("o_orderstatus = 'F' AND CAST(o_totalprice AS DECIMAL(18,4)) > 150000.0")
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("price_sum"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            "min_key",
+            F.col("price_sum").cast("double").alias("price_sum"),
+        )
+        .orderBy("status")
+    )

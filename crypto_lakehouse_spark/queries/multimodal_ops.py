@@ -192,11 +192,11 @@ def multimodal_ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-similar) the four joins emit ~4M candidates for ~277k true
     pairs at sf0.1 — an irreducible volume, since the exhaustive
     answer itself is that large; a corpus with normal near-dup rates
-    collapses the buckets. Production knobs when buckets do run hot:
-    wider bands (lower collision rate, same <=3 guarantee needs more
-    bands) or a bucket-size cap (the df-cap pattern from the shingle
-    joins — explicitly sacrificing completeness for capped buckets,
-    which this oracle-exact query does not do). Output is the per-distance
+    collapses the buckets. When buckets do run hot, the deployable
+    scale path is `multimodal_ahash_near_dup_capped` below: a per-band
+    bucket-size cap (the df-cap pattern from the shingle joins) with a
+    machine-checked recall census against this exact answer — this
+    query stays the oracle-exact baseline. Output is the per-distance
     pair census (count + id checksum + distinct-left-doc count) —
     the pair SET is fully determined up to checksum collisions
     while the result stays linear in docs, not quadratic in

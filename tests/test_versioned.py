@@ -526,3 +526,46 @@ def test_occ_restore_vs_append_retry_restores_over_append(spark, table):
     table.restore(0)
     assert {r.k for r in table.read().collect()} == {1}
     assert {r.k for r in table.read(version=2).collect()} == {1, 2, 3}
+
+
+# --- row-level DELETE + timestamp time travel (round 6) --------------------
+
+
+def test_delete_rewrites_only_touched_files(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    before = set(table._load(table.current_version())["files"])
+    b_files = {f for f in before if f.startswith("day=b")}
+    stats = table.delete("v = 10")
+    assert not stats["skipped"] and stats["files_rewritten"] >= 1
+    after = set(table._load(table.current_version())["files"])
+    assert b_files <= after, "untouched partition file must carry byte-identical"
+    assert {(r.k, r.v) for r in table.read().collect()} == {(2, 20), (3, 30)}
+    # Pre-delete snapshot intact (COW).
+    assert {r.k for r in table.read(version=0).collect()} == {1, 2, 3}
+
+
+def test_delete_no_match_is_noop(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    v = table.current_version()
+    stats = table.delete("v = 999")
+    assert stats["skipped"] and table.current_version() == v
+
+
+def test_delete_all_rows_in_touched_file(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (3, "b", 30)]))
+    table.delete("day = 'a'")
+    assert {r.k for r in table.read().collect()} == {3}
+
+
+def test_version_as_of_timestamp(spark, table):
+    import time as _t
+
+    table.append(_df(spark, [(1, "a", 10)]))  # v0
+    t_between = _t.time()
+    _t.sleep(0.05)
+    table.append(_df(spark, [(2, "b", 20)]))  # v1
+    assert table.version_as_of(t_between) == 0
+    assert table.version_as_of(_t.time()) == 1
+    assert {r.k for r in table.read(version=table.version_as_of(t_between)).collect()} == {1}
+    with pytest.raises(ValueError, match="no version committed"):
+        table.version_as_of(0.0)
