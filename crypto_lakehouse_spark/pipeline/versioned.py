@@ -432,6 +432,71 @@ class VersionedTable:
             "files_carried": len(carried),
         }
 
+    def update(self, condition: str, set: dict[str, str]) -> dict:
+        """Row-level UPDATE (Delta `UPDATE t SET c = e WHERE cond` COW
+        analog) — same find-files + rewrite-touched-only shape as
+        `delete`: one predicate-pushed input_file_name scan finds the
+        files holding matching rows; only those rewrite, with matching
+        rows transformed by the SET expressions and non-matching rows
+        copied through; every other file carries byte-identical.
+        `set` maps column name -> SQL expression (may reference any
+        column). Partition columns must not be assigned (a row may not
+        move partitions in a file-local rewrite — route that as
+        delete+insert, same restriction Delta enforces on partition
+        layout expectations)."""
+        from pyspark.sql import functions as F
+
+        bad = {c for c in self.partition_by if c in set}
+        if bad:
+            raise ValueError(
+                f"UPDATE may not assign partition column(s) {sorted(bad)}: "
+                "a file-local rewrite cannot move rows between "
+                "partitions; use delete + append instead"
+            )
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        files = self._load(cur)["files"]
+        touched_uris = {
+            r.f
+            for r in self.read()
+            .filter(F.expr(condition))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        touched = {
+            f
+            for f in files
+            if any(u.endswith("/" + os.path.basename(f)) for u in touched_uris)
+        }
+        if not touched:
+            return {"skipped": True, "reason": "no matching rows"}
+        reader = self.spark.read.option("basePath", self.path)
+        rows = reader.parquet(
+            *(os.path.join(self.path, f) for f in sorted(touched))
+        )
+        cond = F.expr(condition)
+        updated = rows.select(
+            *[
+                F.when(cond, F.expr(set[c])).otherwise(F.col(c)).alias(c)
+                if c in set
+                else F.col(c)
+                for c in rows.columns
+            ]
+        )
+        new_files = self._write_files(updated)
+        carried = [f for f in files if f not in touched]
+        version = self._commit(
+            carried + new_files, f"update({condition})", base=cur
+        )
+        return {
+            "skipped": False,
+            "version": version,
+            "files_rewritten": len(touched),
+            "files_carried": len(carried),
+        }
+
     def read(
         self,
         version: int | None = None,

@@ -770,3 +770,74 @@ def versioned_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "versioned_update_result",
+    oracle="""
+WITH target AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderstatus = 'P'
+                THEN 'PENDING' ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderstatus = 'P'
+                THEN CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DOUBLE)
+                ELSE CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE)
+           END AS o_totalprice,
+           o_orderpriority
+    FROM orders
+)
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM target
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+    tags=("lakehouse", "update", "cow"),
+)
+def versioned_update_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level COW UPDATE through the versioned table layer (round
+    6): `UPDATE SET status='PENDING', price=price*2 WHERE status='P'`
+    rewrites only files containing 'P' rows (find-files + file-local
+    transform, Delta's UPDATE shape); the STORED post-update state
+    must equal the CASE-WHEN relational oracle. Decimal discipline:
+    price is stored DECIMAL(18,4)-rounded on write so both engines
+    fold identical values."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias("o_totalprice"),
+        "o_orderpriority",
+    )
+    t = VersionedTable(
+        spark,
+        _scratch_dir("vupd_q_") + "/t",
+        partition_by=["o_orderpriority"],
+    )
+    t.overwrite(orders.repartition(4))
+    t.update(
+        "o_orderstatus = 'P'",
+        set={
+            "o_orderstatus": "'PENDING'",
+            "o_totalprice": "CAST(CAST(o_totalprice AS DECIMAL(18,4)) * 2 AS DOUBLE)",
+        },
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("price_sum"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            F.col("price_sum").cast("double").alias("price_sum"),
+        )
+        .orderBy("status")
+    )

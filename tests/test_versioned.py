@@ -569,3 +569,48 @@ def test_version_as_of_timestamp(spark, table):
     assert {r.k for r in table.read(version=table.version_as_of(t_between)).collect()} == {1}
     with pytest.raises(ValueError, match="no version committed"):
         table.version_as_of(0.0)
+
+
+def test_update_rewrites_only_touched_files(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    b_files = {
+        f for f in table._load(table.current_version())["files"]
+        if f.startswith("day=b")
+    }
+    stats = table.update("k = 1", set={"v": "v + 5"})
+    assert not stats["skipped"]
+    after = set(table._load(table.current_version())["files"])
+    assert b_files <= after
+    assert {(r.k, r.v) for r in table.read().collect()} == {
+        (1, 15), (2, 20), (3, 30)
+    }
+    assert {(r.k, r.v) for r in table.read(version=0).collect()} == {
+        (1, 10), (2, 20), (3, 30)
+    }
+
+
+def test_update_rejects_partition_column_assignment(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="partition column"):
+        table.update("k = 1", set={"day": "'b'"})
+
+
+def test_update_no_match_is_noop(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    v = table.current_version()
+    assert table.update("k = 99", set={"v": "0"})["skipped"]
+    assert table.current_version() == v
+
+
+def test_snapshot_isolation_reader_unaffected_by_concurrent_commit(spark, table):
+    """ACID isolation: a reader resolving version V sees V's exact
+    rows even after later commits rewrite/delete — data files are
+    immutable and manifests never mutate."""
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    v = table.current_version()
+    snapshot = table.read(version=v)  # plan pinned to v's file list
+    table.update("k = 1", set={"v": "999"})
+    table.delete("k = 2")
+    # The pre-commit plan still evaluates to the old rows.
+    assert {(r.k, r.v) for r in snapshot.collect()} == {(1, 10), (2, 20)}
+    assert {(r.k, r.v) for r in table.read().collect()} == {(1, 999)}
