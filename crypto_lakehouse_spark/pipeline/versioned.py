@@ -113,6 +113,8 @@ class VersionedTable:
         op: str,
         base: int | None = None,
         added_columns: dict[str, dict] | None = None,
+        constraints: dict[str, str] | None = None,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """Publish version base+1 via compare-and-swap.
 
@@ -150,6 +152,17 @@ class VersionedTable:
                 if added_columns is not None
                 else prev.get("added_columns", {})
             ),
+            # CHECK constraints and per-app transaction watermarks ride
+            # the manifest chain the same way.
+            "constraints": (
+                constraints
+                if constraints is not None
+                else prev.get("constraints", {})
+            ),
+            "txns": {
+                **prev.get("txns", {}),
+                **({txn[0]: txn[1]} if txn else {}),
+            },
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
@@ -215,16 +228,18 @@ class VersionedTable:
             for i in range(row_group.num_columns):
                 col = row_group.column(i)
                 name = col.path_in_schema
-                st = col.statistics
-                if (
-                    name in bad
-                    or "." in name
-                    or st is None
-                    or not st.has_min_max
-                ):
+                try:
+                    st = col.statistics
+                    has = st is not None and st.has_min_max
+                    lo, hi = (st.min, st.max) if has else (None, None)
+                except Exception:
+                    # e.g. ArrowNotImplementedError for DECIMAL stats:
+                    # the column is simply not skippable.
                     bad.add(name)
                     continue
-                lo, hi = st.min, st.max
+                if name in bad or "." in name or not has:
+                    bad.add(name)
+                    continue
                 if not all(
                     isinstance(v, (bool, int, float, str)) for v in (lo, hi)
                 ):
@@ -236,12 +251,88 @@ class VersionedTable:
             c: [mins[c], maxs[c]] for c in mins if c not in bad and c in maxs
         }
 
-    def append(self, df: DataFrame) -> int:
+    def _check_constraints(self, df: DataFrame) -> None:
+        """Enforce declared CHECK constraints on rows about to be
+        written (Delta `ALTER TABLE ... ADD CONSTRAINT` semantics:
+        writes violating any constraint fail before anything
+        commits). One filter+limit job per constraint — bounded."""
+        from pyspark.sql import functions as F
+
         cur = self.current_version()
+        cons = self._load(cur).get("constraints", {}) if cur is not None else {}
+        for name, expr in cons.items():
+            bad = df.filter(~F.coalesce(F.expr(expr), F.lit(False))).limit(1)
+            rows = bad.collect()
+            if rows:
+                raise ValueError(
+                    f"{self.path}: CHECK constraint {name!r} ({expr}) "
+                    f"violated by row {rows[0].asDict()}"
+                )
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """Declare a CHECK constraint (metadata-only commit). The
+        CURRENT contents must already satisfy it, as in Delta."""
+        cur = self.current_version()
+        cons = dict(self._load(cur).get("constraints", {})) if cur is not None else {}
+        if name in cons:
+            raise ValueError(f"constraint {name!r} already exists")
+        if cur is not None:
+            from pyspark.sql import functions as F
+
+            bad = self.read().filter(
+                ~F.coalesce(F.expr(expr), F.lit(False))
+            ).limit(1).count()
+            if bad:
+                raise ValueError(
+                    f"{self.path}: existing rows violate new CHECK "
+                    f"constraint {name!r} ({expr})"
+                )
+        cons[name] = expr
+        files = self._load(cur)["files"] if cur is not None else []
+        return self._commit(
+            files, f"add_constraint({name})", base=cur, constraints=cons
+        )
+
+    def drop_constraint(self, name: str) -> int:
+        cur = self.current_version()
+        cons = dict(self._load(cur).get("constraints", {})) if cur is not None else {}
+        if name not in cons:
+            raise ValueError(f"constraint {name!r} does not exist")
+        del cons[name]
+        return self._commit(
+            self._load(cur)["files"],
+            f"drop_constraint({name})",
+            base=cur,
+            constraints=cons,
+        )
+
+    def last_txn_version(self, app_id: str) -> int | None:
+        """Highest committed transaction version for `app_id` (Delta
+        txnAppId/txnVersion analog)."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        return self._load(cur).get("txns", {}).get(app_id)
+
+    def append(self, df: DataFrame, txn: tuple[str, int] | None = None) -> int:
+        """Append; with `txn=(app_id, version)`, the write is
+        IDEMPOTENT per app: a txn version at or below the recorded
+        watermark is skipped (returns the current version unchanged) —
+        Delta's foreachBatch exactly-once recipe for sinks whose
+        checkpoint may replay a committed batch."""
+        cur = self.current_version()
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and txn[1] <= last:
+                return cur
+        self._check_constraints(df)
         prev = self._load(cur)["files"] if cur is not None else []
-        return self._commit(prev + self._write_files(df), "append", base=cur)
+        return self._commit(
+            prev + self._write_files(df), "append", base=cur, txn=txn
+        )
 
     def overwrite(self, df: DataFrame) -> int:
+        self._check_constraints(df)
         cur = self.current_version()
         return self._commit(self._write_files(df), "overwrite", base=cur)
 
@@ -280,6 +371,7 @@ class VersionedTable:
                 f"MERGE source is not unique on keys {keys} "
                 "(same contract as Delta: multiple source matches are an error)"
             )
+        self._check_constraints(source)
         cur = self.current_version()
         if cur is None:
             return self._commit(self._write_files(source), "merge", base=cur)
@@ -485,6 +577,7 @@ class VersionedTable:
                 for c in rows.columns
             ]
         )
+        self._check_constraints(updated)
         new_files = self._write_files(updated)
         carried = [f for f in files if f not in touched]
         version = self._commit(

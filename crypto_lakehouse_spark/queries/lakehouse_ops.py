@@ -841,3 +841,102 @@ def versioned_update_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "cdf_incremental_view_maintenance",
+    oracle="""
+WITH base AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DECIMAL(18,4)) AS price
+    FROM orders
+),
+v1 AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'U1' ELSE o_orderstatus END AS status,
+           CASE WHEN o_orderkey % 10 = 0 THEN price + 100 ELSE price END AS price
+    FROM base
+),
+v2 AS (SELECT * FROM v1 WHERE o_orderkey % 100 <> 0)
+SELECT status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS price_sum
+FROM v2
+GROUP BY status
+ORDER BY status
+""",
+    tags=("lakehouse", "cdf", "incremental-view-maintenance"),
+)
+def cdf_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance over the change feed (round 6) —
+    the reason CDF exists: a downstream aggregate is maintained by
+    applying SIGNED contributions from `table_changes` batches
+    (+post/+insert, -pre/-delete) instead of recomputing from the
+    table. History: v0 full load -> v1 MERGE updating every 10th key
+    (status 'U1', price +100) -> v2 DELETE of every 100th key. The
+    query aggregates the v0 snapshot once, folds in the two change
+    batches, and must land EXACTLY on the relational recompute of the
+    final state (the oracle) — any missed/doubled change row diverges
+    the hash. At 100 TB the change batches are deltas, not snapshots:
+    maintenance cost tracks churn, not table size."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+    )
+    t = VersionedTable(spark, _scratch_dir("ivm_q_") + "/t")
+    t.overwrite(orders.repartition(4))  # v0
+    upd = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.lit("U1").alias("status"),
+        (F.col("price") + 100).cast("decimal(18,4)").alias("price"),
+    )
+    t.merge(upd, keys=["o_orderkey"])  # v1
+    t.delete("o_orderkey % 100 = 0")  # v2
+
+    agg0 = (
+        t.read(version=0)
+        .groupBy("status")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("price").alias("s"),
+        )
+    )
+    changes = t.table_changes(["o_orderkey"], 0, 1).unionByName(
+        t.table_changes(["o_orderkey"], 1, 2)
+    )
+    signed = changes.select(
+        "status",
+        F.when(
+            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("sign"),
+        "price",
+    )
+    deltas = signed.groupBy("status").agg(
+        F.sum("sign").alias("dn"),
+        F.sum(F.col("sign") * F.col("price")).alias("ds"),
+    )
+    merged = (
+        agg0.join(deltas, "status", "full_outer")
+        .select(
+            "status",
+            (F.coalesce(F.col("n"), F.lit(0)) + F.coalesce(F.col("dn"), F.lit(0))).alias("n_orders"),
+            (
+                F.coalesce(F.col("s"), F.lit(0).cast("decimal(18,4)"))
+                + F.coalesce(F.col("ds"), F.lit(0).cast("decimal(18,4)"))
+            ).alias("price_sum"),
+        )
+        .filter(F.col("n_orders") > 0)
+    )
+    return merged.select(
+        "status",
+        "n_orders",
+        F.col("price_sum").cast("double").alias("price_sum"),
+    ).orderBy("status")

@@ -614,3 +614,45 @@ def test_snapshot_isolation_reader_unaffected_by_concurrent_commit(spark, table)
     # The pre-commit plan still evaluates to the old rows.
     assert {(r.k, r.v) for r in snapshot.collect()} == {(1, 10), (2, 20)}
     assert {(r.k, r.v) for r in table.read().collect()} == {(1, 999)}
+
+
+# --- CHECK constraints + idempotent txn appends (round 6) ------------------
+
+
+def test_check_constraint_blocks_violating_writes(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="v_positive"):
+        table.append(_df(spark, [(2, "b", -5)]))
+    # Nothing committed by the failed write.
+    assert {r.k for r in table.read().collect()} == {1}
+    table.append(_df(spark, [(2, "b", 5)]))  # valid write passes
+    with pytest.raises(ValueError, match="v_positive"):
+        table.update("k = 2", set={"v": "-1"})
+    with pytest.raises(ValueError, match="v_positive"):
+        table.merge(_df(spark, [(3, "a", 0)]), keys=["k"])
+    table.drop_constraint("v_positive")
+    table.append(_df(spark, [(4, "a", -1)]))  # allowed after drop
+    assert {r.k for r in table.read().collect()} == {1, 2, 4}
+
+
+def test_add_constraint_rejects_existing_violations(spark, table):
+    table.append(_df(spark, [(1, "a", -10)]))
+    with pytest.raises(ValueError, match="existing rows violate"):
+        table.add_constraint("v_positive", "v > 0")
+
+
+def test_txn_append_is_idempotent(spark, table):
+    """Delta txnAppId/txnVersion: a replayed foreachBatch batch id is
+    skipped; a new batch id lands; a second app's watermark is
+    independent."""
+    table.append(_df(spark, [(1, "a", 10)]), txn=("ingest", 1))
+    v = table.current_version()
+    assert table.append(_df(spark, [(1, "a", 10)]), txn=("ingest", 1)) == v
+    assert table.read().count() == 1  # replay skipped
+    table.append(_df(spark, [(2, "b", 20)]), txn=("ingest", 2))
+    assert table.read().count() == 2
+    table.append(_df(spark, [(3, "a", 30)]), txn=("backfill", 1))
+    assert table.read().count() == 3
+    assert table.last_txn_version("ingest") == 2
+    assert table.last_txn_version("backfill") == 1
