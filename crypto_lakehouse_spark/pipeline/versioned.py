@@ -358,11 +358,20 @@ class VersionedTable:
             m["files"], "add_column", base=cur, added_columns=added
         )
 
-    def merge(self, source: DataFrame, keys: list[str]) -> int:
+    def merge(
+        self, source: DataFrame, keys: list[str], merge_schema: bool = False
+    ) -> int:
         """COW MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
         INSERT *, reference bronze_to_silver.py:171-186): rewrites only
         partitions the source touches; untouched partitions carry their
-        existing immutable files into the new manifest."""
+        existing immutable files into the new manifest.
+
+        `merge_schema=True` is Delta's `schema.autoMerge`: columns the
+        source carries that the target lacks are declared as added
+        columns (NULL for pre-existing rows — the carried files are
+        never rewritten; `read()` backfills from the manifest's
+        added-column metadata). Without the flag, a wider source is an
+        explicit error."""
         from pyspark.sql import functions as F
 
         dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
@@ -376,10 +385,35 @@ class VersionedTable:
         if cur is None:
             return self._commit(self._write_files(source), "merge", base=cur)
 
+        added_columns = None
+        tgt_cols = self.read().columns
+        new_cols = [c for c in source.columns if c not in tgt_cols]
+        if new_cols:
+            if not merge_schema:
+                raise ValueError(
+                    f"MERGE source has column(s) {new_cols} the target "
+                    "lacks; pass merge_schema=True to evolve the schema "
+                    "(Delta schema.autoMerge)"
+                )
+            added_columns = dict(self._load(cur).get("added_columns", {}))
+            for c in new_cols:
+                added_columns[c] = {
+                    "type": source.schema[c].dataType.simpleString(),
+                    "default": None,
+                }
+
         # Partition-dir type inference can widen (e.g. '1' -> int);
         # align target to the source schema before set operations.
+        # Target rows take NULL for newly-declared columns.
         target = self.read().select(
-            *[F.col(c).cast(source.schema[c].dataType).alias(c) for c in source.columns]
+            *[
+                (
+                    F.col(c).cast(source.schema[c].dataType)
+                    if c in tgt_cols
+                    else F.lit(None).cast(source.schema[c].dataType)
+                ).alias(c)
+                for c in source.columns
+            ]
         )
         if self.partition_by:
             parts = source.select(*self.partition_by).distinct()
@@ -428,7 +462,9 @@ class VersionedTable:
             carried = [
                 f for f in self._load(cur)["files"] if os.path.dirname(f) not in touched
             ]
-        return self._commit(carried + new_files, "merge", base=cur)
+        return self._commit(
+            carried + new_files, "merge", base=cur, added_columns=added_columns
+        )
 
     # -- reads -------------------------------------------------------------
     def files_for_scan(

@@ -250,3 +250,61 @@ def test_cdc_merge_crash_replay_exactly_once(spark, tmp_path):
     expect |= {(k, "u2") for k in range(0, 20, 4)}
     got = {(r.k, r.v) for r in table.read().collect()}
     assert got == expect
+
+
+def test_append_sink_crash_replay_dedup_via_txn(spark, tmp_path):
+    """Append-only sink exactly-once WITHOUT merge semantics: the
+    foreachBatch writer passes txn=(app, batch_id) to
+    VersionedTable.append, so the batch replayed after a crash (merge
+    ran, offset commit didn't) is skipped by the transaction
+    watermark instead of landing twice."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def _stage(rows, n):
+        df = spark.createDataFrame(rows, "k BIGINT, v STRING")
+        tmp = str(tmp_path / f"chunk{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _g
+        import os as _o
+
+        part = next(iter(sorted(_g.glob(f"{tmp}/*.parquet"))))
+        _o.rename(part, str(feed / f"{n:03d}.parquet"))
+
+    _stage([(1, "a"), (2, "b")], 0)
+    _stage([(3, "c")], 1)
+    _stage([(4, "d")], 2)
+
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    def _run(crash_at):
+        def _process(batch_df, batch_id):
+            table.append(batch_df, txn=("stream", batch_id))
+            if batch_id == crash_at:
+                raise RuntimeError("injected crash")
+
+        q = (
+            spark.readStream.schema("k BIGINT, v STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+            .writeStream.foreachBatch(_process)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        _run(crash_at=1)
+    _run(crash_at=None)
+    # Batch 1 was appended once, then REPLAYED and skipped by the txn
+    # watermark — k=3 appears exactly once.
+    got = sorted(r.k for r in table.read().collect())
+    assert got == [1, 2, 3, 4]
+    assert table.last_txn_version("stream") == 2

@@ -656,3 +656,21 @@ def test_txn_append_is_idempotent(spark, table):
     assert table.read().count() == 3
     assert table.last_txn_version("ingest") == 2
     assert table.last_txn_version("backfill") == 1
+
+
+def test_merge_schema_evolution(spark, table):
+    """Delta schema.autoMerge: a wider MERGE source declares the new
+    column; carried files backfill NULL on read; without the flag the
+    wider source is an explicit error."""
+    table.append(_df(spark, [(1, "a", 10), (3, "b", 30)]))
+    wider = spark.createDataFrame(
+        [(1, "a", 11, "gold"), (2, "a", 20, "silver")],
+        "k BIGINT, day STRING, v BIGINT, tier STRING",
+    )
+    with pytest.raises(ValueError, match="merge_schema=True"):
+        table.merge(wider, keys=["k"])
+    table.merge(wider, keys=["k"], merge_schema=True)
+    got = {(r.k, r.v, r.tier) for r in table.read().collect()}
+    assert got == {(1, 11, "gold"), (2, 20, "silver"), (3, 30, None)}
+    # Pre-evolution snapshot unchanged.
+    assert "tier" not in table.read(version=0).columns
