@@ -375,3 +375,81 @@ _pair(
     _FUNNEL_CLEAN,
     tags=("trainprep", "funnel", "dedup"),
 )
+
+
+# --- fuzzy benchmark decontamination (MinHash bands) -----------------------
+# Exact n-gram decontamination (contamination_4gram) misses
+# paraphrased/benchmark-adjacent text; the standard production answer
+# is MinHash-LSH between corpus and benchmark: 8 md5-derived
+# min-hashes per doc over 3-gram shingles, 4 bands of 2 generate
+# candidates (corpus x bench docs sharing a band — never all pairs),
+# then the full 8-hash agreement estimates Jaccard and docs with
+# >= 3/8 agreeing hashes are flagged. Integer thresholds only — no
+# float boundary. At 100 TB the band join is the sole pair generator
+# and hot band buckets take the same df-cap treatment as the shingle
+# joins (queries/dedup_ops.py); the estimate join is one row per
+# candidate. Both engines run the identical SQL (dialect differs only
+# in the shingle unnest), so the banded candidate set, the estimates,
+# and the flags are value-exact, not approximate-vs-approximate.
+_FZ_K = 8
+_FZ_MINS = ",\n           ".join(
+    f"MIN(md5('{i}:' || s)) AS mh{i}" for i in range(_FZ_K)
+)
+_FZ_BANDS = "\n    UNION ALL\n".join(
+    f"    SELECT doc_id, {b} AS band, mh{2*b} || '|' || mh{2*b+1} AS bk FROM {{sig}}"
+    for b in range(4)
+)
+_FZ_EQ = " + ".join(
+    f"(CASE WHEN cs.mh{i} = bs.mh{i} THEN 1 ELSE 0 END)" for i in range(_FZ_K)
+)
+
+
+def _fuzzy_contamination(shingles_corpus: str, shingles_bench: str) -> str:
+    return f"""
+WITH corpus AS (SELECT doc_id, source, text FROM documents WHERE doc_id % 17 <> 0),
+bench AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 = 0),
+csh AS (
+    {shingles_corpus}
+),
+bsh AS (
+    {shingles_bench}
+),
+csig AS (SELECT doc_id, {_FZ_MINS} FROM csh GROUP BY doc_id),
+bsig AS (SELECT doc_id, {_FZ_MINS} FROM bsh GROUP BY doc_id),
+cband AS (
+{_FZ_BANDS.format(sig="csig")}
+),
+bband AS (
+{_FZ_BANDS.format(sig="bsig")}
+),
+cand AS (
+    SELECT DISTINCT c.doc_id AS c_doc, b.doc_id AS b_doc
+    FROM cband c JOIN bband b ON c.band = b.band AND c.bk = b.bk
+),
+est AS (
+    SELECT cand.c_doc, ({_FZ_EQ}) AS n_eq
+    FROM cand
+    JOIN csig cs ON cs.doc_id = cand.c_doc
+    JOIN bsig bs ON bs.doc_id = cand.b_doc
+),
+flagged AS (
+    SELECT c_doc, MAX(n_eq) AS best_eq
+    FROM est GROUP BY c_doc HAVING MAX(n_eq) >= 3
+)
+SELECT c.source,
+       COUNT(*) AS n_docs,
+       COUNT(f.c_doc) AS n_fuzzy_contaminated,
+       CAST(COALESCE(SUM(f.best_eq), 0) AS BIGINT) AS matched_hash_sum,
+       CAST(COALESCE(SUM(f.c_doc), 0) AS BIGINT) AS flagged_id_checksum
+FROM corpus c LEFT JOIN flagged f ON c.doc_id = f.c_doc
+GROUP BY c.source
+ORDER BY c.source
+"""
+
+
+_pair(
+    "contamination_minhash_fuzzy",
+    _fuzzy_contamination(_ngrams_spark("corpus", 3), _ngrams_spark("bench", 3)),
+    _fuzzy_contamination(_ngrams_duck("corpus", 3), _ngrams_duck("bench", 3)),
+    tags=("trainprep", "dedup", "minhash", "decontamination"),
+)

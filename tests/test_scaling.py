@@ -43,6 +43,7 @@ RAMP_QUERIES = [
     "asof_join_cogroup",
     # round-6: the hot-band-capped scale path + recall census
     "multimodal_ahash_near_dup_capped",
+    "contamination_minhash_fuzzy",
 ]
 
 RATIO_MAX = 30.0
@@ -86,6 +87,7 @@ SKEW_DEDUP_QUERIES = [
     "near_dup_keep",
     "idf_cosine_topk",
     "substring_span_dedup",
+    "contamination_minhash_fuzzy",
 ]
 
 
