@@ -433,3 +433,29 @@ def streaming_stream_stream_left_join(spark: SparkSession, sf_dir: str) -> DataF
     )
 
     return run_stream_stream_left_join(spark, sf_dir)
+
+
+@query(
+    "versioned_table_stream_agg",
+    oracle="""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+    tags=("streaming", "versioned-table", "delta-source-analog", "connector"),
+)
+def versioned_table_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming FROM the engine's table format: version
+    offsets, live tailing of commits made while the query runs, Arrow
+    executor reads — streaming/file_stream.run_versioned_table_stream,
+    sources/versioned_stream.py."""
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_versioned_table_stream,
+    )
+
+    configure_session(spark)
+    return run_versioned_table_stream(spark, sf_dir)

@@ -1049,3 +1049,81 @@ def run_stream_stream_left_join(
     )
     q.awaitTermination()
     return spark.table(name).orderBy("click_id", "purchase_id")
+
+
+def run_versioned_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream FROM the versioned table format (sources/
+    versioned_stream.py — the Delta streaming-source analog): orders
+    land in a VersionedTable in three appends, two of them committed
+    WHILE the stream is already running, and the memory-sink aggregate
+    must equal the batch aggregate over everything appended — proving
+    version-offset planning, live tailing of new commits, and the
+    Arrow read path in one pass. Offsets are table versions; each
+    micro-batch is exactly the files its versions added."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+    from crypto_lakehouse_spark.sources.versioned_stream import register
+
+    register(spark)
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = load_table(spark, sf_dir, "orders").select(*cols)
+    chunks = [
+        orders.filter(F.col("o_orderkey") % 3 == i).coalesce(2) for i in range(3)
+    ]
+    total = orders.count()
+
+    t = VersionedTable(spark, _scratch_dir("vstream_tbl_") + "/t")
+    t.append(chunks[0])  # v0 exists before the stream starts
+
+    df = (
+        spark.readStream.format("versioned_table")
+        .option("path", t.path)
+        .load()
+    )
+    agg = df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_orderkey").alias("min_key"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("price_sum"),
+    )
+    name = f"vstream_agg_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", _scratch_dir("ckpt_vstream_"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    # Commit two more versions while the stream is live — the source
+    # must tail them from the manifest log.
+    t.append(chunks[1])
+    t.append(chunks[2])
+    deadline = _time.time() + 120
+    done = None
+    while _time.time() < deadline:
+        done = (
+            spark.table(name).agg(F.sum("n_orders").alias("n")).collect()[0]["n"]
+        )
+        if done == total:
+            break
+        _time.sleep(0.3)
+    q.stop()
+    if done != total:
+        raise TimeoutError(
+            f"versioned-table stream drained {done} of {total} rows "
+            f"within 120 s (memory sink {name!r})"
+        )
+    return (
+        spark.table(name)
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            "min_key",
+            F.col("price_sum").cast("double").alias("price_sum"),
+        )
+        .orderBy("status")
+    )

@@ -165,3 +165,44 @@ def test_arrow_parquet_filter_pushdown_prunes_row_groups(spark, tmp_path):
     sel2 = df2.filter(F.col("ts_us") >= cut)
     assert sel2.rdd.getNumPartitions() == 1
     assert sel2.count() == 100
+
+
+def test_versioned_stream_rejects_non_append_history(spark, tmp_path):
+    """The versioned-table streaming source refuses a version that
+    removed files (Delta default), and streams the added files when
+    ignore_changes is set."""
+    import pytest
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+    from crypto_lakehouse_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "k BIGINT, v STRING").coalesce(1)
+    )
+    t.delete("k = 1")  # v1 removes a file
+
+    def _drain(ignore: str):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", t.path)
+            .option("ignore_changes", ignore)
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"vs_{ignore}")
+            .option("checkpointLocation", str(tmp_path / f"ck_{ignore}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return spark.table(f"vs_{ignore}")
+
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    with pytest.raises(StreamingQueryException):
+        _drain("false")
+    out = _drain("true")
+    # v0's file + v1's rewritten file both stream (re-emission under
+    # ignore_changes, exactly Delta's documented semantics).
+    assert sorted(r.k for r in out.collect()) == [1, 2, 2]
