@@ -958,8 +958,31 @@ class VersionedTable:
             dest._last_write_stats = {}
         return dest
 
+    def detail(self) -> dict:
+        """Delta `DESCRIBE DETAIL` analog: table-level metadata from
+        the current manifest + filesystem sizes (no data scan)."""
+        cur = self.current_version()
+        if cur is None:
+            return {"num_files": 0, "size_bytes": 0, "version": None}
+        m = self._load(cur)
+        sizes = [
+            os.path.getsize(os.path.join(self.path, f)) for f in m["files"]
+        ]
+        return {
+            "version": cur,
+            "num_files": len(m["files"]),
+            "size_bytes": sum(sizes),
+            "partition_columns": list(self.partition_by),
+            "constraints": dict(m.get("constraints", {})),
+            "added_columns": dict(m.get("added_columns", {})),
+            "last_op": m["op"],
+        }
+
     def expire_snapshots(
-        self, retain_last: int = 5, orphan_retention_s: float = 3600.0
+        self,
+        retain_last: int = 5,
+        orphan_retention_s: float = 3600.0,
+        dry_run: bool = False,
     ) -> dict[str, int]:
         """Expire old manifests and delete data files no remaining
         manifest references (expire_snapshots + remove_orphan_files,
@@ -975,14 +998,19 @@ class VersionedTable:
         without the gate, a concurrently publishing manifest could end
         up referencing deleted files. Pass ``orphan_retention_s=0.0``
         ONLY when the caller guarantees no concurrent writers (e.g. a
-        single-writer maintenance window, as in tests)."""
+        single-writer maintenance window, as in tests).
+
+        ``dry_run=True`` (Delta `VACUUM ... DRY RUN`): report what
+        WOULD be expired/removed without touching anything."""
         vs = self.versions()
         expired = vs[:-retain_last] if retain_last else vs[:-1]
-        for v in expired:
-            os.remove(self._manifest_path(v))
+        if not dry_run:
+            for v in expired:
+                os.remove(self._manifest_path(v))
 
         live: set[str] = set()
-        for v in self.versions():
+        retained = [v for v in self.versions() if v not in expired] if dry_run else self.versions()
+        for v in retained:
             live.update(self._load(v)["files"])
         removed = 0
         cutoff = time.time() - orphan_retention_s
@@ -998,7 +1026,8 @@ class VersionedTable:
             for d in list(dirs):
                 full = os.path.join(root, d)
                 if d.startswith("_staging-") and _old_enough(full):
-                    shutil.rmtree(full, ignore_errors=True)
+                    if not dry_run:
+                        shutil.rmtree(full, ignore_errors=True)
                     dirs.remove(d)
                     removed += 1
             for name in names:
@@ -1009,6 +1038,7 @@ class VersionedTable:
                     and rel not in live
                     and _old_enough(full)
                 ):
-                    os.remove(full)
+                    if not dry_run:
+                        os.remove(full)
                     removed += 1
         return {"expired_versions": len(expired), "removed_files": removed}

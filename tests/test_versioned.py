@@ -674,3 +674,29 @@ def test_merge_schema_evolution(spark, table):
     assert got == {(1, 11, "gold"), (2, 20, "silver"), (3, 30, None)}
     # Pre-evolution snapshot unchanged.
     assert "tier" not in table.read(version=0).columns
+
+
+def test_expire_dry_run_touches_nothing(spark, table):
+    import glob as _g
+
+    for i in range(3):
+        table.append(_df(spark, [(i, "a", i)]))
+    table.compact(target_files_per_partition=1)
+    before = set(_g.glob(f"{table.path}/day=*/*.parquet"))
+    stats = table.expire_snapshots(
+        retain_last=1, orphan_retention_s=0.0, dry_run=True
+    )
+    assert stats["expired_versions"] == 3 and stats["removed_files"] >= 3
+    # Nothing actually removed; all versions still readable.
+    assert set(_g.glob(f"{table.path}/day=*/*.parquet")) == before
+    assert table.read(version=0).count() == 1
+
+
+def test_describe_detail(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    table.add_constraint("v_pos", "v > 0")
+    d = table.detail()
+    assert d["version"] == 1 and d["num_files"] >= 2
+    assert d["partition_columns"] == ["day"]
+    assert d["constraints"] == {"v_pos": "v > 0"}
+    assert d["size_bytes"] > 0 and d["last_op"] == "add_constraint(v_pos)"
