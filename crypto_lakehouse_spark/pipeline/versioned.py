@@ -74,10 +74,23 @@ class VersionedTable:
     """Parquet table with manifest snapshots, time travel, and
     Iceberg-style maintenance (compact / expire / orphan cleanup)."""
 
-    def __init__(self, spark: SparkSession, path: str, partition_by: list[str] | None = None):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        partition_by: list[str] | None = None,
+        bloom_columns: list[str] | None = None,
+    ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = partition_by or []
+        # Delta/Iceberg bloom-filter-index analog: for each declared
+        # column, every NEW file gets a per-file Bloom filter built at
+        # write time (one pyarrow single-column read) and stored in the
+        # manifest; `files_for_scan(point=...)` then prunes files for
+        # point lookups where min/max can't (high-cardinality,
+        # randomly-laid-out keys). ~1 KiB per file per column.
+        self.bloom_columns = bloom_columns or []
         self._last_write_stats: dict[str, dict] = {}
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
 
@@ -247,9 +260,48 @@ class VersionedTable:
                     continue
                 mins[name] = lo if name not in mins else min(mins[name], lo)
                 maxs[name] = hi if name not in maxs else max(maxs[name], hi)
-        return {
+        out = {
             c: [mins[c], maxs[c]] for c in mins if c not in bad and c in maxs
         }
+        if self.bloom_columns:
+            bloom = self._file_bloom(rel)
+            if bloom:
+                out["__bloom__"] = bloom
+        return out
+
+    # Bloom geometry: m = 8192 bits (1 KiB), k = 4 md5-derived probes.
+    _BLOOM_BITS = 8192
+
+    @staticmethod
+    def _bloom_probes(col: str, value) -> list[int]:
+        import hashlib
+
+        d = hashlib.md5(f"{col}:{value}".encode()).digest()
+        return [
+            int.from_bytes(d[4 * j : 4 * j + 4], "big")
+            % VersionedTable._BLOOM_BITS
+            for j in range(4)
+        ]
+
+    def _file_bloom(self, rel: str) -> dict[str, str]:
+        """Per-file Bloom filters for the declared bloom columns: one
+        single-column pyarrow read per file at write time."""
+        import pyarrow.parquet as pq
+
+        pf = pq.ParquetFile(os.path.join(self.path, rel))
+        names = set(pf.schema_arrow.names)
+        out: dict[str, str] = {}
+        for col in self.bloom_columns:
+            if col not in names:
+                continue
+            bits = bytearray(self._BLOOM_BITS // 8)
+            for v in pf.read(columns=[col]).column(col).to_pylist():
+                if v is None:
+                    continue
+                for idx in self._bloom_probes(col, v):
+                    bits[idx // 8] |= 1 << (idx % 8)
+            out[col] = bits.hex()
+        return out
 
     def _check_constraints(self, df: DataFrame) -> None:
         """Enforce declared CHECK constraints on rows about to be
@@ -468,7 +520,10 @@ class VersionedTable:
 
     # -- reads -------------------------------------------------------------
     def files_for_scan(
-        self, version: int | None = None, between: dict[str, tuple] | None = None
+        self,
+        version: int | None = None,
+        between: dict[str, tuple] | None = None,
+        point: dict[str, object] | None = None,
     ) -> tuple[list[str], int]:
         """Plan a snapshot scan with file skipping: returns
         (selected_files, total_files). A file is skipped when, for any
@@ -483,15 +538,29 @@ class VersionedTable:
             raise FileNotFoundError(f"{self.path}: no committed version")
         m = self._load(cur if version is None else version)
         files, stats = m["files"], m.get("stats", {})
-        if not between:
+        if not between and not point:
             return files, len(files)
         selected = []
         for f in files:
             fs = stats.get(f, {})
-            for col, (lo, hi) in between.items():
+            skip = False
+            for col, (lo, hi) in (between or {}).items():
                 if col in fs and (fs[col][1] < lo or fs[col][0] > hi):
-                    break  # provably disjoint — skip file
-            else:
+                    skip = True  # provably disjoint — skip file
+                    break
+            if not skip:
+                for col, v in (point or {}).items():
+                    bloom = fs.get("__bloom__", {}).get(col)
+                    if bloom is None:
+                        continue  # no index for this file: keep
+                    bits = bytes.fromhex(bloom)
+                    if any(
+                        not (bits[i // 8] >> (i % 8)) & 1
+                        for i in self._bloom_probes(col, v)
+                    ):
+                        skip = True  # Bloom proves value absent
+                        break
+            if not skip:
                 selected.append(f)
         return selected, len(files)
 
@@ -631,6 +700,7 @@ class VersionedTable:
         version: int | None = None,
         merge_schema: bool = False,
         between: dict[str, tuple] | None = None,
+        point: dict[str, object] | None = None,
     ) -> DataFrame:
         """Read a snapshot (default: latest). `version` is time travel
         (Delta `VERSION AS OF` / Iceberg snapshot read, reference
@@ -640,8 +710,10 @@ class VersionedTable:
         `between={col: (lo, hi)}` applies manifest-stats file skipping
         (see `files_for_scan`) plus the residual row filter, so the
         result is exactly the bounded rows however the files were
-        laid out."""
-        files, _total = self.files_for_scan(version, between)
+        laid out. `point={col: v}` adds Bloom-index file skipping for
+        equality lookups (see files_for_scan) plus the residual
+        equality filter."""
+        files, _total = self.files_for_scan(version, between, point)
         if not files and _total == 0:
             raise ValueError(f"{self.path}: empty snapshot")
         if not files:  # every file skipped: empty frame, right schema
@@ -682,6 +754,8 @@ class VersionedTable:
                 df = df.withColumn(name, F.col(name).cast(spec["type"]))
         for col, (lo, hi) in (between or {}).items():
             df = df.where(F.col(col).between(lo, hi))
+        for col, v in (point or {}).items():
+            df = df.where(F.col(col) == F.lit(v))
         return df
 
     # -- maintenance (reference compaction.py analogs) ----------------------
@@ -957,6 +1031,27 @@ class VersionedTable:
         finally:
             dest._last_write_stats = {}
         return dest
+
+    def write_stream(
+        self,
+        df: DataFrame,
+        checkpoint_dir: str,
+        app_id: str = "versioned_sink",
+        available_now: bool = True,
+    ):
+        """Structured Streaming SINK into this table: foreachBatch +
+        txn-idempotent append, so a checkpoint replay after a crash
+        cannot double-write a batch (the exactly-once recipe proven in
+        tests/test_streaming_medallion.py). Returns the started
+        StreamingQuery."""
+        writer = df.writeStream.foreachBatch(
+            lambda batch_df, batch_id: self.append(
+                batch_df, txn=(app_id, batch_id)
+            )
+        ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
 
     def detail(self) -> dict:
         """Delta `DESCRIBE DETAIL` analog: table-level metadata from

@@ -700,3 +700,64 @@ def test_describe_detail(spark, table):
     assert d["partition_columns"] == ["day"]
     assert d["constraints"] == {"v_pos": "v > 0"}
     assert d["size_bytes"] > 0 and d["last_op"] == "add_constraint(v_pos)"
+
+
+def test_bloom_index_prunes_point_lookups(spark, tmp_path):
+    """Bloom-filter file index (Delta bloom index analog): point
+    lookups on a high-cardinality, randomly-laid-out key — where
+    min/max overlaps every file and prunes nothing — skip most files
+    via the per-file Bloom recorded at write time, with exact results."""
+    import hashlib
+
+    import pyspark.sql.functions as SF
+
+    t = VersionedTable(spark, str(tmp_path / "b"), bloom_columns=["key"])
+    # md5-style keys in random layout: every file's [min, max] spans
+    # nearly the whole key space.
+    df = spark.range(4000).select(
+        SF.md5(SF.col("id").cast("string")).alias("key"),
+        SF.col("id").alias("v"),
+    )
+    t.append(df.repartition(16))
+
+    probe = hashlib.md5(b"1234").hexdigest()
+    sel, total = t.files_for_scan(point={"key": probe})
+    assert total == 16
+    assert len(sel) <= 4, f"bloom should prune most files, kept {len(sel)}"
+    rows = t.read(point={"key": probe}).collect()
+    assert [(r.key, r.v) for r in rows] == [(probe, 1234)]
+
+    # Absent key: typically every file pruned; result must be empty
+    # regardless of how many files the Bloom FP-keeps.
+    assert t.read(point={"key": "not-a-real-key"}).count() == 0
+
+    # Files written WITHOUT the index (another handle) stay scannable.
+    t2 = VersionedTable(spark, str(tmp_path / "b"))
+    t2.append(df.limit(1))
+    sel2, total2 = t2.files_for_scan(point={"key": probe})
+    assert total2 == 17 and len(sel2) >= 1
+
+
+def test_write_stream_sink_roundtrip(spark, tmp_path):
+    """writeStream -> VersionedTable sink helper: drains a file
+    stream into the table with txn-idempotent appends."""
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    src = spark.createDataFrame([(i, f"r{i}") for i in range(10)], "k BIGINT, v STRING")
+    src.coalesce(2).write.mode("overwrite").parquet(str(tmp_path / "stage"))
+    import glob as _g
+    import os as _o
+
+    for i, p in enumerate(sorted(_g.glob(str(tmp_path / "stage" / "*.parquet")))):
+        _o.rename(p, str(feed / f"{i:03d}.parquet"))
+
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    stream = (
+        spark.readStream.schema("k BIGINT, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = t.write_stream(stream, str(tmp_path / "ckpt"), app_id="test_sink")
+    q.awaitTermination()
+    assert sorted(r.k for r in t.read().collect()) == list(range(10))
+    assert t.last_txn_version("test_sink") is not None
