@@ -940,3 +940,101 @@ def cdf_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
         "n_orders",
         F.col("price_sum").cast("double").alias("price_sum"),
     ).orderBy("status")
+
+
+@query(
+    "bloom_point_lookup",
+    oracle="""
+SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+       o_orderstatus,
+       CAST(CAST(o_totalprice AS DECIMAL(18,4)) AS DOUBLE) AS o_totalprice
+FROM orders
+WHERE md5(CAST(o_orderkey AS VARCHAR)) = md5('1000')
+ORDER BY o_orderkey
+""",
+    tags=("lakehouse", "bloom-index", "point-lookup"),
+)
+def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup through the Bloom file index (round 6): orders are
+    stored under an md5 surrogate key in RANDOM layout (min/max spans
+    every file — stats-skipping is useless), and the lookup goes
+    through `read(point={...})`, which prunes files via the per-file
+    Blooms recorded at write time and applies the residual equality
+    filter. The oracle is the plain relational lookup — a Bloom false
+    PRUNE (losing the row) or a broken residual filter (extra rows)
+    both diverge the hash. File-count pruning is asserted in
+    tests/test_versioned.py."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.md5(F.col("o_orderkey").cast("string")).alias("key"),
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").cast("double").alias("o_totalprice"),
+    )
+    t = VersionedTable(
+        spark, _scratch_dir("bloom_q_") + "/t", bloom_columns=["key"]
+    )
+    t.overwrite(orders.repartition(16))
+    import hashlib
+
+    probe = hashlib.md5(b"1000").hexdigest()
+    return (
+        t.read(point={"key": probe})
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")
+    )
+
+
+@query(
+    "timestamp_time_travel",
+    oracle="""
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+    tags=("lakehouse", "time-travel", "timestamp-as-of"),
+)
+def timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIMESTAMP AS OF (round 6): commit v0 (full orders), capture a
+    wall-clock instant, commit v1 (a status-mangling overwrite), then
+    read AS OF the captured instant — the result must be v0's exact
+    contents (the oracle over the unmangled source), proving
+    version_as_of resolves to the pre-overwrite snapshot."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,4)").alias("o_totalprice"),
+    )
+    t = VersionedTable(spark, _scratch_dir("tstt_q_") + "/t")
+    t.overwrite(orders.repartition(4))  # v0
+    mid = _time.time()
+    _time.sleep(0.05)
+    t.overwrite(orders.withColumn("o_orderstatus", F.lit("MANGLED")))  # v1
+    return (
+        t.read(version=t.version_as_of(mid))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum("o_totalprice").alias("price_sum"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            F.col("price_sum").cast("double").alias("price_sum"),
+        )
+        .orderBy("status")
+    )
