@@ -663,6 +663,7 @@ GROUP BY event_type
 ORDER BY event_type
 """,
     tags=("lakehouse", "zorder", "data-skipping"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def zorder_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end OPTIMIZE ZORDER proof over a real VersionedTable
@@ -728,6 +729,7 @@ GROUP BY o_orderstatus
 ORDER BY status
 """,
     tags=("lakehouse", "delete", "cow"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def versioned_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level COW DELETE through the versioned table layer (round
@@ -794,6 +796,7 @@ GROUP BY o_orderstatus
 ORDER BY status
 """,
     tags=("lakehouse", "update", "cow"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def versioned_update_result(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level COW UPDATE through the versioned table layer (round
@@ -866,6 +869,7 @@ GROUP BY status
 ORDER BY status
 """,
     tags=("lakehouse", "cdf", "incremental-view-maintenance"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def cdf_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental view maintenance over the change feed (round 6) —
@@ -953,6 +957,7 @@ WHERE md5(CAST(o_orderkey AS VARCHAR)) = md5('1000')
 ORDER BY o_orderkey
 """,
     tags=("lakehouse", "bloom-index", "point-lookup"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point lookup through the Bloom file index (round 6): orders are
@@ -1000,6 +1005,7 @@ GROUP BY o_orderstatus
 ORDER BY status
 """,
     tags=("lakehouse", "time-travel", "timestamp-as-of"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TIMESTAMP AS OF (round 6): commit v0 (full orders), capture a

@@ -447,6 +447,7 @@ GROUP BY o_orderstatus
 ORDER BY status
 """,
     tags=("streaming", "versioned-table", "delta-source-analog", "connector"),
+    bench=False,  # write-path demo; convention: storage-layer queries stay out of bench
 )
 def versioned_table_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming FROM the engine's table format: version
