@@ -308,3 +308,68 @@ def test_append_sink_crash_replay_dedup_via_txn(spark, tmp_path):
     got = sorted(r.k for r in table.read().collect())
     assert got == [1, 2, 3, 4]
     assert table.last_txn_version("stream") == 2
+
+
+def test_stream_static_enrich_pinned_vs_refreshed(spark, tmp_path):
+    """Documents the stream-static gotcha with a manifest-resolved
+    table: VersionedTable.read() pins the file list at PLAN time, so
+    a stream-static join sees the dimension AS OF query start even if
+    the dimension table commits new versions mid-stream (repeatable
+    enrichment). The refresh pattern is re-reading inside
+    foreachBatch, which picks up each batch's current version."""
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    dim = VersionedTable(spark, str(tmp_path / "dim"))
+    dim.overwrite(
+        spark.createDataFrame([(1, "old"), (2, "old")], "k BIGINT, tag STRING")
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def _stage(rows, n):
+        df = spark.createDataFrame(rows, "k BIGINT")
+        tmp = str(tmp_path / f"c{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _g
+        import os as _o
+
+        part = next(iter(sorted(_g.glob(f"{tmp}/*.parquet"))))
+        _o.rename(part, str(feed / f"{n:03d}.parquet"))
+
+    _stage([(1,)], 0)
+    _stage([(2,)], 1)
+
+    pinned = dim.read()  # plan pinned to v0's files
+    seen: list[tuple[int, int, str, str]] = []
+
+    def _process(batch_df, batch_id):
+        refreshed = dim.read()  # re-resolves the CURRENT version
+        joined = (
+            batch_df.join(pinned.withColumnRenamed("tag", "pinned_tag"), "k")
+            .join(refreshed.withColumnRenamed("tag", "fresh_tag"), "k")
+        )
+        for r in joined.collect():
+            seen.append((batch_id, r.k, r.pinned_tag, r.fresh_tag))
+        if batch_id == 0:
+            # Dimension updates BETWEEN batches.
+            dim.overwrite(
+                spark.createDataFrame(
+                    [(1, "new"), (2, "new")], "k BIGINT, tag STRING"
+                )
+            )
+
+    q = (
+        spark.readStream.schema("k BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+        .writeStream.foreachBatch(_process)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert sorted(seen) == [
+        (0, 1, "old", "old"),
+        (1, 2, "old", "new"),  # pinned stays v0; refreshed sees v1
+    ]
