@@ -542,12 +542,32 @@ class VersionedTable:
             return files, len(files)
         selected = []
         for f in files:
-            fs = stats.get(f, {})
+            fs = dict(stats.get(f, {}))
+            # Partition-column values live in the dir name, not file
+            # bytes (no footer stats): parse `col=value` segments into
+            # exact min=max stats so partition predicates prune at the
+            # manifest level too (Hive-escaped names decoded; NULL
+            # partitions have no comparable value and stay kept).
+            for seg in f.split(os.sep)[:-1]:
+                if "=" in seg:
+                    col, raw = seg.split("=", 1)
+                    if raw != "__HIVE_DEFAULT_PARTITION__" and col not in fs:
+                        from urllib.parse import unquote
+
+                        val: object = unquote(raw)
+                        try:
+                            val = int(val)  # match int-typed bounds
+                        except ValueError:
+                            pass
+                        fs[col] = [val, val]
             skip = False
             for col, (lo, hi) in (between or {}).items():
-                if col in fs and (fs[col][1] < lo or fs[col][0] > hi):
-                    skip = True  # provably disjoint — skip file
-                    break
+                try:
+                    if col in fs and (fs[col][1] < lo or fs[col][0] > hi):
+                        skip = True  # provably disjoint — skip file
+                        break
+                except TypeError:
+                    continue  # incomparable bound/stat types: keep
             if not skip:
                 for col, v in (point or {}).items():
                     bloom = fs.get("__bloom__", {}).get(col)

@@ -761,3 +761,19 @@ def test_write_stream_sink_roundtrip(spark, tmp_path):
     q.awaitTermination()
     assert sorted(r.k for r in t.read().collect()) == list(range(10))
     assert t.last_txn_version("test_sink") is not None
+
+
+def test_partition_value_pruning_in_files_for_scan(spark, table):
+    """Partition columns have no footer stats; their dir-name values
+    must still prune at the manifest level (exact min=max), including
+    escaped values."""
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20), (3, "c:x", 30)]))
+    sel, total = table.files_for_scan(between={"day": ("a", "a")})
+    assert total >= 3 and len(sel) < total
+    assert all("day=a" in f for f in sel)
+    # Escaped partition value decodes for comparison.
+    sel2, _ = table.files_for_scan(between={"day": ("c:x", "c:x")})
+    assert sel2 and all("day=c%3Ax" in f for f in sel2)
+    # Values still exact through the read path.
+    got = {r.k for r in table.read(between={"day": ("a", "a")}).collect()}
+    assert got == {1}
