@@ -518,3 +518,107 @@ _pair(
     _curriculum_sql("len", "string_split", "list_filter", "list_distinct"),
     tags=("lmdata", "sampling", "curriculum", "quality"),
 )
+
+
+# --- DSIR importance resampling (Xie et al. 2023, arXiv:2302.03169) --------
+# Data Selection via Importance Resampling: estimate target-domain and
+# source unigram LMs, weight every source doc by its target/source
+# log-likelihood ratio, keep the top 20%. Target sample = every 5th
+# doc (stands in for the curated target-domain set); LMs are add-one
+# smoothed over the SHARED corpus vocabulary so both likelihoods live
+# in the same event space. Per-doc weight folds (doc,token)
+# contributions in token-sorted order and the per-source rollup folds
+# doc weights in doc_id order — the ngram_lm_doc_score order-pinned
+# discipline, bit-identical across engines. Selection is NTILE(5)=1
+# over (rounded weight DESC, doc_id). Shape at scale: two token
+# groupBys with map-side combine, one 1:1 vocab join keyed by token,
+# selection one window over docs — no all-pairs anywhere.
+
+
+def _dsir(toks_all: str, toks_tgt: str, agg_tok_fold: str, agg_doc_fold: str) -> str:
+    return f"""
+WITH toks AS (
+    {toks_all}
+),
+ttoks AS (
+    {toks_tgt}
+),
+vocab AS (SELECT tok, COUNT(*) AS sf FROM toks GROUP BY tok),
+tvoc AS (SELECT tok, COUNT(*) AS tf FROM ttoks GROUP BY tok),
+tots AS (
+    SELECT (SELECT COUNT(*) FROM toks) AS sn,
+           (SELECT COUNT(*) FROM ttoks) AS tn,
+           (SELECT COUNT(*) FROM vocab) AS v
+),
+doc_tok AS (
+    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+),
+contrib AS (
+    SELECT d.doc_id, d.tok,
+           d.c * (ln(CAST(COALESCE(t.tf, 0) + 1 AS DOUBLE) / (z.tn + z.v))
+                  - ln(CAST(s.sf + 1 AS DOUBLE) / (z.sn + z.v))) AS lw
+    FROM doc_tok d
+    JOIN vocab s ON d.tok = s.tok
+    LEFT JOIN tvoc t ON d.tok = t.tok
+    CROSS JOIN tots z
+),
+doc_w AS (
+    SELECT doc_id,
+           ROUND({agg_tok_fold}, 9) AS w
+    FROM contrib GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, w,
+           NTILE(5) OVER (ORDER BY w DESC, doc_id) AS bucket
+    FROM doc_w
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r.bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(SUM(CASE WHEN r.bucket = 1 THEN r.doc_id ELSE 0 END) AS BIGINT)
+           AS selected_id_checksum,
+       ROUND({agg_doc_fold}, 9) AS weight_sum
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+_DSIR_TOKS_SPARK = (
+    "SELECT doc_id, explode(split(lower(text), ' ')) AS tok\n"
+    "    FROM documents WHERE length(text) > 0"
+)
+_DSIR_TTOKS_SPARK = (
+    "SELECT doc_id, explode(split(lower(text), ' ')) AS tok\n"
+    "    FROM documents WHERE length(text) > 0 AND doc_id % 5 = 0"
+)
+_DSIR_TOKS_DUCK = (
+    "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok\n"
+    "    FROM documents WHERE length(text) > 0"
+)
+_DSIR_TTOKS_DUCK = (
+    "SELECT doc_id, unnest(string_split(lower(text), ' ')) AS tok\n"
+    "    FROM documents WHERE length(text) > 0 AND doc_id % 5 = 0"
+)
+
+_pair(
+    "dsir_importance_resample",
+    _dsir(
+        _DSIR_TOKS_SPARK,
+        _DSIR_TTOKS_SPARK,
+        "aggregate(array_sort(collect_list(struct(tok, lw))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lw)",
+        "aggregate(array_sort(collect_list(struct(r.doc_id, r.w))),"
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)",
+    ),
+    _dsir(
+        _DSIR_TOKS_DUCK,
+        _DSIR_TTOKS_DUCK,
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lw ORDER BY tok)),"
+        " (acc, x) -> acc + x)",
+        "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+        " list(r.w ORDER BY r.doc_id)), (acc, x) -> acc + x)",
+    ),
+    tags=("lmdata", "trainprep", "dsir", "importance-sampling"),
+)

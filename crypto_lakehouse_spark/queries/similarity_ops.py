@@ -582,3 +582,101 @@ _pair(
     _pq_recall_sql(_PQ_DUCK_CORE, _PQ_L2_64_DUCK, _D_DUCK),
     tags=("similarity", "embedding", "pq", "quality-eval"),
 )
+
+
+# --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540) ------------------------
+# Semantic dedup the way production runs it: k-means clusters bound the
+# pairwise search (within-cluster pairs only — sum n_c^2, never N^2),
+# then exact cosine >= threshold inside each cluster marks semantic
+# duplicates and the lowest vec_id per pair survives. The synthetic
+# corpus has no natural near-dups (max off-diagonal cosine 0.44), so
+# the corpus is augmented with SCALED copies of every 10th vector
+# (vec_id + 100000, v * 1.5): scaling preserves cosine exactly, so
+# each copy is a perfect semantic dup of its original and the expected
+# drop set is fully determined. Assignment is by MAX COSINE to the 8
+# seed centroids (vec_id < 8) — scale-invariant, so original and copy
+# provably land in the same cluster. Cosine folds run dim 1..64 in
+# index order on both engines (bit-identical IEEE sums, the
+# embedding_cosine_topk discipline). At 100 TB: clusters are the knob
+# (k grows with N to hold n_c constant), assignment is a broadcast of
+# k centroids, and the within-cluster join shuffles on cid.
+
+_COS = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+    " (p, q) -> p + q)"
+    " / (SQRT(aggregate(transform({a}, x -> x * x), CAST(0 AS DOUBLE),"
+    " (p, q) -> p + q))"
+    " * SQRT(aggregate(transform({b}, x -> x * x), CAST(0 AS DOUBLE),"
+    " (p, q) -> p + q)))"
+)
+_COS_D = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (p, q) -> p + q)"
+    " / (SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> {a}[i] * {a}[i])), (p, q) -> p + q))"
+    " * SQRT(list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> {b}[i] * {b}[i])), (p, q) -> p + q)))"
+)
+
+
+def _semdedup(vecs_cte: str, cos_av: str, cos_ab: str, scale_expr: str) -> str:
+    return f"""
+WITH base AS (
+    {vecs_cte}
+),
+corpus AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 100000, {scale_expr} FROM base WHERE vec_id % 10 = 0
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < 8),
+assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT corpus.vec_id, corpus.v, cents.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY corpus.vec_id
+                   ORDER BY {cos_av} DESC, cents.cid) AS rn
+        FROM corpus CROSS JOIN cents
+    ) ranked WHERE rn = 1
+),
+pairs AS (
+    SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id
+    FROM assigned a JOIN assigned b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {cos_ab} >= 0.99
+),
+dropped AS (SELECT DISTINCT cid, drop_id FROM pairs)
+SELECT s.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       CAST(COALESCE(d.drop_checksum, 0) AS BIGINT) AS drop_id_checksum
+FROM (SELECT cid, vec_id FROM assigned) s
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cid) p
+  ON s.cid = p.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped, SUM(drop_id) AS drop_checksum
+           FROM dropped GROUP BY cid) d
+  ON s.cid = d.cid
+GROUP BY s.cid, p.n_dup_pairs, d.n_dropped, d.drop_checksum
+ORDER BY cluster_id
+"""
+
+
+_pair(
+    "semdedup_clustered",
+    _semdedup(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings",
+        _COS.format(a="corpus.v", b="cents.c"),
+        _COS.format(a="a.v", b="b.v"),
+        "transform(v, x -> x * CAST(1.5 AS DOUBLE))",
+    ),
+    _semdedup(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+        " FROM embeddings",
+        _COS_D.format(a="corpus.v", b="cents.c"),
+        _COS_D.format(a="a.v", b="b.v"),
+        "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
+    ),
+    tags=("similarity", "dedup", "semdedup", "clustering"),
+)
