@@ -619,7 +619,8 @@ _COS_D = (
 )
 
 
-def _semdedup(vecs_cte: str, cos_av: str, cos_ab: str, scale_expr: str) -> str:
+def _semdedup(vecs_cte: str, dot_av: str, dot_ab: str, scale_expr: str,
+              norm_expr: str) -> str:
     return f"""
 WITH base AS (
     {vecs_cte}
@@ -629,21 +630,25 @@ corpus AS (
     UNION ALL
     SELECT vec_id + 100000, {scale_expr} FROM base WHERE vec_id % 10 = 0
 ),
-cents AS (SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < 8),
+normed AS (
+    SELECT vec_id, {norm_expr} AS u
+    FROM corpus
+),
+cents AS (SELECT vec_id AS cid, u AS c FROM normed WHERE vec_id < 16),
 assigned AS (
-    SELECT vec_id, v, cid FROM (
-        SELECT corpus.vec_id, corpus.v, cents.cid,
+    SELECT vec_id, u, cid FROM (
+        SELECT normed.vec_id, normed.u, cents.cid,
                ROW_NUMBER() OVER (
-                   PARTITION BY corpus.vec_id
-                   ORDER BY {cos_av} DESC, cents.cid) AS rn
-        FROM corpus CROSS JOIN cents
+                   PARTITION BY normed.vec_id
+                   ORDER BY {dot_av} DESC, cents.cid) AS rn
+        FROM normed CROSS JOIN cents
     ) ranked WHERE rn = 1
 ),
 pairs AS (
     SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id
     FROM assigned a JOIN assigned b
       ON a.cid = b.cid AND a.vec_id < b.vec_id
-    WHERE {cos_ab} >= 0.99
+    WHERE {dot_ab} >= 0.99
 ),
 dropped AS (SELECT DISTINCT cid, drop_id FROM pairs)
 SELECT s.cid AS cluster_id,
@@ -662,21 +667,41 @@ ORDER BY cluster_id
 """
 
 
+_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0 AS DOUBLE),"
+    " (p, q) -> p + q)"
+)
+_DOT_D = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE),"
+    " list_transform(range(1, 65), i -> {a}[i] * {b}[i])), (p, q) -> p + q)"
+)
+_NORM = (
+    "transform(v, x -> x / SQRT(aggregate(transform(v, y -> y * y),"
+    " CAST(0 AS DOUBLE), (p, q) -> p + q)))"
+)
+_NORM_D = (
+    "list_transform(v, x -> x / SQRT(list_reduce(list_prepend("
+    "CAST(0 AS DOUBLE), list_transform(v, y -> y * y)), (p, q) -> p + q)))"
+)
+
+
 _pair(
     "semdedup_clustered",
     _semdedup(
         "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings",
-        _COS.format(a="corpus.v", b="cents.c"),
-        _COS.format(a="a.v", b="b.v"),
+        _DOT.format(a="normed.u", b="cents.c"),
+        _DOT.format(a="a.u", b="b.u"),
         "transform(v, x -> x * CAST(1.5 AS DOUBLE))",
+        _NORM,
     ),
     _semdedup(
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings",
-        _COS_D.format(a="corpus.v", b="cents.c"),
-        _COS_D.format(a="a.v", b="b.v"),
+        _DOT_D.format(a="normed.u", b="cents.c"),
+        _DOT_D.format(a="a.u", b="b.u"),
         "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
+        _NORM_D,
     ),
     tags=("similarity", "dedup", "semdedup", "clustering"),
 )
