@@ -373,3 +373,42 @@ def test_stream_static_enrich_pinned_vs_refreshed(spark, tmp_path):
         (0, 1, "old", "old"),
         (1, 2, "old", "new"),  # pinned stays v0; refreshed sees v1
     ]
+
+
+def test_versioned_source_to_versioned_sink_pipeline(spark, tmp_path):
+    """End-to-end through both new connectors: a bronze VersionedTable
+    streams out via format('versioned_table'), the stream transforms,
+    and lands in a silver VersionedTable through the txn-idempotent
+    write_stream sink — contents equal the batch transform of bronze."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+    from crypto_lakehouse_spark.sources.versioned_stream import register
+
+    register(spark)
+    bronze = VersionedTable(spark, str(tmp_path / "bronze"))
+    bronze.append(
+        spark.createDataFrame(
+            [(i, float(i) * 1.5) for i in range(50)], "k BIGINT, x DOUBLE"
+        ).coalesce(2)
+    )
+    bronze.append(
+        spark.createDataFrame(
+            [(i, float(i) * 1.5) for i in range(50, 80)], "k BIGINT, x DOUBLE"
+        ).coalesce(1)
+    )
+
+    silver = VersionedTable(spark, str(tmp_path / "silver"))
+    stream = (
+        spark.readStream.format("versioned_table")
+        .option("path", bronze.path)
+        .load()
+        .filter(F.col("k") % 2 == 0)
+        .withColumn("x2", F.col("x") * 2)
+    )
+    q = silver.write_stream(stream, str(tmp_path / "ckpt"), app_id="silverize")
+    q.awaitTermination()
+
+    expect = {(k, k * 1.5 * 2) for k in range(0, 80, 2)}
+    got = {(r.k, r.x2) for r in silver.read().collect()}
+    assert got == expect
