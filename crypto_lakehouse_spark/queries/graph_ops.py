@@ -156,6 +156,11 @@ def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
     ).persist()
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    # Loop-invariant (same optimization as pagerank_converged): join
+    # outdeg onto edges ONCE and persist; each round then only
+    # broadcast-joins the small rank relation — no per-round edge
+    # shuffle.
+    weighted = edges.join(outdeg, "src").persist()
     nodes = (
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
@@ -168,8 +173,9 @@ def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank = nodes.select("v", F.lit(_PR_SCALE // n).alias("r"))
     for _ in range(3):
         contrib = (
-            edges.join(outdeg, "src")
-            .join(rank.withColumnRenamed("v", "src"), "src")
+            weighted.join(
+                F.broadcast(rank.withColumnRenamed("v", "src")), "src"
+            )
             .select("dst", F.expr("r DIV od").alias("c"))
         )
         s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
@@ -190,6 +196,7 @@ def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("r") / F.lit(float(_PR_SCALE)), 9).alias("pagerank"),
     ).orderBy("node")
     edges.unpersist()
+    weighted.unpersist()
     nodes.unpersist()
     return out
 
