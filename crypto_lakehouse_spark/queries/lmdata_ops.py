@@ -622,3 +622,55 @@ _pair(
     ),
     tags=("lmdata", "trainprep", "dsir", "importance-sampling"),
 )
+
+
+# --- n-gram novelty (first-seen fraction in corpus order) ------------------
+# The dedup diagnostic practitioners run before/after a dedup pass: in
+# doc_id order, a doc's novelty is the fraction of its distinct
+# 3-grams whose FIRST corpus occurrence is that doc (min doc_id over
+# the shingle's postings). A corpus of near-copies shows novelty
+# collapsing toward 0 for later docs; a clean corpus stays high.
+# Exact integers until the final division. Shape: one groupBy(shingle)
+# for first-seen (map-side combine absorbs boilerplate), one 1:1 join
+# back on shingle, one per-doc rollup — no pair joins at all, so this
+# is corpus-linear at any scale.
+
+
+def _novelty(shingles: str) -> str:
+    return f"""
+WITH sh AS (
+    {shingles}
+),
+first_seen AS (SELECT s, MIN(doc_id) AS first_doc FROM sh GROUP BY s),
+per_doc AS (
+    SELECT sh.doc_id,
+           COUNT(*) AS n_ngrams,
+           SUM(CASE WHEN f.first_doc = sh.doc_id THEN 1 ELSE 0 END) AS n_novel
+    FROM sh JOIN first_seen f ON sh.s = f.s
+    GROUP BY sh.doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_ngrams) AS BIGINT) AS total_ngrams,
+       CAST(SUM(p.n_novel) AS BIGINT) AS novel_ngrams,
+       ROUND(CAST(SUM(p.n_novel) AS DOUBLE) / SUM(p.n_ngrams), 9)
+           AS novelty_ratio,
+       CAST(SUM(CASE WHEN p.n_novel * 4 < p.n_ngrams THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_stale_docs
+FROM per_doc p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+from crypto_lakehouse_spark.queries.trainprep_ops import (  # noqa: E402
+    _ngrams_duck,
+    _ngrams_spark,
+)
+
+_pair(
+    "ngram_novelty_by_source",
+    _novelty(_ngrams_spark("documents", 3)),
+    _novelty(_ngrams_duck("documents", 3)),
+    tags=("lmdata", "dedup", "diagnostics"),
+)
