@@ -254,12 +254,16 @@ def register(spark) -> None:
 class ArrowParquetStreamReader(DataSourceStreamReader):
     """Streaming half of the connector contract (Spark 4
     DataSourceStreamReader): replays the parquet table as a bounded
-    stream of micro-batches. Offsets are ROW positions ({"rows": n} —
-    JSON-dict offsets, exactly-once via the checkpoint like any
-    source); each latestOffset() call advances by one chunk until the
-    table is exhausted, and partitions(start, end) maps the row range
-    to one InputPartition (production would split ranges on row-group
-    boundaries; the demonstration table is small enough to slice).
+    stream. Offsets are ROW positions ({"rows": n} — JSON-dict
+    offsets, exactly-once via the checkpoint like any source);
+    latestOffset() always reports the durable total (offsets are
+    opaque to Spark and reader instances are not shared across
+    planning calls, so any call-counting scheme would regress after a
+    checkpoint restart and record the regression — see the
+    restart test in tests/test_sources.py), and partitions(start, end)
+    splits the planned range into `n_batches` chunk-sized input
+    partitions for executor parallelism (production would split on
+    row-group boundaries).
     """
 
     def __init__(self, files: list[str], columns: list[str] | None, n_batches: int):
@@ -282,18 +286,30 @@ class ArrowParquetStreamReader(DataSourceStreamReader):
         self._cur = max(getattr(self, "_cur", 0), int(off.get("rows", 0)))
 
     def latestOffset(self) -> dict:
-        # Called once per micro-batch trigger; advance one chunk past
-        # the highest offset observed so far (monotonic across
-        # restarts once partitions()/commit() has replayed the
-        # checkpointed range).
-        cur = getattr(self, "_cur", 0)
-        self._cur = min(self.total, cur + self.chunk)
-        return {"rows": self._cur}
+        # Restart safety (ADVICE r5 follow-through, hardened): offsets
+        # are OPAQUE to Spark — it compares them only for equality — so
+        # any call-counting offset scheme regresses after a restart
+        # (fresh process, cursor reset) and the regressed offset would
+        # be RECORDED in the checkpoint, replaying data on the next
+        # restart. Reader instances are not even shared between
+        # planning calls, so in-process state cannot fix this. The only
+        # safe signal for an immutable file set is the durable total:
+        # always report everything available, exactly like Spark's own
+        # file sources. Micro-batch CHUNKING therefore moves to
+        # partitions(), which splits the planned range into
+        # `n_batches` parallel input partitions.
+        return {"rows": self.total}
 
     def partitions(self, start: dict, end: dict):
         self._observe(start)
         self._observe(end)
-        return [InputPartition((start["rows"], end["rows"]))]
+        lo, hi = int(start["rows"]), int(end["rows"])
+        if hi <= lo:
+            return [InputPartition((lo, lo))]
+        return [
+            InputPartition((s, min(s + self.chunk, hi)))
+            for s in range(lo, hi, self.chunk)
+        ]
 
     def commit(self, end: dict) -> None:
         # Files are immutable — nothing to release — but record the
