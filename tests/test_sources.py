@@ -271,3 +271,45 @@ def test_arrow_parquet_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
     )
     q2.awaitTermination()
     assert sum(replayed) == 0, f"checkpoint restart replayed rows: {replayed}"
+
+
+def test_versioned_stream_checkpoint_restart_tails_only_new_versions(
+    spark, tmp_path
+):
+    """Restart-proof version offsets: drain v0..v1, commit v2 while
+    the stream is DOWN, restart from the checkpoint — only v2's files
+    stream (latestOffset reads the durable manifest log, so a fresh
+    reader process cannot regress)."""
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+    from crypto_lakehouse_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(spark.createDataFrame([(1,), (2,)], "k BIGINT").coalesce(1))
+    t.append(spark.createDataFrame([(3,)], "k BIGINT").coalesce(1))
+    ckpt = str(tmp_path / "ckpt")
+    batches: list[list[int]] = []
+
+    def _drain(sink):
+        q = (
+            spark.readStream.format("versioned_table")
+            .option("path", t.path)
+            .load()
+            .writeStream.foreachBatch(
+                lambda df, bid: sink.append(sorted(r.k for r in df.collect()))
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    _drain(batches)
+    assert sorted(k for b in batches for k in b) == [1, 2, 3]
+
+    t.append(spark.createDataFrame([(4,), (5,)], "k BIGINT").coalesce(1))
+    replay: list[list[int]] = []
+    _drain(replay)
+    assert sorted(k for b in replay for k in b) == [4, 5], (
+        f"restart must stream only the new version, got {replay}"
+    )
