@@ -996,6 +996,46 @@ class VersionedTable:
         out = inserts.unionByName(deletes).unionByName(upd_pre).unionByName(upd_post)
         return out.select(*cols, "_change_type")
 
+    def consume_changes(self, keys: list[str], cursor_path: str, process) -> tuple[int, int] | None:
+        """Scheduler-style incremental CDC consumption (the Delta
+        streaming-CDF pattern for batch orchestrators, reference
+        orchestration/dags/bronze_to_silver.py's hourly incremental
+        mode generalized to row-level changes): read the durable
+        cursor, compute `table_changes(cursor_version, current)`,
+        hand the change frame to `process`, then advance the cursor
+        ATOMICALLY (tmp + rename). A crash after `process` but before
+        the cursor write replays the batch on retry — at-least-once,
+        so consumers must be idempotent (MERGE by key, or the txn
+        watermark append), exactly the Structured Streaming
+        foreachBatch contract. Returns (from_v, to_v) processed, or
+        None when no new versions exist."""
+        cur = self.current_version()
+        if cur is None:
+            return None
+        last = -1
+        if os.path.exists(cursor_path):
+            with open(cursor_path) as f:
+                last = int(f.read().strip())
+        if cur <= last:
+            return None
+        from_v = max(last, 0)
+        if last < 0:
+            # First consumption: everything in the current snapshot is
+            # an insert relative to "nothing".
+            from pyspark.sql import functions as F
+
+            changes = self.read(version=cur).withColumn(
+                "_change_type", F.lit("insert")
+            )
+        else:
+            changes = self.table_changes(keys, from_v, cur)
+        process(changes, from_v, cur)
+        tmp = f"{cursor_path}.tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(str(cur))
+        os.replace(tmp, cursor_path)
+        return (from_v, cur)
+
     def restore(self, version: int) -> int:
         """Delta `RESTORE TABLE ... TO VERSION AS OF` analog: publish a
         NEW commit whose file list is the target snapshot's — pure

@@ -674,3 +674,65 @@ _pair(
     _novelty(_ngrams_duck("documents", 3)),
     tags=("lmdata", "dedup", "diagnostics"),
 )
+
+
+# --- BPE merge-candidate census (one tokenizer-training step) --------------
+# The unit of BPE training (Sennrich et al. 2016): count adjacent
+# symbol pairs over the corpus and pick the most frequent merge. Here
+# symbols are characters within whitespace words (the standard
+# pre-tokenized setting), pairs are (substr(w, i, 1), substr(w, i+1, 1)),
+# and the census returns the top-20 pairs with deterministic
+# (count DESC, pair) ordering — the argmax the training loop would
+# merge, plus its runners-up. Corpus-linear: one explode per
+# character position (narrow) and one groupBy(pair) with map-side
+# combine; the top-20 is a tiny ordered limit.
+
+
+def _bpe_spark() -> str:
+    return """
+WITH words AS (
+    SELECT explode(split(lower(text), ' ')) AS w
+    FROM documents WHERE length(text) > 0
+),
+pairs AS (
+    SELECT concat(substring(w, i, 1), substring(w, i + 1, 1)) AS pair
+    FROM (
+        SELECT w, explode(sequence(1, length(w) - 1)) AS i
+        FROM words WHERE length(w) >= 2
+    )
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+def _bpe_duck() -> str:
+    return """
+WITH words AS (
+    SELECT unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE length(text) > 0
+),
+pairs AS (
+    SELECT substr(w, i, 2) AS pair
+    FROM (
+        SELECT w, unnest(range(1, len(w))) AS i
+        FROM words WHERE len(w) >= 2
+    )
+)
+SELECT pair, COUNT(*) AS n
+FROM pairs
+GROUP BY pair
+ORDER BY n DESC, pair
+LIMIT 20
+"""
+
+
+_pair(
+    "bpe_top_merges",
+    _bpe_spark(),
+    _bpe_duck(),
+    tags=("lmdata", "tokenizer", "bpe"),
+)

@@ -777,3 +777,39 @@ def test_partition_value_pruning_in_files_for_scan(spark, table):
     # Values still exact through the read path.
     got = {r.k for r in table.read(between={"day": ("a", "a")}).collect()}
     assert got == {1}
+
+
+def test_consume_changes_durable_cursor(spark, table, tmp_path):
+    """At-least-once CDC consumption with an atomic durable cursor:
+    first call sees the full snapshot as inserts, later calls see only
+    new versions' row-level changes, a no-change call is None, and a
+    crashed process (exception before cursor advance) replays."""
+    cursor = str(tmp_path / "cursor")
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    seen: list[tuple[int, int, dict]] = []
+
+    def _proc(df, fv, tv):
+        rows = {(r.k, r._change_type) for r in df.collect()}
+        seen.append((fv, tv, rows))
+
+    assert table.consume_changes(["k"], cursor, _proc) == (0, 0)
+    assert seen[-1][2] == {(1, "insert"), (2, "insert")}
+    assert table.consume_changes(["k"], cursor, _proc) is None
+
+    table.merge(_df(spark, [(1, "a", 11), (3, "c", 30)]), keys=["k"])
+    table.delete("k = 2")
+
+    def _boom(df, fv, tv):
+        raise RuntimeError("consumer crash")
+
+    with pytest.raises(RuntimeError):
+        table.consume_changes(["k"], cursor, _boom)
+    # Cursor NOT advanced: retry replays the same change batch.
+    assert table.consume_changes(["k"], cursor, _proc) == (0, 2)
+    assert seen[-1][2] == {
+        (1, "update_preimage"),
+        (1, "update_postimage"),
+        (2, "delete"),
+        (3, "insert"),
+    }
+    assert table.consume_changes(["k"], cursor, _proc) is None
