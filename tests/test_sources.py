@@ -247,11 +247,11 @@ def test_arrow_parquet_stream_checkpoint_restart_no_duplicates(spark, tmp_path):
         .trigger(processingTime="0 seconds")
         .start()
     )
-    deadline = _t.time() + 60
-    while _t.time() < deadline:
-        if sum(seen) == 100:
-            break
-        _t.sleep(0.2)
+    # Synchronize on full offset COMMIT, not just foreachBatch side
+    # effects: stop() racing an uncommitted batch would make the
+    # restart legitimately replay it (the at-least-once contract),
+    # which is not what this test probes.
+    q.processAllAvailable()
     q.stop()
     assert sum(seen) == 100
 
