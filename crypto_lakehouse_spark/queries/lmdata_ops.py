@@ -736,3 +736,53 @@ _pair(
     _bpe_duck(),
     tags=("lmdata", "tokenizer", "bpe"),
 )
+
+
+# --- cross-lingual vocabulary overlap matrix -------------------------------
+# The cross-lingual leakage diagnostic: Jaccard overlap of distinct
+# token vocabularies between every language pair. High en/xx overlap
+# usually means mislabeled language or code/boilerplate bleeding
+# across shards — checked before per-language dedup is trusted.
+# Linear shape: one distinct (lang, token) relation, a token-keyed
+# self-join restricted to lang_a < lang_b (postings are per-token
+# lang lists, k languages -> at most k(k-1)/2 pairs per token), exact
+# integer counts to the final ratio.
+
+
+def _lang_overlap(distinct_toks: str) -> str:
+    return f"""
+WITH lt AS (
+    SELECT DISTINCT lang, tok FROM (
+        {distinct_toks}
+    ) base
+),
+sizes AS (SELECT lang, COUNT(*) AS n FROM lt GROUP BY lang),
+inter AS (
+    SELECT a.lang AS lang_a, b.lang AS lang_b, COUNT(*) AS n_shared
+    FROM lt a JOIN lt b ON a.tok = b.tok AND a.lang < b.lang
+    GROUP BY a.lang, b.lang
+)
+SELECT i.lang_a, i.lang_b,
+       sa.n AS vocab_a, sb.n AS vocab_b,
+       CAST(i.n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(i.n_shared AS DOUBLE)
+             / (sa.n + sb.n - i.n_shared), 9) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.lang = i.lang_a
+JOIN sizes sb ON sb.lang = i.lang_b
+ORDER BY lang_a, lang_b
+"""
+
+
+_pair(
+    "lang_vocab_overlap",
+    _lang_overlap(
+        "SELECT lang, explode(split(lower(text), ' ')) AS tok\n"
+        "        FROM documents WHERE length(text) > 0"
+    ),
+    _lang_overlap(
+        "SELECT lang, unnest(string_split(lower(text), ' ')) AS tok\n"
+        "        FROM documents WHERE length(text) > 0"
+    ),
+    tags=("lmdata", "diagnostics", "cross-lingual"),
+)
