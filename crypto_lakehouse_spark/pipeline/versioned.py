@@ -273,10 +273,35 @@ class VersionedTable:
     _BLOOM_BITS = 8192
 
     @staticmethod
+    def _bloom_canon(value) -> str:
+        """Canonical hash key for a Bloom value: write-time values come
+        from Arrow `to_pylist()` (float 100.0, Decimal('100.0000'),
+        datetime) while probe values are caller literals (int 100,
+        float, str) — hashing `str(value)` directly lets a formatting
+        mismatch 'prove' absence and silently prune files whose rows
+        Spark's residual equality filter WOULD match under casting.
+        Numerics (bool/int/float/Decimal) canonicalize through
+        repr(float(v)) — the same equivalence class Spark's numeric
+        cast-equality uses (ints beyond 2^53 lose distinctness, which
+        only ever KEEPS extra files, never skips a matching one);
+        datetimes/dates through isoformat; everything else is a
+        string. Each class is prefix-tagged so `1` never collides with
+        `'1'`."""
+        import datetime
+        import decimal
+
+        if isinstance(value, (bool, int, float, decimal.Decimal)):
+            return f"n:{float(value)!r}"
+        if isinstance(value, (datetime.datetime, datetime.date)):
+            return f"t:{value.isoformat()}"
+        return f"s:{value}"
+
+    @staticmethod
     def _bloom_probes(col: str, value) -> list[int]:
         import hashlib
 
-        d = hashlib.md5(f"{col}:{value}".encode()).digest()
+        canon = VersionedTable._bloom_canon(value)
+        d = hashlib.md5(f"{col}:{canon}".encode()).digest()
         return [
             int.from_bytes(d[4 * j : 4 * j + 4], "big")
             % VersionedTable._BLOOM_BITS
@@ -597,6 +622,72 @@ class VersionedTable:
             )
         return eligible[-1]
 
+    def _touched_files(self, condition: str, files: list[str]) -> set[str]:
+        """Resolve which manifest files contain rows matching
+        `condition`: one predicate-pushed scan projecting
+        `input_file_name()` (parquet row-group stats prune physically,
+        so cost tracks selectivity, not table size). URIs are matched
+        against the table-relative path INCLUDING partition dirs —
+        basename-only matching over-marks same-named part files in
+        sibling partitions (Spark dynamic-partition writes reuse the
+        job UUID + task id across partition dirs). `input_file_name()`
+        may percent-encode special characters; match both the raw and
+        the unquoted form so Hive-escaped partition values (`%3A` etc.,
+        which unquoting would double-decode) still resolve."""
+        from urllib.parse import unquote
+
+        from pyspark.sql import functions as F
+
+        uris = {
+            r.f
+            for r in self.read()
+            .filter(F.expr(condition))
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        cands = uris | {unquote(u) for u in uris}
+        return {f for f in files if any(u.endswith("/" + f) for u in cands)}
+
+    def _read_file_subset(self, files: list[str]) -> DataFrame:
+        """Read an explicit file subset of the CURRENT snapshot with
+        full schema-evolution handling — the same mergeSchema +
+        added-column backfill path as `read()`, restricted to `files`.
+        delete()/update() rewrites go through here so a touched set
+        mixing pre- and post-evolution files can neither take a stale
+        schema from an old file nor drop an evolved column's values."""
+        cur = self.current_version()
+        added = self._load(cur).get("added_columns", {}) if cur is not None else {}
+        reader = self.spark.read.option("basePath", self.path)
+        if added:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*(os.path.join(self.path, f) for f in sorted(files)))
+        return self._apply_added_columns(df, added)
+
+    def _apply_added_columns(self, df: DataFrame, added: dict) -> DataFrame:
+        """Surface manifest-declared added columns on a scanned frame:
+        missing entirely => pure metadata column; present but NULL in
+        pre-evolution files => declared default (documented deviation:
+        an explicit post-evolution NULL also reads as the default)."""
+        from pyspark.sql import functions as F
+
+        for name, spec in added.items():
+            if name not in df.columns:
+                df = df.withColumn(
+                    name, F.lit(spec["default"]).cast(spec["type"])
+                )
+            elif spec["default"] is not None:
+                df = df.withColumn(
+                    name,
+                    F.coalesce(
+                        F.col(name).cast(spec["type"]),
+                        F.lit(spec["default"]).cast(spec["type"]),
+                    ),
+                )
+            else:
+                df = df.withColumn(name, F.col(name).cast(spec["type"]))
+        return df
+
     def delete(self, condition: str) -> dict:
         """Row-level DELETE (Delta `DELETE FROM t WHERE cond` COW
         analog): rewrite ONLY the files that actually contain matching
@@ -616,27 +707,15 @@ class VersionedTable:
         if cur is None:
             return {"skipped": True, "reason": "empty table"}
         files = self._load(cur)["files"]
-        touched_uris = {
-            r.f
-            for r in self.read()
-            .filter(F.expr(condition))
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        }
-        # input_file_name() returns absolute file: URIs; manifests hold
-        # table-relative paths.
-        touched = {
-            f
-            for f in files
-            if any(u.endswith("/" + os.path.basename(f)) for u in touched_uris)
-        }
+        touched = self._touched_files(condition, files)
         if not touched:
             return {"skipped": True, "reason": "no matching rows"}
-        reader = self.spark.read.option("basePath", self.path)
-        kept_rows = reader.parquet(
-            *(os.path.join(self.path, f) for f in sorted(touched))
-        ).filter(~F.expr(condition))
+        # SQL/Delta DELETE removes only rows where the condition is
+        # TRUE; a NULL-valued condition (e.g. NULL in a predicate
+        # column) must KEEP the row — plain ~expr would drop it.
+        kept_rows = self._read_file_subset(touched).filter(
+            ~F.coalesce(F.expr(condition), F.lit(False))
+        )
         new_files = self._write_files(kept_rows)
         carried = [f for f in files if f not in touched]
         version = self._commit(
@@ -674,25 +753,10 @@ class VersionedTable:
         if cur is None:
             return {"skipped": True, "reason": "empty table"}
         files = self._load(cur)["files"]
-        touched_uris = {
-            r.f
-            for r in self.read()
-            .filter(F.expr(condition))
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        }
-        touched = {
-            f
-            for f in files
-            if any(u.endswith("/" + os.path.basename(f)) for u in touched_uris)
-        }
+        touched = self._touched_files(condition, files)
         if not touched:
             return {"skipped": True, "reason": "no matching rows"}
-        reader = self.spark.read.option("basePath", self.path)
-        rows = reader.parquet(
-            *(os.path.join(self.path, f) for f in sorted(touched))
-        )
+        rows = self._read_file_subset(touched)
         cond = F.expr(condition)
         updated = rows.select(
             *[
@@ -751,27 +815,7 @@ class VersionedTable:
         df = reader.parquet(*(os.path.join(self.path, f) for f in files))
         from pyspark.sql import functions as F
 
-        for name, spec in added.items():
-            if name not in df.columns:
-                # No file carries the column yet: pure metadata column.
-                df = df.withColumn(
-                    name, F.lit(spec["default"]).cast(spec["type"])
-                )
-            elif spec["default"] is not None:
-                # Pre-evolution files read the column as NULL; fill the
-                # declared default. (An explicit NULL written after the
-                # evolution is indistinguishable at scan time and also
-                # reads as the default — documented deviation from
-                # Delta, which only has NULL-adding ALTER.)
-                df = df.withColumn(
-                    name,
-                    F.coalesce(
-                        F.col(name).cast(spec["type"]),
-                        F.lit(spec["default"]).cast(spec["type"]),
-                    ),
-                )
-            else:
-                df = df.withColumn(name, F.col(name).cast(spec["type"]))
+        df = self._apply_added_columns(df, added)
         for col, (lo, hi) in (between or {}).items():
             df = df.where(F.col(col).between(lo, hi))
         for col, v in (point or {}).items():

@@ -89,7 +89,21 @@ class VersionedTableDataSource(DataSource):
                 out.append(f"{name} BIGINT")
             elif pa.types.is_floating(typ):
                 out.append(f"{name} DOUBLE")
+            elif pa.types.is_binary(typ) or pa.types.is_large_binary(typ):
+                # A binary column cannot be faithfully surfaced as
+                # STRING (arbitrary bytes are not UTF-8); fail at
+                # planning time with the column named rather than with
+                # an opaque Arrow/Spark type mismatch at runtime.
+                raise ValueError(
+                    f"versioned_table stream source: column {name!r} has "
+                    f"unsupported binary type {typ}; drop or re-encode it "
+                    "(e.g. base64 string) before streaming this table"
+                )
             else:
+                # decimal/boolean/date/etc. are DECLARED as STRING here
+                # and CAST to string in read() — declaration and data
+                # must agree or Spark fails with an Arrow type mismatch
+                # deep in the exchange.
                 out.append(f"{name} STRING")
         return ", ".join(out)
 
@@ -163,14 +177,22 @@ class VersionedTableStreamReader(DataSourceStreamReader):
             elif name == "ts" and pa.types.is_int64(typ):
                 arrays.append(pc.divide(arr, 1000))
                 names.append("ts_us")
+            elif pa.types.is_int64(typ):
+                arrays.append(arr)
+                names.append(name)
             elif pa.types.is_int32(typ):
                 arrays.append(arr.cast(pa.int64()))
                 names.append(name)
-            elif pa.types.is_floating(typ) and not pa.types.is_float64(typ):
-                arrays.append(arr.cast(pa.float64()))
+            elif pa.types.is_floating(typ):
+                if not pa.types.is_float64(typ):
+                    arr = arr.cast(pa.float64())
+                arrays.append(arr)
                 names.append(name)
             else:
-                arrays.append(arr)
+                # Everything else was declared STRING by schema() —
+                # cast decimal/boolean/date/string alike so the batch
+                # matches the declaration (no-op for string columns).
+                arrays.append(arr.cast(pa.string()))
                 names.append(name)
         yield from pa.table(arrays, names=names).to_batches()
 

@@ -313,3 +313,53 @@ def test_versioned_stream_checkpoint_restart_tails_only_new_versions(
     assert sorted(k for b in replay for k in b) == [4, 5], (
         f"restart must stream only the new version, got {replay}"
     )
+
+
+def test_versioned_stream_decimal_bool_date_as_string(spark, tmp_path):
+    """ADVICE r6 (versioned_stream schema mismatch): decimal, boolean
+    and date columns are DECLARED as STRING by schema() — read() must
+    yield them cast to string so the batch matches the declaration
+    instead of failing with an Arrow/Spark type mismatch; a binary
+    column fails loudly at planning time with the column named."""
+    import pytest
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+    from crypto_lakehouse_spark.sources.versioned_stream import register
+
+    register(spark)
+    t = VersionedTable(spark, str(tmp_path / "t"))
+    t.append(
+        spark.sql(
+            "SELECT 1 AS k, CAST(100.5 AS DECIMAL(10,4)) AS price, "
+            "TRUE AS flag, DATE '2024-03-01' AS d"
+        ).coalesce(1)
+    )
+    q = (
+        spark.readStream.format("versioned_table")
+        .option("path", t.path)
+        .load()
+        .writeStream.format("memory")
+        .queryName("vs_types")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    row = spark.table("vs_types").collect()[0]
+    assert row.k == 1
+    assert row.price == "100.5000" and isinstance(row.price, str)
+    assert row.flag == "true"
+    assert row.d == "2024-03-01"
+
+    # Binary column: descriptive planning-time error, not a runtime
+    # Arrow mismatch.
+    t2 = VersionedTable(spark, str(tmp_path / "t2"))
+    t2.append(
+        spark.sql("SELECT 1 AS k, CAST('ab' AS BINARY) AS blob").coalesce(1)
+    )
+    with pytest.raises(Exception, match="blob"):
+        (
+            spark.readStream.format("versioned_table")
+            .option("path", t2.path)
+            .load()
+        )

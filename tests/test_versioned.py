@@ -813,3 +813,93 @@ def test_consume_changes_durable_cursor(spark, table, tmp_path):
         (3, "insert"),
     }
     assert table.consume_changes(["k"], cursor, _proc) is None
+
+
+# --- ADVICE r6 regression tests -------------------------------------------
+
+
+def test_delete_keeps_null_condition_rows(spark, table):
+    """DELETE removes only rows where the condition is TRUE: a row
+    whose predicate column is NULL evaluates the condition to NULL and
+    MUST survive the rewrite, even when it is co-located in a touched
+    file with rows that do match (ADVICE r6, high)."""
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", None), (3, "a", 5)],
+        "k int, day string, v int",
+    ).coalesce(1)  # one file: NULL row co-located with matching rows
+    table.append(df)
+    stats = table.delete("v > 7")
+    assert not stats["skipped"] and stats["files_rewritten"] == 1
+    got = sorted((r.k, r.v) for r in table.read().collect())
+    assert got == [(2, None), (3, 5)], (
+        "NULL-condition row must be kept by DELETE"
+    )
+
+
+def test_bloom_numeric_value_canonicalization(spark, tmp_path):
+    """Bloom probes canonicalize numerics: a DOUBLE column written as
+    100.0 must be found when probed with int 100, float 100.0, or
+    Decimal('100.0000') — a formatting mismatch must never let the
+    Bloom 'prove' absence and prune a file whose rows Spark's residual
+    cast-equality WOULD match (ADVICE r6, medium)."""
+    from decimal import Decimal
+
+    t = VersionedTable(spark, str(tmp_path / "bn"), bloom_columns=["price"])
+    df = spark.range(400).select(
+        (F.col("id") + 100.0).cast("double").alias("price"),
+        F.col("id").alias("v"),
+    )
+    t.append(df.repartition(8))
+    for probe in (100, 100.0, Decimal("100.0000")):
+        rows = t.read(point={"price": probe}).collect()
+        assert [(r.price, r.v) for r in rows] == [(100.0, 0)], (
+            f"probe {probe!r} must find the row"
+        )
+    # And the index still prunes: an absent value keeps few/no files.
+    sel, total = t.files_for_scan(point={"price": 1e9})
+    assert total == 8 and len(sel) <= 2
+
+
+def test_delete_update_on_schema_evolved_table(spark, table):
+    """delete()/update() rewrites route through the mergeSchema +
+    added-column backfill read path: a touched set mixing pre- and
+    post-evolution files must keep the evolved column's real values
+    and honor conditions referencing it (ADVICE r6, medium)."""
+    table.append(_df(spark, [(1, "a", 10)]))           # pre-evolution file
+    table.merge(
+        spark.createDataFrame([(2, "a", 20, "eur")], "k int, day string, v int, ccy string"),
+        keys=["k", "day"],
+        merge_schema=True,
+    )  # evolves schema; day=a now mixes pre- and post-evolution files
+    stats = table.update("v >= 10", {"v": "v + 1"})
+    assert not stats["skipped"]
+    got = sorted((r.k, r.v, r.ccy) for r in table.read().collect())
+    assert got == [(1, 11, None), (2, 21, "eur")], (
+        "evolved column values must survive the rewrite"
+    )
+    # Condition on the evolved column itself.
+    stats = table.delete("ccy = 'eur'")
+    assert not stats["skipped"]
+    got = sorted((r.k, r.v, r.ccy) for r in table.read().collect())
+    assert got == [(1, 11, None)], "NULL-ccy row kept, eur row deleted"
+
+
+def test_delete_touched_files_matched_with_partition_dirs(spark, table):
+    """Touched-file resolution matches the table-relative path
+    INCLUDING partition dirs: one dynamic-partition write emits the
+    SAME part-file basename in day=a/ and day=b/, and a delete hitting
+    only day=a must rewrite exactly that one file (ADVICE r6, low)."""
+    # repartition(1): a single task writes both partition dirs with an
+    # identical basename under one commit prefix.
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]).repartition(1))
+    files = table._load(table.current_version())["files"]
+    assert len(files) == 2
+    assert len({os.path.basename(f) for f in files}) == 1, (
+        "fixture must produce identical basenames across partitions"
+    )
+    stats = table.delete("day = 'a'")
+    assert stats["files_rewritten"] == 1, (
+        f"basename collision over-marked files: {stats}"
+    )
+    got = sorted((r.k, r.day) for r in table.read().collect())
+    assert got == [(2, "b")]
