@@ -88,6 +88,10 @@ SKEW_DEDUP_QUERIES = [
     "idf_cosine_topk",
     "substring_span_dedup",
     "contamination_minhash_fuzzy",
+    # The deployable capped aHash path (VERDICT r6 item 1): hot band
+    # buckets — exactly what this Zipf corpus manufactures — must be
+    # pruned from candidate generation, not just flagged.
+    "multimodal_ahash_near_dup_capped_only",
 ]
 
 
