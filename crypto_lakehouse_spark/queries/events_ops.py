@@ -169,23 +169,65 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "approx_distinct_users_sketch",
-    # HLL estimates are engine-specific — rows-only driver check; the
-    # gated `approx_distinct_users` twin carries the value bound.
-    oracle=None,
-    tags=("events", "approx", "sketch"),
-)
-def approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-ONLY cardinality plan: fixed-size HLL++ state through
-    partial aggregation, no exact-distinct shuffle anywhere — the plan
-    (and bench number) that represents the 100 TB path."""
+def _approx_distinct_users_sketch_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deployed sketch-ONLY plan: fixed-size HLL++ state through
+    partial aggregation, no exact-distinct shuffle anywhere. This is
+    what bench.py times (registry bench_fn)."""
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy("event_type")
         .agg(
             F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
             F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "approx_distinct_users_sketch",
+    # VERDICT r6 item 7: instead of a rows-only check, the registered
+    # output transforms the engine-specific HLL estimate into a
+    # hash-checkable BOOLEAN — `within_bound` asserts the estimate
+    # landed within 5% of the exact count (2.5 sigma at rsd=0.02),
+    # and the oracle emits the same deterministic columns with TRUE.
+    # A sketch outside its bound FAILS the hash. The sketch estimate
+    # itself (`approx_users`) comes from the identical aggregation
+    # expression the bench plan runs; only the gate's exact-distinct
+    # is extra, which is why bench_fn times the ungated plan.
+    oracle="""
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       TRUE AS within_bound
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("events", "approx", "sketch", "gated-bounds"),
+    bench_fn=_approx_distinct_users_sketch_plan,
+)
+def approx_distinct_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path cardinality with a bounds gate: the HLL++ estimate
+    from the SAME sketch expression the deployed plan uses (see
+    `_approx_distinct_users_sketch_plan`, the benched twin) is checked
+    against the exact count and emitted as a boolean, so the driver
+    value-hashes TRUE rows instead of recording `no_oracle`."""
+    sketch = _approx_distinct_users_sketch_plan(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        sketch.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_events",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("within_bound"),
         )
         .orderBy("event_type")
     )

@@ -31,6 +31,15 @@ class Query:
     tags: tuple[str, ...] = ()
     doc: str = ""
     bench: bool = field(default=True)  # include in bench.py headline set
+    # When set, bench.py times THIS plan instead of spark_fn. Used by
+    # sketch queries whose correctness-checked spark_fn adds an
+    # exactness gate (the only way a nondeterministic estimate can be
+    # value-checked): the gate's exact aggregate would dominate the
+    # bench and misrepresent the deployed sketch-only plan, so the
+    # bench path stays pure while the driver hash-checks the gated
+    # twin. bench_fn output is a superset check: the SAME sketch
+    # expression feeds both plans.
+    bench_fn: Callable[[SparkSession, str], DataFrame] | None = None
 
 
 REGISTRY: dict[str, Query] = {}
@@ -41,6 +50,7 @@ def query(
     oracle: str | None = None,
     tags: tuple[str, ...] = (),
     bench: bool = True,
+    bench_fn: Callable[[SparkSession, str], DataFrame] | None = None,
 ) -> Callable:
     """Decorator registering a query implementation.
 
@@ -57,6 +67,7 @@ def query(
             tags=tags,
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
+            bench_fn=bench_fn,
         )
         return fn
 

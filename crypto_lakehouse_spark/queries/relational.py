@@ -541,16 +541,60 @@ ORDER BY o_orderstatus
 """
 
 
-@query(
-    "price_percentiles_by_status_sketch",
-    # Sketch values are engine-specific — no SQL oracle (rows-only
-    # driver check); the *_approx twin carries the value gate.
-    oracle=None,
-    tags=("relational", "percentile", "approx", "sketch"),
-)
-def price_percentiles_by_status_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sketch-only percentile plan — what actually runs (and gets
-    benched) at scale; gated for correctness by
-    price_percentiles_by_status_approx."""
+def _price_percentiles_sketch_plan(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The deployed sketch-only percentile plan (registry bench_fn):
+    fixed-size quantile summaries through partial aggregation, no
+    exact sort anywhere."""
     register_views(spark, sf_dir)
     return spark.sql(_SKETCH_PCTL_SQL)
+
+
+@query(
+    "price_percentiles_by_status_sketch",
+    # VERDICT r6 item 7: the engine-specific sketch estimates are
+    # transformed into hash-checkable BOOLEANS — each approx quantile
+    # must land within 1% relative error of the exact percentile
+    # (accuracy 10000 => rank error 1e-4, far tighter than 1% value
+    # error on this distribution) — so the driver value-hashes TRUE
+    # rows instead of recording `no_oracle`. The sketch expressions
+    # are identical to the benched plan's; only the gate's exact
+    # percentile is extra, which is why bench_fn times the pure plan.
+    oracle="""
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       TRUE AS p25_in_bound,
+       TRUE AS p50_in_bound,
+       TRUE AS p75_in_bound
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+    tags=("relational", "percentile", "approx", "sketch", "gated-bounds"),
+    bench_fn=_price_percentiles_sketch_plan,
+)
+def price_percentiles_by_status_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-path percentiles with a bounds gate: the approx_percentile
+    estimates from the SAME sketch expressions the deployed plan uses
+    (`_price_percentiles_sketch_plan`, the benched twin) are checked
+    against exact percentiles and emitted as booleans."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+SELECT o_orderstatus,
+       COUNT(*) AS n,
+       ABS(approx_percentile(o_totalprice, 0.25, 10000)
+           - percentile(o_totalprice, 0.25))
+         <= 0.01 * percentile(o_totalprice, 0.25) AS p25_in_bound,
+       ABS(approx_percentile(o_totalprice, 0.5, 10000)
+           - percentile(o_totalprice, 0.5))
+         <= 0.01 * percentile(o_totalprice, 0.5) AS p50_in_bound,
+       ABS(approx_percentile(o_totalprice, 0.75, 10000)
+           - percentile(o_totalprice, 0.75))
+         <= 0.01 * percentile(o_totalprice, 0.75) AS p75_in_bound
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+"""
+    )
