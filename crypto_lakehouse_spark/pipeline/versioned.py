@@ -120,6 +120,11 @@ class VersionedTable:
             for m in [self._load(v)]
         ]
 
+    # How many times a benign loser re-reads the head and retries its
+    # CAS before giving up (pathological: >5 writers racing the same
+    # table faster than a manifest read).
+    _REBASE_ATTEMPTS = 5
+
     def _commit(
         self,
         files: list[str],
@@ -128,8 +133,86 @@ class VersionedTable:
         added_columns: dict[str, dict] | None = None,
         constraints: dict[str, str] | None = None,
         txn: tuple[str, int] | None = None,
+        conflict: dict | None = None,
     ) -> int:
-        """Publish version base+1 via compare-and-swap.
+        """Publish the next version via compare-and-swap, with
+        commit-time REBASE for benign conflict classes (the
+        Delta/Iceberg concurrency model, VERDICT r6 item 2).
+
+        `conflict` declares this commit's conflict class so a CAS
+        loser can decide whether re-publishing against the new head is
+        sound without recomputing:
+
+        - ``{"class": "append", "added": [...], "partitions": [...]}``
+          — blind insert: reads nothing, removes nothing. Rebases over
+          ANY intervening append or partitioned commit (Delta lets
+          blind appends through even against concurrent deletes).
+        - ``{"class": "partitioned", "added": [...], "removed": [...],
+          "partitions": [...]}`` — a partition-pruned rewrite (MERGE
+          with partition columns in the keys). Rebases iff every
+          intervening commit is itself append/partitioned AND its
+          partition set is DISJOINT from ours AND every file we remove
+          is still in the head manifest; otherwise the update it was
+          computed against has changed — lost update — and the
+          conflict error stands.
+        - ``None`` (or class "full") — overwrite/compact/restore/
+          row-level DML (whose predicate reads every partition)/
+          metadata changes: conflicts with everything, the
+          pre-existing manifest-coarse behavior.
+
+        The rebased file set is `head_files - removed + added`;
+        constraints/added-column/txn metadata re-derive from the head
+        (intervening metadata commits are class "full", so a rebase
+        never silently carries a stale schema or constraint set). At
+        many-writer scale this is what lets the reference's hourly
+        jobs and a daily maintenance pass share one table without a
+        retry storm — only true lost-update shapes surface errors."""
+        attempts = 0
+        while True:
+            try:
+                return self._publish(
+                    files, op, base, added_columns, constraints, txn, conflict
+                )
+            except CommitConflictError:
+                cls = (conflict or {}).get("class", "full")
+                if cls == "full" or attempts >= self._REBASE_ATTEMPTS:
+                    raise
+                attempts += 1
+                head = self.current_version()
+                start = -1 if base is None else base
+                for v in range(start + 1, head + 1):
+                    mc = self._load(v).get("conflict") or {"class": "full"}
+                    if mc["class"] == "full":
+                        raise  # intervening full-table/metadata commit
+                    if cls != "append" and (
+                        set(mc.get("partitions") or [])
+                        & set(conflict.get("partitions") or [])
+                    ):
+                        raise  # same-partition rewrite race: lost update
+                head_m = self._load(head)
+                removed = set(conflict.get("removed") or [])
+                if not removed <= set(head_m["files"]):
+                    raise  # a file we rewrite was itself rewritten
+                if txn is not None:
+                    last = head_m.get("txns", {}).get(txn[0])
+                    if last is not None and txn[1] <= last:
+                        return head  # another writer landed our txn id
+                files = [
+                    f for f in head_m["files"] if f not in removed
+                ] + list(conflict.get("added") or [])
+                base = head
+
+    def _publish(
+        self,
+        files: list[str],
+        op: str,
+        base: int | None = None,
+        added_columns: dict[str, dict] | None = None,
+        constraints: dict[str, str] | None = None,
+        txn: tuple[str, int] | None = None,
+        conflict: dict | None = None,
+    ) -> int:
+        """One CAS publish attempt of version base+1.
 
         `base` is the snapshot version the writer READ before computing
         its output (None = writer saw an empty table). If any other
@@ -175,6 +258,15 @@ class VersionedTable:
             "txns": {
                 **prev.get("txns", {}),
                 **({txn[0]: txn[1]} if txn else {}),
+            },
+            # This commit's own conflict class, so LATER losers can
+            # classify it when deciding whether to rebase over it.
+            # Absent (older manifests) reads as {"class": "full"}.
+            "conflict": {
+                "class": (conflict or {}).get("class", "full"),
+                "partitions": sorted(
+                    (conflict or {}).get("partitions") or []
+                ),
             },
         }
         tmp = self._manifest_path(version) + f".tmp-{uuid.uuid4().hex}"
@@ -396,7 +488,12 @@ class VersionedTable:
         IDEMPOTENT per app: a txn version at or below the recorded
         watermark is skipped (returns the current version unchanged) —
         Delta's foreachBatch exactly-once recipe for sinks whose
-        checkpoint may replay a committed batch."""
+        checkpoint may replay a committed batch.
+
+        A blind append declares conflict class "append": when another
+        writer wins the CAS race, the commit auto-rebases onto the new
+        head (concurrent append/append and append/merge never fail) —
+        see `_commit`."""
         cur = self.current_version()
         if txn is not None:
             last = self.last_txn_version(txn[0])
@@ -404,8 +501,17 @@ class VersionedTable:
                 return cur
         self._check_constraints(df)
         prev = self._load(cur)["files"] if cur is not None else []
+        new_files = self._write_files(df)
         return self._commit(
-            prev + self._write_files(df), "append", base=cur, txn=txn
+            prev + new_files,
+            "append",
+            base=cur,
+            txn=txn,
+            conflict={
+                "class": "append",
+                "added": new_files,
+                "partitions": sorted({os.path.dirname(f) for f in new_files}),
+            },
         )
 
     def overwrite(self, df: DataFrame) -> int:
@@ -531,16 +637,44 @@ class VersionedTable:
         new_files = self._write_files(keep.unionByName(source))
 
         carried: list[str] = []
+        removed: list[str] = []
+        touched: set[str] = set()
         if self.partition_by:
             touched = {os.path.dirname(f) for f in new_files}
             # A touched partition with zero output rows still needs its
             # old files dropped; source partition dirs cover it because
             # merge output always contains every source partition.
+            base_files = self._load(cur)["files"]
             carried = [
-                f for f in self._load(cur)["files"] if os.path.dirname(f) not in touched
+                f for f in base_files if os.path.dirname(f) not in touched
             ]
+            removed = [f for f in base_files if os.path.dirname(f) in touched]
+        # Partition-pruned merges with the partition columns in the
+        # merge keys read ONLY their touched partitions, so two such
+        # merges over disjoint partitions commute: declare class
+        # "partitioned" and let the CAS loser rebase (VERDICT r6 item
+        # 2 — the reference's hourly-job + daily-maintenance shape).
+        # Without the structural guarantee (partition cols not in
+        # keys, or unpartitioned table) the merge read other
+        # partitions and stays manifest-coarse ("full").
+        conflict = None
+        if (
+            self.partition_by
+            and set(self.partition_by) <= set(keys)
+            and added_columns is None
+        ):
+            conflict = {
+                "class": "partitioned",
+                "added": new_files,
+                "removed": removed,
+                "partitions": sorted(touched),
+            }
         return self._commit(
-            carried + new_files, "merge", base=cur, added_columns=added_columns
+            carried + new_files,
+            "merge",
+            base=cur,
+            added_columns=added_columns,
+            conflict=conflict,
         )
 
     # -- reads -------------------------------------------------------------

@@ -454,35 +454,51 @@ def test_optimize_zorder_improves_2d_file_skipping(spark, tmp_path):
     )
 
 
-# --- OCC conflict-class matrix (VERDICT r5 item 8) ------------------------
-# The CAS commit is manifest-coarse: EVERY concurrent pair conflicts at
-# publish time (unlike Iceberg's per-file conflict classes), and the
-# matrix below defines which LOSER RETRIES succeed and what state they
-# produce. Interleaving is simulated by staging the loser's operation
-# against a captured base version, letting the winner commit, then
-# publishing the loser's stale commit.
+# --- OCC conflict-class matrix (VERDICT r5 item 8 / r6 item 2) -------------
+# The CAS publish is version-granular, but `_commit` now REBASES the
+# benign conflict classes instead of surfacing every race (Delta/
+# Iceberg semantics): blind appends rebase over any non-full commit,
+# and partition-pruned merges rebase over disjoint-partition commits.
+# Same-partition rewrites, row-level DML, restores and metadata
+# changes stay manifest-coarse — the loser raises. Interleaving is
+# simulated by staging the loser's operation against a captured base
+# version, letting the winner commit, then publishing the loser's
+# stale commit with its conflict descriptor.
 
 
-def test_occ_append_vs_append_retry_succeeds(spark, table):
+def test_occ_append_vs_append_auto_rebases(spark, table):
     table.append(_df(spark, [(1, "a", 10)]))
     base = table.current_version()
     staged = table._write_files(_df(spark, [(2, "b", 20)]))  # loser A
     winner = VersionedTable(spark, table.path, partition_by=["day"])
     winner.append(_df(spark, [(3, "c", 30)]))  # B publishes first
+    # A's stale publish REBASES onto B's head: no error, no recompute,
+    # both writers' rows land (append/append is conflict-free by
+    # construction — disjoint new files).
+    v = table._commit(
+        table._load(base)["files"] + staged,
+        "append",
+        base=base,
+        conflict={
+            "class": "append",
+            "added": staged,
+            "partitions": sorted({os.path.dirname(f) for f in staged}),
+        },
+    )
+    assert v == 2 and table.versions() == [0, 1, 2]
+    assert {r.k for r in table.read().collect()} == {1, 2, 3}
+    # WITHOUT a descriptor (legacy callers / unknown class) the loser
+    # still raises — rebase is opt-in by declared class.
     from crypto_lakehouse_spark.pipeline.versioned import CommitConflictError
 
+    staged2 = table._write_files(_df(spark, [(4, "d", 40)]))
     with pytest.raises(CommitConflictError):
         table._commit(
-            table._load(base)["files"] + staged, "append", base=base
+            table._load(base)["files"] + staged2, "append", base=base
         )
-    # Retry from the fresh snapshot: append is conflict-free by
-    # construction (disjoint new files), so the retry ALWAYS succeeds
-    # and both writers' rows land.
-    table.append(_df(spark, [(2, "b", 20)]))
-    assert {r.k for r in table.read().collect()} == {1, 2, 3}
 
 
-def test_occ_merge_vs_merge_disjoint_partitions_retry_succeeds(spark, table):
+def test_occ_merge_vs_merge_disjoint_partitions_auto_rebases(spark, table):
     table.append(
         _df(spark, [(1, "a", 10), (2, "b", 20)])
     )  # partitions day=a, day=b
@@ -490,22 +506,98 @@ def test_occ_merge_vs_merge_disjoint_partitions_retry_succeeds(spark, table):
     # Loser A: merge touching ONLY day=a, staged against `base`.
     a_out = _df(spark, [(1, "a", 11)])
     a_new = table._write_files(a_out)
-    a_carried = [
-        f for f in table._load(base)["files"] if "day=b" in f
-    ]
+    base_files = table._load(base)["files"]
+    a_removed = [f for f in base_files if "day=a" in f]
+    a_carried = [f for f in base_files if "day=b" in f]
     # Winner B: merge touching ONLY day=b, commits first.
     winner = VersionedTable(spark, table.path, partition_by=["day"])
     winner.merge(_df(spark, [(2, "b", 22)]), keys=["k", "day"])
+    # Disjoint partition sets: A's stale publish rebases onto B's head
+    # (Iceberg/Delta admit both), preserving BOTH updates with no
+    # recompute and no error.
+    v = table._commit(
+        a_carried + a_new,
+        "merge",
+        base=base,
+        conflict={
+            "class": "partitioned",
+            "added": a_new,
+            "removed": a_removed,
+            "partitions": ["day=a"],
+        },
+    )
+    assert v == 2
+    assert {(r.k, r.v) for r in table.read().collect()} == {(1, 11), (2, 22)}
+
+
+def test_occ_merge_vs_merge_same_partition_lost_update_raises(spark, table):
+    """The lost-update shape MUST still fail: two merges rewriting the
+    SAME partition — the loser's output was computed against rows the
+    winner just replaced; rebasing would silently drop the winner's
+    update."""
+    table.append(_df(spark, [(1, "a", 10)]))
+    base = table.current_version()
+    base_files = table._load(base)["files"]
+    a_new = table._write_files(_df(spark, [(1, "a", 11)]))
+    winner = VersionedTable(spark, table.path, partition_by=["day"])
+    winner.merge(_df(spark, [(1, "a", 99)]), keys=["k", "day"])
     from crypto_lakehouse_spark.pipeline.versioned import CommitConflictError
 
     with pytest.raises(CommitConflictError):
-        table._commit(a_carried + a_new, "merge", base=base)
-    # Even though the partitions are disjoint (Iceberg would admit
-    # both), the manifest-coarse CAS makes A lose — the DEFINED
-    # semantics. A's retry re-reads the fresh snapshot (which now has
-    # B's day=b update) and succeeds, preserving both updates.
-    table.merge(_df(spark, [(1, "a", 11)]), keys=["k", "day"])
-    assert {(r.k, r.v) for r in table.read().collect()} == {(1, 11), (2, 22)}
+        table._commit(
+            a_new,
+            "merge",
+            base=base,
+            conflict={
+                "class": "partitioned",
+                "added": a_new,
+                "removed": base_files,
+                "partitions": ["day=a"],
+            },
+        )
+    # Winner's update intact; loser's rows invisible.
+    assert {(r.k, r.v) for r in table.read().collect()} == {(1, 99)}
+
+
+def test_occ_partitioned_vs_append_same_partition_raises(spark, table):
+    """ConcurrentAppendException analog: a partition-pruned merge must
+    NOT rebase over an append that landed rows in one of its touched
+    partitions — those rows never entered the merge's computation."""
+    table.append(_df(spark, [(1, "a", 10)]))
+    base = table.current_version()
+    base_files = table._load(base)["files"]
+    a_new = table._write_files(_df(spark, [(1, "a", 11)]))
+    winner = VersionedTable(spark, table.path, partition_by=["day"])
+    winner.append(_df(spark, [(5, "a", 50)]))  # lands in day=a
+    from crypto_lakehouse_spark.pipeline.versioned import CommitConflictError
+
+    with pytest.raises(CommitConflictError):
+        table._commit(
+            a_new,
+            "merge",
+            base=base,
+            conflict={
+                "class": "partitioned",
+                "added": a_new,
+                "removed": base_files,
+                "partitions": ["day=a"],
+            },
+        )
+
+
+def test_occ_public_appends_never_conflict(spark, table):
+    """The public API path: many appends racing from a shared stale
+    snapshot all land (each rebases in turn) — the many-writer
+    liveness the hourly-job shape needs."""
+    table.append(_df(spark, [(1, "a", 10)]))
+    writers = [
+        VersionedTable(spark, table.path, partition_by=["day"])
+        for _ in range(3)
+    ]
+    for i, w in enumerate(writers):
+        w.append(_df(spark, [(10 + i, "b", i)]))
+    assert {r.k for r in table.read().collect()} == {1, 10, 11, 12}
+    assert table.current_version() == 3
 
 
 def test_occ_restore_vs_append_retry_restores_over_append(spark, table):
