@@ -421,21 +421,11 @@ ORDER BY doc_id
 )
 
 
-def _truncate_lineage(df: DataFrame, spark: SparkSession) -> DataFrame:
-    """Cut the iteration's lineage. Two modes:
-
-    - reliable `checkpoint()` when the session has a checkpoint dir
-      configured (`sc.setCheckpointDir`) — survives executor loss, the
-      right mode on preemptible/spot clusters;
-    - `localCheckpoint()` otherwise — executor-memory-resident, zero
-      I/O, fine on a stable cluster (and in local mode).
-
-    The flag is the checkpoint dir itself: cluster operators already
-    set it exactly when they want reliability.
-    """
-    if spark.sparkContext.getCheckpointDir() is not None:
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+# Shared with graph_ops (operators/checkpointing.py): reliable
+# checkpoint() when a checkpoint dir is set, localCheckpoint otherwise.
+from crypto_lakehouse_spark.operators.checkpointing import (  # noqa: E402
+    truncate_lineage as _truncate_lineage,
+)
 
 
 @query(

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.operators.checkpointing import truncate_lineage
 from crypto_lakehouse_spark.queries.registry import query
 
 _SCALE = 10**18
@@ -185,11 +186,11 @@ def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
                 nodes["v"],
                 (F.lit(base) + 85 * F.expr("COALESCE(s, 0L) DIV 100")).alias("r"),
             )
-            # Cut the growing lineage each round, exactly like the CC
-            # iterations — at scale this is checkpoint(), locally the
-            # cheap in-memory form suffices.
-            .localCheckpoint(eager=True)
         )
+        # Cut the growing lineage each round, exactly like the CC
+        # iterations: reliable checkpoint() when a checkpoint dir is
+        # set (survives executor loss), localCheckpoint otherwise.
+        rank = truncate_lineage(rank, spark)
     out = rank.select(
         F.col("v").alias("node"),
         F.col("r").cast("bigint").alias("pagerank_scaled"),
@@ -318,8 +319,8 @@ def _pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "r"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        new_rank = truncate_lineage(new_rank, spark)
         rounds += 1
         # Global convergence gate: one bounded scalar per round (the
         # same driver-side check dup_clusters_cc uses for its label
