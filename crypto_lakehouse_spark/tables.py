@@ -295,3 +295,35 @@ class LakehouseTable:
                 shutil.rmtree(os.path.join(parent, n), ignore_errors=True)
                 removed += 1
         return removed
+
+
+def open_table(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str] | None = None,
+    backend: str | None = None,
+):
+    """Backend switch for the lakehouse table API (VERDICT r6 item 4).
+
+    The reference's declared stack is Delta Lake; this environment
+    ships no delta-spark, so the parquet-native `LakehouseTable`
+    implements the contract. `open_table` is the seam that honors the
+    declared stack the moment the dependency exists: it returns a
+    `delta_tables.DeltaLakehouseTable` (same public API) when
+    delta-spark is importable, the parquet-native layer otherwise.
+    `backend` ("delta" | "parquet", or the SPARK_GRAFT_TABLE_BACKEND
+    env var) forces a choice — "delta" fails loudly when the package
+    is absent rather than silently downgrading."""
+    choice = backend or os.environ.get("SPARK_GRAFT_TABLE_BACKEND")
+    if choice not in (None, "delta", "parquet"):
+        raise ValueError(
+            f"unknown table backend {choice!r}; expected 'delta' or 'parquet'"
+        )
+    from crypto_lakehouse_spark.delta_tables import (
+        DeltaLakehouseTable,
+        delta_available,
+    )
+
+    if choice == "delta" or (choice is None and delta_available()):
+        return DeltaLakehouseTable(spark, path, partition_by)
+    return LakehouseTable(spark, path, partition_by)
