@@ -35,6 +35,12 @@ def main() -> int:
     print(f"\n{len(names) - len(failed)}/{len(names)} passed")
     if failed:
         print("failed:", " ".join(failed))
+    if not sys.argv[2:]:
+        # Full sweep: regenerate the operator-family index so
+        # OPERATORS.md always reflects the checked registry.
+        from gen_operators_md import write as write_operators_md
+
+        print("regenerated", write_operators_md())
     return 1 if failed else 0
 
 
