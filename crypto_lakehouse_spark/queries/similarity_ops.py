@@ -620,7 +620,16 @@ _COS_D = (
 
 
 def _semdedup(vecs_cte: str, dot_av: str, dot_ab: str, scale_expr: str,
-              norm_expr: str) -> str:
+              norm_expr: str, intdiv: str) -> str:
+    # k SCALES WITH THE CORPUS: k = max(16, N // 256), so the expected
+    # cluster size (and with it the within-cluster pairwise cost per
+    # cluster) stays bounded as N grows — sum n_c^2 ~ N * 256, linear
+    # in N. A FIXED k was the round-7 sf1 finding: 10x vectors in 16
+    # clusters made every cluster 10x bigger and the pairwise stage
+    # 100x (measured 83x wall) — precisely the quadratic the
+    # clustering exists to prevent. `intdiv` is the engine's integer
+    # division (Spark DIV, DuckDB //): CAST-of-double would round on
+    # DuckDB and truncate on Spark, silently disagreeing on k.
     return f"""
 WITH base AS (
     {vecs_cte}
@@ -634,7 +643,11 @@ normed AS (
     SELECT vec_id, {norm_expr} AS u
     FROM corpus
 ),
-cents AS (SELECT vec_id AS cid, u AS c FROM normed WHERE vec_id < 16),
+k AS (SELECT GREATEST(16, COUNT(*) {intdiv} 256) AS k FROM corpus),
+cents AS (
+    SELECT vec_id AS cid, u AS c FROM normed
+    WHERE vec_id < (SELECT k FROM k)
+),
 assigned AS (
     SELECT vec_id, u, cid FROM (
         SELECT normed.vec_id, normed.u, cents.cid,
@@ -694,6 +707,7 @@ _pair(
         _DOT.format(a="a.u", b="b.u"),
         "transform(v, x -> x * CAST(1.5 AS DOUBLE))",
         _NORM,
+        "DIV",
     ),
     _semdedup(
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
@@ -702,6 +716,7 @@ _pair(
         _DOT_D.format(a="a.u", b="b.u"),
         "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
         _NORM_D,
+        "//",
     ),
     tags=("similarity", "dedup", "semdedup", "clustering"),
 )

@@ -1,0 +1,86 @@
+"""sf1 spot-bench of the expensive query tier (VERDICT r6 item 5):
+turns the sub-quadratic scale claims from a one-decade (sf0.01->0.1)
+into a two-decade (sf0.01->sf1) measurement. Writes BENCH_SF1.json
+{query: {sf1: s, sf01: s, ratio: x}}; the sf1 numbers are the
+declared baseline for the same 2x-regression gate BASELINE.md applies
+to the sf0.1 suite. Run scripts/gen_sf1.py first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crypto_lakehouse_spark import queries as qmod
+from crypto_lakehouse_spark.queries.registry import REGISTRY
+from crypto_lakehouse_spark.session import get_spark_session
+
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF01 = "/root/testdata/sf0.1"
+
+# The expensive tier: every query over 2s in the round-6 sf0.1 bench,
+# plus the round-7 capped-only scale path.
+TIER = [
+    "multimodal_ahash_near_dup",
+    "multimodal_ahash_near_dup_capped",
+    "multimodal_ahash_near_dup_capped_only",
+    "idf_cosine_topk",
+    "ngram_jaccard_prefix_filtered",
+    "semdedup_clustered",
+    "contamination_minhash_fuzzy",
+    "dup_clusters_cc_star",
+    "pagerank_iterated",
+    "near_dup_keep",
+    "levenshtein_blocked_linkage",
+    "asof_join_cogroup",
+]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def _bench(spark, name: str, sf_dir: str) -> float:
+    q = REGISTRY[name]
+    fn = q.bench_fn or q.spark_fn
+    best = float("inf")
+    for _ in range(RUNS):  # first run doubles as the memo/codegen warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    if not os.path.isdir(SF1):
+        print(f"missing {SF1}; run scripts/gen_sf1.py first", file=sys.stderr)
+        return 1
+    qmod.load_all()
+    spark = get_spark_session("bench-sf1")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for name in TIER:
+        s01 = _bench(spark, name, SF01)
+        s1 = _bench(spark, name, SF1)
+        out[name] = {
+            "sf01": s01,
+            "sf1": s1,
+            "ratio": round(s1 / max(s01, 0.05), 1),
+        }
+        print(name, out[name], flush=True)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF1.json",
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {"sf1_dir": SF1, "runs_best_of": RUNS, "queries": out}, f, indent=1
+        )
+    print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
