@@ -428,30 +428,16 @@ from crypto_lakehouse_spark.operators.checkpointing import (  # noqa: E402
 )
 
 
-@query(
-    "dup_clusters_cc",
-    oracle=_CC_ORACLE,
-    tags=("dedup", "clustering", "iterative", "graph"),
-)
-def dup_clusters_cc(spark, sf_dir: str):
-    """Near-duplicate clusters: connected components via iterative
-    min-label propagation over the Jaccard>=0.3 candidate graph (see
-    the block comment above for the scale framing and oracle).
-
+def _cc_labels(spark, edges) -> DataFrame:
+    """Iterative min-label propagation over an undirected edge frame
+    (doc_a, doc_b): returns (node, component) for every node WITH at
+    least one edge; component = min doc_id in the connected component.
     Lineage per iteration is truncated via `_truncate_lineage`:
     reliable checkpoint when a checkpoint dir is set, localCheckpoint
-    otherwise. Upgrade path for high-diameter graphs (not needed at
-    the near-dup workload's tiny diameters): alternate large-star /
-    small-star rounds (Kiveris et al., "Connected Components in
-    MapReduce and Beyond", SoCC'14) — each round hooks every node to
-    its neighborhood minimum, collapsing chains in O(log^2 n) rounds
-    instead of O(diameter)."""
+    otherwise. Shared by `dup_clusters_cc` (the cluster census) and
+    `leakage_safe_split` (the split assignment)."""
     from pyspark.sql import functions as F
 
-    cached_shingles(spark, sf_dir)
-    edges = spark.sql(
-        f"WITH {_SH_PERSISTED},{_CC_EDGES}"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
     und = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
         edges.selectExpr("doc_b AS src", "doc_a AS dst")
     )
@@ -490,6 +476,31 @@ def dup_clusters_cc(spark, sf_dir: str):
         lbl = new.select("node", "component")
         if changed == 0:
             break
+    return lbl
+
+
+@query(
+    "dup_clusters_cc",
+    oracle=_CC_ORACLE,
+    tags=("dedup", "clustering", "iterative", "graph"),
+)
+def dup_clusters_cc(spark, sf_dir: str):
+    """Near-duplicate clusters: connected components via iterative
+    min-label propagation over the Jaccard>=0.3 candidate graph (see
+    the block comment above for the scale framing and oracle, and
+    `_cc_labels` for the loop). Upgrade path for high-diameter graphs
+    (not needed at the near-dup workload's tiny diameters): alternate
+    large-star / small-star rounds (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — each round hooks
+    every node to its neighborhood minimum, collapsing chains in
+    O(log^2 n) rounds instead of O(diameter)."""
+    from pyspark.sql import functions as F
+
+    cached_shingles(spark, sf_dir)
+    edges = spark.sql(
+        f"WITH {_SH_PERSISTED},{_CC_EDGES}"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    lbl = _cc_labels(spark, edges)
     sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     out = (
         lbl.join(sizes, "component")
@@ -1040,3 +1051,89 @@ def near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- leakage-safe train/val/test split --------------------------------------
+# The split a training pipeline actually needs: assigning docs to
+# train/val/test BY DOC ID leaks near-duplicates across the boundary
+# (a test doc's near-copy in train inflates eval), so the split key
+# must be the NEAR-DUP CLUSTER, not the doc. Assignment: md5 of the
+# component label (min doc_id in the Jaccard>=0.3 component; docs
+# with no near-dup edge are their own singleton component) -> bucket
+# 0-9 -> test/val/train (10/10/80). The output census carries, per
+# split, a machine-checked PROOF of leakage-safety:
+# n_cross_split_dup_pairs counts near-dup edges with exactly one
+# endpoint in the split — provably 0 under cluster-keyed assignment,
+# and the DuckDB oracle re-derives the clusters independently via a
+# recursive CTE, so a propagation bug on either side breaks the hash.
+# Scale shape: the CC loop is dup_clusters_cc's (checkpointed,
+# O(diameter) shuffle-join rounds); everything after is one broadcast
+# join of labels onto the corpus plus two small aggregates.
+
+_SPLIT_TAIL = """
+assign AS (
+    SELECT d.doc_id,
+           COALESCE(c.component, d.doc_id) AS component,
+           CASE {bucket} % 10
+             WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train'
+           END AS split
+    FROM documents d LEFT JOIN {cc} c ON c.node = d.doc_id
+),
+leak_ends AS (
+    SELECT a.split
+    FROM {edges} e
+    JOIN assign a ON a.doc_id = e.doc_a
+    JOIN assign b ON b.doc_id = e.doc_b
+    WHERE a.split <> b.split
+    UNION ALL
+    SELECT b.split
+    FROM {edges} e
+    JOIN assign a ON a.doc_id = e.doc_a
+    JOIN assign b ON b.doc_id = e.doc_b
+    WHERE a.split <> b.split
+),
+leaks AS (SELECT split, COUNT(*) AS n FROM leak_ends GROUP BY split)
+SELECT s.split,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT s.component) AS n_clusters,
+       CAST(SUM(s.doc_id) AS BIGINT) AS doc_id_checksum,
+       CAST(COALESCE(MAX(l.n), 0) AS BIGINT) AS n_cross_split_dup_pairs
+FROM assign s LEFT JOIN leaks l ON l.split = s.split
+GROUP BY s.split
+ORDER BY s.split
+"""
+
+_BUCKET_SPARK = (
+    "CAST(conv(substr(md5(CAST({x} AS STRING)), 1, 4), 16, 10) AS INT)"
+)
+_BUCKET_DUCK = "CAST(('0x' || substr(md5(CAST({x} AS VARCHAR)), 1, 4)) AS INT)"
+_COMP = "COALESCE(c.component, d.doc_id)"
+
+
+@query(
+    "leakage_safe_split",
+    oracle=_CC_CTES
+    + ","
+    + _SPLIT_TAIL.format(
+        bucket=_BUCKET_DUCK.format(x=_COMP), cc="cc", edges="edges"
+    ),
+    tags=("dedup", "split", "leakage", "trainprep"),
+)
+def leakage_safe_split(spark, sf_dir: str):
+    """Cluster-keyed train/val/test split with an in-result proof of
+    near-dup leakage-safety (block comment above)."""
+    cached_shingles(spark, sf_dir)
+    edges = spark.sql(
+        f"WITH {_SH_PERSISTED},{_CC_EDGES}"
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    _cc_labels(spark, edges).createOrReplaceTempView("cc_labels_split")
+    edges.createOrReplaceTempView("cc_edges_split")
+    out = spark.sql(
+        "WITH "
+        + _SPLIT_TAIL.format(
+            bucket=_BUCKET_SPARK.format(x=_COMP),
+            cc="cc_labels_split",
+            edges="cc_edges_split",
+        )
+    )
+    return out

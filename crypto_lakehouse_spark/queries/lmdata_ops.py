@@ -786,3 +786,113 @@ _pair(
     ),
     tags=("lmdata", "diagnostics", "cross-lingual"),
 )
+
+
+# --- greedy wordpiece tokenization via RECURSIVE CTE ------------------------
+# Subword tokenization the way a corpus report needs it: learn a piece
+# inventory from the corpus (top-96 substrings of length 2-4 by
+# distinct-word df + every single char as the progress-guaranteeing
+# fallback), then tokenize every DISTINCT word by greedy longest-prefix
+# match and report the piece census weighted by word frequency. The
+# recursion is Spark 4's WITH RECURSIVE executed ENGINE-SIDE (no
+# driver loop): the trick that keeps UNION ALL recursion safe is that
+# `best` precomputes THE unique longest (tie: lexicographically
+# smallest) piece per (word, position) relationally, so the recursive
+# walk has exactly one successor per state — rows grow linearly with
+# pieces-per-word, never combinatorially, and depth is bounded by max
+# word length. Scale shape: the piece inventory is a fixed-size
+# broadcast dimension; `best` is words x positions x |pieces| behind a
+# broadcast nested-loop (linear in distinct words); the walk recursion
+# shuffles only (word, pos, piece) tuples. DuckDB runs the same SQL
+# modulo explode/sequence dialect — the recursion itself is checked
+# value-exactly, both the greedy CHOICES and the counts.
+
+def _wordpiece_sql(split: str, tok: str, poss: str, lens: str,
+                   wordpos: str) -> str:
+    return f"""
+WITH RECURSIVE words AS (
+    SELECT DISTINCT {tok} AS w FROM (
+        SELECT {split}(text, ' ') AS ws FROM documents
+    )
+),
+subs AS (
+    SELECT substr(w, i, l) AS piece, COUNT(DISTINCT w) AS df
+    FROM words
+    {poss}
+    {lens}
+    WHERE i + l - 1 <= length(w)
+    GROUP BY substr(w, i, l)
+),
+vocab AS (
+    SELECT piece FROM subs ORDER BY df DESC, piece LIMIT 96
+),
+chars AS (
+    SELECT DISTINCT substr(w, i, 1) AS piece
+    FROM words
+    {poss}
+    WHERE i <= length(w)
+),
+pieces AS (SELECT piece FROM vocab UNION SELECT piece FROM chars),
+best AS (
+    SELECT w, pos, piece FROM (
+        SELECT wp.w, wp.i AS pos, p.piece,
+               ROW_NUMBER() OVER (
+                   PARTITION BY wp.w, wp.i
+                   ORDER BY length(p.piece) DESC, p.piece) AS rn
+        FROM ({wordpos}) wp
+        JOIN pieces p
+          ON substr(wp.w, wp.i, length(p.piece)) = p.piece
+        WHERE wp.i <= length(wp.w)
+    ) ranked WHERE rn = 1
+),
+walk(w, pos, piece) AS (
+    SELECT w, CAST(1 AS INT) AS pos, piece FROM best WHERE pos = 1
+    UNION ALL
+    SELECT b.w, CAST(wk.pos + length(wk.piece) AS INT) AS pos, b.piece
+    FROM walk wk
+    JOIN best b
+      ON b.w = wk.w AND b.pos = wk.pos + length(wk.piece)
+),
+word_tf AS (
+    SELECT w, COUNT(*) AS tf FROM (
+        SELECT {tok} AS w FROM (
+            SELECT {split}(text, ' ') AS ws FROM documents
+        )
+    ) GROUP BY w
+)
+SELECT wk.piece,
+       CAST(length(wk.piece) AS INT) AS piece_len,
+       CAST(SUM(word_tf.tf) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT wk.w) AS BIGINT) AS n_distinct_words
+FROM walk wk JOIN word_tf ON word_tf.w = wk.w
+GROUP BY wk.piece
+ORDER BY n_occurrences DESC, piece
+"""
+
+
+def _wordpiece_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        _wordpiece_sql(
+            "split",
+            "explode(ws)",
+            "LATERAL VIEW explode(sequence(1, 16)) t_i AS i",
+            "LATERAL VIEW explode(sequence(2, 4)) t_l AS l",
+            "SELECT w, i FROM words "
+            "LATERAL VIEW explode(sequence(1, 16)) t_i AS i",
+        )
+    )
+
+
+_wordpiece_recursive.__name__ = "wordpiece_tokenize_recursive"
+query(
+    "wordpiece_tokenize_recursive",
+    oracle=_wordpiece_sql(
+        "string_split",
+        "unnest(ws)",
+        ", range(1, 17) t_i(i)",
+        ", range(2, 5) t_l(l)",
+        "SELECT w, i FROM words, range(1, 17) t_i(i)",
+    ),
+    tags=("lmdata", "tokenizer", "recursive-cte", "spark4"),
+)(_wordpiece_recursive)
