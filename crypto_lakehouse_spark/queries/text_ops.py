@@ -294,3 +294,143 @@ _pair(
     _ENTROPY_DUCK,
     tags=("text", "quality", "entropy"),
 )
+
+
+# --- BM25 top-k retrieval ---------------------------------------------------
+# Okapi BM25 (k1=1.2, b=0.75) over the documents table for a fixed
+# panel of three term queries — the lexical half of a retrieval stack
+# (the dense half is embedding_cosine_topk; a hybrid reranker is their
+# composition). Everything is relational: tf per (doc, term), df per
+# term, length normalization from one corpus aggregate; scoring joins
+# the tiny query relation (broadcast by construction) against the tf
+# relation — at 100 TB this is the classic inverted-index shape: cost
+# tracks postings touched (docs containing query terms), never the
+# corpus. Determinism across engines: idf/tf factors are IEEE ops on
+# identical doubles in identical order; per-term scores are rounded
+# to 9 decimals and summed as DECIMAL (order-free exact sum), the
+# module's standard discipline.
+
+def _bm25_sql(tok: str, split: str) -> str:
+    queries = (
+        "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
+        "(2, 'stream'), (2, 'window'), (2, 'batch'), "
+        "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok} AS tok FROM (
+        SELECT doc_id, {split}(text, ' ') AS ws FROM documents
+    )
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+q AS ({queries}),
+term_scores AS (
+    SELECT q.qid, tf.doc_id,
+           ROUND(
+             LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.c * 2.2)
+             / (tf.c + 1.2 * (0.25 + 0.75 * dl.n * s.n_docs
+                              / CAST(s.total_len AS DOUBLE))),
+             9) AS score
+    FROM q
+    JOIN df ON df.tok = q.term
+    JOIN tf ON tf.tok = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT qid, doc_id,
+           CAST(SUM(CAST(score AS DECIMAL(28, 9))) AS DOUBLE) AS bm25
+    FROM term_scores GROUP BY qid, doc_id
+),
+ranked AS (
+    SELECT qid, doc_id, bm25,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY bm25 DESC, doc_id) AS rn
+    FROM scored
+)
+SELECT CAST(qid AS INT) AS query_id,
+       CAST(rn AS INT) AS rank,
+       doc_id,
+       bm25
+FROM ranked WHERE rn <= 5
+ORDER BY query_id, rank
+"""
+
+
+_pair(
+    "bm25_topk",
+    _bm25_sql("explode(ws)", "split"),
+    _bm25_sql("unnest(ws)", "string_split"),
+    tags=("text", "retrieval", "bm25", "topk"),
+)
+
+
+# --- Gopher-style document quality rules ------------------------------------
+# The rule-based quality gate from Rae et al. 2021 ("Scaling Language
+# Models: ... Gopher", §A1.1), adapted to this corpus's shape (no
+# newlines, so the line-based bullet/ellipsis rules are out of scope
+# and documented as such): word count in [20, 100000], mean word
+# length in [2, 10], >= 80% of words contain an alphabetic character,
+# and at least 2 distinct stop words present. One narrow projection
+# per doc — codegen-friendly, no shuffle until the final ORDER BY
+# (which a real pipeline drops). Thresholds are literals; the output
+# carries each metric AND each verdict so the oracle value-checks the
+# arithmetic, not just the final boolean.
+
+_GOPHER_STOP = "('the', 'a', 'of', 'and', 'to', 'in', 'is')"
+
+
+def _gopher_sql(split: str, nwords: str, alpha_frac: str, mean_len: str,
+                nstop: str) -> str:
+    return f"""
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(mean_word_len, 9) AS mean_word_len,
+       ROUND(alpha_frac, 9) AS alpha_word_frac,
+       CAST(n_stop AS INT) AS n_distinct_stopwords,
+       n_words BETWEEN 20 AND 100000 AS pass_word_count,
+       mean_word_len BETWEEN 2.0 AND 10.0 AS pass_mean_word_len,
+       alpha_frac >= 0.8 AS pass_alpha_frac,
+       n_stop >= 2 AS pass_stopwords,
+       (n_words BETWEEN 20 AND 100000)
+         AND (mean_word_len BETWEEN 2.0 AND 10.0)
+         AND alpha_frac >= 0.8 AND n_stop >= 2 AS keep
+FROM (
+    SELECT doc_id,
+           {nwords} AS n_words,
+           {mean_len} AS mean_word_len,
+           {alpha_frac} AS alpha_frac,
+           {nstop} AS n_stop
+    FROM (SELECT doc_id, {split}(text, ' ') AS ws FROM documents)
+)
+ORDER BY doc_id
+"""
+
+
+_pair(
+    "gopher_quality_rules",
+    _gopher_sql(
+        "split",
+        "size(ws)",
+        "CAST(size(filter(ws, w -> w RLIKE '[a-z]')) AS DOUBLE) / size(ws)",
+        "CAST(aggregate(ws, 0L, (acc, w) -> acc + length(w)) AS DOUBLE)"
+        " / size(ws)",
+        f"size(array_distinct(filter(ws, w -> w IN {_GOPHER_STOP})))",
+    ),
+    _gopher_sql(
+        "string_split",
+        "len(ws)",
+        "CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-z]')))"
+        " AS DOUBLE) / len(ws)",
+        "CAST(list_sum(list_transform(ws, w -> length(w))) AS DOUBLE)"
+        " / len(ws)",
+        f"len(list_distinct(list_filter(ws, w -> w IN {_GOPHER_STOP})))",
+    ),
+    tags=("text", "quality", "gopher", "filter"),
+)
