@@ -368,3 +368,46 @@ def test_curriculum_resample_single_global_sort(spark):
     plan = _plan(spark, "curriculum_quality_resample")
     assert "Join" not in plan
     assert plan.count("Sort") >= 1
+
+
+def test_ahash_capped_only_prunes_without_extra_joins(spark):
+    """Round-7 scale path: the capped aHash plan must keep the exact
+    query's topology (4 band equi-joins, no sort-merge, no window)
+    while the hot-value pruning rides the scans as filters — extra
+    joins or a window pre-pass would re-introduce the stage overhead
+    (and at scale, the skewed shuffle) the design removes."""
+    plan = _plan(spark, "multimodal_ahash_near_dup_capped_only")
+    assert "SortMergeJoin" not in plan
+    assert "Window" not in plan, "hot-bucket counts must not use a window"
+    import re
+
+    joins = len(re.findall(r"\(\d+\) (?:Broadcast|Shuffled)HashJoin", plan))
+    assert joins == 4, f"expected exactly the 4 band joins, got {joins}"
+
+
+def test_bm25_query_panel_broadcasts(spark):
+    """The 9-row query relation must broadcast onto the tf postings —
+    a shuffle join keyed on query terms would move the corpus to the
+    queries instead of the queries to the corpus."""
+    plan = _plan(spark, "bm25_topk")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gopher_rules_single_narrow_pass(spark):
+    """The quality gate is one projection over the corpus: no join, no
+    aggregation exchange before the (report-only) global sort."""
+    plan = _plan(spark, "gopher_quality_rules")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan
+
+
+def test_wordpiece_recursion_is_engine_side(spark):
+    """The greedy walk must execute as Spark's recursive-CTE operator
+    (UnionLoop), not a driver loop, and the piece inventory join must
+    broadcast (fixed-size vocabulary is the broadcast dimension)."""
+    plan = _plan(spark, "wordpiece_tokenize_recursive")
+    assert "UnionLoop" in plan or "CTERelation" in plan or "Recursion" in plan, (
+        "recursion operator not found in plan"
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
