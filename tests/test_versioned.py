@@ -995,3 +995,33 @@ def test_delete_touched_files_matched_with_partition_dirs(spark, table):
     )
     got = sorted((r.k, r.day) for r in table.read().collect())
     assert got == [(2, "b")]
+
+
+def test_occ_threaded_appends_all_land(spark, table):
+    """REAL concurrency (not simulated interleaving): 6 writers on 3
+    threads race appends through the public API; the CAS + rebase
+    loop must land every commit exactly once with no conflict error
+    surfacing and a linear version history."""
+    import threading
+
+    table.append(_df(spark, [(0, "z", 0)]))
+    errors: list[Exception] = []
+
+    def _writer(wid: int):
+        try:
+            t = VersionedTable(spark, table.path, partition_by=["day"])
+            for j in range(2):
+                t.append(_df(spark, [(100 * wid + j, f"d{wid}", j)]))
+        except Exception as e:  # pragma: no cover - failure detail
+            errors.append(e)
+
+    threads = [threading.Thread(target=_writer, args=(i,)) for i in (1, 2, 3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    got = {r.k for r in table.read().collect()}
+    assert got == {0, 100, 101, 200, 201, 300, 301}
+    # One version per commit, no gaps, no lost writes.
+    assert table.versions() == list(range(7))
