@@ -434,3 +434,124 @@ _pair(
     ),
     tags=("text", "quality", "gopher", "filter"),
 )
+
+
+# --- hybrid retrieval: BM25 recall + PRF dense rerank -----------------------
+# The two-stage shape production retrieval runs: a cheap lexical
+# recall stage (BM25 top-10 per query) followed by a dense rerank.
+# With no query embeddings in the fixture, the rerank is classic
+# pseudo-relevance feedback (Rocchio): the dense query vector is the
+# CENTROID of the candidates' own embeddings (docs with doc_id beyond
+# the embeddings table simply don't rerank — same rule both engines),
+# and candidates re-order by cosine to that centroid. Scale shape:
+# stage 1 is the bm25_topk inverted-index plan; stage 2 touches ONLY
+# the <= 10 candidates per query — the embedding join is a point
+# lookup per candidate, the centroid a 64-row aggregate per query.
+# Determinism: per-dim means and all dot/norm sums go through the
+# ROUND + DECIMAL-sum discipline, so both engines hash identically.
+
+def _bm25_prf_sql(tok: str, split: str, emb_explode: str, emb_v: str) -> str:
+    queries = (
+        "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
+        "(2, 'stream'), (2, 'window'), (2, 'batch'), "
+        "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok} AS tok FROM (
+        SELECT doc_id, {split}(text, ' ') AS ws FROM documents
+    )
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+q AS ({queries}),
+term_scores AS (
+    SELECT q.qid, tf.doc_id,
+           ROUND(
+             LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.c * 2.2)
+             / (tf.c + 1.2 * (0.25 + 0.75 * dl.n * s.n_docs
+                              / CAST(s.total_len AS DOUBLE))),
+             9) AS score
+    FROM q
+    JOIN df ON df.tok = q.term
+    JOIN tf ON tf.tok = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT qid, doc_id,
+           CAST(SUM(CAST(score AS DECIMAL(28, 9))) AS DOUBLE) AS bm25
+    FROM term_scores GROUP BY qid, doc_id
+),
+cand AS (
+    SELECT qid, doc_id, bm25, rn AS bm25_rank FROM (
+        SELECT qid, doc_id, bm25,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id) AS rn
+        FROM scored
+    ) r WHERE rn <= 10
+),
+cvec AS (
+    SELECT c.qid, c.doc_id, c.bm25, c.bm25_rank, t_e.i,
+           CAST({emb_v} AS DOUBLE) AS v
+    FROM cand c
+    JOIN embeddings e ON e.vec_id = c.doc_id
+    {emb_explode}
+),
+centroid AS (
+    SELECT qid, i,
+           CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(27, 9))) AS DOUBLE)
+             / COUNT(*) AS cv
+    FROM cvec GROUP BY qid, i
+),
+dots AS (
+    SELECT v.qid, v.doc_id,
+           CAST(SUM(CAST(ROUND(v.v * c.cv, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS dot,
+           CAST(SUM(CAST(ROUND(v.v * v.v, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS nv,
+           CAST(SUM(CAST(ROUND(c.cv * c.cv, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS nc
+    FROM cvec v JOIN centroid c ON c.qid = v.qid AND c.i = v.i
+    GROUP BY v.qid, v.doc_id
+)
+SELECT CAST(d.qid AS INT) AS query_id,
+       CAST(ROW_NUMBER() OVER (
+           PARTITION BY d.qid
+           ORDER BY ROUND(d.dot / SQRT(d.nv * d.nc), 9) DESC, d.doc_id
+       ) AS INT) AS rerank,
+       d.doc_id,
+       CAST(c.bm25_rank AS INT) AS bm25_rank,
+       c.bm25,
+       ROUND(d.dot / SQRT(d.nv * d.nc), 9) AS cosine_to_centroid
+FROM dots d JOIN cand c ON c.qid = d.qid AND c.doc_id = d.doc_id
+ORDER BY query_id, rerank
+"""
+
+
+def _bm25_prf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["documents", "embeddings"])
+    return spark.sql(
+        _bm25_prf_sql(
+            "explode(ws)",
+            "split",
+            "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
+            "ev",
+        )
+    )
+
+
+_bm25_prf_fn.__name__ = "bm25_prf_rerank"
+query(
+    "bm25_prf_rerank",
+    oracle=_bm25_prf_sql(
+        "unnest(ws)",
+        "string_split",
+        ", range(1, 65) t_e(i)",
+        "e.embedding[t_e.i]",
+    ),
+    tags=("text", "retrieval", "bm25", "hybrid", "rerank"),
+)(_bm25_prf_fn)
