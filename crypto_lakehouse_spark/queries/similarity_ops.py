@@ -698,25 +698,264 @@ _NORM_D = (
 )
 
 
-_pair(
+# Spark side of semdedup_clustered: Arrow-vectorized numpy kernels.
+# The round-7 sf1 profile showed the SQL higher-order-function dots
+# (aggregate(zip_with(...))) cost ~10us EACH — the N x k assignment
+# alone was ~20 s at sf1 and dominated the repo's most expensive
+# query. Array math is the one place Spark's built-ins genuinely
+# can't vectorize, so this is the sanctioned Pandas-UDF drop-down:
+# assignment is a mapInPandas whose dot products run as numpy column
+# sweeps, and within-cluster pairwise similarity is an applyInPandas
+# per cluster accumulating outer products. BIT-EXACTNESS with the
+# DuckDB oracle is engineered, not hoped for: every sum replicates
+# the SQL fold's exact IEEE operation order (multiply dim i, add to
+# the accumulator, dims ascending — `acc = acc + U[:, i] * c[i]`),
+# so dots, norms, argmax tie-breaks, and the >= 0.99 threshold agree
+# to the last bit and the unchanged SQL oracle still hash-matches.
+# Scale shape: centroids are a driver-collected broadcast bounded by
+# k = N/256 rows (the documented knob — past ~1M centroids switch to
+# the hierarchical twin below); assignment is one corpus pass;
+# pairwise touches only within-cluster pairs (sum n_c^2 ~ N x 256).
+
+_SEMDEDUP_DUCK_ORACLE = _semdedup(
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings",
+    _DOT_D.format(a="normed.u", b="cents.c"),
+    _DOT_D.format(a="a.u", b="b.u"),
+    "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
+    _NORM_D,
+    "//",
+)
+
+
+def _seq_norm_rows(V):
+    """Unit-normalize rows with the SQL fold's exact operation order:
+    squared-norm accumulated product-then-add over dims ascending."""
+    import numpy as np
+
+    acc = np.zeros(V.shape[0])
+    for i in range(V.shape[1]):
+        acc = acc + V[:, i] * V[:, i]
+    return V / np.sqrt(acc)[:, None]
+
+
+@query(
     "semdedup_clustered",
-    _semdedup(
+    oracle=_SEMDEDUP_DUCK_ORACLE,
+    tags=("similarity", "dedup", "semdedup", "clustering", "vectorized"),
+)
+def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup with Arrow-vectorized assignment + pairwise kernels
+    (block comment above; semantics identical to the SQL oracle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    corpus = emb.unionByName(
+        emb.filter("vec_id % 10 = 0").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr("transform(v, x -> x * CAST(1.5 AS DOUBLE))").alias("v"),
+        )
+    )
+    n = corpus.count()
+    k = max(16, n // 256)
+    # Copies live at +100000 >> any realistic k, so centroid seeds
+    # (corpus vec_id < k) come from the base relation — same rows the
+    # oracle's `WHERE vec_id < (SELECT k FROM k)` selects.
+    cent_rows = sorted(
+        emb.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+    )
+    C = _seq_norm_rows(np.array([r.v for r in cent_rows], dtype=np.float64))
+    cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
+
+    def _assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _seq_norm_rows(np.stack(pdf["v"].to_numpy()))
+            D = np.empty((len(U), len(cids)))
+            for j in range(C.shape[0]):
+                acc = np.zeros(len(U))
+                for i in range(C.shape[1]):
+                    acc = acc + U[:, i] * C[j, i]
+                D[:, j] = acc
+            # argmax keeps the FIRST max = smallest cid on exact ties,
+            # matching ORDER BY dot DESC, cid.
+            idx = np.argmax(D, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "cid": cids[idx],
+                    "u": list(U),
+                }
+            )
+
+    assigned = corpus.mapInPandas(
+        _assign, "vec_id long, cid long, u array<double>"
+    )
+
+    def _cluster_pairs(key, pdf):
+        ids = pdf["vec_id"].to_numpy()
+        order = np.argsort(ids)
+        ids = ids[order]
+        U = np.stack(pdf["u"].to_numpy())[order]
+        m = len(ids)
+        if m < 2:
+            return pd.DataFrame({"cid": [], "keep_id": [], "drop_id": []})
+        acc = np.zeros((m, m))
+        for i in range(U.shape[1]):
+            acc = acc + np.outer(U[:, i], U[:, i])
+        iu = np.triu_indices(m, k=1)  # ids sorted => keep_id < drop_id
+        mask = acc[iu] >= 0.99
+        return pd.DataFrame(
+            {
+                "cid": np.full(mask.sum(), key[0], dtype=np.int64),
+                "keep_id": ids[iu[0][mask]],
+                "drop_id": ids[iu[1][mask]],
+            }
+        )
+
+    pairs = assigned.groupBy("cid").applyInPandas(
+        _cluster_pairs, "cid long, keep_id long, drop_id long"
+    )
+    assigned.select("vec_id", "cid").createOrReplaceTempView("sem_assigned")
+    pairs.createOrReplaceTempView("sem_pairs")
+    return spark.sql(
+        """
+WITH dropped AS (SELECT DISTINCT cid, drop_id FROM sem_pairs)
+SELECT s.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       CAST(COALESCE(d.drop_checksum, 0) AS BIGINT) AS drop_id_checksum
+FROM sem_assigned s
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dup_pairs FROM sem_pairs GROUP BY cid) p
+  ON s.cid = p.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped, SUM(drop_id) AS drop_checksum
+           FROM dropped GROUP BY cid) d
+  ON s.cid = d.cid
+GROUP BY s.cid, p.n_dup_pairs, d.n_dropped, d.drop_checksum
+ORDER BY cluster_id
+"""
+    )
+
+
+# --- SemDeDup, two-level (hierarchical) assignment --------------------------
+# The documented crossover fix for the flat query above: with
+# k ~ N/256, flat assignment costs N x k dots — N^2/256, the residual
+# super-linearity the round-7 sf1 bench measured (13.8x at 10x data).
+# Production k-means at corpus scale assigns hierarchically: k1
+# coarse centroids (~k/8, broadcast), then each vector compares only
+# against the k2 fine centroids OF ITS COARSE CELL — N x (k1 + k2)
+# dots, ~N x 2*sqrt(k)-ish, restoring near-linear growth while the
+# pairwise stage stays within-fine-cluster only (sum n_c^2 ~ N x 256
+# as before). Seeding is the flat query's discipline made two-level:
+# coarse seeds are the first k1 unit vectors; fine seeds are, per
+# coarse cell, the k2 lowest vec_ids assigned to it (deterministic,
+# both engines). Cluster semantics differ from the flat query by
+# construction (an approximation ladder, like IVF vs brute force) —
+# which is why this is a TWIN, not a replacement: the flat query
+# remains the reference answer, and the oracle here re-derives the
+# hierarchy itself value-exactly.
+
+def _semdedup_hier(vecs_cte: str, dot_av: str, dot_fv: str, dot_ab: str,
+                   scale_expr: str, norm_expr: str, intdiv: str) -> str:
+    return f"""
+WITH base AS (
+    {vecs_cte}
+),
+corpus AS (
+    SELECT vec_id, v FROM base
+    UNION ALL
+    SELECT vec_id + 100000, {scale_expr} FROM base WHERE vec_id % 10 = 0
+),
+normed AS (
+    SELECT vec_id, {norm_expr} AS u
+    FROM corpus
+),
+k AS (SELECT GREATEST(16, COUNT(*) {intdiv} 256) AS k FROM corpus),
+k1 AS (SELECT GREATEST(4, k {intdiv} 8) AS k1 FROM k),
+k2 AS (
+    SELECT GREATEST(4, (SELECT k FROM k) {intdiv} (SELECT k1 FROM k1)) AS k2
+),
+coarse AS (
+    SELECT vec_id AS ccid, u AS c FROM normed
+    WHERE vec_id < (SELECT k1 FROM k1)
+),
+assigned1 AS (
+    SELECT vec_id, u, ccid FROM (
+        SELECT normed.vec_id, normed.u, coarse.ccid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY normed.vec_id
+                   ORDER BY {dot_av} DESC, coarse.ccid) AS rn
+        FROM normed CROSS JOIN coarse
+    ) r WHERE rn = 1
+),
+fine AS (
+    SELECT ccid, vec_id AS fcid, u AS f FROM (
+        SELECT ccid, vec_id, u,
+               ROW_NUMBER() OVER (PARTITION BY ccid ORDER BY vec_id) AS rn
+        FROM assigned1
+    ) s WHERE rn <= (SELECT k2 FROM k2)
+),
+assigned AS (
+    SELECT vec_id, u, fcid AS cid FROM (
+        SELECT a.vec_id, a.u, fine.fcid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.vec_id
+                   ORDER BY {dot_fv} DESC, fine.fcid) AS rn
+        FROM assigned1 a JOIN fine ON fine.ccid = a.ccid
+    ) r WHERE rn = 1
+),
+pairs AS (
+    SELECT a.cid, a.vec_id AS keep_id, b.vec_id AS drop_id
+    FROM assigned a JOIN assigned b
+      ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {dot_ab} >= 0.99
+),
+dropped AS (SELECT DISTINCT cid, drop_id FROM pairs)
+SELECT s.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       CAST(COALESCE(d.drop_checksum, 0) AS BIGINT) AS drop_id_checksum
+FROM (SELECT cid, vec_id FROM assigned) s
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dup_pairs FROM pairs GROUP BY cid) p
+  ON s.cid = p.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped, SUM(drop_id) AS drop_checksum
+           FROM dropped GROUP BY cid) d
+  ON s.cid = d.cid
+GROUP BY s.cid, p.n_dup_pairs, d.n_dropped, d.drop_checksum
+ORDER BY cluster_id
+"""
+
+
+_pair(
+    "semdedup_hierarchical",
+    _semdedup_hier(
         "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings",
-        _DOT.format(a="normed.u", b="cents.c"),
+        _DOT.format(a="normed.u", b="coarse.c"),
+        _DOT.format(a="a.u", b="fine.f"),
         _DOT.format(a="a.u", b="b.u"),
         "transform(v, x -> x * CAST(1.5 AS DOUBLE))",
         _NORM,
         "DIV",
     ),
-    _semdedup(
+    _semdedup_hier(
         "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
         " FROM embeddings",
-        _DOT_D.format(a="normed.u", b="cents.c"),
+        _DOT_D.format(a="normed.u", b="coarse.c"),
+        _DOT_D.format(a="a.u", b="fine.f"),
         _DOT_D.format(a="a.u", b="b.u"),
         "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
         _NORM_D,
         "//",
     ),
-    tags=("similarity", "dedup", "semdedup", "clustering"),
+    tags=("similarity", "dedup", "semdedup", "clustering", "hierarchical"),
 )
