@@ -44,6 +44,10 @@ RAMP_QUERIES = [
     # round-6: the hot-band-capped scale path + recall census
     "multimodal_ahash_near_dup_capped",
     "contamination_minhash_fuzzy",
+    # round-7: vectorized semantic dedup (Arrow kernels) and its
+    # pure-SQL hierarchical-assignment twin
+    "semdedup_clustered",
+    "semdedup_hierarchical",
 ]
 
 RATIO_MAX = 30.0
