@@ -871,6 +871,10 @@ ORDER BY n_occurrences DESC, piece
 
 
 def _wordpiece_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy longest-prefix wordpiece tokenization executed as an
+    engine-side WITH RECURSIVE walk (unique successor per state, so
+    UNION ALL recursion is safe) — see the block comment above for
+    the vocabulary derivation and scale framing."""
     register_views(spark, sf_dir, ["documents"])
     return spark.sql(
         _wordpiece_sql(

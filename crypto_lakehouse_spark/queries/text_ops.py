@@ -533,6 +533,11 @@ ORDER BY query_id, rerank
 
 
 def _bm25_prf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage hybrid retrieval: BM25 lexical recall (top-10 per
+    query, inverted-index shape) then Rocchio pseudo-relevance-
+    feedback dense rerank by cosine to the candidates' own embedding
+    centroid — see the block comment above for the scale framing and
+    determinism discipline."""
     register_views(spark, sf_dir, ["documents", "embeddings"])
     return spark.sql(
         _bm25_prf_sql(
