@@ -959,3 +959,128 @@ _pair(
     ),
     tags=("similarity", "dedup", "semdedup", "clustering", "hierarchical"),
 )
+
+
+# --- semantic benchmark decontamination -------------------------------------
+# Completes the decontamination ladder (exact 4-gram -> Bloom-prefiltered
+# -> MinHash-fuzzy -> SEMANTIC): flag corpus embeddings whose cosine to
+# any benchmark vector exceeds 0.999 — the paraphrase-level leak the
+# lexical probes cannot see. The benchmark here is synthetic-but-proven:
+# scaled copies (x1.5, cosine-preserving) of every 20th corpus vector,
+# capped at the 64 lowest vec_ids, so the expected hit set is fully
+# determined and the oracle re-derives it from the all-pairs
+# definition. Scale shape: the benchmark is a FIXED-SIZE driver-side
+# broadcast (64 x 64 doubles); the sweep is one corpus pass in an
+# Arrow-vectorized mapInPandas whose dots replicate the SQL fold's
+# IEEE operation order bit-exactly (the semdedup_clustered
+# discipline), so max-cosine values hash-match DuckDB to the last
+# rounded digit. Output is one census row per benchmark vector — hit
+# count, hit checksum, and the max cosine over the corpus.
+
+_SEMCONTAM_DUCK = """
+WITH base AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings
+),
+normed AS (
+    SELECT vec_id,
+           list_transform(v, x -> x / SQRT(list_reduce(list_prepend(
+               CAST(0 AS DOUBLE), list_transform(v, y -> y * y)),
+               (p, q) -> p + q))) AS u
+    FROM base
+),
+bench AS (
+    SELECT vec_id + 200000 AS bid,
+           list_transform(v, x -> x * CAST(1.5 AS DOUBLE)) AS bv
+    FROM base WHERE vec_id % 20 = 0
+    ORDER BY vec_id LIMIT 64
+),
+bnormed AS (
+    SELECT bid,
+           list_transform(bv, x -> x / SQRT(list_reduce(list_prepend(
+               CAST(0 AS DOUBLE), list_transform(bv, y -> y * y)),
+               (p, q) -> p + q))) AS bu
+    FROM bench
+),
+cos AS (
+    SELECT b.bid, n.vec_id,
+           list_reduce(list_prepend(CAST(0 AS DOUBLE),
+               list_transform(range(1, 65), i -> n.u[i] * b.bu[i])),
+               (p, q) -> p + q) AS c
+    FROM bnormed b CROSS JOIN normed n
+)
+SELECT CAST(bid AS BIGINT) AS benchmark_id,
+       CAST(COUNT(*) FILTER (WHERE c >= 0.999) AS BIGINT) AS n_contaminated,
+       CAST(COALESCE(SUM(vec_id) FILTER (WHERE c >= 0.999), 0) AS BIGINT)
+           AS hit_id_checksum,
+       ROUND(MAX(c), 9) AS max_cosine
+FROM cos
+GROUP BY bid
+ORDER BY benchmark_id
+"""
+
+
+@query(
+    "contamination_semantic",
+    oracle=_SEMCONTAM_DUCK,
+    tags=("similarity", "trainprep", "decontamination", "semantic",
+          "vectorized"),
+)
+def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination: one Arrow-vectorized
+    corpus sweep against a fixed-size benchmark broadcast (block
+    comment above; fold-order-bit-exact with the DuckDB oracle)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    bench_rows = sorted(
+        emb.filter("vec_id % 20 = 0").orderBy("vec_id").limit(64).collect(),
+        key=lambda r: r.vec_id,
+    )
+    BV = np.array([r.v for r in bench_rows], dtype=np.float64) * 1.5
+    B = _seq_norm_rows(BV)
+    bids = np.array([r.vec_id + 200000 for r in bench_rows], dtype=np.int64)
+
+    def _sweep(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _seq_norm_rows(np.stack(pdf["v"].to_numpy()))
+            ids = pdf["vec_id"].to_numpy()
+            out = []
+            for j in range(B.shape[0]):
+                acc = np.zeros(len(U))
+                for i in range(B.shape[1]):
+                    acc = acc + U[:, i] * B[j, i]
+                hit = acc >= 0.999
+                out.append(
+                    (
+                        bids[j],
+                        int(hit.sum()),
+                        int(ids[hit].sum()),
+                        float(np.max(acc)),
+                    )
+                )
+            yield pd.DataFrame(
+                out, columns=["benchmark_id", "n_hits", "hit_sum", "max_c"]
+            )
+
+    partial = emb.mapInPandas(
+        _sweep,
+        "benchmark_id long, n_hits long, hit_sum long, max_c double",
+    )
+    return (
+        partial.groupBy("benchmark_id")
+        .agg(
+            F.sum("n_hits").alias("n_contaminated"),
+            F.sum("hit_sum").alias("hit_id_checksum"),
+            F.round(F.max("max_c"), 9).alias("max_cosine"),
+        )
+        .orderBy("benchmark_id")
+    )
