@@ -135,3 +135,100 @@ def test_versioned_table_model(spark, tmp_path_factory):
     from hypothesis.stateful import run_state_machine_as_test
 
     run_state_machine_as_test(machine_cls, settings=run_settings)
+
+
+# --- randomized model check of the commit-rebase protocol ------------------
+# The round-7 rebase rules (benign classes auto-merge, lost-update
+# shapes raise) are pure manifest logic — no Spark job runs in
+# _commit — so hundreds of random interleavings are cheap. A mirror
+# model predicts, for every stale commit, whether it must succeed
+# (and the exact resulting file set) or raise; any divergence is a
+# protocol bug (e.g. a rebase that silently drops another writer's
+# files, or a conflict that should have auto-merged).
+
+
+def test_commit_rebase_protocol_model(spark, tmp_path):
+    import random
+
+    from crypto_lakehouse_spark.pipeline.versioned import (
+        CommitConflictError,
+        VersionedTable,
+    )
+
+    rng = random.Random(20260814)
+    parts = ["day=a", "day=b", "day=c", "day=d"]
+
+    for trial in range(12):
+        t = VersionedTable(spark, str(tmp_path / f"m{trial}"))
+        # committed[v] = (op_class, partitions); files = current set
+        t._commit([], "overwrite", base=None)  # v0: empty full commit
+        committed = [("full", set())]
+        files: list[str] = []
+        fid = 0
+
+        for _ in range(18):
+            head = len(committed) - 1
+            base = rng.randint(max(0, head - 3), head)  # possibly stale
+            kind = rng.choice(["append", "merge", "full"])
+            my_parts = set(rng.sample(parts, rng.randint(1, 2)))
+            fid += 1
+            added = [f"{p}/f{fid}.parquet" for p in sorted(my_parts)]
+            base_files = t._load(base)["files"]
+
+            if kind == "append":
+                conflict = {
+                    "class": "append",
+                    "added": added,
+                    "partitions": sorted(my_parts),
+                }
+                removed: list[str] = []
+                attempt = base_files + added
+            elif kind == "merge":
+                removed = [
+                    f for f in base_files if f.split("/")[0] in my_parts
+                ]
+                conflict = {
+                    "class": "partitioned",
+                    "added": added,
+                    "removed": removed,
+                    "partitions": sorted(my_parts),
+                }
+                attempt = [f for f in base_files if f not in removed] + added
+            else:  # full overwrite
+                conflict = None
+                removed = base_files
+                attempt = added
+
+            # Mirror model: predict raise/success.
+            intervening = committed[base + 1 : head + 1]
+            if kind == "full":
+                ok = not intervening
+            elif kind == "append":
+                ok = all(c != "full" for c, _ in intervening)
+            else:
+                ok = all(
+                    c != "full" and not (p & my_parts)
+                    for c, p in intervening
+                ) and set(removed) <= set(files)
+
+            try:
+                t._commit(attempt, kind, base=base, conflict=conflict)
+                raised = False
+            except CommitConflictError:
+                raised = True
+            assert raised == (not ok), (
+                f"trial {trial}: {kind} base={base} head={head} "
+                f"parts={my_parts} expected ok={ok}"
+            )
+            if ok:
+                files = [f for f in files if f not in set(removed)] + added
+                committed.append(
+                    (
+                        "full" if kind == "full" else
+                        ("append" if kind == "append" else "partitioned"),
+                        set() if kind == "full" else my_parts,
+                    )
+                )
+                assert sorted(t._load(t.current_version())["files"]) == sorted(
+                    files
+                ), f"trial {trial}: file set diverged after {kind}"
