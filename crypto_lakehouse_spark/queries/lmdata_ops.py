@@ -900,3 +900,66 @@ query(
     ),
     tags=("lmdata", "tokenizer", "recursive-cte", "spark4"),
 )(_wordpiece_recursive)
+
+
+# --- vocabulary coverage curve ----------------------------------------------
+# The corpus report's "how big must the vocab be" diagnostic: for
+# nested vocab sizes k in {16, 64, 256}, the fraction of ALL token
+# occurrences covered by the top-k tokens (tf DESC, token tie-break).
+# One token-frequency aggregation feeds every point (the rank is a
+# single window over the tiny distinct-token relation), so corpus
+# cost is one groupBy pass regardless of how many curve points are
+# reported; ratios are exact integer ratios rounded at the end.
+
+def _vocab_coverage_sql(tok: str, split: str, ks: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT {tok} AS token FROM (
+        SELECT {split}(text, ' ') AS ws FROM documents
+    )
+),
+tf AS (SELECT token, COUNT(*) AS tf FROM toks GROUP BY token),
+ranked AS (
+    SELECT token, tf,
+           ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rnk
+    FROM tf
+),
+total AS (SELECT SUM(tf) AS n, COUNT(*) AS n_distinct FROM tf),
+ks AS ({ks})
+SELECT CAST(ks.k AS INT) AS vocab_size,
+       CAST(COUNT(r.token) AS BIGINT) AS n_vocab_tokens,
+       CAST(COALESCE(SUM(r.tf), 0) AS BIGINT) AS covered_occurrences,
+       CAST(MAX(t.n) AS BIGINT) AS total_occurrences,
+       ROUND(CAST(COALESCE(SUM(r.tf), 0) AS DOUBLE) / MAX(t.n), 9)
+           AS coverage,
+       CAST(MAX(t.n_distinct) AS BIGINT) AS n_distinct_tokens
+FROM ks
+LEFT JOIN ranked r ON r.rnk <= ks.k
+CROSS JOIN total t
+GROUP BY ks.k
+ORDER BY vocab_size
+"""
+
+
+def _vocab_coverage_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-occurrence coverage at nested vocab sizes (block comment
+    above) — one corpus aggregation, window-ranked vocab, exact
+    integer ratios."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(
+        _vocab_coverage_sql(
+            "explode(ws)", "split",
+            "SELECT explode(array(16, 64, 256)) AS k",
+        )
+    )
+
+
+_vocab_coverage_fn.__name__ = "vocab_coverage_curve"
+query(
+    "vocab_coverage_curve",
+    oracle=_vocab_coverage_sql(
+        "unnest(ws)", "string_split",
+        "SELECT unnest([16, 64, 256]) AS k",
+    ),
+    tags=("lmdata", "tokenizer", "diagnostics"),
+)(_vocab_coverage_fn)
