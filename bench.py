@@ -81,8 +81,27 @@ def main() -> int:
     if errors:
         result["errors"] = errors
     line = json.dumps(result, sort_keys=True, separators=(",", ":"))
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"), "w") as f:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(repo, "BENCH_FULL.json"), "w") as f:
         f.write(line + "\n")
+    # Versioned per-query artifact (VERDICT r7 item 7): BENCH_r01-r03
+    # carried truncated tail blobs, so per-query round diffs depended
+    # on git archaeology of BENCH_FULL.json. Mirror the full map into
+    # BENCH_FULL_r{N}.json, N = the round in progress = max driver
+    # round artifact + 1 (override with SPARK_GRAFT_ROUND).
+    try:
+        import re
+
+        rounds = [
+            int(m.group(1))
+            for f_ in os.listdir(repo)
+            if (m := re.fullmatch(r"BENCH_r(\d+)\.json", f_))
+        ]
+        n = int(os.environ.get("SPARK_GRAFT_ROUND", max(rounds, default=0) + 1))
+        with open(os.path.join(repo, f"BENCH_FULL_r{n:02d}.json"), "w") as f:
+            f.write(line + "\n")
+    except OSError:
+        pass  # the versioned copy is best-effort; BENCH_FULL.json is canonical
     summary = {
         "metric": "headline_suite_seconds",
         "value": total,

@@ -26,6 +26,23 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _qualify(pred: str, columns: list[str], alias: str) -> str:
+    """Qualify bare references to `columns` in a SQL predicate with
+    `alias.` — e.g. `v < 0` -> `s.v < 0` — leaving already-qualified
+    (`s.v`, `t.v`) and backticked references untouched. Textual by
+    design (the predicate is a user-supplied SQL string); the one
+    documented limitation is a string literal that happens to contain
+    a bare column name, which would also be rewritten."""
+    import re
+
+    out = pred
+    for c in sorted(columns, key=len, reverse=True):
+        out = re.sub(
+            rf"(?<![\w.`]){re.escape(c)}(?![\w`])", f"{alias}.{c}", out
+        )
+    return out
+
+
 def delta_available() -> bool:
     """True iff the delta-spark python package is importable. The jar
     side (spark.jars.packages io.delta:delta-spark_2.13:...) must be
@@ -111,9 +128,16 @@ class DeltaLakehouseTable:
         self._writer(df, "append").save(self.path)
 
     def overwrite(self, df: DataFrame) -> None:
+        # Full-table replace. The session factory sets a session-wide
+        # partitionOverwriteMode=dynamic (session.py), under which
+        # Delta (a) rejects overwriteSchema on partitioned tables and
+        # (b) would silently reduce this to a partial partition
+        # overwrite. The per-write option overrides the session conf,
+        # so pin this write to static — overwriteSchema is then legal
+        # and the overwrite is a true replace.
         self._writer(df, "overwrite").option(
-            "overwriteSchema", "true"
-        ).save(self.path)
+            "partitionOverwriteMode", "static"
+        ).option("overwriteSchema", "true").save(self.path)
 
     def overwrite_partitions(self, df: DataFrame) -> None:
         self.spark.conf.set(
@@ -143,8 +167,14 @@ class DeltaLakehouseTable:
         m = tgt.merge(source.alias("s"), cond)
         if delete_match is not None:
             # Predicate is over source columns, same as the parquet
-            # layer: qualify bare names with the source alias.
-            m = m.whenMatchedDelete(condition=delete_match)
+            # layer — but inside a Delta merge condition a bare column
+            # reference is ambiguous (target and source share the
+            # schema) and fails analysis, so qualify every bare
+            # reference to a source column with the `s.` alias before
+            # handing it to whenMatchedDelete.
+            m = m.whenMatchedDelete(
+                condition=_qualify(delete_match, source.columns, "s")
+            )
         m.whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
 
     # -- maintenance --------------------------------------------------------

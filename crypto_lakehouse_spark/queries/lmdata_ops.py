@@ -800,25 +800,30 @@ _pair(
 # smallest) piece per (word, position) relationally, so the recursive
 # walk has exactly one successor per state — rows grow linearly with
 # pieces-per-word, never combinatorially, and depth is bounded by max
-# word length. Scale shape: the piece inventory is a fixed-size
-# broadcast dimension; `best` is words x positions x |pieces| behind a
-# broadcast nested-loop (linear in distinct words); the walk recursion
+# word length. Positions are enumerated PER WORD as 1..length(w)
+# (round-8 contract fix: the earlier fixed sequence(1, 16) silently
+# truncated 17+-char words mid-walk — the bound is now data-derived,
+# so no word length can stall the walk or drop tail pieces). Scale
+# shape: the piece inventory is a fixed-size broadcast dimension;
+# `best` is words x positions x |pieces| behind a broadcast
+# nested-loop (linear in total word CHARS); the walk recursion
 # shuffles only (word, pos, piece) tuples. DuckDB runs the same SQL
 # modulo explode/sequence dialect — the recursion itself is checked
 # value-exactly, both the greedy CHOICES and the counts.
 
-def _wordpiece_sql(split: str, tok: str, poss: str, lens: str,
-                   wordpos: str) -> str:
+def _wordpiece_sql(split: str, tok: str, lens: str, wordpos: str) -> str:
     return f"""
 WITH RECURSIVE words AS (
     SELECT DISTINCT {tok} AS w FROM (
         SELECT {split}(text, ' ') AS ws FROM documents
     )
 ),
+wordpos AS (
+    {wordpos}
+),
 subs AS (
     SELECT substr(w, i, l) AS piece, COUNT(DISTINCT w) AS df
-    FROM words
-    {poss}
+    FROM wordpos
     {lens}
     WHERE i + l - 1 <= length(w)
     GROUP BY substr(w, i, l)
@@ -828,9 +833,7 @@ vocab AS (
 ),
 chars AS (
     SELECT DISTINCT substr(w, i, 1) AS piece
-    FROM words
-    {poss}
-    WHERE i <= length(w)
+    FROM wordpos
 ),
 pieces AS (SELECT piece FROM vocab UNION SELECT piece FROM chars),
 best AS (
@@ -839,10 +842,9 @@ best AS (
                ROW_NUMBER() OVER (
                    PARTITION BY wp.w, wp.i
                    ORDER BY length(p.piece) DESC, p.piece) AS rn
-        FROM ({wordpos}) wp
+        FROM wordpos wp
         JOIN pieces p
           ON substr(wp.w, wp.i, length(p.piece)) = p.piece
-        WHERE wp.i <= length(wp.w)
     ) ranked WHERE rn = 1
 ),
 walk(w, pos, piece) AS (
@@ -876,28 +878,29 @@ def _wordpiece_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL recursion is safe) — see the block comment above for
     the vocabulary derivation and scale framing."""
     register_views(spark, sf_dir, ["documents"])
-    return spark.sql(
-        _wordpiece_sql(
-            "split",
-            "explode(ws)",
-            "LATERAL VIEW explode(sequence(1, 16)) t_i AS i",
-            "LATERAL VIEW explode(sequence(2, 4)) t_l AS l",
-            "SELECT w, i FROM words "
-            "LATERAL VIEW explode(sequence(1, 16)) t_i AS i",
-        )
-    )
+    return spark.sql(_wordpiece_sql(*_WORDPIECE_SPARK_DIALECT))
 
+
+# Position enumeration is per word, 1..length(w) — data-derived, so
+# the census is complete for any word length (see block comment).
+_WORDPIECE_SPARK_DIALECT = (
+    "split",
+    "explode(ws)",
+    "LATERAL VIEW explode(sequence(2, 4)) t_l AS l",
+    "SELECT w, i FROM words "
+    "LATERAL VIEW explode(sequence(1, length(w))) t_i AS i",
+)
+_WORDPIECE_DUCK_DIALECT = (
+    "string_split",
+    "unnest(ws)",
+    ", range(2, 5) t_l(l)",
+    "SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words",
+)
 
 _wordpiece_recursive.__name__ = "wordpiece_tokenize_recursive"
 query(
     "wordpiece_tokenize_recursive",
-    oracle=_wordpiece_sql(
-        "string_split",
-        "unnest(ws)",
-        ", range(1, 17) t_i(i)",
-        ", range(2, 5) t_l(l)",
-        "SELECT w, i FROM words, range(1, 17) t_i(i)",
-    ),
+    oracle=_wordpiece_sql(*_WORDPIECE_DUCK_DIALECT),
     tags=("lmdata", "tokenizer", "recursive-cte", "spark4"),
 )(_wordpiece_recursive)
 

@@ -20,6 +20,8 @@ rank comparison.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 
 from crypto_lakehouse_spark.io import register_views
@@ -621,15 +623,18 @@ _COS_D = (
 
 def _semdedup(vecs_cte: str, dot_av: str, dot_ab: str, scale_expr: str,
               norm_expr: str, intdiv: str) -> str:
-    # k SCALES WITH THE CORPUS: k = max(16, N // 256), so the expected
-    # cluster size (and with it the within-cluster pairwise cost per
-    # cluster) stays bounded as N grows — sum n_c^2 ~ N * 256, linear
-    # in N. A FIXED k was the round-7 sf1 finding: 10x vectors in 16
-    # clusters made every cluster 10x bigger and the pairwise stage
-    # 100x (measured 83x wall) — precisely the quadratic the
-    # clustering exists to prevent. `intdiv` is the engine's integer
-    # division (Spark DIV, DuckDB //): CAST-of-double would round on
-    # DuckDB and truncate on Spark, silently disagreeing on k.
+    # k SCALES SUBLINEARLY WITH THE CORPUS: k = max(16, ceil(sqrt(N))).
+    # The round-7 policy k = N/256 held cluster SIZE constant, which
+    # made the N x k assignment join O(N^2/256) — a quadratic hiding
+    # one decade out (the sf1 bench measured the hierarchical ladder
+    # at 11.9x for 10x data). sqrt-k is the standard balance point:
+    # assignment costs N x k = O(N^1.5) and within-cluster pairwise
+    # costs N^2/k = O(N^1.5) — both stages grow ~3.2x per decade
+    # instead of 100x. CEIL(SQRT(..)) is bit-identical across engines
+    # (IEEE sqrt is correctly rounded; CAST AS BIGINT pins DuckDB's
+    # double-typed CEIL to Spark's BIGINT CEIL). `intdiv` remains the
+    # engine's integer division for derived panel sizes (Spark DIV,
+    # DuckDB //).
     return f"""
 WITH base AS (
     {vecs_cte}
@@ -643,7 +648,8 @@ normed AS (
     SELECT vec_id, {norm_expr} AS u
     FROM corpus
 ),
-k AS (SELECT GREATEST(16, COUNT(*) {intdiv} 256) AS k FROM corpus),
+k AS (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+      FROM corpus),
 cents AS (
     SELECT vec_id AS cid, u AS c FROM normed
     WHERE vec_id < (SELECT k FROM k)
@@ -713,9 +719,11 @@ _NORM_D = (
 # so dots, norms, argmax tie-breaks, and the >= 0.99 threshold agree
 # to the last bit and the unchanged SQL oracle still hash-matches.
 # Scale shape: centroids are a driver-collected broadcast bounded by
-# k = N/256 rows (the documented knob — past ~1M centroids switch to
-# the hierarchical twin below); assignment is one corpus pass;
-# pairwise touches only within-cluster pairs (sum n_c^2 ~ N x 256).
+# k = ceil(sqrt(N)) rows (the documented knob — past ~1M centroids,
+# i.e. N ~ 1e12, switch to the hierarchical twin below); assignment
+# is one corpus pass costing N x k = O(N^1.5) dots; pairwise touches
+# only within-cluster pairs (sum n_c^2 ~ N^2/k = O(N^1.5)) — both
+# stages grow ~3.2x per data decade.
 
 _SEMDEDUP_DUCK_ORACLE = _semdedup(
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
@@ -763,10 +771,18 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     n = corpus.count()
-    k = max(16, n // 256)
-    # Copies live at +100000 >> any realistic k, so centroid seeds
-    # (corpus vec_id < k) come from the base relation — same rows the
-    # oracle's `WHERE vec_id < (SELECT k FROM k)` selects.
+    k = max(16, math.ceil(math.sqrt(n)))
+    # Copies live at +100000, so centroid seeds (corpus vec_id < k)
+    # come from the base relation — same rows the oracle's
+    # `WHERE vec_id < (SELECT k FROM k)` selects. With k = ceil(sqrt N)
+    # the seed window crosses 100000 only past N = 1e10 vectors; fail
+    # loudly there (the hierarchical twin is the documented crossover)
+    # instead of silently diverging from the oracle's seed set.
+    if k >= 100_000:
+        raise ValueError(
+            "semdedup_clustered: k >= 100000 collides with the scaled-copy "
+            "id offset; use semdedup_hierarchical at this corpus size"
+        )
     cent_rows = sorted(
         emb.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
     )
@@ -846,15 +862,15 @@ ORDER BY cluster_id
 
 
 # --- SemDeDup, two-level (hierarchical) assignment --------------------------
-# The documented crossover fix for the flat query above: with
-# k ~ N/256, flat assignment costs N x k dots — N^2/256, the residual
-# super-linearity the round-7 sf1 bench measured (13.8x at 10x data).
-# Production k-means at corpus scale assigns hierarchically: k1
-# coarse centroids (~k/8, broadcast), then each vector compares only
-# against the k2 fine centroids OF ITS COARSE CELL — N x (k1 + k2)
-# dots, ~N x 2*sqrt(k)-ish, restoring near-linear growth while the
-# pairwise stage stays within-fine-cluster only (sum n_c^2 ~ N x 256
-# as before). Seeding is the flat query's discipline made two-level:
+# The flat query's assignment made cheaper by a coarse quantizer:
+# with k = ceil(sqrt(N)) fine centroids, flat assignment costs
+# N x k = O(N^1.5) dots. Production k-means at corpus scale assigns
+# hierarchically: k1 = ceil(sqrt(k)) ~ N^(1/4) coarse centroids
+# (broadcast), then each vector compares only against the k2 = k/k1
+# fine centroids OF ITS COARSE CELL — N x (k1 + k2) ~ N x 2*N^(1/4)
+# dots, O(N^1.25), while the pairwise stage stays within-fine-cluster
+# only (sum n_c^2 ~ N^2/k = O(N^1.5), the binding stage). Seeding is
+# the flat query's discipline made two-level:
 # coarse seeds are the first k1 unit vectors; fine seeds are, per
 # coarse cell, the k2 lowest vec_ids assigned to it (deterministic,
 # both engines). Cluster semantics differ from the flat query by
@@ -878,8 +894,9 @@ normed AS (
     SELECT vec_id, {norm_expr} AS u
     FROM corpus
 ),
-k AS (SELECT GREATEST(16, COUNT(*) {intdiv} 256) AS k FROM corpus),
-k1 AS (SELECT GREATEST(4, k {intdiv} 8) AS k1 FROM k),
+k AS (SELECT GREATEST(16, CAST(CEIL(SQRT(COUNT(*))) AS BIGINT)) AS k
+      FROM corpus),
+k1 AS (SELECT GREATEST(4, CAST(CEIL(SQRT(k)) AS BIGINT)) AS k1 FROM k),
 k2 AS (
     SELECT GREATEST(4, (SELECT k FROM k) {intdiv} (SELECT k1 FROM k1)) AS k2
 ),

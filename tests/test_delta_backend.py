@@ -86,3 +86,16 @@ def test_delta_compact_runs(spark, dtable):
     dtable.append(_df(spark, [(2, "a", 20)]))
     dtable.compact()
     assert dtable.read().count() == 2
+
+
+def test_qualify_rewrites_bare_source_columns():
+    """Delta merge conditions reject bare column references (target and
+    source share the schema); _qualify pins them to the source alias
+    without touching already-qualified or backticked names."""
+    from crypto_lakehouse_spark.delta_tables import _qualify
+
+    assert _qualify("v < 0", ["k", "v"], "s") == "s.v < 0"
+    assert _qualify("s.v < 0 AND k = 1", ["k", "v"], "s") == "s.v < 0 AND s.k = 1"
+    assert _qualify("t.v < 0", ["k", "v"], "s") == "t.v < 0"
+    # longest-first ordering keeps overlapping names intact
+    assert _qualify("value < val", ["val", "value"], "s") == "s.value < s.val"

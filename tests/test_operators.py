@@ -223,3 +223,56 @@ def test_cogroup_passes_key_copy(spark, sf_dir):
     b = REGISTRY["asof_join_purchase_click"].spark_fn(spark, sf_dir).collect()
     assert len(a) == len(b) > 0
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_wordpiece_census_covers_words_longer_than_16_chars(spark, tmp_path):
+    """Round-8 contract fix: the position bound is derived per word
+    (1..length(w)), so a 21-char word is tokenized to its tail — the
+    old fixed sequence(1, 16) stalled the walk mid-word. Full-coverage
+    invariant: every token is fully consumed by its greedy walk, so
+    sum(piece_len * n_occurrences) over the census equals the total
+    chars of all tokens; Spark and the DuckDB oracle must also agree
+    value-exactly on this out-of-fixture corpus."""
+    import duckdb
+
+    from crypto_lakehouse_spark.queries.lmdata_ops import (
+        _WORDPIECE_DUCK_DIALECT,
+        _wordpiece_sql,
+    )
+    from crypto_lakehouse_spark.queries.registry import REGISTRY
+
+    long_word = "supercalifragilistic"  # 20 chars > 16
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {long_word}", "en", "unit", 0),
+            (2, f"{long_word} beta beta gamma", "en", "unit", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).withColumn("n_chars", F.length("text").cast("long"))
+    sf_dir = str(tmp_path / "sf_longword")
+    docs.coalesce(1).write.parquet(f"{sf_dir}/documents.parquet")
+
+    res = REGISTRY["wordpiece_tokenize_recursive"].spark_fn(spark, sf_dir)
+    rows = res.collect()
+
+    total_token_chars = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .agg(F.sum(F.length("w")))
+        .collect()[0][0]
+    )
+    covered = sum(r.piece_len * r.n_occurrences for r in rows)
+    # Full-tail proof: the long word appears twice, so the census must
+    # account for ALL 2 * 20 of its chars plus every other token's.
+    # Under the old fixed-16 bound the walk stalled at position 17 and
+    # this sum fell short by the untokenized tails.
+    assert covered == total_token_chars  # no mid-word truncation
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet/*.parquet'"
+    )
+    duck = con.execute(_wordpiece_sql(*_WORDPIECE_DUCK_DIALECT)).fetchall()
+    assert sorted(duck) == sorted(
+        (r.piece, r.piece_len, r.n_occurrences, r.n_distinct_words) for r in rows
+    )
