@@ -428,14 +428,26 @@ from crypto_lakehouse_spark.operators.checkpointing import (  # noqa: E402
 )
 
 
-def _cc_labels(spark, edges) -> DataFrame:
-    """Iterative min-label propagation over an undirected edge frame
-    (doc_a, doc_b): returns (node, component) for every node WITH at
-    least one edge; component = min doc_id in the connected component.
-    Lineage per iteration is truncated via `_truncate_lineage`:
-    reliable checkpoint when a checkpoint dir is set, localCheckpoint
-    otherwise. Shared by `dup_clusters_cc` (the cluster census) and
-    `leakage_safe_split` (the split assignment)."""
+def _cc_labels(spark, edges, max_rounds: int = 32) -> DataFrame:
+    """Iterative min-label propagation WITH pointer-doubling over an
+    undirected edge frame (doc_a, doc_b): returns (node, component)
+    for every node WITH at least one edge; component = min doc_id in
+    the connected component. Each round takes
+    comp'(v) = min(comp(v), min_{u in N(v)} comp(u), comp(comp(v))) —
+    the neighbor-min hop plus the SHORTCUT join comp(comp(v)), which
+    halves the distance any label still has to travel. Convergence is
+    therefore O(log diameter) rounds, not O(diameter): a giant
+    chain-shaped component (the near-dup graph of a boilerplate-heavy
+    crawl, where template drift links doc i to doc i+1 across 10% of
+    the corpus) converges in ~log2 rounds where plain propagation
+    needs diameter rounds and a fixed cap would silently return WRONG
+    labels. Non-convergence inside `max_rounds` raises instead of
+    returning a partial fixpoint. Lineage per iteration is truncated
+    via `_truncate_lineage`: reliable checkpoint when a checkpoint dir
+    is set, localCheckpoint otherwise. Shared by `dup_clusters_cc`
+    (the cluster census) and `leakage_safe_split` (the split
+    assignment); ramp-tested on the giant-component fixture in
+    tests/test_scaling.py."""
     from pyspark.sql import functions as F
 
     und = edges.selectExpr("doc_a AS src", "doc_b AS dst").union(
@@ -447,7 +459,7 @@ def _cc_labels(spark, edges) -> DataFrame:
         .withColumn("component", F.col("node")),
         spark,
     )
-    for _ in range(20):  # >= graph diameter; converges far earlier
+    for _ in range(max_rounds):  # O(log diameter) with the shortcut
         nb = (
             und.join(
                 lbl.select(
@@ -459,14 +471,24 @@ def _cc_labels(spark, edges) -> DataFrame:
             .groupBy("src")
             .agg(F.min("nb_comp").alias("nb_comp"))
         )
+        # comp(comp(v)): labels are node ids, so re-key the label table
+        # by node and look up each node's current label's label.
+        shortcut = lbl.select(
+            F.col("node").alias("comp_node"),
+            F.col("component").alias("comp_comp"),
+        )
         # Carry the old label through the same job so the convergence
         # check is a filter+count on the checkpointed result, not an
         # extra join per iteration.
         new = _truncate_lineage(
-            lbl.join(nb, lbl.node == nb.src, "left").select(
+            lbl.join(nb, lbl.node == nb.src, "left")
+            .join(shortcut, lbl.component == shortcut.comp_node, "left")
+            .select(
                 lbl.node,
                 F.least(
-                    lbl.component, F.coalesce(nb.nb_comp, lbl.component)
+                    lbl.component,
+                    F.coalesce(nb.nb_comp, lbl.component),
+                    F.coalesce(F.col("comp_comp"), lbl.component),
                 ).alias("component"),
                 lbl.component.alias("old"),
             ),
@@ -475,8 +497,11 @@ def _cc_labels(spark, edges) -> DataFrame:
         changed = new.where(F.col("component") != F.col("old")).count()
         lbl = new.select("node", "component")
         if changed == 0:
-            break
-    return lbl
+            return lbl
+    raise RuntimeError(
+        f"connected components did not converge in {max_rounds} rounds "
+        "(graph diameter > 2^rounds is impossible; this indicates a bug)"
+    )
 
 
 @query(
@@ -486,14 +511,13 @@ def _cc_labels(spark, edges) -> DataFrame:
 )
 def dup_clusters_cc(spark, sf_dir: str):
     """Near-duplicate clusters: connected components via iterative
-    min-label propagation over the Jaccard>=0.3 candidate graph (see
-    the block comment above for the scale framing and oracle, and
-    `_cc_labels` for the loop). Upgrade path for high-diameter graphs
-    (not needed at the near-dup workload's tiny diameters): alternate
-    large-star / small-star rounds (Kiveris et al., "Connected
-    Components in MapReduce and Beyond", SoCC'14) — each round hooks
-    every node to its neighborhood minimum, collapsing chains in
-    O(log^2 n) rounds instead of O(diameter)."""
+    min-label propagation with pointer-doubling over the Jaccard>=0.3
+    candidate graph (see the block comment above for the scale framing
+    and oracle, and `_cc_labels` for the O(log diameter) loop).
+    Alternative with the same round bound: alternating large-star /
+    small-star rounds (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14) — implemented as
+    `dup_clusters_cc_star` below."""
     from pyspark.sql import functions as F
 
     cached_shingles(spark, sf_dir)

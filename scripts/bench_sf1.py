@@ -23,7 +23,10 @@ SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 SF01 = "/root/testdata/sf0.1"
 
 # The expensive tier: every query over 2s in the round-6 sf0.1 bench,
-# plus the round-7 capped-only scale path.
+# plus the round-7 capped-only scale path, plus the round-7 registry
+# additions that crossed the >2s-at-sf0.1 tier rule after the table
+# was first recorded (VERDICT r7 item 4: bm25_prf_rerank,
+# contamination_semantic, and the semdedup ladder post-sqrt-k-fix).
 TIER = [
     "multimodal_ahash_near_dup",
     "multimodal_ahash_near_dup_capped",
@@ -31,12 +34,17 @@ TIER = [
     "idf_cosine_topk",
     "ngram_jaccard_prefix_filtered",
     "semdedup_clustered",
+    "semdedup_hierarchical",
     "contamination_minhash_fuzzy",
+    "contamination_semantic",
+    "bm25_prf_rerank",
     "dup_clusters_cc_star",
     "pagerank_iterated",
     "near_dup_keep",
     "levenshtein_blocked_linkage",
     "asof_join_cogroup",
+    "leakage_safe_split",
+    "wordpiece_tokenize_recursive",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -1,0 +1,86 @@
+"""sf10 spot-bench of the declared scale paths (VERDICT r7 item 3):
+extends the ramp from two decades (sf0.01->sf1) to three
+(sf0.1->sf1->sf10, 100x the driver's benchmark scale) for the five
+queries whose structure is the repo's 100 TB posture. Writes
+BENCH_SF10.json {query: {sf1: s, sf10: s, ratio: x}}; the declared
+gate (BASELINE.md ramp section) is ratio <= 20 at 10x data — i.e.
+measurably sub-quadratic with headroom for fixed-cost amortization
+shifts, against a quadratic's 100x. Run scripts/gen_sf1.py and
+scripts/gen_sf10.py first.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from crypto_lakehouse_spark import queries as qmod
+from crypto_lakehouse_spark.queries.registry import REGISTRY
+from crypto_lakehouse_spark.session import get_spark_session
+
+SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
+
+# The declared scale paths: one representative per 100 TB-critical
+# family (multimodal near-dup, lexical near-dup, semantic dedup,
+# decontamination, leakage-safe splitting).
+TIER = [
+    "multimodal_ahash_near_dup_capped_only",
+    "ngram_jaccard_prefix_filtered",
+    "semdedup_clustered",
+    "contamination_bloom",
+    "leakage_safe_split",
+]
+
+RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
+
+def _bench(spark, name: str, sf_dir: str) -> float:
+    q = REGISTRY[name]
+    fn = q.bench_fn or q.spark_fn
+    best = float("inf")
+    for _ in range(RUNS):  # first run doubles as the memo/codegen warm-up
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def main() -> int:
+    for d in (SF1, SF10):
+        if not os.path.isdir(d):
+            print(f"missing {d}; run the gen scripts first", file=sys.stderr)
+            return 1
+    qmod.load_all()
+    spark = get_spark_session("bench-sf10")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for name in TIER:
+        s1 = _bench(spark, name, SF1)
+        s10 = _bench(spark, name, SF10)
+        out[name] = {
+            "sf1": s1,
+            "sf10": s10,
+            "ratio": round(s10 / max(s1, 0.05), 1),
+        }
+        print(name, out[name], flush=True)
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF10.json",
+    )
+    with open(path, "w") as f:
+        json.dump(
+            {"sf10_dir": SF10, "runs_best_of": RUNS, "queries": out},
+            f,
+            indent=1,
+        )
+    print("wrote", path)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -18,6 +18,7 @@ from __future__ import annotations
 import time
 
 import pytest
+from pyspark.sql import functions as F
 
 from crypto_lakehouse_spark import queries as qmod
 from crypto_lakehouse_spark.queries.registry import REGISTRY
@@ -154,4 +155,105 @@ def test_ramp_subquadratic_on_zipf_skew(spark, name, skew_dirs):
     assert ratio < RATIO_MAX, (
         f"{name} on Zipf-skewed corpus: {small:.2f}s -> {big:.2f}s "
         f"(x{ratio:.1f}); combiners/caps should absorb the hot keys"
+    )
+
+
+# --- Giant-component CC ramp (VERDICT r7 item 5) ---------------------------
+# The Zipf fixture above stresses hot KEYS; this one stresses the
+# connected-components LOOP that `dup_clusters_cc*` and
+# `leakage_safe_split` share. Shape: the near-dup graph of a
+# boilerplate-heavy crawl — one giant component holding 10% of the
+# corpus, built as a template-drift CHAIN (doc i near-dups doc i+1),
+# so the component's DIAMETER grows linearly with corpus size while
+# its edge count stays linear (no clique blowup). This is the shape
+# that kills a fixed-round one-hop propagation loop: diameter exceeds
+# any constant cap one decade out, and a silent cap returns WRONG
+# labels. `_cc_labels` pointer-doubles (comp(comp(v)) shortcut join),
+# so rounds grow as log2(diameter) and the ramp below stays flat in
+# rounds and sub-quadratic in wall time.
+
+GIANT_CC_QUERIES = ["dup_clusters_cc", "dup_clusters_cc_star", "leakage_safe_split"]
+
+
+def _chain_documents(spark, path: str, n_docs: int) -> None:
+    """One giant chain component (10% of docs: doc i shares a sliding
+    6-token window with doc i+1 over a common token stream, 3-gram
+    Jaccard ~0.6-0.93 to its +-2 neighbors => diameter ~ chain/2) plus
+    90% singleton docs with disjoint vocabularies."""
+    import os
+
+    if os.path.exists(os.path.join(path, "documents.parquet")):
+        return
+    chain = n_docs // 10
+    L = 6
+    rows = []
+    for d in range(chain):
+        toks = [f"w{d + j}" for j in range(L)]
+        rows.append((d, " ".join(toks), "en", f"src{d % 7}", 0))
+    for d in range(chain, n_docs):
+        toks = [f"u{d}x{j}" for j in range(L)]
+        rows.append((d, " ".join(toks), "en", f"src{d % 7}", 0))
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, text STRING, lang STRING, source STRING, n_chars BIGINT"
+    ).withColumn("n_chars", F.length("text").cast("bigint"))
+    df.coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(path, "documents.parquet")
+    )
+
+
+@pytest.fixture(scope="module")
+def giant_cc_dirs(spark, tmp_path_factory):
+    small = str(tmp_path_factory.mktemp("giant_cc_small"))
+    big = str(tmp_path_factory.mktemp("giant_cc_big"))
+    _chain_documents(spark, small, 400)   # chain 40, diameter ~20
+    _chain_documents(spark, big, 4000)    # chain 400, diameter ~200
+    return small, big
+
+
+def test_cc_pointer_doubling_converges_on_long_chain(spark):
+    """Pure-loop probe: a 2000-edge path graph has diameter 2000; the
+    shortcutted loop must converge inside the 32-round bound (plain
+    one-hop propagation needs 2000 rounds and the old fixed cap of 20
+    returned silently-wrong labels) and label every node with the
+    chain head."""
+    from crypto_lakehouse_spark.queries.dedup_ops import _cc_labels
+
+    n = 2000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "doc_a BIGINT, doc_b BIGINT"
+    ).repartition(8)
+    lbl = _cc_labels(spark, edges)  # raises if not converged
+    comps = lbl.select("component").distinct().collect()
+    assert [r.component for r in comps] == [0]
+    assert lbl.count() == n + 1
+
+
+def test_giant_component_labels_are_exact(spark, giant_cc_dirs):
+    """On the crawl-shaped corpus both CC variants must agree with the
+    ground truth: one component of exactly chain-size docs labeled by
+    the chain head, everything else singleton-free (no edges)."""
+    _, big = giant_cc_dirs
+    for name in ("dup_clusters_cc", "dup_clusters_cc_star"):
+        out = REGISTRY[name].spark_fn(spark, big).collect()
+        by_comp = {}
+        for r in out:
+            by_comp.setdefault(r.component, []).append(r.doc_id)
+        assert set(by_comp) == {0}, f"{name}: expected one chain component"
+        assert sorted(by_comp[0]) == list(range(400)), name
+
+
+@pytest.mark.parametrize("name", GIANT_CC_QUERIES)
+def test_ramp_subquadratic_on_giant_component(spark, name, giant_cc_dirs):
+    small_dir, big_dir = giant_cc_dirs
+    _time(spark, name, small_dir)  # warm
+    small = max(_time(spark, name, small_dir), FLOOR_SEC)
+    big = _time(spark, name, big_dir)
+    ratio = big / small
+    # 10x docs AND 10x component diameter: rounds grow +log2(10) ~ +3,
+    # per-round cost grows ~10x => the quadratic failure mode (~100x,
+    # or non-convergence) sits an order of magnitude above the gate.
+    assert ratio < RATIO_MAX, (
+        f"{name} on giant-component corpus: {small:.2f}s -> {big:.2f}s "
+        f"(x{ratio:.1f}, exponent {__import__('math').log10(max(ratio, 1e-9)):.2f}); "
+        "the CC loop should be O(log diameter) rounds x linear shuffle"
     )
