@@ -35,7 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
 from crypto_lakehouse_spark.io import register_views, session_key
-from crypto_lakehouse_spark.queries.registry import query
+from crypto_lakehouse_spark.queries.registry import WIDE_SHUFFLE, query
 
 
 def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
@@ -654,6 +654,7 @@ query(
     "ngram_jaccard_prefix_filtered",
     oracle="WITH " + _SH_DUCK + "," + _JACCARD_TAIL,
     tags=("dedup", "jaccard", "prefix-filter"),
+    confs=WIDE_SHUFFLE,
 )(_ngram_jaccard_prefix_filtered)
 
 
@@ -899,6 +900,7 @@ query(
     + _TFIDF_W_DUCK
     + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_DUCK, cap=_TFIDF_DF_CAP).lstrip(),
     tags=("similarity", "tfidf", "topk"),
+    confs=WIDE_SHUFFLE,
 )(_idf_cosine_topk)
 
 

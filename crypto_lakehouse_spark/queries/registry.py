@@ -44,6 +44,28 @@ class Query:
 
 REGISTRY: dict[str, Query] = {}
 
+# Session confs every query (re)sets at call time. Per-query `confs`
+# overlay these; because EVERY registered query applies the merged map
+# on entry, an override can never leak into the next query — the next
+# call restores the default. This is the per-job shuffle sizing a
+# cluster submitter would do, expressed at query granularity:
+# - initialPartitionNum: shuffles START at this width and AQE
+#   coalesces down to the 64 MB advisory size. The default stays at
+#   the core count (cheap for the sub-second tier — measured 2-3x
+#   slower at a blanket 256); queries with multi-GB shuffle
+#   intermediates (the PPJoin verify join shuffles candidates x
+#   64-element arrays) declare a wider start, because AQE can merge
+#   small partitions but can never SPLIT an oversized non-skew one
+#   (sf10 ramp: 200 s at width 32 vs 75 s at 128 for the same plan).
+_QUERY_CONF_DEFAULTS = {
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "32",
+}
+
+# Shorthand used by heavy queries.
+WIDE_SHUFFLE = {
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
+}
+
 
 def query(
     name: str,
@@ -51,24 +73,46 @@ def query(
     tags: tuple[str, ...] = (),
     bench: bool = True,
     bench_fn: Callable[[SparkSession, str], DataFrame] | None = None,
+    confs: dict[str, str] | None = None,
 ) -> Callable:
     """Decorator registering a query implementation.
 
     The decorated function has signature (spark, sf_dir) -> DataFrame
     and is responsible for loading what it needs via
     `crypto_lakehouse_spark.io` (which registers temp views).
+    `confs` overlays `_QUERY_CONF_DEFAULTS` for this query; the merged
+    map is applied on every call (and therefore reset by the next
+    query's call — no leakage between queries).
     """
 
     def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        merged = dict(_QUERY_CONF_DEFAULTS)
+        if confs:
+            merged.update(confs)
+
+        def _with_confs(inner: Callable) -> Callable:
+            def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+                for key, val in merged.items():
+                    try:
+                        spark.conf.set(key, val)
+                    except Exception:
+                        pass  # a locked-down external session still works
+                return inner(spark, sf_dir)
+
+            wrapped.__name__ = inner.__name__
+            wrapped.__doc__ = inner.__doc__
+            wrapped.__wrapped__ = inner
+            return wrapped
+
         REGISTRY[name] = Query(
             name=name,
-            spark_fn=fn,
+            spark_fn=_with_confs(fn),
             oracle=oracle,
             tags=tags,
             doc=(fn.__doc__ or "").strip(),
             bench=bench,
-            bench_fn=bench_fn,
+            bench_fn=_with_confs(bench_fn) if bench_fn else None,
         )
-        return fn
+        return REGISTRY[name].spark_fn
 
     return deco

@@ -747,6 +747,55 @@ def _seq_norm_rows(V):
     return V / np.sqrt(acc)[:, None]
 
 
+def _cluster_pairs(key, pdf):
+    """Within-cluster pairwise cosine >= 0.99 via accumulated outer
+    products (dims ascending — the SQL fold's IEEE operation order);
+    ids sorted so keep_id < drop_id. Shared by the flat and
+    hierarchical SemDeDup queries (`applyInPandas` per cluster)."""
+    import numpy as np
+    import pandas as pd
+
+    ids = pdf["vec_id"].to_numpy()
+    order = np.argsort(ids)
+    ids = ids[order]
+    U = np.stack(pdf["u"].to_numpy())[order]
+    m = len(ids)
+    if m < 2:
+        return pd.DataFrame({"cid": [], "keep_id": [], "drop_id": []})
+    acc = np.zeros((m, m))
+    for i in range(U.shape[1]):
+        acc = acc + np.outer(U[:, i], U[:, i])
+    iu = np.triu_indices(m, k=1)
+    mask = acc[iu] >= 0.99
+    return pd.DataFrame(
+        {
+            "cid": np.full(mask.sum(), key[0], dtype=np.int64),
+            "keep_id": ids[iu[0][mask]],
+            "drop_id": ids[iu[1][mask]],
+        }
+    )
+
+
+# Census tail over (assigned, pairs) temp views — identical SELECT in
+# the flat and hierarchical twins and in both engines' oracles.
+_SEM_CENSUS_SQL = """
+WITH dropped AS (SELECT DISTINCT cid, drop_id FROM {pairs})
+SELECT s.cid AS cluster_id,
+       COUNT(*) AS n_members,
+       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
+       COALESCE(d.n_dropped, 0) AS n_dropped,
+       CAST(COALESCE(d.drop_checksum, 0) AS BIGINT) AS drop_id_checksum
+FROM {assigned} s
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dup_pairs FROM {pairs} GROUP BY cid) p
+  ON s.cid = p.cid
+LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped, SUM(drop_id) AS drop_checksum
+           FROM dropped GROUP BY cid) d
+  ON s.cid = d.cid
+GROUP BY s.cid, p.n_dup_pairs, d.n_dropped, d.drop_checksum
+ORDER BY cluster_id
+"""
+
+
 @query(
     "semdedup_clustered",
     oracle=_SEMDEDUP_DUCK_ORACLE,
@@ -815,49 +864,13 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
         _assign, "vec_id long, cid long, u array<double>"
     )
 
-    def _cluster_pairs(key, pdf):
-        ids = pdf["vec_id"].to_numpy()
-        order = np.argsort(ids)
-        ids = ids[order]
-        U = np.stack(pdf["u"].to_numpy())[order]
-        m = len(ids)
-        if m < 2:
-            return pd.DataFrame({"cid": [], "keep_id": [], "drop_id": []})
-        acc = np.zeros((m, m))
-        for i in range(U.shape[1]):
-            acc = acc + np.outer(U[:, i], U[:, i])
-        iu = np.triu_indices(m, k=1)  # ids sorted => keep_id < drop_id
-        mask = acc[iu] >= 0.99
-        return pd.DataFrame(
-            {
-                "cid": np.full(mask.sum(), key[0], dtype=np.int64),
-                "keep_id": ids[iu[0][mask]],
-                "drop_id": ids[iu[1][mask]],
-            }
-        )
-
     pairs = assigned.groupBy("cid").applyInPandas(
         _cluster_pairs, "cid long, keep_id long, drop_id long"
     )
     assigned.select("vec_id", "cid").createOrReplaceTempView("sem_assigned")
     pairs.createOrReplaceTempView("sem_pairs")
     return spark.sql(
-        """
-WITH dropped AS (SELECT DISTINCT cid, drop_id FROM sem_pairs)
-SELECT s.cid AS cluster_id,
-       COUNT(*) AS n_members,
-       COALESCE(p.n_dup_pairs, 0) AS n_dup_pairs,
-       COALESCE(d.n_dropped, 0) AS n_dropped,
-       CAST(COALESCE(d.drop_checksum, 0) AS BIGINT) AS drop_id_checksum
-FROM sem_assigned s
-LEFT JOIN (SELECT cid, COUNT(*) AS n_dup_pairs FROM sem_pairs GROUP BY cid) p
-  ON s.cid = p.cid
-LEFT JOIN (SELECT cid, COUNT(*) AS n_dropped, SUM(drop_id) AS drop_checksum
-           FROM dropped GROUP BY cid) d
-  ON s.cid = d.cid
-GROUP BY s.cid, p.n_dup_pairs, d.n_dropped, d.drop_checksum
-ORDER BY cluster_id
-"""
+        _SEM_CENSUS_SQL.format(assigned="sem_assigned", pairs="sem_pairs")
     )
 
 
@@ -952,30 +965,157 @@ ORDER BY cluster_id
 """
 
 
-_pair(
-    "semdedup_hierarchical",
-    _semdedup_hier(
-        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings",
-        _DOT.format(a="normed.u", b="coarse.c"),
-        _DOT.format(a="a.u", b="fine.f"),
-        _DOT.format(a="a.u", b="b.u"),
-        "transform(v, x -> x * CAST(1.5 AS DOUBLE))",
-        _NORM,
-        "DIV",
-    ),
-    _semdedup_hier(
-        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-        " FROM embeddings",
-        _DOT_D.format(a="normed.u", b="coarse.c"),
-        _DOT_D.format(a="a.u", b="fine.f"),
-        _DOT_D.format(a="a.u", b="b.u"),
-        "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
-        _NORM_D,
-        "//",
-    ),
-    tags=("similarity", "dedup", "semdedup", "clustering", "hierarchical"),
+_SEMDEDUP_HIER_DUCK = _semdedup_hier(
+    "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
+    " FROM embeddings",
+    _DOT_D.format(a="normed.u", b="coarse.c"),
+    _DOT_D.format(a="a.u", b="fine.f"),
+    _DOT_D.format(a="a.u", b="b.u"),
+    "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
+    _NORM_D,
+    "//",
 )
+
+
+@query(
+    "semdedup_hierarchical",
+    oracle=_SEMDEDUP_HIER_DUCK,
+    tags=("similarity", "dedup", "semdedup", "clustering", "hierarchical",
+          "vectorized"),
+)
+def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level SemDeDup with Arrow-vectorized assignment kernels.
+
+    The round-7 version ran the whole ladder in Spark SQL; the round-8
+    sf1 bench showed the higher-order-function fold dots (~10-70us
+    EACH through zip_with/aggregate) dominating at 53 s — the same
+    constant `semdedup_clustered` escaped via numpy kernels, so this
+    twin takes the identical sanctioned drop-down. The DuckDB oracle
+    REMAINS the full pure-SQL hierarchy (`_semdedup_hier`) and every
+    numpy sum replicates the SQL fold's IEEE operation order
+    (multiply dim i, add to accumulator, dims ascending), so the
+    coarse argmax, the per-cell fine argmax (tie: smallest centroid
+    id), and the >= 0.99 pairwise threshold agree with the SQL ladder
+    to the last bit. Scale shape: coarse panel (k1 = ceil(sqrt(k)) ~
+    N^(1/4)) and the per-cell fine centroid dict (k = ceil(sqrt(N))
+    rows total) are driver-collected broadcasts; assignment is two
+    corpus passes costing N x (k1 + k2) = O(N^1.25) dots; pairwise
+    touches within-fine-cluster pairs only (sum n_c^2 ~ N^1.5)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    register_views(spark, sf_dir, ["embeddings"])
+    emb = spark.table("embeddings").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    corpus = emb.unionByName(
+        emb.filter("vec_id % 10 = 0").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr("transform(v, x -> x * CAST(1.5 AS DOUBLE))").alias("v"),
+        )
+    )
+    n = corpus.count()
+    k = max(16, math.ceil(math.sqrt(n)))
+    k1 = max(4, math.ceil(math.sqrt(k)))
+    k2 = max(4, k // k1)
+    if k1 >= 100_000:
+        raise ValueError(
+            "semdedup_hierarchical: k1 >= 100000 collides with the "
+            "scaled-copy id offset"
+        )
+    # Coarse seeds: normed u of corpus vec_id < k1 — copies live at
+    # +100000, so these are base-relation rows, as in the oracle.
+    c_rows = sorted(
+        emb.filter(F.col("vec_id") < k1).collect(), key=lambda r: r.vec_id
+    )
+    C1 = _seq_norm_rows(np.array([r.v for r in c_rows], dtype=np.float64))
+    c1ids = np.array([r.vec_id for r in c_rows], dtype=np.int64)
+
+    def _assign_coarse(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _seq_norm_rows(np.stack(pdf["v"].to_numpy()))
+            D = np.empty((len(U), len(c1ids)))
+            for j in range(C1.shape[0]):
+                acc = np.zeros(len(U))
+                for i in range(C1.shape[1]):
+                    acc = acc + U[:, i] * C1[j, i]
+                D[:, j] = acc
+            # first max = smallest ccid on ties (ccids ascending),
+            # matching ORDER BY dot DESC, ccid.
+            idx = np.argmax(D, axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(),
+                    "ccid": c1ids[idx],
+                    "u": list(U),
+                }
+            )
+
+    assigned1 = corpus.mapInPandas(
+        _assign_coarse, "vec_id long, ccid long, u array<double>"
+    ).persist()
+    # Fine seeds: per coarse cell, the k2 lowest-vec_id members (the
+    # oracle's ROW_NUMBER() OVER (PARTITION BY ccid ORDER BY vec_id)
+    # <= k2) — k rows total, broadcast-sized by construction.
+    w = Window.partitionBy("ccid").orderBy("vec_id")
+    f_rows = (
+        assigned1.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k2)
+        .select("ccid", "vec_id", "u")
+        .collect()
+    )
+    fine: dict[int, tuple] = {}
+    for r in sorted(f_rows, key=lambda r: (r.ccid, r.vec_id)):
+        ids, vecs = fine.setdefault(int(r.ccid), ([], []))
+        ids.append(r.vec_id)
+        vecs.append(r.u)
+    fine_np = {
+        c: (np.array(ids, dtype=np.int64), np.array(vecs, dtype=np.float64))
+        for c, (ids, vecs) in fine.items()
+    }
+
+    def _assign_fine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for ccid, grp in pdf.groupby("ccid", sort=False):
+                fids, Fm = fine_np[int(ccid)]
+                U = np.stack(grp["u"].to_numpy())
+                D = np.empty((len(U), len(fids)))
+                for j in range(Fm.shape[0]):
+                    acc = np.zeros(len(U))
+                    for i in range(Fm.shape[1]):
+                        acc = acc + U[:, i] * Fm[j, i]
+                    D[:, j] = acc
+                idx = np.argmax(D, axis=1)  # ties -> smallest fcid
+                yield pd.DataFrame(
+                    {
+                        "vec_id": grp["vec_id"].to_numpy(),
+                        "cid": fids[idx],
+                        "u": list(U),
+                    }
+                )
+
+    assigned = assigned1.mapInPandas(
+        _assign_fine, "vec_id long, cid long, u array<double>"
+    )
+    pairs = assigned.groupBy("cid").applyInPandas(
+        _cluster_pairs, "cid long, keep_id long, drop_id long"
+    )
+    assigned.select("vec_id", "cid").createOrReplaceTempView(
+        "sem_assigned_hier"
+    )
+    pairs.createOrReplaceTempView("sem_pairs_hier")
+    out = spark.sql(
+        _SEM_CENSUS_SQL.format(assigned="sem_assigned_hier",
+                               pairs="sem_pairs_hier")
+    )
+    return out
 
 
 # --- semantic benchmark decontamination -------------------------------------

@@ -44,6 +44,12 @@ def get_spark_session(app_name: str = "crypto-lakehouse-spark") -> SparkSession:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Shuffle width is sized PER QUERY, not globally: the registry
+        # applies `initialPartitionNum` on every query call (default =
+        # core count; heavy queries declare registry.WIDE_SHUFFLE so
+        # multi-GB shuffle intermediates start wide and AQE coalesces).
+        # A blanket wide start measured 2-3x slower on the sub-second
+        # tier; a blanket narrow one spilled 2.7x on the sf10 ramp.
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.shuffle.partitions", DEFAULT_SHUFFLE_PARTITIONS)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -411,3 +411,20 @@ def test_wordpiece_recursion_is_engine_side(spark):
         "recursion operator not found in plan"
     )
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_per_query_shuffle_width_applied_and_restored(spark):
+    """Registry queries size shuffle width per call (the per-job conf a
+    cluster submitter would set): a WIDE_SHUFFLE query starts its
+    shuffles at 256 partitions for AQE to coalesce; the next default
+    query's call must restore the narrow start — no conf leakage."""
+    from crypto_lakehouse_spark.queries.registry import (
+        _QUERY_CONF_DEFAULTS,
+        WIDE_SHUFFLE,
+    )
+
+    key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+    REGISTRY["ngram_jaccard_prefix_filtered"].spark_fn(spark, SF)
+    assert spark.conf.get(key) == WIDE_SHUFFLE[key]
+    REGISTRY["q6_revenue_forecast"].spark_fn(spark, SF)
+    assert spark.conf.get(key) == _QUERY_CONF_DEFAULTS[key]
