@@ -1,7 +1,7 @@
-"""sf10 spot-bench of the declared scale paths (VERDICT r7 item 3):
-extends the ramp from two decades (sf0.01->sf1) to three
-(sf0.1->sf1->sf10, 100x the driver's benchmark scale) for the five
-queries whose structure is the repo's 100 TB posture. Writes
+"""sf10 spot-bench of the expensive tier: extends the ramp from two
+decades (sf0.01->sf1) to three (sf0.1->sf1->sf10, 100x the driver's
+benchmark scale) for EVERY query that costs >2 s at sf0.1 — the same
+membership rule as the sf1 tier, one decade further. Writes
 BENCH_SF10.json {query: {sf1: s, sf10: s, ratio: x}}; the declared
 gate (BASELINE.md ramp section) is ratio <= 20 at 10x data — i.e.
 measurably sub-quadratic with headroom for fixed-cost amortization
@@ -25,15 +25,26 @@ from crypto_lakehouse_spark.session import get_spark_session
 SF1 = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/spark_graft_sf1")
 SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/spark_graft_sf10")
 
-# The declared scale paths: one representative per 100 TB-critical
-# family (multimodal near-dup, lexical near-dup, semantic dedup,
-# decontamination, leakage-safe splitting).
+# Membership = the sf1 tier rule applied one decade up: every query
+# >2 s at sf0.1 (BENCH_FULL_r08.json), plus the originally-declared
+# scale paths that since dropped under 2 s. Covers each 100 TB-critical
+# family: multimodal near-dup, lexical near-dup, semantic dedup (flat +
+# hierarchical), decontamination (bloom + minhash-fuzzy), leakage-safe
+# splitting, dup clustering, inverted-index cosine, tokenization,
+# graph iteration, and the cogrouped as-of join.
 TIER = [
     "multimodal_ahash_near_dup_capped_only",
     "ngram_jaccard_prefix_filtered",
     "semdedup_clustered",
+    "semdedup_hierarchical",
     "contamination_bloom",
+    "contamination_minhash_fuzzy",
     "leakage_safe_split",
+    "dup_clusters_cc_star",
+    "idf_cosine_topk",
+    "wordpiece_tokenize_recursive",
+    "pagerank_iterated",
+    "asof_join_cogroup",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
@@ -58,8 +69,24 @@ def main() -> int:
     qmod.load_all()
     spark = get_spark_session("bench-sf10")
     spark.sparkContext.setLogLevel("ERROR")
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "BENCH_SF10.json",
+    )
+    # Resumable: measured queries persist after each one; re-run with
+    # SPARK_GRAFT_FRESH=1 (or delete the file) to re-measure everything.
     out = {}
-    for name in TIER:
+    if os.path.exists(path) and not os.environ.get("SPARK_GRAFT_FRESH"):
+        with open(path) as f:
+            out = {
+                k: v
+                for k, v in json.load(f).get("queries", {}).items()
+                if k in TIER
+            }
+    todo = [n for n in TIER if n not in out] + (
+        sys.argv[1:] if len(sys.argv) > 1 else []
+    )
+    for name in dict.fromkeys(todo):
         s1 = _bench(spark, name, SF1)
         s10 = _bench(spark, name, SF10)
         out[name] = {
@@ -68,16 +95,12 @@ def main() -> int:
             "ratio": round(s10 / max(s1, 0.05), 1),
         }
         print(name, out[name], flush=True)
-    path = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "BENCH_SF10.json",
-    )
-    with open(path, "w") as f:
-        json.dump(
-            {"sf10_dir": SF10, "runs_best_of": RUNS, "queries": out},
-            f,
-            indent=1,
-        )
+        with open(path, "w") as f:
+            json.dump(
+                {"sf10_dir": SF10, "runs_best_of": RUNS, "queries": out},
+                f,
+                indent=1,
+            )
     print("wrote", path)
     return 0
 

@@ -3,12 +3,10 @@ item 3). Derived as 10 replicas of the sf1 fixture (run
 scripts/gen_sf1.py first), which is itself 10 replicas of the driver's
 sf0.1 — so sf10 is 100x the driver's benchmark scale.
 
-Only the tables the declared scale-path tier reads are generated —
-documents and embeddings (the five tier queries
-`multimodal_ahash_near_dup_capped_only`, `ngram_jaccard_prefix_filtered`,
-`semdedup_clustered`, `contamination_bloom`, `leakage_safe_split` touch
-nothing else); generating 60M-row lineitem replicas would cost minutes
-of wall and GBs of disk for queries nobody runs at this scale.
+Generates every table the three-decade tier reads: documents,
+embeddings, lineitem, orders, events (the dimension tables are never
+touched at this scale). Pass table names as argv to regenerate a
+subset (`python scripts/gen_sf10.py lineitem orders events`).
 
 Shape rules match gen_sf1.py so each family's asymptotics stay honest:
 
@@ -19,7 +17,17 @@ Shape rules match gen_sf1.py so each family's asymptotics stay honest:
 - embeddings: deterministic per-replica component jitter (vectors stay
   in their source cluster, no exact copies), vec_id offset 100M per
   replica (clear of sf1's 10M offsets and the semdedup +100000 /
-  contamination +200000 synthetic-id windows).
+  contamination +200000 synthetic-id windows);
+- lineitem/orders: orderkeys offset 100M per replica AND
+  l_suppkey/o_custkey offset too — gen_sf1.py offsets only orderkeys,
+  so its replicas share supplier/customer node ids and the
+  supplier->customer edge set collapses under DISTINCT (sf0.1 -> sf1
+  grows the lineitem x orders join 10x but NOT the graph); offsetting
+  the node keys here makes each sf10 replica a node-disjoint copy of
+  the sf1 graph, so sf1 -> sf10 is an honest 10x on BOTH the join
+  input and the graph itself (node/edge count, component count);
+- events: event_id/user_id offset per replica — 10x disjoint
+  per-user series of unchanged length, the per-key as-of shape.
 
 Pure column transforms of sf1 data — bit-identical across runs.
 """
@@ -67,7 +75,11 @@ def main() -> int:
     def src(name):
         return spark.read.parquet(f"{src_dir}/{name}.parquet")
 
+    only = set(sys.argv[1:])
+
     def write(df, name, parts):
+        if only and name not in only:
+            return
         df.repartition(parts).write.mode("overwrite").parquet(
             f"{out_dir}/{name}.parquet"
         )
@@ -122,6 +134,40 @@ def main() -> int:
             },
         ),
         "embeddings",
+        parts=32,
+    )
+
+    write(
+        _replicate(
+            src("lineitem"),
+            {
+                "l_orderkey": lambda q: F.col("l_orderkey") + F.lit(q * OFFSET),
+                "l_suppkey": lambda q: F.col("l_suppkey") + F.lit(q * OFFSET),
+            },
+        ),
+        "lineitem",
+        parts=64,
+    )
+    write(
+        _replicate(
+            src("orders"),
+            {
+                "o_orderkey": lambda q: F.col("o_orderkey") + F.lit(q * OFFSET),
+                "o_custkey": lambda q: F.col("o_custkey") + F.lit(q * OFFSET),
+            },
+        ),
+        "orders",
+        parts=32,
+    )
+    write(
+        _replicate(
+            src("events"),
+            {
+                "event_id": lambda q: F.col("event_id") + F.lit(q * OFFSET),
+                "user_id": lambda q: F.col("user_id") + F.lit(q * OFFSET),
+            },
+        ),
+        "events",
         parts=32,
     )
     print("sf10 fixture at", out_dir)
