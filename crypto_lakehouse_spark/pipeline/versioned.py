@@ -92,6 +92,11 @@ class VersionedTable:
         # randomly-laid-out keys). ~1 KiB per file per column.
         self.bloom_columns = bloom_columns or []
         self._last_write_stats: dict[str, dict] = {}
+        # Schema of the most recent _write_files df in this process;
+        # rides the manifest (like Delta's log schema) so an
+        # all-files-deleted or never-populated snapshot still reads
+        # back as an EMPTY TYPED frame instead of failing.
+        self._last_write_schema: dict | None = None
         os.makedirs(os.path.join(self.path, _MANIFEST_DIR), exist_ok=True)
 
     # -- manifest bookkeeping ----------------------------------------------
@@ -241,6 +246,15 @@ class VersionedTable:
             "n_files": len(files),
             "files": sorted(files),
             "stats": stats,
+            # Base schema rides the manifest chain (Delta records the
+            # same in its log): written fresh when this commit produced
+            # files, carried forward otherwise. Lets read() return an
+            # empty TYPED frame for a zero-file snapshot.
+            "table_schema": (
+                self._last_write_schema
+                if self._last_write_schema is not None
+                else prev.get("table_schema")
+            ),
             # Schema-evolution metadata rides the manifest chain: each
             # commit carries forward the declared added columns.
             "added_columns": (
@@ -314,6 +328,7 @@ class VersionedTable:
                 moved.append(final_rel)
         shutil.rmtree(staging, ignore_errors=True)
         self._last_write_stats = {f: self._file_stats(f) for f in moved}
+        self._last_write_schema = df.schema.jsonValue()
         return moved
 
     def _file_stats(self, rel: str) -> dict:
@@ -933,7 +948,21 @@ class VersionedTable:
         equality filter."""
         files, _total = self.files_for_scan(version, between, point)
         if not files and _total == 0:
-            raise ValueError(f"{self.path}: empty snapshot")
+            # Zero-file snapshot (empty first batch, or every row
+            # deleted): return an empty TYPED frame from the manifest's
+            # recorded schema — the Delta behavior. Only manifests
+            # predating schema recording still raise.
+            from pyspark.sql.types import StructType
+
+            cur0 = self.current_version()
+            snap0 = self._load(cur0 if version is None else version)
+            stored = snap0.get("table_schema")
+            if stored is None:
+                raise ValueError(f"{self.path}: empty snapshot")
+            df = self.spark.createDataFrame([], StructType.fromJson(stored))
+            return self._apply_added_columns(
+                df, snap0.get("added_columns", {})
+            )
         if not files:  # every file skipped: empty frame, right schema
             df = self.read(version=version, merge_schema=merge_schema)
             return df.limit(0)
@@ -1029,6 +1058,11 @@ class VersionedTable:
             F.min(F.col(c2).cast("double")),
             F.max(F.col(c2).cast("double")),
         ).collect()[0]
+        if any(v is None for v in row):
+            # Zero rows in the snapshot (a MIN/MAX over nothing is
+            # NULL): nothing to cluster — idempotent no-op, like the
+            # empty-table guard above.
+            return {"skipped": True, "reason": "no rows"}
         lo1, hi1, lo2, hi2 = (float(v) for v in row)
 
         def _bucket(col: str, lo: float, hi: float):
@@ -1228,8 +1262,10 @@ class VersionedTable:
                 f"retained history {self.versions()}"
             )
         snap = self._load(version)
-        # Route the restored snapshot's stats through the commit path.
+        # Route the restored snapshot's stats + schema through the
+        # commit path.
         self._last_write_stats = dict(snap.get("stats", {}))
+        self._last_write_schema = snap.get("table_schema")
         try:
             return self._commit(
                 snap["files"],
@@ -1259,6 +1295,7 @@ class VersionedTable:
             os.makedirs(os.path.dirname(dst), exist_ok=True)
             os.link(src, dst)
         dest._last_write_stats = dict(snap.get("stats", {}))
+        dest._last_write_schema = snap.get("table_schema")
         try:
             dest._commit(
                 snap["files"],

@@ -169,6 +169,15 @@ def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # Empty graph: every per-node term divides by N — degrade to
+        # the oracle's empty result (no nodes) instead of a driver
+        # ZeroDivisionError.
+        for df in (edges, weighted, nodes):
+            df.unpersist()
+        return spark.createDataFrame(
+            [], "node string, pagerank_scaled bigint, pagerank double"
+        )
     base = 15 * (_PR_SCALE // 100) // n
 
     rank = nodes.select("v", F.lit(_PR_SCALE // n).alias("r"))
@@ -298,6 +307,15 @@ def _pagerank_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     n = nodes.count()
+    if n == 0:
+        # Same empty-graph degradation contract as _pagerank_iterated.
+        for df in (edges, weighted, nodes):
+            df.unpersist()
+        return spark.createDataFrame(
+            [],
+            "node string, pagerank_scaled bigint, pagerank double, "
+            "n_rounds bigint",
+        )
     base = 15 * (_PR_SCALE // 100) // n
     eps = 34 * (_PR_SCALE // n) // 5
 

@@ -911,9 +911,26 @@ def cdf_incremental_view_maintenance(spark: SparkSession, sf_dir: str) -> DataFr
             F.sum("price").alias("s"),
         )
     )
-    changes = t.table_changes(["o_orderkey"], 0, 1).unionByName(
-        t.table_changes(["o_orderkey"], 1, 2)
-    )
+    # On an empty input table the MERGE/DELETE above skip their commits
+    # (nothing matched — no version published), so walk the ACTUAL
+    # version chain instead of assuming v0..v2 exist.
+    vs = t.versions()
+    hops = [
+        t.table_changes(["o_orderkey"], a, b) for a, b in zip(vs, vs[1:])
+    ]
+    if not hops:
+        return (
+            agg0.select(
+                "status",
+                F.col("n").alias("n_orders"),
+                F.col("s").cast("double").alias("price_sum"),
+            )
+            .filter(F.col("n_orders") > 0)
+            .orderBy("status")
+        )
+    changes = hops[0]
+    for h in hops[1:]:
+        changes = changes.unionByName(h)
     signed = changes.select(
         "status",
         F.when(

@@ -44,6 +44,22 @@ def cached_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     return _SILVER_MEMO[key]
 
+
+def watermark_now(s: DataFrame):
+    """The deterministic injected "now" (SURVEY §2.8.7): MAX(trade_time)
+    as a driver scalar. On an EMPTY relation the max is NULL, and
+    `lit(None) - INTERVAL` fails analysis — a daily pipeline run over an
+    empty partition must degrade to an empty result, not crash, so fall
+    back to the epoch. Every consumer only uses the scalar inside
+    `trade_time >= now - INTERVAL ...` filters over the same (empty)
+    relation, so any fallback value yields the same empty output; the
+    DuckDB oracles get NULL-propagation (no rows) — equivalent."""
+    import datetime as _dt
+
+    now = s.agg(F.max("trade_time")).first()[0]
+    return now if now is not None else _dt.datetime(1970, 1, 1)
+
+
 # ---------------------------------------------------------------------------
 # bronze: projection / JSON parse / derived columns
 # (reference streaming_bronze_writer.py:132-166 — P1, P2, P3, from_json)
@@ -532,7 +548,7 @@ def price_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket-lengths so the synthetic event spacing always yields a
     previous candle, preserving the reference's operator shape."""
     s = cached_silver(spark, sf_dir)
-    now = s.agg(F.max("trade_time")).first()[0]  # A6 scalar watermark
+    now = watermark_now(s)  # A6 scalar watermark
 
     w2 = Window.partitionBy("product_id").orderBy(
         F.col("trade_time").desc(), F.col("trade_id").desc()
@@ -627,7 +643,7 @@ def price_latest_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation reduces cardinality before any window/join touches it.
     """
     s = cached_silver(spark, sf_dir)
-    now = s.agg(F.max("trade_time")).first()[0]  # A6 scalar watermark
+    now = watermark_now(s)  # A6 scalar watermark
     ordkey = F.struct("trade_time", "trade_id")
     in24h = F.col("trade_time") >= F.lit(now) - F.expr("INTERVAL 24 HOURS")
 
@@ -714,7 +730,7 @@ def incremental_lookback(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cache: the watermark .first() and the main aggregation both read
     # silver — without it the W1 window dedup executes twice.
     s = cached_silver(spark, sf_dir)
-    wm = s.agg(F.max("trade_time")).first()[0]
+    wm = watermark_now(s)
     return (
         s.filter(F.col("trade_time") >= F.lit(wm) - F.expr("INTERVAL 48 HOURS"))
         .groupBy("product_id", F.date_trunc("hour", "trade_time").alias("b"))

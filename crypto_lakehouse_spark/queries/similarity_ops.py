@@ -394,6 +394,12 @@ def int8_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_by_dim = {r["dim"]: r["lo"] for r in stats}
     hi_by_dim = {r["dim"]: r["hi"] for r in stats}
+    if not lo_by_dim:
+        # Empty relation: no per-dim ranges to quantize against —
+        # degrade to the oracle's empty grouped result.
+        return spark.createDataFrame(
+            [], "dim int, q_min bigint, q_max bigint, rmse double"
+        )
     los = F.array(*[F.lit(lo_by_dim[d]) for d in range(1, 65)])
     his = F.array(*[F.lit(hi_by_dim[d]) for d in range(1, 65)])
 
@@ -835,6 +841,15 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_rows = sorted(
         emb.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
     )
+    if not cent_rows:
+        # No seedable centroid (empty relation, or no vec_id < k): the
+        # oracle's assignment join is empty, so the census is 0 rows —
+        # degrade to the same empty result instead of crashing numpy.
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, n_members long, n_dup_pairs long, "
+            "n_dropped long, drop_id_checksum long",
+        )
     C = _seq_norm_rows(np.array([r.v for r in cent_rows], dtype=np.float64))
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
 
@@ -1031,6 +1046,13 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     c_rows = sorted(
         emb.filter(F.col("vec_id") < k1).collect(), key=lambda r: r.vec_id
     )
+    if not c_rows:
+        # Same empty-seed degradation contract as semdedup_clustered.
+        return spark.createDataFrame(
+            [],
+            "cluster_id long, n_members long, n_dup_pairs long, "
+            "n_dropped long, drop_id_checksum long",
+        )
     C1 = _seq_norm_rows(np.array([r.v for r in c_rows], dtype=np.float64))
     c1ids = np.array([r.vec_id for r in c_rows], dtype=np.int64)
 
@@ -1200,6 +1222,14 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter("vec_id % 20 = 0").orderBy("vec_id").limit(64).collect(),
         key=lambda r: r.vec_id,
     )
+    if not bench_rows:
+        # Empty benchmark (empty relation): the oracle groups over an
+        # empty bench set — 0 rows, not a numpy shape error.
+        return spark.createDataFrame(
+            [],
+            "benchmark_id long, n_contaminated long, "
+            "hit_id_checksum long, max_cosine double",
+        )
     BV = np.array([r.v for r in bench_rows], dtype=np.float64) * 1.5
     B = _seq_norm_rows(BV)
     bids = np.array([r.vec_id + 200000 for r in bench_rows], dtype=np.int64)

@@ -127,7 +127,12 @@ def stream_ingest_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     lh, metrics = run_stream_ingest(spark, sf_dir, _tf.mkdtemp(prefix="wh_ingest_"))
-    assert len(metrics) == 2 and all(m["bronze"] > 0 for m in metrics), metrics
+    # Silent-empty-ingest guard: a batch that HAD input rows must land
+    # bronze rows. A genuinely empty source (legal empty partition) is
+    # not a silent loss — engine_input_rows says so per batch.
+    assert metrics and all(
+        m["bronze"] > 0 or m["engine_input_rows"] == 0 for m in metrics
+    ), metrics
     from pyspark.sql import functions as F
 
     b = lh.bronze.read()

@@ -390,10 +390,11 @@ class ArrowParquetWriter(DataSourceArrowWriter):
     task-commit/job-commit split as Spark's own FileOutputCommitter.
     """
 
-    def __init__(self, path: str, overwrite: bool):
+    def __init__(self, path: str, overwrite: bool, schema=None):
         self.path = path
         self.overwrite = overwrite
         self.staging = os.path.join(path, "_staging")
+        self.schema = schema  # Spark StructType, for empty-job commits
 
     def write(self, iterator):
         import uuid
@@ -421,12 +422,32 @@ class ArrowParquetWriter(DataSourceArrowWriter):
             for f in os.listdir(self.path):
                 if f.endswith(".parquet"):
                     os.remove(os.path.join(self.path, f))
+        published = 0
         for m in messages:
             if m and m.staged:
                 os.rename(
                     m.staged,
                     os.path.join(self.path, os.path.basename(m.staged)),
                 )
+                published += 1
+        if published == 0 and self.schema is not None and not any(
+            f.endswith(".parquet") for f in os.listdir(self.path)
+        ):
+            # Zero rows in the whole job and no pre-existing data:
+            # publish ONE empty schema-bearing part file, exactly as
+            # Spark's FileOutputCommitter does — a later read of the
+            # directory must infer the schema, not fail.
+            import uuid
+
+            import pyarrow.parquet as pq
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            pq.write_table(
+                to_arrow_schema(self.schema).empty_table(),
+                os.path.join(
+                    self.path, f"part-{uuid.uuid4().hex}.parquet"
+                ),
+            )
         shutil.rmtree(self.staging, ignore_errors=True)
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write("")
@@ -440,7 +461,7 @@ class ArrowParquetWriter(DataSourceArrowWriter):
 def _patched_writer(self, schema, overwrite: bool):
     path = self.options["path"]
     os.makedirs(path, exist_ok=True)
-    return ArrowParquetWriter(path, overwrite)
+    return ArrowParquetWriter(path, overwrite, schema=schema)
 
 
 ArrowParquetDataSource.writer = _patched_writer

@@ -52,6 +52,18 @@ def _scratch_dir(prefix: str) -> str:
     _SCRATCH.append(d)
     return d
 
+def _median_micros(ev: DataFrame) -> int:
+    """Median event time as epoch micros, used to split the replay
+    timeline into deterministic halves. Empty relation (a legal empty
+    partition) has no quantile — return epoch 0 so every half-filter
+    stages an empty chunk and the stream drains to an empty result
+    instead of IndexError-ing on approxQuantile's empty list."""
+    qs = ev.select(F.unix_micros("ts").alias("us")).approxQuantile(
+        "us", [0.5], 0.0
+    )
+    return int(qs[0]) if qs else 0
+
+
 def _stream_schema(spark: SparkSession, path: str):
     """Schema for a file-source stream, read from the ACTUAL parquet
     footers (one batch-reader footer fetch, no data scan). The file
@@ -322,9 +334,7 @@ def run_watermarked_counts(
     )
     # approxQuantile needs a numeric column; quantile the epoch-micros
     # view of ts and split on the exact timestamp it maps back to.
-    mid_us = int(
-        ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
-    )
+    mid_us = _median_micros(ev)
     mid = F.timestamp_micros(F.lit(mid_us))
     feed = _scratch_dir("wm_feed_")
 
@@ -827,9 +837,7 @@ def run_streaming_session_window(
     from crypto_lakehouse_spark.io import load_table
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
-    mid_us = int(
-        ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
-    )
+    mid_us = _median_micros(ev)
     mid = F.timestamp_micros(F.lit(mid_us))
     feed = _scratch_dir("sess_feed_")
 
@@ -937,6 +945,7 @@ def run_python_datasource_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         done = (
             spark.table(name).agg(F.sum("n_events").alias("n")).collect()[0]["n"]
         )
+        done = 0 if done is None else done  # SUM over no rows is NULL
         if done == total:
             break
         _time.sleep(0.3)
@@ -983,9 +992,7 @@ def run_stream_stream_left_join(
     ev = load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
-    mid_us = int(
-        ev.select(F.unix_micros("ts").alias("us")).approxQuantile("us", [0.5], 0.0)[0]
-    )
+    mid_us = _median_micros(ev)
     mid = F.timestamp_micros(F.lit(mid_us))
     feed = _scratch_dir("ssl_feed_")
 
@@ -1108,6 +1115,7 @@ def run_versioned_table_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         done = (
             spark.table(name).agg(F.sum("n_orders").alias("n")).collect()[0]["n"]
         )
+        done = 0 if done is None else done  # SUM over no rows is NULL
         if done == total:
             break
         _time.sleep(0.3)

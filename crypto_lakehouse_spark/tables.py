@@ -71,20 +71,53 @@ class LakehouseTable:
     def exists(self) -> bool:
         return os.path.isdir(self.path) and bool(os.listdir(self.path))
 
-    def _added_columns(self) -> dict[str, dict]:
+    def _sidecar(self) -> dict:
         p = os.path.join(self.path, _SCHEMA_SIDECAR)
         if not os.path.isfile(p):
             return {}
         with open(p) as f:
-            return json.load(f).get("added_columns", {})
+            return json.load(f)
+
+    def _write_sidecar(self, doc: dict) -> None:
+        tmp = os.path.join(self.path, _SCHEMA_SIDECAR + ".tmp")
+        os.makedirs(self.path, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(doc, f)
+        os.rename(tmp, os.path.join(self.path, _SCHEMA_SIDECAR))
+
+    def _added_columns(self) -> dict[str, dict]:
+        return self._sidecar().get("added_columns", {})
+
+    def _record_schema(self, df: DataFrame) -> None:
+        # A PARTITIONED write of 0 rows emits no files at all (dynamic
+        # partitioning has no partition values to materialize), so a
+        # later read cannot infer the schema from data. Delta records
+        # the schema in its log; the parquet-native equivalent is this
+        # sidecar entry, written on every write path and used by
+        # read() only when no data file exists. An empty first batch
+        # (a real occurrence in a scheduled pipeline) then yields an
+        # empty, correctly-typed table instead of UNABLE_TO_INFER_SCHEMA.
+        doc = self._sidecar()
+        doc["table_schema"] = df.schema.jsonValue()
+        self._write_sidecar(doc)
 
     def read(self) -> DataFrame:
+        from pyspark.sql.types import StructType
+
         added = self._added_columns()
         reader = self.spark.read
         if added:
             # Declared added columns imply mixed file schemas.
             reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(self.path)
+        try:
+            df = reader.parquet(self.path)
+        except Exception as e:
+            stored = self._sidecar().get("table_schema")
+            if stored is None or "UNABLE_TO_INFER_SCHEMA" not in str(e):
+                raise
+            df = self.spark.createDataFrame(
+                [], StructType.fromJson(stored)
+            )
         for name, spec in added.items():
             if name not in df.columns:
                 df = df.withColumn(name, F.lit(spec["default"]).cast(spec["type"]))
@@ -110,13 +143,11 @@ class LakehouseTable:
         ordinary overwrite later — Delta's contract."""
         if self.exists() and name in self.read().columns:
             raise ValueError(f"{self.path}: column {name!r} already exists")
-        added = self._added_columns()
+        doc = self._sidecar()
+        added = doc.get("added_columns", {})
         added[name] = {"type": dtype, "default": default}
-        tmp = os.path.join(self.path, _SCHEMA_SIDECAR + ".tmp")
-        os.makedirs(self.path, exist_ok=True)
-        with open(tmp, "w") as f:
-            json.dump({"added_columns": added}, f)
-        os.rename(tmp, os.path.join(self.path, _SCHEMA_SIDECAR))
+        doc["added_columns"] = added
+        self._write_sidecar(doc)
 
     # -- writes ------------------------------------------------------------
     def _writer(self, df: DataFrame, mode: str):
@@ -132,10 +163,12 @@ class LakehouseTable:
 
     def append(self, df: DataFrame) -> None:
         self._writer(df, "append").parquet(self.path)
+        self._record_schema(df)
         self._refresh()
 
     def overwrite(self, df: DataFrame) -> None:
         self._writer(df, "overwrite").parquet(self.path)
+        self._record_schema(df)
         self._refresh()
 
     def overwrite_partitions(self, df: DataFrame) -> None:
@@ -144,6 +177,7 @@ class LakehouseTable:
         by the session factory)."""
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         self._writer(df, "overwrite").parquet(self.path)
+        self._record_schema(df)
         self._refresh()
 
     # -- merge -------------------------------------------------------------
