@@ -50,8 +50,11 @@ except Exception:  # pragma: no cover - PIL absent in this container
 def attach_blobs(documents: DataFrame) -> DataFrame:
     """Derive a deterministic synthetic blob per document (repeated
     md5 bytes sized by n_chars) + typed metadata — the test-time
-    stand-in for real image bytes."""
-    return documents.select(
+    stand-in for real image bytes. A NULL-text document has no media
+    to derive — excluded here and in every consuming oracle
+    (WHERE text IS NOT NULL), instead of md5(NULL) producing a NULL
+    blob that crashes the byte kernels."""
+    return documents.filter(F.col("text").isNotNull()).select(
         "doc_id",
         F.lit("image/fake").alias("media_type"),
         (F.col("n_chars") % 64 + 1).cast("int").alias("width"),

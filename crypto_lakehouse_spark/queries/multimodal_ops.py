@@ -65,6 +65,7 @@ WITH hexes AS (
            md5(text) AS h,
            CAST(n_chars // 16 AS INTEGER) + 1 AS reps
     FROM documents
+    WHERE text IS NOT NULL
 ),
 bytes_per_doc AS (
     SELECT doc_id, reps,
@@ -104,6 +105,7 @@ WITH hexes AS (
     SELECT doc_id, md5(text) AS h,
            CAST(n_chars // 16 AS INTEGER) + 1 AS reps
     FROM documents
+    WHERE text IS NOT NULL
 )
 SELECT doc_id,
        CAST(i AS INTEGER) AS frame_no,
@@ -140,6 +142,7 @@ WITH hexes AS (
            CAST(n_chars % 64 + 1 AS INTEGER) AS w,
            CAST(n_chars % 48 + 1 AS INTEGER) AS hp
     FROM documents
+    WHERE text IS NOT NULL
 ),
 pix AS (
     SELECT doc_id, w, hp,

@@ -73,7 +73,13 @@ def doc_quality_score_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             yield out
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # NULL text is unscoreable; excluded identically in the SQL twin
+    # and the shared oracle (WHERE text IS NOT NULL).
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter("text IS NOT NULL")
+        .select("doc_id", "lang", "text")
+    )
     return docs.mapInPandas(score, _QUALITY_SCHEMA).orderBy("doc_id")
 
 

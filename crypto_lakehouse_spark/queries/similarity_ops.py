@@ -243,7 +243,7 @@ ORDER BY cluster_id
 _KM_DUCK = """
 WITH vecs AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
 assigned AS (
@@ -733,7 +733,7 @@ _NORM_D = (
 
 _SEMDEDUP_DUCK_ORACLE = _semdedup(
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-    " FROM embeddings",
+    " FROM embeddings WHERE embedding IS NOT NULL",
     _DOT_D.format(a="normed.u", b="cents.c"),
     _DOT_D.format(a="a.u", b="b.u"),
     "list_transform(v, x -> x * CAST(1.5 AS DOUBLE))",
@@ -815,7 +815,10 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings").select(
+    # NULL embeddings cannot participate in vector kernels; excluded
+    # identically in the oracle (WHERE embedding IS NOT NULL) — the
+    # SQL-twin analog of NULL propagation.
+    emb = spark.table("embeddings").filter("embedding IS NOT NULL").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
@@ -982,7 +985,7 @@ ORDER BY cluster_id
 
 _SEMDEDUP_HIER_DUCK = _semdedup_hier(
     "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v"
-    " FROM embeddings",
+    " FROM embeddings WHERE embedding IS NOT NULL",
     _DOT_D.format(a="normed.u", b="coarse.c"),
     _DOT_D.format(a="a.u", b="fine.f"),
     _DOT_D.format(a="a.u", b="b.u"),
@@ -1022,7 +1025,10 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     register_views(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings").select(
+    # NULL embeddings cannot participate in vector kernels; excluded
+    # identically in the oracle (WHERE embedding IS NOT NULL) — the
+    # SQL-twin analog of NULL propagation.
+    emb = spark.table("embeddings").filter("embedding IS NOT NULL").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
@@ -1159,7 +1165,7 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMCONTAM_DUCK = """
 WITH base AS (
     SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-    FROM embeddings
+    FROM embeddings WHERE embedding IS NOT NULL
 ),
 normed AS (
     SELECT vec_id,
@@ -1214,7 +1220,10 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir, ["embeddings"])
-    emb = spark.table("embeddings").select(
+    # NULL embeddings cannot participate in vector kernels; excluded
+    # identically in the oracle (WHERE embedding IS NOT NULL) — the
+    # SQL-twin analog of NULL propagation.
+    emb = spark.table("embeddings").filter("embedding IS NOT NULL").select(
         "vec_id",
         F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )

@@ -98,6 +98,7 @@ FROM (
            size(array_distinct(split(text, ' '))) AS n_distinct,
            size(filter(split(text, ' '), t -> t IN ({_EN}))) AS n_stop
     FROM documents
+    WHERE text IS NOT NULL  -- unscoreable; excluded in every twin
 )
 ORDER BY doc_id
 """,
@@ -117,6 +118,7 @@ FROM (
            len(list_filter(string_split(text, ' '),
                            t -> t IN ({_EN}))) AS n_stop
     FROM documents
+    WHERE text IS NOT NULL  -- unscoreable; excluded in every twin
 )
 ORDER BY doc_id
 """,

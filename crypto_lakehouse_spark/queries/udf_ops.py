@@ -67,12 +67,17 @@ def embedding_norms_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     def l2_norm(embs: pd.Series) -> pd.Series:
         out = []
         for arr in embs:
+            if arr is None:
+                # NULL embedding: propagate NULL, exactly as the SQL
+                # fold does (list_reduce over NULL is NULL).
+                out.append(None)
+                continue
             acc = 0.0
             for x in arr:
                 fx = float(x)
                 acc += fx * fx
             out.append(round(math.sqrt(acc), 9))
-        return pd.Series(out)
+        return pd.Series(out, dtype=object)
 
     emb = load_table(spark, sf_dir, "embeddings")
     return (
