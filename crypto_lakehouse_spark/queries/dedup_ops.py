@@ -235,9 +235,13 @@ ORDER BY doc_id
 # --- LSH candidate pairs + exact-Jaccard verification ---------------------
 _LSH_TAIL = """
 bands AS (
-    SELECT doc_id, CAST(i / 4 AS INT) AS band, {bandkey} AS band_key
+    -- floor, not CAST(i/4 AS INT): double->int CAST truncates in
+    -- Spark but ROUNDS in DuckDB; floor keeps the band boundaries
+    -- identical in both engines (see curation_ops.minhash_estimate_error,
+    -- which exposes the raw candidate set and caught this).
+    SELECT doc_id, CAST(floor(i / 4.0) AS INT) AS band, {bandkey} AS band_key
     FROM minhash
-    GROUP BY doc_id, CAST(i / 4 AS INT)
+    GROUP BY doc_id, CAST(floor(i / 4.0) AS INT)
 ),
 candidates AS (
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

@@ -428,3 +428,37 @@ def test_per_query_shuffle_width_applied_and_restored(spark):
     assert spark.conf.get(key) == WIDE_SHUFFLE[key]
     REGISTRY["q6_revenue_forecast"].spark_fn(spark, SF)
     assert spark.conf.get(key) == _QUERY_CONF_DEFAULTS[key]
+
+
+def test_hashed_classifier_is_pure_map_scan(spark):
+    """The fastText-shape classifier must stay a zero-shuffle scan:
+    the per-token weight sum runs as a higher-order `aggregate` inside
+    a Project over the parquet scan. The only exchange allowed is the
+    presentation ORDER BY's range partitioning."""
+    plan = _plan(spark, "hashed_classifier_score")
+    assert "Join" not in plan
+    assert "HashAggregate" not in plan and "ObjectHashAggregate" not in plan
+    assert _data_exchanges(plan) <= 1, plan  # the ORDER BY only
+
+
+def test_paragraph_dedup_skew_safe_shape(spark):
+    """Paragraph dedup must use the skew-safe keep-first shape:
+    MIN(composite key) GROUP BY hash (map-side combiners absorb a hot
+    boilerplate paragraph) + an equi-join back (AQE skew-join can
+    split it) — NEVER a row_number window partitioned on the content
+    hash, which has no combiner and no skew mitigation."""
+    plan = _plan(spark, "paragraph_dedup_reassemble")
+    assert "Window" not in plan, "content-hash window is skew-unsafe at scale"
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") + plan.count("ObjectHashAggregate") >= 2
+    assert _data_exchanges(plan) <= 4, plan  # agg + join + regroup + order
+
+
+def test_minhash_estimate_error_no_cartesian(spark):
+    """Estimator-error measurement stays inside the LSH candidate set:
+    band-key equi-joins only, never an all-pairs product; the shingle
+    relation comes from the shared persisted view."""
+    plan = _plan(spark, "minhash_estimate_error")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan  # persisted shingles reused
