@@ -20,10 +20,11 @@ BASELINE.json north star):
   to them.
 
 Scale shapes (100 TB framing):
-- paragraph dedup: one narrow explode (16-token chunks), ONE shuffle
-  on md5(paragraph) for the keep-first window, one groupBy(doc_id)
-  for reassembly. Same class as exact dedup plus a re-agg; no
-  self-joins, no row blowup beyond tokens/16 per doc.
+- paragraph dedup: one narrow explode (16-token chunks), a combiner-
+  absorbed MIN aggregation on md5(paragraph) joined back on the hash
+  (AQE-splittable), one groupBy(doc_id) for reassembly. Same class as
+  exact dedup plus a re-agg; no self-joins, no row blowup beyond
+  tokens/16 per doc, no hot-key window (see the block comment).
 - classifier: ZERO shuffles — the whole score is a per-row
   higher-order `aggregate` over the token array inside whole-stage
   codegen; at 100 TB this is a pure map-side scan.
@@ -53,9 +54,15 @@ from crypto_lakehouse_spark.queries.dedup_ops import (
 from crypto_lakehouse_spark.queries.registry import query
 
 
-def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tags: tuple[str, ...],
+    tables: list[str] | None = None,
+) -> None:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        register_views(spark, sf_dir, ["documents"])
+        register_views(spark, sf_dir, tables or ["documents"])
         return spark.sql(spark_sql)
 
     fn.__name__ = name
@@ -291,3 +298,290 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ","
         + _EST_TAIL.format(bandkey=_BANDKEY_SPARK)
     )
+
+# --- 64-bit SimHash near-dup (banded Hamming join) ------------------------
+# The 16-bit simhash_fingerprints operator is a fingerprint CENSUS;
+# near-dup retrieval needs a wider code: 16-bit band keys have only
+# 2^4 values per 4-bit band, so the bucket join degenerates to
+# O(N^2/16) at scale. Here: 64-bit simhash (two md5 draws x 32
+# high-bits per feature), 4 bands x 16 bits -> 2^16-value band
+# keys keep buckets small; pigeonhole guarantees every pair with
+# Hamming distance <= 3 shares at least one full band. Candidates are
+# verified with the exact 64-bit Hamming distance.
+#
+# Features are distinct 3-gram SHINGLES, not unigram tokens: over a
+# small shared vocabulary (this fixture; templated boilerplate in a
+# real crawl) nearly every doc contains nearly every token, so
+# unigram fingerprints collapse onto a few codes and the band buckets
+# go quadratic (measured here: 6954 Hamming<=3 pairs / 550 docs with
+# unigrams vs true-dup-only with shingles). Shingles are sparse in
+# feature space, which is also why production simhash (Charikar /
+# Manku et al.) hashes shingles.
+#
+# Fingerprinting is ZERO-shuffle on the Spark side: per row, a
+# higher-order fold (aggregate + zip_with) sums the per-token +-1 bit
+# votes — no 64x row explosion, no (doc_id, bit) shuffle. The DuckDB
+# oracle computes the same votes by the straightforward explode +
+# GROUP BY (same values, different plan — the oracle is a semantic
+# check, not a plan mirror).
+_HEXHI = "('8','9','a','b','c','d','e','f')"
+
+# 64 bits from exactly TWO md5 calls per shingle (not 64), and the
+# bit votes as 64 conditional-SUM aggregate columns over the exploded
+# shingle relation — NOT a per-row higher-order fold: Spark evaluates
+# lambda expressions interpreted (outside whole-stage codegen), so a
+# fold doing 64 array ops per shingle measured ~6 s for 550 docs; the
+# wide-SUM shape stays fully codegen'd with map-side combiners (the
+# same idiom as dedup_ops' 8-column minhash_wide) and the groupBy
+# carries 64 ints per doc.
+_HH = "md5(t)"
+
+# The md5's first 16 hex digits give 64 uniform bits, decoded as TWO
+# 32-bit integers (one conv each) so the per-bit vote is pure integer
+# shift/mask arithmetic. The string alternative (64 x substr + IN-list
+# of 8 hex chars = 512 string compares per shingle) measured ~5x
+# slower. Vote threshold: majority-of-ones (2*ones >= n), identical
+# to SUM(+-1) >= 0.
+_HILO_SPARK = (
+    "CAST(conv(substr(h, 1, 8), 16, 10) AS BIGINT) AS hi, "
+    "CAST(conv(substr(h, 9, 8), 16, 10) AS BIGINT) AS lo"
+)
+_HILO_DUCK = (
+    "CAST(('0x' || substr(h, 1, 8)) AS BIGINT) AS hi, "
+    "CAST(('0x' || substr(h, 9, 8)) AS BIGINT) AS lo"
+)
+
+
+def _bit_expr(b: int) -> str:
+    if b <= 32:
+        return f"shiftright(hi, {32 - b}) % 2"
+    return f"shiftright(lo, {64 - b}) % 2"
+
+
+_VOTE_COLS = ",\n           ".join(
+    f"CASE WHEN 2 * SUM({_bit_expr(b)}) >= COUNT(*) "
+    f"THEN '1' ELSE '0' END AS b{b}"
+    for b in range(1, 65)
+)
+_FP_CONCAT = "concat(" + ", ".join(f"b{b}" for b in range(1, 65)) + ")"
+
+# NOTE: deliberately CTE-free (nested subqueries only). This SELECT is
+# persisted and registered as a temp view; when it was built as a
+# WITH-chain (corpus/votes/fps CTEs), CacheManager lookups from the
+# near-dup tail silently missed — the plan re-inlined the corpus fold
+# at all four fps references (measured: 8 parquet scans instead of
+# InMemoryTableScan reuse; plan-pinned below). The flat form
+# canonicalizes identically on both sides and always substitutes.
+_FPS_SELECT_SPARK = f"""
+SELECT doc_id, {_FP_CONCAT} AS fp
+FROM (
+    SELECT doc_id,
+           {_VOTE_COLS}
+    FROM (
+        SELECT doc_id, {_HILO_SPARK}
+        FROM (
+            SELECT doc_id, {_HH} AS h
+            FROM (
+                SELECT doc_id, explode(array_distinct(transform(
+                           sequence(1, greatest(size(ws) - 2, 1)),
+                           i -> concat_ws(' ', element_at(ws, i),
+                                element_at(ws, least(i + 1, size(ws))),
+                                element_at(ws, least(i + 2, size(ws)))))))
+                           AS t
+                FROM (SELECT doc_id, split(text, ' ') AS ws
+                      FROM ({_DUP_UNION_SPARK}))
+            )
+        )
+    )
+    GROUP BY doc_id
+)
+"""
+
+_FPS_DUCK = f"""
+toks AS (
+    SELECT DISTINCT doc_id,
+           unnest(list_transform(
+               range(1, greatest(len(ws) - 2, 1) + 1),
+               i -> ws[i] || ' ' || ws[least(i + 1, len(ws))]
+                         || ' ' || ws[least(i + 2, len(ws))])) AS t
+    FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus)
+),
+hilo AS (
+    SELECT doc_id, {_HILO_DUCK}
+    FROM (SELECT doc_id, {_HH} AS h FROM toks)
+),
+votes AS (
+    SELECT doc_id, b,
+           CASE WHEN 2 * SUM((CASE WHEN b <= 32 THEN hi >> (32 - b)
+                              ELSE lo >> (64 - b) END) % 2) >= COUNT(*)
+                THEN '1' ELSE '0' END AS bit
+    FROM hilo CROSS JOIN (SELECT unnest(range(1, 65)) AS b) bb
+    GROUP BY doc_id, b
+),
+fps AS (
+    SELECT doc_id, string_agg(bit, '' ORDER BY b) AS fp
+    FROM votes GROUP BY doc_id
+)
+"""
+
+_SIMHASH_ND_TAIL = """
+bands AS (
+    SELECT doc_id, band, substr(fp, band * 16 + 1, 16) AS bkey
+    FROM fps {band_src}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+               AND a.doc_id < b.doc_id
+)
+SELECT c.doc_a, c.doc_b,
+       CAST({ham} AS BIGINT) AS hamming
+FROM cand c
+JOIN fps fa ON fa.doc_id = c.doc_a
+JOIN fps fb ON fb.doc_id = c.doc_b
+WHERE {ham} <= 3
+ORDER BY c.doc_a, c.doc_b
+"""
+
+_HAM_SPARK = (
+    "size(filter(sequence(1, 64), "
+    "i -> substr(fa.fp, i, 1) <> substr(fb.fp, i, 1)))"
+)
+_HAM_DUCK = (
+    "len(list_filter(range(1, 65), "
+    "i -> substr(fa.fp, i, 1) <> substr(fb.fp, i, 1)))"
+)
+
+_FP64_VIEW = "simhash64_fps_persisted"
+_FP64_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_fp64(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the 64-bit fingerprint relation once per (session,
+    sf_dir): Spark inlines deterministic CTEs, so the four references
+    below (two band sides, two verify sides) would each recompute the
+    whole corpus fold — 4 corpus scans at 100 TB (measured 4x here).
+    Same memo discipline as dedup_ops.cached_shingles."""
+    from crypto_lakehouse_spark.io import session_key
+    from pyspark.storagelevel import StorageLevel
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _FP64_MEMO:
+        for (sid, _), old in list(_FP64_MEMO.items()):
+            if sid == skey:
+                old.unpersist()
+                del _FP64_MEMO[(sid, _)]
+        register_views(spark, sf_dir, ["documents"])
+        df = spark.sql(_FPS_SELECT_SPARK).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        df.createOrReplaceTempView(_FP64_VIEW)
+        _FP64_MEMO[key] = df
+
+
+@query(
+    "simhash64_near_dup",
+    oracle=f"WITH corpus AS ({_DUP_UNION_SPARK}),"
+    + _FPS_DUCK
+    + ","
+    + _SIMHASH_ND_TAIL.format(
+        band_src="CROSS JOIN (SELECT unnest(range(0, 4)) AS band) bb",
+        ham=_HAM_DUCK,
+    ),
+    tags=("dedup", "simhash", "curation"),
+)
+def simhash64_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-Hamming near-dup over 64-bit shingle simhash (block
+    comment above has the contract and scale notes). Reads the
+    persisted fingerprint relation so the corpus is folded once."""
+    _cached_fp64(spark, sf_dir)
+    return spark.sql(
+        f"WITH fps AS (SELECT doc_id, fp FROM {_FP64_VIEW}),"
+        + _SIMHASH_ND_TAIL.format(
+            band_src="LATERAL VIEW explode(sequence(0, 3)) t AS band",
+            ham=_HAM_SPARK,
+        )
+    )
+
+# --- embedding dimension-truncation recall --------------------------------
+# Matryoshka-style storage decision, measured: recall@10 of cosine
+# top-k using only the first d dims (d = 8, 16, 32) against the exact
+# 64-dim top-k, per probe query. At 100 TB the truncated index is
+# d/64 of the storage and bandwidth; this query is the number that
+# says which d is safe. Exact side is bounded by the 8-query probe
+# panel (O(|Q| x N), corpus scanned once per side), same eval pattern
+# as ann_recall_at_5 / pq_recall_at_10.
+_TDOT_SPARK = (
+    "aggregate(transform(sequence(1, {d}), "
+    "i -> element_at({a}, i) * element_at({b}, i)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_TDOT_DUCK = (
+    "list_reduce(list_transform(range(1, {d} + 1), "
+    "i -> {a}[i] * {b}[i]), (acc, v) -> acc + v)"
+)
+
+
+def _trunc_recall_sql(dot: str, dbl: str) -> str:
+    cos_full = (
+        f"ROUND({dot.format(a='q.vec', b='e.vec', d='64')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec', d='64')}) * "
+        f"SQRT({dot.format(a='e.vec', b='e.vec', d='64')})), 9)"
+    )
+    cos_trunc = (
+        f"ROUND({dot.format(a='q.vec', b='e.vec', d='dm.d')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec', d='dm.d')}) * "
+        f"SQRT({dot.format(a='e.vec', b='e.vec', d='dm.d')})), 9)"
+    )
+    return f"""
+WITH dims AS (
+    SELECT 8 AS d UNION ALL SELECT 16 UNION ALL SELECT 32
+),
+qs AS (SELECT vec_id, {dbl} AS vec FROM embeddings WHERE vec_id < 8),
+corpus AS (SELECT vec_id, {dbl} AS vec FROM embeddings),
+exact_topk AS (
+    SELECT query_id, neighbor_id
+    FROM (
+        SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {cos_full} DESC, e.vec_id) AS rn
+        FROM qs q CROSS JOIN corpus e
+        WHERE e.vec_id <> q.vec_id
+    )
+    WHERE rn <= 10
+),
+trunc_topk AS (
+    SELECT d, query_id, neighbor_id
+    FROM (
+        SELECT dm.d, q.vec_id AS query_id, e.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY dm.d, q.vec_id
+                                  ORDER BY {cos_trunc} DESC, e.vec_id) AS rn
+        FROM dims dm CROSS JOIN qs q CROSS JOIN corpus e
+        WHERE e.vec_id <> q.vec_id
+    )
+    WHERE rn <= 10
+)
+SELECT t.d AS dim, t.query_id,
+       COUNT(x.neighbor_id) AS hits,
+       ROUND(CAST(COUNT(x.neighbor_id) AS DOUBLE) / 10.0, 9) AS recall_at_10
+FROM trunc_topk t
+LEFT JOIN exact_topk x
+  ON x.query_id = t.query_id AND x.neighbor_id = t.neighbor_id
+GROUP BY t.d, t.query_id
+ORDER BY dim, t.query_id
+"""
+
+
+_pair(
+    "ann_dim_truncation_recall",
+    _trunc_recall_sql(
+        _TDOT_SPARK, "transform(embedding, x -> CAST(x AS DOUBLE))"
+    ),
+    _trunc_recall_sql(
+        _TDOT_DUCK, "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+    ),
+    tags=("similarity", "ann", "evaluation", "curation"),
+    tables=["embeddings"],
+)

@@ -462,3 +462,44 @@ def test_minhash_estimate_error_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan  # persisted shingles reused
+
+
+def test_simhash64_banded_join_over_persisted_fps(spark):
+    """The near-dup tail must read the PERSISTED fingerprint relation
+    (Spark inlines deterministic CTEs — without the memo the corpus
+    fold runs 4x, once per fps reference) and the candidate join must
+    be a band-key equi-join, never a product. There must be no 64x
+    bit explode anywhere: the vote aggregate is the 64-column wide
+    SUM, so the only Generate in the whole query is the shingle
+    explode inside the (cached) fingerprint build."""
+    plan = _plan(spark, "simhash64_near_dup")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("InMemoryTableScan") >= 3, "fps not persisted/reused"
+    # The only Generates allowed are the two 4-band explodes of the
+    # cached fps relation (one per self-join side) plus the shingle
+    # explode that formatted mode prints inside the cached-relation
+    # description — a 64x bit explode would add more.
+    import re
+
+    gens = re.findall(r"\(\d+\) Generate", plan)
+    assert len(gens) <= 3, plan
+
+
+def test_dim_truncation_recall_probe_bounded(spark):
+    """The truncation-recall eval must broadcast the tiny probe/dims
+    side against the corpus (static plan), and the final O(|Q| x k)
+    recall join must come out broadcast in the executed plan (AQE
+    re-plan from real sizes — both sides are probe-bounded, so a
+    surviving sort-merge join would mean the corpus leaked into the
+    comparison side)."""
+    static = _plan(spark, "ann_dim_truncation_recall")
+    assert "BroadcastNestedLoopJoin" in static  # probe x corpus
+    assert "CartesianProduct" not in static
+    final = _executed_plan(spark, "ann_dim_truncation_recall")
+    assert "isFinalPlan=true" in final
+    # The formatted output appends the pre-AQE "Initial Plan"; judge
+    # only the executed section.
+    executed = final.split("Initial Plan")[0]
+    assert "SortMergeJoin" not in executed, "recall join not AQE-broadcast"
+    assert "BroadcastHashJoin" in executed
