@@ -562,3 +562,163 @@ query(
     ),
     tags=("text", "retrieval", "bm25", "hybrid", "rerank"),
 )(_bm25_prf_fn)
+
+
+# --- hybrid retrieval: reciprocal rank fusion (RRF) --------------------------
+# The OTHER standard hybrid shape (Cormack et al. 2009): instead of a
+# rerank cascade (bm25_prf_rerank), fuse two INDEPENDENT rankings by
+# summing reciprocal ranks — rrf(d) = sum over lists of 1/(60 + rank).
+# Lexical leg: the bm25_topk inverted-index plan (top-10/query).
+# Dense leg: cosine to a Rocchio PRF centroid (top-3 lexical seeds'
+# embedding mean — the fixture has no query embeddings) over the FULL
+# embeddings relation, top-10/query. Scale shape: the lexical leg is
+# postings-bounded; the dense leg is the documented brute-force
+# baseline (one corpus scan x |panel|, centroid side 192 rows =
+# broadcast by construction) whose 100 TB path is the ivf_probe_topk
+# bucketed variant; the fusion itself is a FULL OUTER JOIN of two
+# <= 10-row-per-query lists — docs present in only one list score by
+# that leg alone (the defined contract, e.g. docs without embeddings).
+# Determinism: both legs rank on ROUND(...,9)-stabilized scores with
+# doc_id tie-breaks, so ranks are exact integers; the fused score is
+# two double divisions summed in written order and rounded to 12.
+
+def _rrf_sql(tok: str, split: str, emb_explode_seed: str,
+             emb_explode_all: str, emb_v: str) -> str:
+    queries = (
+        "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
+        "(2, 'stream'), (2, 'window'), (2, 'batch'), "
+        "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
+    )
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok} AS tok FROM (
+        SELECT doc_id, {split}(text, ' ') AS ws FROM documents
+    )
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+stats AS (SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+q AS ({queries}),
+term_scores AS (
+    SELECT q.qid, tf.doc_id,
+           ROUND(
+             LN((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+             * (tf.c * 2.2)
+             / (tf.c + 1.2 * (0.25 + 0.75 * dl.n * s.n_docs
+                              / CAST(s.total_len AS DOUBLE))),
+             9) AS score
+    FROM q
+    JOIN df ON df.tok = q.term
+    JOIN tf ON tf.tok = q.term
+    JOIN dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats s
+),
+scored AS (
+    SELECT qid, doc_id,
+           CAST(SUM(CAST(score AS DECIMAL(28, 9))) AS DOUBLE) AS bm25
+    FROM term_scores GROUP BY qid, doc_id
+),
+lex AS (
+    SELECT qid, doc_id, rn AS rank_lex FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY qid
+                                  ORDER BY bm25 DESC, doc_id) AS rn
+        FROM scored
+    ) r WHERE rn <= 10
+),
+svec AS (
+    SELECT l.qid, t_e.i, CAST({emb_v} AS DOUBLE) AS v
+    FROM lex l
+    JOIN embeddings e ON e.vec_id = l.doc_id
+    {emb_explode_seed}
+    WHERE l.rank_lex <= 3
+),
+centroid AS (
+    SELECT qid, i,
+           CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(27, 9))) AS DOUBLE)
+             / COUNT(*) AS cv
+    FROM svec GROUP BY qid, i
+),
+allvec AS (
+    SELECT e.vec_id AS doc_id, t_e.i, CAST({emb_v} AS DOUBLE) AS v
+    FROM embeddings e
+    {emb_explode_all}
+),
+dots AS (
+    SELECT c.qid, a.doc_id,
+           CAST(SUM(CAST(ROUND(a.v * c.cv, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS dot,
+           CAST(SUM(CAST(ROUND(a.v * a.v, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS nv,
+           CAST(SUM(CAST(ROUND(c.cv * c.cv, 12) AS DECIMAL(30, 12)))
+                AS DOUBLE) AS nc
+    FROM allvec a JOIN centroid c ON c.i = a.i
+    GROUP BY c.qid, a.doc_id
+),
+dense AS (
+    SELECT qid, doc_id, rn AS rank_dense FROM (
+        SELECT qid, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY qid
+                   ORDER BY ROUND(dot / SQRT(nv * nc), 9) DESC, doc_id
+               ) AS rn
+        FROM dots
+    ) r WHERE rn <= 10
+),
+fused AS (
+    SELECT COALESCE(l.qid, d.qid) AS qid,
+           COALESCE(l.doc_id, d.doc_id) AS doc_id,
+           l.rank_lex,
+           d.rank_dense,
+           ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + l.rank_lex), 0)
+                 + COALESCE(CAST(1 AS DOUBLE) / (60 + d.rank_dense), 0),
+                 12) AS rrf_score
+    FROM lex l FULL OUTER JOIN dense d
+      ON d.qid = l.qid AND d.doc_id = l.doc_id
+)
+SELECT CAST(qid AS INT) AS query_id,
+       CAST(rn AS INT) AS rank,
+       doc_id,
+       CAST(rank_lex AS INT) AS rank_lex,
+       CAST(rank_dense AS INT) AS rank_dense,
+       rrf_score
+FROM (
+    SELECT qid, doc_id, rank_lex, rank_dense, rrf_score,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY rrf_score DESC, doc_id) AS rn
+    FROM fused
+) f WHERE rn <= 10
+ORDER BY query_id, rank
+"""
+
+
+def _rrf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank-fusion hybrid retrieval: independent BM25 and
+    dense (PRF-centroid cosine) top-10 lists fused by 1/(60+rank) —
+    see the block comment above for the scale framing, one-leg-only
+    contract, and determinism discipline."""
+    register_views(spark, sf_dir, ["documents", "embeddings"])
+    return spark.sql(
+        _rrf_sql(
+            "explode(ws)",
+            "split",
+            "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
+            "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
+            "ev",
+        )
+    )
+
+
+_rrf_fn.__name__ = "rrf_hybrid_topk"
+query(
+    "rrf_hybrid_topk",
+    oracle=_rrf_sql(
+        "unnest(ws)",
+        "string_split",
+        ", range(1, 65) t_e(i)",
+        ", range(1, 65) t_e(i)",
+        "e.embedding[t_e.i]",
+    ),
+    tags=("text", "retrieval", "hybrid", "rrf", "topk"),
+)(_rrf_fn)

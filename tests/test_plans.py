@@ -503,3 +503,19 @@ def test_dim_truncation_recall_probe_bounded(spark):
     executed = final.split("Initial Plan")[0]
     assert "SortMergeJoin" not in executed, "recall join not AQE-broadcast"
     assert "BroadcastHashJoin" in executed
+
+
+def test_rrf_fusion_plan_shape(spark):
+    """RRF hybrid: the dense leg's centroid (<= |panel| x 64 rows)
+    must broadcast onto the exploded corpus vectors — shuffling the
+    corpus by dimension index would move 100 TB to meet 192 rows.
+    The only sort-merge join allowed is the FULL OUTER fusion of the
+    two <= 10-row top-k lists (Spark cannot broadcast a full-outer),
+    and nothing degrades to a cartesian product."""
+    plan = _plan(spark, "rrf_hybrid_topk")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    import re
+
+    smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
+    assert smj <= 1, f"only the full-outer fusion may sort-merge, got {smj}"
