@@ -1,0 +1,261 @@
+"""Technical-analysis indicators over the daily candle pipeline —
+the analytics a user of the reference's gold OHLCV tables computes
+next (reference dbt models stop at daily_metrics.sql; these extend
+the same candle relation). All three are window/aggregate-native:
+one shuffle on (product_id) that the candle build already did, no
+UDFs, no self-joins — per-product ordered windows scale as long as
+one product's history fits a partition (true for per-asset daily
+series at any corpus size).
+
+Cross-engine determinism follows the house discipline: all rolling
+sums run over exact DECIMAL casts (order-free), double math happens
+once per output row in a fixed expression order, and every emitted
+double is ROUND(...,9)-stabilized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from crypto_lakehouse_spark.functions import fmt_date
+from crypto_lakehouse_spark.queries.reference_ops import _candles, _ORACLE_CANDLES
+from crypto_lakehouse_spark.operators.trades import ORACLE_TRADES_CTE
+from crypto_lakehouse_spark.queries.registry import query
+
+_DAILY_ORACLE = ORACLE_TRADES_CTE + "," + _ORACLE_CANDLES.format(bucket="day")
+
+
+# --- Garman-Klass realized volatility ---------------------------------------
+# Per-day range-based variance proxy from OHLC (Garman & Klass 1980):
+#   gk = 0.5 * ln(high/low)^2 - (2 ln 2 - 1) * ln(close/open)^2
+# then the per-product annualized estimate sqrt(365 * mean(gk)).
+# Scale shape: one projection over the candle relation + one
+# per-product aggregate — no window, no join beyond the candle build.
+# Per-day gk is rounded to 9 BEFORE the decimal mean so the two
+# engines' libm ln() agree at the hashed precision.
+
+@query(
+    "garman_klass_vol",
+    oracle=_DAILY_ORACLE
+    + """
+SELECT product_id,
+       COUNT(*) AS n_days,
+       ROUND(CAST(SUM(CAST(gk AS DECIMAL(28, 9))) AS DOUBLE)
+             / COUNT(*), 9) AS mean_gk,
+       ROUND(SQRT(365 * CAST(SUM(CAST(gk AS DECIMAL(28, 9))) AS DOUBLE)
+                  / COUNT(*)), 9) AS annualized_vol
+FROM (
+    SELECT product_id,
+           ROUND(0.5 * POW(LN(CAST(high AS DOUBLE) / CAST(low AS DOUBLE)), 2)
+                 - (2 * LN(2) - 1)
+                   * POW(LN(CAST(close AS DOUBLE) / CAST(open AS DOUBLE)), 2),
+                 9) AS gk
+    FROM candles
+    WHERE low > 0 AND open > 0
+)
+GROUP BY product_id
+ORDER BY product_id
+""",
+    tags=("ta", "volatility", "ohlcv", "aggregation"),
+)
+def garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Garman-Klass range-based daily variance, annualized per product
+    (block comment above). Positive-price guard is the defined
+    contract: non-positive lows/opens are unestimable and excluded in
+    both engines."""
+    c = _candles(spark, sf_dir, "day")
+    h = F.col("high").cast("double")
+    lo = F.col("low").cast("double")
+    cl = F.col("close").cast("double")
+    op = F.col("open").cast("double")
+    gk = F.round(
+        0.5 * F.pow(F.log(h / lo), 2)
+        - (2 * F.log(F.lit(2.0)) - 1) * F.pow(F.log(cl / op), 2),
+        9,
+    ).alias("gk")
+    daily = c.where((F.col("low") > 0) & (F.col("open") > 0)).select("product_id", gk)
+    mean_gk = F.sum(F.col("gk").cast("decimal(28,9)")).cast("double") / F.count(
+        F.lit(1)
+    )
+    return (
+        daily.groupBy("product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(mean_gk, 9).alias("mean_gk"),
+            F.round(F.sqrt(365 * mean_gk), 9).alias("annualized_vol"),
+        )
+        .orderBy("product_id")
+    )
+
+
+# --- Cutler's RSI (14-day, simple moving averages) ---------------------------
+# RSI = 100 - 100 / (1 + avg_gain / avg_loss) over the trailing 14
+# close-to-close deltas. Cutler's SMA variant (not Wilder's recursive
+# smoothing) is chosen deliberately: it is a pure ROWS-frame window —
+# declarative, engine-parallel, and exactly reproducible — where the
+# recursive form would need a sequential fold per product. Deltas,
+# gains, and rolling sums stay in exact DECIMAL; the single division
+# happens in DOUBLE at emission. avg_loss = 0 => RSI 100 (the standard
+# convention, made explicit so both engines agree instead of dividing
+# by zero). Rows before the 14th delta are warm-up and excluded.
+
+@query(
+    "rsi_cutler_14",
+    oracle=_DAILY_ORACLE
+    + """,
+deltas AS (
+    SELECT product_id, bucket, close,
+           CAST(close - LAG(close) OVER (PARTITION BY product_id
+                                         ORDER BY bucket)
+                AS DECIMAL(28, 8)) AS delta
+    FROM candles
+),
+rolled AS (
+    SELECT product_id, bucket, close,
+           SUM(GREATEST(delta, 0)) OVER w AS gain14,
+           SUM(GREATEST(-delta, 0)) OVER w AS loss14,
+           COUNT(delta) OVER w AS n_delta
+    FROM deltas
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket
+                 ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+)
+SELECT product_id,
+       strftime(bucket, '%Y-%m-%d') AS date,
+       CAST(close AS DOUBLE) AS close,
+       ROUND(CASE WHEN loss14 = 0 THEN 100
+                  ELSE 100 - 100 / (1 + CAST(gain14 AS DOUBLE)
+                                        / CAST(loss14 AS DOUBLE))
+             END, 9) AS rsi_14
+FROM rolled
+WHERE n_delta >= 14
+ORDER BY product_id, date
+""",
+    tags=("ta", "rsi", "window", "ohlcv"),
+)
+def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cutler's RSI over trailing 14 daily deltas (block comment
+    above): exact-decimal rolling gain/loss sums, one double division
+    per emitted row, loss==0 => 100 by convention."""
+    c = _candles(spark, sf_dir, "day")
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    w = ow.rowsBetween(-13, 0)
+    deltas = c.select(
+        "product_id",
+        "bucket",
+        "close",
+        (F.col("close") - F.lag("close").over(ow)).cast("decimal(28,8)").alias("delta"),
+    )
+    rolled = deltas.select(
+        "product_id",
+        "bucket",
+        "close",
+        F.sum(F.greatest("delta", F.lit(0))).over(w).alias("gain14"),
+        F.sum(F.greatest(-F.col("delta"), F.lit(0))).over(w).alias("loss14"),
+        F.count("delta").over(w).alias("n_delta"),
+    )
+    rsi = F.when(F.col("loss14") == 0, F.lit(100.0)).otherwise(
+        100 - 100 / (1 + F.col("gain14").cast("double") / F.col("loss14").cast("double"))
+    )
+    return (
+        rolled.where(F.col("n_delta") >= 14)
+        .select(
+            "product_id",
+            fmt_date("bucket").alias("date"),
+            F.col("close").cast("double").alias("close"),
+            F.round(rsi, 9).alias("rsi_14"),
+        )
+        .orderBy("product_id", "date")
+    )
+
+
+# --- Bollinger %B (20-day, 2 sigma) ------------------------------------------
+# %B = (close - lower) / (upper - lower) with bands mean +/- 2*stddev
+# over the trailing 20 closes. The rolling stddev is NOT the engines'
+# native STDDEV (whose internal summation order differs); it is
+# reconstructed from two exact-decimal rolling sums — sum(x) and
+# sum(x^2) — so both engines feed IDENTICAL doubles into one fixed
+# variance expression: var = (sumsq - sum^2/n) / (n-1). Warm-up rows
+# (fewer than 20 closes) are excluded.
+
+@query(
+    "bollinger_pctb_20",
+    oracle=_DAILY_ORACLE
+    + """,
+rolled AS (
+    SELECT product_id, bucket, close,
+           SUM(CAST(close AS DECIMAL(18, 6))) OVER w AS s1,
+           SUM(CAST(close AS DECIMAL(18, 6))
+               * CAST(close AS DECIMAL(18, 6))) OVER w AS s2,
+           COUNT(*) OVER w AS n
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket
+                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, date, close, mean_20, std_20,
+       ROUND(mean_20 + 2 * std_20, 9) AS upper_band,
+       ROUND(mean_20 - 2 * std_20, 9) AS lower_band,
+       ROUND((close - (mean_20 - 2 * std_20))
+             / NULLIF(4 * std_20, 0), 9) AS pct_b
+FROM (
+    SELECT product_id,
+           strftime(bucket, '%Y-%m-%d') AS date,
+           CAST(close AS DOUBLE) AS close,
+           ROUND(CAST(s1 AS DOUBLE) / n, 9) AS mean_20,
+           ROUND(SQRT(GREATEST(
+               (CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / n)
+               / (n - 1), 0)), 9) AS std_20
+    FROM rolled WHERE n >= 20
+)
+ORDER BY product_id, date
+""",
+    tags=("ta", "bollinger", "window", "ohlcv"),
+)
+def bollinger_pctb_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger %B over trailing 20 closes (block comment above):
+    stddev reconstructed from exact-decimal rolling sums so the hash
+    survives engine-internal summation differences; zero-width bands
+    emit NULL %B via NULLIF."""
+    c = _candles(spark, sf_dir, "day")
+    w = (
+        Window.partitionBy("product_id")
+        .orderBy("bucket")
+        .rowsBetween(-19, 0)
+    )
+    cd = F.col("close").cast("decimal(18,6)")
+    rolled = c.select(
+        "product_id",
+        "bucket",
+        "close",
+        F.sum(cd).over(w).alias("s1"),
+        F.sum(cd * cd).over(w).alias("s2"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    ).where(F.col("n") >= 20)
+    s1 = F.col("s1").cast("double")
+    s2 = F.col("s2").cast("double")
+    n = F.col("n")
+    mean = F.round(s1 / n, 9)
+    std = F.round(F.sqrt(F.greatest((s2 - s1 * s1 / n) / (n - 1), F.lit(0.0))), 9)
+    stage = rolled.select(
+        "product_id",
+        fmt_date("bucket").alias("date"),
+        F.col("close").cast("double").alias("close"),
+        mean.alias("mean_20"),
+        std.alias("std_20"),
+    )
+    return stage.select(
+        "product_id",
+        "date",
+        "close",
+        "mean_20",
+        "std_20",
+        F.round(F.col("mean_20") + 2 * F.col("std_20"), 9).alias("upper_band"),
+        F.round(F.col("mean_20") - 2 * F.col("std_20"), 9).alias("lower_band"),
+        F.round(
+            (F.col("close") - (F.col("mean_20") - 2 * F.col("std_20")))
+            / F.nullif(4 * F.col("std_20"), F.lit(0.0)),
+            9,
+        ).alias("pct_b"),
+    ).orderBy("product_id", "date")

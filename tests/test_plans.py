@@ -519,3 +519,18 @@ def test_rrf_fusion_plan_shape(spark):
 
     smj = len(re.findall(r"\(\d+\) SortMergeJoin", plan))
     assert smj <= 1, f"only the full-outer fusion may sort-merge, got {smj}"
+
+
+@pytest.mark.parametrize(
+    "name", ["garman_klass_vol", "rsi_cutler_14", "bollinger_pctb_20"]
+)
+def test_ta_indicators_stay_window_native(spark, name):
+    """TA indicators must stay on the candle build's shuffle structure
+    plus at most the one per-product repartition their ordered window
+    genuinely needs and the presentation sort — no self-joins (SMJ=0),
+    no cartesians. daily_metrics pins the candle baseline at 4
+    exchanges; the indicators get 4 + 2."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    assert _data_exchanges(plan) <= 6, plan
