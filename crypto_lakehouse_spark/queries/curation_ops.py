@@ -585,3 +585,133 @@ _pair(
     tags=("similarity", "ann", "evaluation", "curation"),
     tables=["embeddings"],
 )
+
+
+# --- filter agreement audit ------------------------------------------------
+# Before committing a 100 TB corpus to any single quality gate, a
+# curation pipeline measures how its candidate filters AGREE: the
+# 2x2x2 contingency of Gopher rules (gopher_quality_rules), the
+# weighted quality score at its 0.5 threshold (doc_quality_score),
+# and the hashed linear classifier's sign (hashed_classifier_score) —
+# plus pairwise Cohen's kappa (chance-corrected agreement). All three
+# signals come from ONE narrow higher-order-function projection per
+# document (zero joins, whole-stage codegen), then one tiny aggregate:
+# at 100 TB this is a single map-side scan. Integer indicator sums are
+# exact in both engines; each double division happens once in a fixed
+# expression order. NULL text is unscoreable by all three filters and
+# excluded (the shared contract). An empty corpus yields zero rows
+# (kappa rows are gated on n > 0).
+
+from crypto_lakehouse_spark.queries.text_ops import _EN, _GOPHER_STOP  # noqa: E402
+
+
+def _signals_cte(split: str, size: str, dist: str, filt: str,
+                 alpha_pred: str, len_sum: str, score_sum: str) -> str:
+    return f"""
+signals AS (
+    SELECT doc_id,
+           n_tok BETWEEN 20 AND 100000
+             AND CAST(len_sum AS DOUBLE) / n_tok BETWEEN 2.0 AND 10.0
+             AND CAST(n_alpha AS DOUBLE) / n_tok >= 0.8
+             AND n_stop_d >= 2 AS g,
+           CAST(LEAST(n_tok, 200) AS DOUBLE) / 200 * 0.3
+             + CAST(n_distinct AS DOUBLE) / n_tok * 0.4
+             + CAST(n_stop AS DOUBLE) / n_tok * 0.3 >= 0.5 AS q,
+           score_num >= 0 AS c
+    FROM (
+        SELECT doc_id,
+               {size}(ws) AS n_tok,
+               {size}({dist}(ws)) AS n_distinct,
+               {size}({filt}(ws, t -> t IN ({_EN}))) AS n_stop,
+               {size}({dist}({filt}(ws, w -> w IN {_GOPHER_STOP})))
+                   AS n_stop_d,
+               {size}({filt}(ws, w -> {alpha_pred})) AS n_alpha,
+               {len_sum} AS len_sum,
+               {score_sum} AS score_num
+        FROM (SELECT doc_id, {split}(text, ' ') AS ws FROM documents
+              WHERE text IS NOT NULL)
+    )
+)"""
+
+
+_SIGNALS_SPARK = _signals_cte(
+    "split", "size", "array_distinct", "filter",
+    "w RLIKE '[a-z]'",
+    "aggregate(ws, 0L, (acc, w) -> acc + length(w))",
+    f"aggregate(ws, 0L, (acc, t) -> acc + ({_W_SPARK}))",
+)
+_SIGNALS_DUCK = _signals_cte(
+    "string_split", "len", "list_distinct", "list_filter",
+    "regexp_matches(w, '[a-z]')",
+    "CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)",
+    f"CAST(list_sum(list_transform(ws, t -> ({_W_DUCK}))) AS BIGINT)",
+)
+
+_AUDIT_TAIL = """
+SELECT CAST(g AS INT) AS gopher_keep,
+       CAST(q AS INT) AS quality_keep,
+       CAST(c AS INT) AS classifier_keep,
+       COUNT(*) AS n_docs,
+       ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER (), 9) AS frac
+FROM signals
+GROUP BY g, q, c
+ORDER BY gopher_keep, quality_keep, classifier_keep
+"""
+
+_pair(
+    "filter_agreement_audit",
+    "WITH " + _SIGNALS_SPARK + _AUDIT_TAIL,
+    "WITH " + _SIGNALS_DUCK + _AUDIT_TAIL,
+    tags=("text", "quality", "curation", "audit"),
+)
+
+_KAPPA_TAIL = """,
+s AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(g AS INT)) AS ng,
+           SUM(CAST(q AS INT)) AS nq,
+           SUM(CAST(c AS INT)) AS nc,
+           SUM(CAST(g AS INT) * CAST(q AS INT)) AS ngq,
+           SUM(CAST(g AS INT) * CAST(c AS INT)) AS ngc,
+           SUM(CAST(q AS INT) * CAST(c AS INT)) AS nqc
+    FROM signals
+)
+SELECT pair, CAST(n_agree AS BIGINT) AS n_agree,
+       ROUND(po, 9) AS po, ROUND(pe, 9) AS pe,
+       -- + 0 normalizes IEEE -0.0 (DuckDB keeps the sign of a
+       -- negative rounded-to-zero quotient; Spark does not)
+       ROUND((po - pe) / NULLIF(1 - pe, 0), 9) + 0 AS kappa
+FROM (
+    SELECT 'gopher~quality' AS pair,
+           2 * ngq + n - ng - nq AS n_agree,
+           CAST(2 * ngq + n - ng - nq AS DOUBLE) / n AS po,
+           (CAST(ng AS DOUBLE) / n) * (CAST(nq AS DOUBLE) / n)
+             + (1 - CAST(ng AS DOUBLE) / n)
+               * (1 - CAST(nq AS DOUBLE) / n) AS pe
+    FROM s WHERE n > 0
+    UNION ALL
+    SELECT 'gopher~classifier' AS pair,
+           2 * ngc + n - ng - nc AS n_agree,
+           CAST(2 * ngc + n - ng - nc AS DOUBLE) / n AS po,
+           (CAST(ng AS DOUBLE) / n) * (CAST(nc AS DOUBLE) / n)
+             + (1 - CAST(ng AS DOUBLE) / n)
+               * (1 - CAST(nc AS DOUBLE) / n) AS pe
+    FROM s WHERE n > 0
+    UNION ALL
+    SELECT 'quality~classifier' AS pair,
+           2 * nqc + n - nq - nc AS n_agree,
+           CAST(2 * nqc + n - nq - nc AS DOUBLE) / n AS po,
+           (CAST(nq AS DOUBLE) / n) * (CAST(nc AS DOUBLE) / n)
+             + (1 - CAST(nq AS DOUBLE) / n)
+               * (1 - CAST(nc AS DOUBLE) / n) AS pe
+    FROM s WHERE n > 0
+)
+ORDER BY pair
+"""
+
+_pair(
+    "filter_kappa_pairs",
+    "WITH " + _SIGNALS_SPARK + _KAPPA_TAIL,
+    "WITH " + _SIGNALS_DUCK + _KAPPA_TAIL,
+    tags=("text", "quality", "curation", "audit", "kappa"),
+)

@@ -259,3 +259,159 @@ def bollinger_pctb_20(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("pct_b"),
     ).orderBy("product_id", "date")
+
+
+# --- running-max drawdown series ---------------------------------------------
+# True cumulative-peak drawdown: dd_t = (max(close[0..t]) - close_t)
+# / max(close[0..t]). Complements daily_metrics, whose "max_drawdown"
+# deliberately preserves the reference CODE's per-day (high-low)/high
+# formula (SURVEY §2.8.2) — this is the textbook definition the
+# reference never implemented. One cumulative-max window per product;
+# the peak stays exact DECIMAL until the one double division per row.
+
+@query(
+    "drawdown_running_max",
+    oracle=_DAILY_ORACLE
+    + """
+SELECT product_id,
+       strftime(bucket, '%Y-%m-%d') AS date,
+       CAST(close AS DOUBLE) AS close,
+       CAST(peak AS DOUBLE) AS peak,
+       ROUND((CAST(peak AS DOUBLE) - CAST(close AS DOUBLE))
+             / NULLIF(CAST(peak AS DOUBLE), 0), 9) AS drawdown
+FROM (
+    SELECT product_id, bucket, close,
+           MAX(close) OVER (PARTITION BY product_id ORDER BY bucket
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak
+    FROM candles
+)
+ORDER BY product_id, date
+""",
+    tags=("ta", "drawdown", "window", "ohlcv"),
+)
+def drawdown_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative-peak drawdown series per product (block comment
+    above)."""
+    c = _candles(spark, sf_dir, "day")
+    w = (
+        Window.partitionBy("product_id")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    peak = F.max("close").over(w)
+    pd_ = peak.cast("double")
+    return (
+        c.select(
+            "product_id",
+            fmt_date("bucket").alias("date"),
+            F.col("close").cast("double").alias("close"),
+            pd_.alias("peak"),
+            F.round(
+                (pd_ - F.col("close").cast("double")) / F.nullif(pd_, F.lit(0.0)), 9
+            ).alias("drawdown"),
+        )
+        .orderBy("product_id", "date")
+    )
+
+
+# --- cross-asset daily-return correlation matrix -----------------------------
+# Pearson correlation of daily returns for every product pair — the
+# standard portfolio/risk matrix. Returns are ROUND(...,9)-stabilized
+# doubles FIRST (so both engines correlate identical inputs), then all
+# five sums (x, y, xy, x2, y2) run in exact DECIMAL and one fixed
+# double expression emits r. The pair join is keyed on the DAY with a
+# product_id < product_id predicate: at scale the time dimension is
+# the long axis and the asset dimension the short one, so the join
+# output is days x assets^2/2 — linear in history for a fixed asset
+# universe (the standard shape; a pivoted vectorized variant only pays
+# off past thousands of assets). NOT the engines' native CORR, whose
+# internal accumulation order is engine-specific.
+
+@query(
+    "returns_correlation_matrix",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           ROUND((CAST(close AS DOUBLE)
+                  - CAST(LAG(close) OVER w AS DOUBLE))
+                 / CAST(LAG(close) OVER w AS DOUBLE), 9) AS r
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+pairs AS (
+    SELECT a.product_id AS product_a, b.product_id AS product_b,
+           CAST(a.r AS DECIMAL(15, 9)) AS x,
+           CAST(b.r AS DECIMAL(15, 9)) AS y
+    FROM rets a
+    JOIN rets b ON a.bucket = b.bucket AND a.product_id < b.product_id
+    WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+),
+s AS (
+    SELECT product_a, product_b, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+           SUM(x * x) AS sxx, SUM(y * y) AS syy
+    FROM pairs GROUP BY product_a, product_b
+)
+SELECT product_a, product_b, n AS n_days,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(SQRT((n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (n * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+             9) AS corr
+FROM s
+ORDER BY product_a, product_b
+""",
+    tags=("ta", "correlation", "join", "ohlcv"),
+)
+def returns_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation of per-product daily returns
+    (block comment above: day-keyed pair join, exact-decimal sums,
+    one fixed double expression)."""
+    c = _candles(spark, sf_dir, "day")
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    prev = F.lag("close").over(ow).cast("double")
+    rets = c.select(
+        "product_id",
+        "bucket",
+        F.round((F.col("close").cast("double") - prev) / prev, 9).alias("r"),
+    ).where(F.col("r").isNotNull())
+    a, b = rets.alias("a"), rets.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.bucket") == F.col("b.bucket"))
+        & (F.col("a.product_id") < F.col("b.product_id")),
+    ).select(
+        F.col("a.product_id").alias("product_a"),
+        F.col("b.product_id").alias("product_b"),
+        F.col("a.r").cast("decimal(15,9)").alias("x"),
+        F.col("b.r").cast("decimal(15,9)").alias("y"),
+    )
+    s = pairs.groupBy("product_a", "product_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    corr = F.round(
+        (n * sxy - sx * sy)
+        / F.nullif(F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), F.lit(0.0)),
+        9,
+    )
+    return s.select(
+        "product_a",
+        "product_b",
+        F.col("n").alias("n_days"),
+        corr.alias("corr"),
+    ).orderBy("product_a", "product_b")

@@ -534,3 +534,23 @@ def test_ta_indicators_stay_window_native(spark, name):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
     assert _data_exchanges(plan) <= 6, plan
+
+
+@pytest.mark.parametrize("name", ["filter_agreement_audit", "filter_kappa_pairs"])
+def test_filter_audit_single_scan(spark, name):
+    """The filter-agreement audit derives all three quality signals in
+    ONE higher-order-function projection per document — zero joins; the
+    only exchanges are the tiny final aggregate(s) and presentation
+    sort. At 100 TB this must stay a single map-side scan."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    assert _data_exchanges(plan) <= 3, plan
+
+
+def test_correlation_matrix_no_cartesian(spark):
+    """The cross-asset correlation pair join is keyed on the day (equi)
+    with product_a < product_b as a post-filter — never a cartesian or
+    nested-loop product over the return series."""
+    plan = _plan(spark, "returns_correlation_matrix")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
