@@ -428,3 +428,259 @@ query(
     # fixed-depth representative of the same per-round plan.
     bench=False,
 )(_pagerank_converged)
+
+
+# --- bipartite projection: co-purchase recommendations ----------------------
+# The item-item collaborative-filtering shape: project the
+# customer-supplier bipartite graph onto suppliers, weight each
+# supplier pair by shared customers, emit top-5 co-suppliers per
+# supplier. THE scale hazard of any bipartite projection is the hot
+# hub: one customer linked to S suppliers emits S^2/2 pairs, so a 1%
+# mega-customer dominates the whole job. The guard is the standard
+# candidate cap — each customer contributes at most its 20
+# lowest-keyed suppliers (deterministic, documented truncation; real
+# deployments cap by recency or weight with the identical plan). With
+# the cap, pair fan-out is <= 190 per customer — linear in customers.
+# The per-customer ROW_NUMBER window is itself bounded by that
+# customer's distinct-supplier count (the quadratic blowup is what
+# the cap removes, not the linear pass). Everything below is
+# engine-portable ANSI SQL: the same string runs on Spark and DuckDB.
+
+_COPURCHASE_BASE = """
+links AS (
+    SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS s
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+capped AS (
+    SELECT c, s FROM (
+        SELECT c, s, ROW_NUMBER() OVER (PARTITION BY c ORDER BY s) AS rn
+        FROM links
+    ) t WHERE rn <= 20
+),
+pairs AS (
+    SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS shared_customers
+    FROM capped a JOIN capped b ON a.c = b.c AND a.s < b.s
+    GROUP BY a.s, b.s
+)"""
+
+_COPURCHASE_SQL = (
+    "WITH "
+    + _COPURCHASE_BASE
+    + """,
+sym AS (
+    SELECT supp_a AS supp, supp_b AS rec, shared_customers FROM pairs
+    UNION ALL
+    SELECT supp_b AS supp, supp_a AS rec, shared_customers FROM pairs
+)
+SELECT supp AS l_suppkey,
+       CAST(rn AS INT) AS rank,
+       rec AS co_suppkey,
+       shared_customers
+FROM (
+    SELECT supp, rec, shared_customers,
+           ROW_NUMBER() OVER (PARTITION BY supp
+                              ORDER BY shared_customers DESC, rec) AS rn
+    FROM sym
+) r WHERE rn <= 5
+ORDER BY l_suppkey, rank
+"""
+)
+
+# Spark inlines WITH-CTEs (no materialization), so every reference to
+# `pairs` re-expands the full projection subtree — harmless for the
+# two-reference top-k query, catastrophic for the triangle census
+# below (the oe relation is referenced 3x and the naive inlined plan
+# exploded to 94 nested joins). Both Spark paths therefore materialize
+# the projection ONCE (lineage-truncated local checkpoint, the same
+# device the PageRank loop uses) and run the downstream SQL over the
+# materialized view; DuckDB materializes CTEs natively, so the oracles
+# keep the single-statement form.
+_PAIRS_VIEW = "copurchase_pairs_mat"
+_OE_VIEW = "copurchase_oriented_edges_mat"
+
+
+def _materialize_pairs(spark: SparkSession, sf_dir: str) -> None:
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    pairs = truncate_lineage(
+        spark.sql(
+            "WITH "
+            + _COPURCHASE_BASE
+            + "\nSELECT supp_a, supp_b, shared_customers FROM pairs"
+        ),
+        spark,
+    )
+    pairs.createOrReplaceTempView(_PAIRS_VIEW)
+
+
+def _copurchase_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 co-suppliers per supplier from the capped bipartite
+    projection (block comment above)."""
+    _materialize_pairs(spark, sf_dir)
+    return spark.sql(f"""
+WITH sym AS (
+    SELECT supp_a AS supp, supp_b AS rec, shared_customers
+    FROM {_PAIRS_VIEW}
+    UNION ALL
+    SELECT supp_b AS supp, supp_a AS rec, shared_customers
+    FROM {_PAIRS_VIEW}
+)
+SELECT supp AS l_suppkey,
+       CAST(rn AS INT) AS rank,
+       rec AS co_suppkey,
+       shared_customers
+FROM (
+    SELECT supp, rec, shared_customers,
+           ROW_NUMBER() OVER (PARTITION BY supp
+                              ORDER BY shared_customers DESC, rec) AS rn
+    FROM sym
+) r WHERE rn <= 5
+ORDER BY l_suppkey, rank
+""")
+
+
+_copurchase_fn.__name__ = "copurchase_supplier_topk"
+query(
+    "copurchase_supplier_topk",
+    oracle=_COPURCHASE_SQL,
+    tags=("graph", "recommendation", "projection", "topk"),
+)(_copurchase_fn)
+
+
+# --- triangle census (degree-ordered) on the co-purchase graph --------------
+# Triangle counting on the thresholded projection (edges = supplier
+# pairs with shared customers >= 2x the mean support — a data-derived
+# "significant co-occurrence" gate that ports across scale factors).
+# The algorithm is the degree-ordered orientation (Chiba-Nishizeki /
+# the standard MapReduce formulation): rank nodes by (degree, id),
+# direct every edge low -> high, enumerate wedges only from each
+# node's OUT-edges, close with one equi-join. Why this is the 100 TB
+# shape: out-degree under this orientation is O(sqrt(m)) even on
+# power-law graphs, so wedge fan-out is sum(outdeg^2) = O(m^1.5)
+# instead of the O(sum deg^2) a naive wedge enumeration pays on hubs;
+# every join below is an equi-join (rank comparisons ride along as
+# filters). Each triangle is counted exactly once, at its
+# minimum-rank vertex. Output: per-node degree, triangle count, and
+# local clustering coefficient 2T/(d(d-1)) — integer counts
+# throughout, one fixed double expression at the end.
+
+_TRIANGLE_SQL = (
+    "WITH "
+    + _COPURCHASE_BASE
+    + """,
+stats AS (
+    SELECT CAST(SUM(shared_customers) AS DOUBLE) / COUNT(*) AS mean_shared
+    FROM pairs
+),
+edges AS (
+    SELECT supp_a AS ea, supp_b AS eb
+    FROM pairs CROSS JOIN stats
+    WHERE shared_customers >= 2 * mean_shared
+),
+und AS (SELECT ea AS u FROM edges UNION ALL SELECT eb AS u FROM edges),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+oe AS (
+    SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+                THEN e.ea ELSE e.eb END AS s,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+                THEN e.eb ELSE e.ea END AS t,
+           CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+                THEN db.d ELSE da.d END AS dt
+    FROM edges e
+    JOIN deg da ON da.u = e.ea
+    JOIN deg db ON db.u = e.eb
+),
+wedge AS (
+    SELECT o1.s AS a, o1.t AS b, o2.t AS c
+    FROM oe o1
+    JOIN oe o2 ON o2.s = o1.s
+              AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+),
+tri AS (
+    SELECT w.a, w.b, w.c
+    FROM wedge w JOIN oe o3 ON o3.s = w.b AND o3.t = w.c
+),
+parts AS (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+),
+tcnt AS (SELECT v, COUNT(*) AS n_tri FROM parts GROUP BY v)
+SELECT d.u AS l_suppkey,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+             / NULLIF(d.d * (d.d - 1), 0), 9) AS clustering_coeff
+FROM deg d LEFT JOIN tcnt t ON t.v = d.u
+ORDER BY l_suppkey
+"""
+)
+
+def _triangle_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-ordered triangle census over the thresholded co-purchase
+    graph (block comment above). The oriented-edge relation is
+    materialized before the wedge/close joins — see the CTE-inlining
+    note at _PAIRS_VIEW."""
+    _materialize_pairs(spark, sf_dir)
+    oe = truncate_lineage(
+        spark.sql(f"""
+WITH stats AS (
+    SELECT CAST(SUM(shared_customers) AS DOUBLE) / COUNT(*) AS mean_shared
+    FROM {_PAIRS_VIEW}
+),
+edges AS (
+    SELECT supp_a AS ea, supp_b AS eb
+    FROM {_PAIRS_VIEW} CROSS JOIN stats
+    WHERE shared_customers >= 2 * mean_shared
+),
+und AS (SELECT ea AS u FROM edges UNION ALL SELECT eb AS u FROM edges),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u)
+SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+            THEN e.ea ELSE e.eb END AS s,
+       CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+            THEN e.eb ELSE e.ea END AS t,
+       CASE WHEN da.d < db.d OR (da.d = db.d AND e.ea < e.eb)
+            THEN db.d ELSE da.d END AS dt
+FROM edges e
+JOIN deg da ON da.u = e.ea
+JOIN deg db ON db.u = e.eb
+"""),
+        spark,
+    )
+    oe.createOrReplaceTempView(_OE_VIEW)
+    return spark.sql(f"""
+WITH und AS (
+    SELECT s AS u FROM {_OE_VIEW} UNION ALL SELECT t AS u FROM {_OE_VIEW}
+),
+deg AS (SELECT u, COUNT(*) AS d FROM und GROUP BY u),
+wedge AS (
+    SELECT o1.s AS a, o1.t AS b, o2.t AS c
+    FROM {_OE_VIEW} o1
+    JOIN {_OE_VIEW} o2 ON o2.s = o1.s
+              AND (o1.dt < o2.dt OR (o1.dt = o2.dt AND o1.t < o2.t))
+),
+tri AS (
+    SELECT w.a, w.b, w.c
+    FROM wedge w JOIN {_OE_VIEW} o3 ON o3.s = w.b AND o3.t = w.c
+),
+parts AS (
+    SELECT a AS v FROM tri
+    UNION ALL SELECT b AS v FROM tri
+    UNION ALL SELECT c AS v FROM tri
+),
+tcnt AS (SELECT v, COUNT(*) AS n_tri FROM parts GROUP BY v)
+SELECT d.u AS l_suppkey,
+       CAST(d.d AS BIGINT) AS degree,
+       CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+       ROUND(CAST(2 * COALESCE(t.n_tri, 0) AS DOUBLE)
+             / NULLIF(d.d * (d.d - 1), 0), 9) AS clustering_coeff
+FROM deg d LEFT JOIN tcnt t ON t.v = d.u
+ORDER BY l_suppkey
+""")
+
+
+_triangle_fn.__name__ = "triangle_census_copurchase"
+query(
+    "triangle_census_copurchase",
+    oracle=_TRIANGLE_SQL,
+    tags=("graph", "triangles", "clustering"),
+)(_triangle_fn)

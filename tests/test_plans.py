@@ -554,3 +554,22 @@ def test_correlation_matrix_no_cartesian(spark):
     plan = _plan(spark, "returns_correlation_matrix")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["copurchase_supplier_topk", "triangle_census_copurchase"]
+)
+def test_copurchase_graph_no_plan_explosion(spark, name):
+    """Spark inlines CTEs, so the multiply-referenced projection/
+    oriented-edge relations MUST be materialized before the downstream
+    joins — the naive single-statement triangle census compiled to 94
+    nested broadcast-nested-loop joins. Pin: zero BNLJ/cartesians and
+    the window count stays at the top-k query's own (<= 3), proving
+    the wedge enumeration runs on materialized edges, not re-expanded
+    subtrees."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    assert len(re.findall(r"\(\d+\) Window", plan)) <= 3, name
