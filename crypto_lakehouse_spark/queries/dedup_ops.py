@@ -1167,3 +1167,50 @@ def leakage_safe_split(spark, sf_dir: str):
         )
     )
     return out
+
+
+# --- soft-dedup survivor weights ---------------------------------------------
+# The reweighting alternative to hard dedup (the "count duplicates as
+# weight" recipe for training-data pipelines): every kept document
+# carries its near-dup CLUSTER SIZE as an integer weight, so the
+# training loss can upweight popular content by its true frequency
+# instead of either hard-dropping it (weight forced to 1) or keeping
+# all copies (token waste). Keeper rule = near_dup_keep's (cluster
+# root or unclustered singleton); weight = component size from the
+# same star-CC labels, COALESCEd to 1 for singletons. Scale shape:
+# the CC fixpoint is the shared checkpointed loop; after it, one
+# groupBy(component) and two doc_id/component-keyed joins onto the
+# corpus (AQE broadcasts the label side when small).
+
+@query(
+    "dedup_survivor_weights",
+    oracle=_CC_CTES
+    + """,
+csize AS (SELECT component, COUNT(*) AS w FROM cc GROUP BY component)
+SELECT d.doc_id, CAST(COALESCE(s.w, 1) AS BIGINT) AS weight
+FROM documents d
+LEFT JOIN cc c ON d.doc_id = c.node
+LEFT JOIN csize s ON s.component = c.component
+WHERE c.node IS NULL OR d.doc_id = c.component
+ORDER BY d.doc_id
+""",
+    tags=("dedup", "clustering", "keeper", "weights"),
+)
+def dedup_survivor_weights(spark, sf_dir: str):
+    """Soft-dedup: kept docs weighted by near-dup cluster size (block
+    comment above)."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.io import load_table
+
+    labels = dup_clusters_cc_star(spark, sf_dir).select("doc_id", "component")
+    sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("w"))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    j = (
+        docs.join(labels, "doc_id", "left")
+        .join(sizes, "component", "left")
+        .where(F.col("component").isNull() | (F.col("doc_id") == F.col("component")))
+    )
+    return j.select(
+        "doc_id", F.coalesce(F.col("w"), F.lit(1)).cast("bigint").alias("weight")
+    ).orderBy("doc_id")

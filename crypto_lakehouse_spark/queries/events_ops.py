@@ -795,3 +795,87 @@ def daily_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "day", "value_sum", F.round("z", 9).alias("zscore"))
         .orderBy("event_type", "day")
     )
+
+
+# --- multi-touch (linear) attribution ----------------------------------------
+# Marketing attribution, the multi-touch variant of the as-of join:
+# every click by the same user in the hour BEFORE a purchase shares
+# the purchase's value equally (linear attribution; first/last-touch
+# are the asof_join_purchase_click / asof_forward_next_click family).
+# Scale shape: one user-keyed equi-join with a bounded time predicate
+# — fan-out is clicks-per-user-per-hour, never the cross product —
+# then one per-purchase window COUNT and a per-user rollup.
+# Determinism: the per-touch credit is ROUND(value/n, 9) cast to
+# DECIMAL before the order-free rollup sum (value is a raw DOUBLE
+# column; summing un-rounded double credits would be order-dependent).
+
+@query(
+    "multi_touch_attribution",
+    oracle="""
+WITH purch AS (
+    SELECT user_id, event_id AS purchase_id, ts, value
+    FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+    SELECT user_id, event_id AS click_id, ts
+    FROM events WHERE event_type = 'click'
+),
+touches AS (
+    SELECT p.user_id, p.purchase_id, p.value, c.click_id
+    FROM purch p
+    JOIN clicks c ON c.user_id = p.user_id
+                 AND c.ts <= p.ts
+                 AND c.ts > p.ts - INTERVAL 1 HOUR
+),
+alloc AS (
+    SELECT user_id, purchase_id, click_id,
+           CAST(ROUND(value / COUNT(*) OVER (PARTITION BY purchase_id), 9)
+                AS DECIMAL(28, 9)) AS credit
+    FROM touches
+)
+SELECT user_id,
+       COUNT(DISTINCT purchase_id) AS n_purchases_touched,
+       COUNT(*) AS n_touches,
+       CAST(SUM(credit) AS DOUBLE) AS attributed_value
+FROM alloc
+GROUP BY user_id
+ORDER BY user_id
+""",
+    tags=("events", "attribution", "range-join"),
+)
+def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: clicks within the hour before a
+    purchase split its value equally (block comment above)."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+    )
+    touches = purch.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") <= F.col("ts"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id")
+    alloc = touches.select(
+        "user_id",
+        "purchase_id",
+        "click_id",
+        F.round(F.col("value") / F.count(F.lit(1)).over(w), 9)
+        .cast("decimal(28,9)")
+        .alias("credit"),
+    )
+    return (
+        alloc.groupBy("user_id")
+        .agg(
+            F.countDistinct("purchase_id").alias("n_purchases_touched"),
+            F.count(F.lit(1)).alias("n_touches"),
+            F.sum("credit").cast("double").alias("attributed_value"),
+        )
+        .orderBy("user_id")
+    )

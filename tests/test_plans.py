@@ -573,3 +573,14 @@ def test_copurchase_graph_no_plan_explosion(spark, name):
     import re
 
     assert len(re.findall(r"\(\d+\) Window", plan)) <= 3, name
+
+
+def test_attribution_range_join_is_user_keyed(spark):
+    """Multi-touch attribution must join clicks to purchases on the
+    user EQUI-key with the hour bound as a post-filter — a pure
+    interval/nested-loop join over the event stream would be quadratic
+    in events at 100 TB."""
+    plan = _plan(spark, "multi_touch_attribution")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
