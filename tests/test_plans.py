@@ -476,14 +476,21 @@ def test_simhash64_banded_join_over_persisted_fps(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("InMemoryTableScan") >= 3, "fps not persisted/reused"
-    # The only Generates allowed are the two 4-band explodes of the
-    # cached fps relation (one per self-join side) plus the shingle
-    # explode that formatted mode prints inside the cached-relation
-    # description — a 64x bit explode would add more.
+    # Classify Generates by their arguments instead of a raw count:
+    # formatted mode re-prints the cached fingerprint BUILD (whose
+    # shingle explode is marked by concat_ws) once per distinct cached
+    # subtree, and how many copies appear depends on session cache
+    # state (1 in isolation, 2 after an oracle sweep warmed the
+    # shingle cache). The invariants that matter: at most the two
+    # 4-band explodes outside the build, and no 64x bit explode
+    # anywhere (the vote aggregate is the 64-column wide SUM).
     import re
 
-    gens = re.findall(r"\(\d+\) Generate", plan)
-    assert len(gens) <= 3, plan
+    blocks = re.split(r"\(\d+\) Generate", plan)[1:]
+    args = [b.split("Arguments:", 1)[1].split("\n", 1)[0] for b in blocks]
+    band_explodes = [a for a in args if "concat_ws" not in a]
+    assert len(band_explodes) <= 2, plan
+    assert not any("sequence(1, 64" in a for a in args), plan
 
 
 def test_dim_truncation_recall_probe_bounded(spark):
