@@ -45,6 +45,11 @@ TIER = [
     "asof_join_cogroup",
     "leakage_safe_split",
     "wordpiece_tokenize_recursive",
+    # round-8 widening additions that crossed the >2s-at-sf0.1 rule
+    # (BENCH_FULL_r08.json: 3.96 / 3.78 / 3.01 s)
+    "triangle_census_copurchase",
+    "rrf_hybrid_topk",
+    "dedup_survivor_weights",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
