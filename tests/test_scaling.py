@@ -257,3 +257,82 @@ def test_ramp_subquadratic_on_giant_component(spark, name, giant_cc_dirs):
         f"(x{ratio:.1f}, exponent {__import__('math').log10(max(ratio, 1e-9)):.2f}); "
         "the CC loop should be O(log diameter) rounds x linear shuffle"
     )
+
+
+# --- hot-hub fixture for the bipartite projection ---------------------------
+# The co-purchase projection's scale claim rests on the per-customer
+# candidate cap absorbing hub customers (one mega-customer linked to S
+# suppliers otherwise emits S^2/2 pairs). The driver's orders are
+# near-uniform, so this fixture manufactures the hub: customer 0 links
+# to EVERY supplier, everyone else to 3. Two scales grow BOTH the
+# customer count and the hub's width 10x — uncapped, the hub's pair
+# output alone would grow 100x and trip the ramp bound.
+
+COPURCHASE_QUERIES = ["copurchase_supplier_topk", "triangle_census_copurchase"]
+
+
+def _hub_tables(spark, path: str, n_cust: int, n_supp: int) -> None:
+    import os
+
+    if os.path.exists(os.path.join(path, "orders.parquet")):
+        return
+    orders = [(c, c) for c in range(n_cust)]  # one order per customer
+    lineitem = [(0, s) for s in range(n_supp)]  # the hub: every supplier
+    for c in range(1, n_cust):
+        for j in range(3):
+            lineitem.append((c, (c * 48271 + j * 7919) % n_supp))
+    spark.createDataFrame(
+        orders, "o_orderkey BIGINT, o_custkey BIGINT"
+    ).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(path, "orders.parquet")
+    )
+    spark.createDataFrame(
+        lineitem, "l_orderkey BIGINT, l_suppkey BIGINT"
+    ).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(path, "lineitem.parquet")
+    )
+
+
+@pytest.fixture(scope="module")
+def hub_dirs(spark, tmp_path_factory):
+    small = str(tmp_path_factory.mktemp("hub_small"))
+    big = str(tmp_path_factory.mktemp("hub_big"))
+    _hub_tables(spark, small, 200, 100)
+    _hub_tables(spark, big, 2000, 1000)
+    return small, big
+
+
+@pytest.mark.parametrize("name", COPURCHASE_QUERIES)
+def test_ramp_subquadratic_on_hub_customer(spark, name, hub_dirs):
+    small_dir, big_dir = hub_dirs
+    _time(spark, name, small_dir)  # warm
+    small = max(_time(spark, name, small_dir), FLOOR_SEC)
+    big = _time(spark, name, big_dir)
+    ratio = big / small
+    assert ratio < RATIO_MAX, (
+        f"{name} on hub-customer graph: {small:.2f}s -> {big:.2f}s "
+        f"(x{ratio:.1f}); the per-customer cap should absorb the hub"
+    )
+
+
+def test_copurchase_cap_bounds_hub_fanout(spark, hub_dirs):
+    """The projection's pair count must be bounded by customers x
+    C(20,2), hub included — i.e. the cap provably truncated the
+    mega-customer before pair generation."""
+    from crypto_lakehouse_spark.io import register_views
+    from crypto_lakehouse_spark.queries.graph_ops import _COPURCHASE_BASE
+
+    _, big_dir = hub_dirs
+    register_views(spark, big_dir, ["lineitem", "orders"])
+    n_pairs = spark.sql(
+        "WITH " + _COPURCHASE_BASE + "\nSELECT COUNT(*) AS c FROM pairs"
+    ).first()[0]
+    assert n_pairs <= 2000 * 190, n_pairs
+    # And the hub's own contribution is exactly C(20, 2), not C(1000, 2).
+    hub_pairs = spark.sql(
+        "WITH " + _COPURCHASE_BASE.replace(
+            "FROM links", "FROM links WHERE c = 0", 1
+        )
+        + "\nSELECT COUNT(*) AS c FROM pairs"
+    ).first()[0]
+    assert hub_pairs == 190, hub_pairs
