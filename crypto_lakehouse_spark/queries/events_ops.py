@@ -879,3 +879,65 @@ def multi_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- weekday seasonality index ------------------------------------------------
+# Per event type: mean value by weekday divided by the overall mean —
+# the multiplicative seasonality index that calendarized forecasting
+# and anomaly baselines start from (an index of 1.0 = no weekday
+# effect). Weekday comes from the epoch-day modulo (1970-01-01 was a
+# Thursday), NOT the engines' dayofweek builtins, whose numbering
+# conventions differ (Spark 1=Sunday, DuckDB 0=Sunday, isodow 1=Monday)
+# — integer arithmetic is convention-free and identical. One narrow
+# scan, two small aggregates; the raw DOUBLE values are rounded and
+# decimal-summed per the house discipline.
+
+_WD_NAMES = ("CASE epoch_day % 7 WHEN 0 THEN '4_thu' WHEN 1 THEN '5_fri' "
+             "WHEN 2 THEN '6_sat' WHEN 3 THEN '7_sun' WHEN 4 THEN '1_mon' "
+             "WHEN 5 THEN '2_tue' ELSE '3_wed' END")
+
+
+def _seasonality_sql(epoch_day: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT event_type,
+           {_WD_NAMES} AS weekday,
+           CAST(ROUND(value, 9) AS DECIMAL(24, 9)) AS v
+    FROM (SELECT event_type, value, {epoch_day} AS epoch_day FROM events)
+),
+by_day AS (
+    SELECT event_type, weekday, COUNT(*) AS n,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS day_mean
+    FROM base GROUP BY event_type, weekday
+),
+overall AS (
+    SELECT event_type, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS all_mean
+    FROM base GROUP BY event_type
+)
+SELECT d.event_type,
+       d.weekday,
+       CAST(d.n AS BIGINT) AS n_events,
+       ROUND(d.day_mean, 9) AS day_mean,
+       ROUND(d.day_mean / o.all_mean, 9) AS seasonality_index
+FROM by_day d JOIN overall o ON o.event_type = d.event_type
+ORDER BY d.event_type, weekday
+"""
+
+
+@query(
+    "weekday_seasonality_index",
+    oracle=_seasonality_sql(
+        "CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"
+    ),
+    tags=("events", "seasonality", "time-series"),
+)
+def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiplicative weekday seasonality per event type (block comment
+    above: convention-free epoch-day weekday, decimal-safe means)."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        _seasonality_sql(
+            "CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)"
+        )
+    )

@@ -1280,3 +1280,69 @@ def contamination_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("benchmark_id")
     )
+
+
+# --- embedding covariance (PCA prep) ----------------------------------------
+# The upper-triangular sample covariance of the 64 embedding dims —
+# the single-pass statistic every PCA / whitening / decorrelation step
+# needs before touching eigensolvers. Scale shape: ONE pass over the
+# corpus accumulating 64 + 64*65/2 sums (map-side combine absorbs
+# everything; output is 2080 rows regardless of corpus size — the
+# classic "accumulate small sufficient statistics" pattern). The
+# dims are exploded pairwise per vector (i <= j), so the shuffle
+# carries only (i, j, partial sums). NULL embeddings are excluded
+# (the vector-kernel contract). Determinism: per-element products are
+# rounded to 12 and summed as DECIMAL (order-free), the mean/cov
+# arithmetic is one fixed double expression per output cell.
+
+_COV_TAIL = """
+sums AS (
+    SELECT i, j, COUNT(*) AS n,
+           SUM(xy) AS sxy, SUM(xi) AS sxi, SUM(xj) AS sxj
+    FROM cells GROUP BY i, j
+)
+SELECT CAST(i AS INT) AS dim_i, CAST(j AS INT) AS dim_j,
+       CAST(n AS BIGINT) AS n_vectors,
+       ROUND((CAST(sxy AS DOUBLE)
+              - CAST(sxi AS DOUBLE) * CAST(sxj AS DOUBLE) / n)
+             / (n - 1), 9) AS cov
+FROM sums
+WHERE n > 1
+ORDER BY dim_i, dim_j
+"""
+
+# The pairwise cells come from chained explodes of the SAME array per
+# row — NOT a dims-with-dims self-join on vec_id, which would shuffle
+# the exploded corpus twice; this form is a pure narrow map transform
+# (64*65/2 cells per vector) feeding the one combiner-absorbed agg.
+_pair(
+    "embedding_covariance_upper",
+    """
+WITH cells AS (
+    SELECT a.i + 1 AS i, b.j + 1 AS j,
+           CAST(ROUND(CAST(a.vi AS DOUBLE) * CAST(b.vj AS DOUBLE), 12)
+                AS DECIMAL(30, 12)) AS xy,
+           CAST(ROUND(CAST(a.vi AS DOUBLE), 9) AS DECIMAL(22, 9)) AS xi,
+           CAST(ROUND(CAST(b.vj AS DOUBLE), 9) AS DECIMAL(22, 9)) AS xj
+    FROM embeddings
+    LATERAL VIEW posexplode(embedding) a AS i, vi
+    LATERAL VIEW posexplode(embedding) b AS j, vj
+    WHERE embedding IS NOT NULL AND b.j >= a.i
+),"""
+    + _COV_TAIL,
+    """
+WITH cells AS (
+    SELECT ti.i AS i, tj.j AS j,
+           CAST(ROUND(CAST(embedding[ti.i] AS DOUBLE)
+                      * CAST(embedding[tj.j] AS DOUBLE), 12)
+                AS DECIMAL(30, 12)) AS xy,
+           CAST(ROUND(CAST(embedding[ti.i] AS DOUBLE), 9)
+                AS DECIMAL(22, 9)) AS xi,
+           CAST(ROUND(CAST(embedding[tj.j] AS DOUBLE), 9)
+                AS DECIMAL(22, 9)) AS xj
+    FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
+    WHERE embedding IS NOT NULL AND tj.j >= ti.i
+),"""
+    + _COV_TAIL,
+    tags=("similarity", "covariance", "pca", "statistics"),
+)

@@ -415,3 +415,95 @@ def returns_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_days"),
         corr.alias("corr"),
     ).orderBy("product_a", "product_b")
+
+
+# --- longest up-streak (gaps and islands) -------------------------------------
+# Longest run of consecutive up-days per product — the canonical
+# gaps-and-islands shape: up-days grouped into islands by the
+# row_number difference trick (rn over all days minus rn over up-days
+# is constant within a run of ups), then one island-size aggregate.
+# Two per-product ordered windows + two aggregates, no self-joins;
+# deltas are exact decimal comparisons, output is pure integers plus
+# the streak's end date (earliest on ties, made deterministic by the
+# MIN over islands of (size, -last_day) encoded as a struct compare in
+# Spark and an ORDER BY LIMIT-free argmin in SQL).
+
+@query(
+    "updays_longest_streak",
+    oracle=_DAILY_ORACLE
+    + """,
+flagged AS (
+    SELECT product_id, bucket,
+           CASE WHEN close > LAG(close) OVER w THEN 1 ELSE 0 END AS up,
+           ROW_NUMBER() OVER w AS rn
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+grouped AS (
+    SELECT product_id, bucket,
+           rn - ROW_NUMBER() OVER (PARTITION BY product_id
+                                   ORDER BY bucket) AS grp
+    FROM flagged WHERE up = 1
+),
+islands AS (
+    SELECT product_id, grp,
+           COUNT(*) AS streak_len,
+           MAX(bucket) AS streak_end
+    FROM grouped
+    GROUP BY product_id, grp
+)
+SELECT product_id,
+       CAST(MAX(streak_len) AS BIGINT) AS longest_up_streak,
+       strftime(MIN(CASE WHEN streak_len = best THEN streak_end END),
+                '%Y-%m-%d') AS streak_end
+FROM (
+    SELECT product_id, streak_len, streak_end,
+           MAX(streak_len) OVER (PARTITION BY product_id) AS best
+    FROM islands
+)
+GROUP BY product_id
+ORDER BY product_id
+""",
+    tags=("ta", "streak", "window", "gaps-islands"),
+)
+def updays_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-up-day run per product via the
+    row_number-difference islands trick (block comment above)."""
+    c = _candles(spark, sf_dir, "day")
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    flagged = c.select(
+        "product_id",
+        "bucket",
+        F.when(F.col("close") > F.lag("close").over(ow), 1)
+        .otherwise(0)
+        .alias("up"),
+        F.row_number().over(ow).alias("rn"),
+    )
+    ups = flagged.where(F.col("up") == 1)
+    ow2 = Window.partitionBy("product_id").orderBy("bucket")
+    grouped = ups.select(
+        "product_id",
+        "bucket",
+        (F.col("rn") - F.row_number().over(ow2)).alias("grp"),
+    )
+    islands = grouped.groupBy("product_id", "grp").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.max("bucket").alias("streak_end"),
+    )
+    best = islands.withColumn(
+        "best", F.max("streak_len").over(Window.partitionBy("product_id"))
+    )
+    return (
+        best.groupBy("product_id")
+        .agg(
+            F.max("streak_len").cast("bigint").alias("longest_up_streak"),
+            fmt_date(
+                F.min(
+                    F.when(
+                        F.col("streak_len") == F.col("best"), F.col("streak_end")
+                    )
+                )
+            ).alias("streak_end"),
+        )
+        .orderBy("product_id")
+    )

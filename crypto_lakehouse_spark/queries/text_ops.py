@@ -730,3 +730,51 @@ query(
     ),
     tags=("text", "retrieval", "hybrid", "rrf", "topk"),
 )(_rrf_fn)
+
+
+# --- TF-IDF keyword extraction -----------------------------------------------
+# Top-3 characteristic terms per document by tf-idf — the per-doc
+# companion of idf_cosine_topk (which uses the same weighting for
+# pairwise similarity). tfidf = c * ln(n_docs / df); ranking is per
+# document, so the window key is doc_id — no hot key beyond document
+# length, and the (doc, term) relation is the natural inverted-index
+# build. Determinism: counts are integers, ln runs on identical
+# doubles, scores ROUND(...,9)-stabilized, ties broken by term.
+
+def _tfidf_kw_sql(tok: str, split: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok} AS t FROM (
+        SELECT doc_id, {split}(text, ' ') AS ws FROM documents
+    )
+),
+tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+    SELECT tf.doc_id, tf.t,
+           CAST(tf.c AS BIGINT) AS c,
+           ROUND(tf.c * LN(CAST(s.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+    FROM tf JOIN df ON df.t = tf.t CROSS JOIN nn s
+)
+SELECT doc_id,
+       CAST(rn AS INT) AS rank,
+       t AS term,
+       c AS term_count,
+       tfidf
+FROM (
+    SELECT doc_id, t, c, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, t) AS rn
+    FROM scored
+) r WHERE rn <= 3
+ORDER BY doc_id, rank
+"""
+
+
+_pair(
+    "tfidf_keywords_top3",
+    _tfidf_kw_sql("explode(ws)", "split"),
+    _tfidf_kw_sql("unnest(ws)", "string_split"),
+    tags=("text", "tfidf", "keywords", "topk"),
+)

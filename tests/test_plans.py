@@ -591,3 +591,31 @@ def test_attribution_range_join_is_user_keyed(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "BroadcastHashJoin" in plan or "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+
+
+def test_covariance_is_join_free_single_pass(spark):
+    """The covariance sufficient statistics must come from chained
+    explodes of the same array per row — zero joins, zero shuffles
+    before the one combiner-absorbed aggregate (a dims-with-dims
+    self-join on vec_id would shuffle the exploded corpus twice)."""
+    plan = _plan(spark, "embedding_covariance_upper")
+    assert "Join" not in plan
+    assert _data_exchanges(plan) <= 2, plan
+
+
+def test_tfidf_keywords_no_cartesian(spark):
+    """TF-IDF keyword extraction: df/nn join back to tf by term with
+    the 1-row doc count broadcast — no cartesian growth."""
+    plan = _plan(spark, "tfidf_keywords_top3")
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["updays_longest_streak", "weekday_seasonality_index"]
+)
+def test_batch8_series_ops_no_joins_blowup(spark, name):
+    """The streak (gaps-and-islands windows) and seasonality (two
+    small aggregates) queries must not degrade to products."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
