@@ -941,3 +941,57 @@ def weekday_seasonality_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)"
         )
     )
+
+
+# --- event transition matrix (first-order Markov) -----------------------------
+# The user-journey transition matrix: P(next event type | current),
+# from per-user LEAD over the event stream (deterministic order:
+# ts then event_id). The row-normalized probabilities are each one
+# double division of exact integer counts. Scale shape: one
+# user-keyed window (the stream's natural partitioning) + one
+# 25-cell aggregate — the transition count matrix is a fixed-size
+# sufficient statistic regardless of corpus size.
+
+@query(
+    "event_transition_matrix",
+    oracle="""
+WITH steps AS (
+    SELECT event_type AS src,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS dst
+    FROM events
+),
+counts AS (
+    SELECT src, dst, COUNT(*) AS n
+    FROM steps WHERE dst IS NOT NULL
+    GROUP BY src, dst
+)
+SELECT src, dst,
+       CAST(n AS BIGINT) AS n_transitions,
+       ROUND(CAST(n AS DOUBLE)
+             / SUM(n) OVER (PARTITION BY src), 9) AS p
+FROM counts
+ORDER BY src, dst
+""",
+    tags=("events", "markov", "window", "transition"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    streams (block comment above)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = ev.select(
+        F.col("event_type").alias("src"),
+        F.lead("event_type").over(w).alias("dst"),
+    ).where(F.col("dst").isNotNull())
+    counts = steps.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    return counts.select(
+        "src",
+        "dst",
+        F.col("n").cast("bigint").alias("n_transitions"),
+        F.round(
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("src")),
+            9,
+        ).alias("p"),
+    ).orderBy("src", "dst")

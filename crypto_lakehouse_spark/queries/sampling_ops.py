@@ -300,3 +300,85 @@ _pair(
     tables=["events"],
     tags=("sampling", "aggregation", "ordered-set"),
 )
+
+
+# --- Benford first-digit audit ----------------------------------------------
+# The forensic data-quality screen: the leading-digit distribution of
+# order totals against Benford's law (expected p(d) = log10(1 + 1/d)),
+# with each digit's chi-square contribution so the full statistic is
+# one more SUM away. Digit extraction is STRING-based (first [1-9] in
+# the decimal rendering) — a log10/pow round-trip can misclassify
+# exact powers of ten if one engine's libm lands epsilon below the
+# integer. One scan, one 9-row aggregate; all shares divide exact
+# integer counts.
+
+_BENFORD = """
+WITH digits AS (
+    SELECT regexp_extract(CAST(o_totalprice AS STRING), '[1-9]', 0) AS d
+    FROM orders
+    WHERE o_totalprice > 0
+),
+counts AS (
+    SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT SUM(n) AS total FROM counts)
+SELECT CAST(c.d AS INT) AS digit,
+       CAST(c.n AS BIGINT) AS n_orders,
+       ROUND(CAST(c.n AS DOUBLE) / t.total, 9) AS observed_frac,
+       ROUND(LOG10(1 + CAST(1 AS DOUBLE) / CAST(c.d AS INT)), 9)
+           AS benford_frac,
+       ROUND(POW(CAST(c.n AS DOUBLE) / t.total
+                 - LOG10(1 + CAST(1 AS DOUBLE) / CAST(c.d AS INT)), 2)
+             / LOG10(1 + CAST(1 AS DOUBLE) / CAST(c.d AS INT)), 9)
+           AS chi2_contrib
+FROM counts c CROSS JOIN tot t
+ORDER BY digit
+"""
+
+_pair(
+    "benford_first_digit_audit",
+    _BENFORD.replace("AS STRING", "AS STRING"),
+    _BENFORD.replace("CAST(o_totalprice AS STRING)",
+                     "CAST(o_totalprice AS VARCHAR)"),
+    tables=["orders"],
+    tags=("sampling", "data-quality", "benford", "audit"),
+)
+
+
+# --- winsorized mean --------------------------------------------------------
+# Outlier-robust mean of event values: clip at the exact p5/p95 per
+# event type (percentile_cont, the ordered-set aggregate both engines
+# share), then average the clipped values. The clip bounds join back
+# broadcast-sized (one row per event type); clipped values are rounded
+# then decimal-summed because `value` is a raw DOUBLE column.
+
+_WINSOR = """
+WITH bounds AS (
+    SELECT event_type,
+           percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS lo,
+           percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS hi
+    FROM events GROUP BY event_type
+),
+clipped AS (
+    SELECT e.event_type,
+           CAST(ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 9)
+                AS DECIMAL(24, 9)) AS v,
+           CAST(ROUND(e.value, 9) AS DECIMAL(24, 9)) AS raw
+    FROM events e JOIN bounds b ON b.event_type = e.event_type
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       ROUND(CAST(SUM(raw) AS DOUBLE) / COUNT(*), 9) AS raw_mean,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 9) AS winsorized_mean
+FROM clipped
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+_pair(
+    "winsorized_mean_value",
+    _WINSOR,
+    _WINSOR,
+    tables=["events"],
+    tags=("sampling", "robust-statistics", "aggregation"),
+)

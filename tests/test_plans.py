@@ -619,3 +619,16 @@ def test_batch8_series_ops_no_joins_blowup(spark, name):
     plan = _plan(spark, name)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["benford_first_digit_audit", "winsorized_mean_value", "event_transition_matrix"],
+)
+def test_batch9_audits_no_blowup(spark, name):
+    """Benford (9-cell aggregate + 1-row total), winsorized mean
+    (per-type bounds broadcast back), and the Markov matrix (fixed
+    25-cell sufficient statistic) must not degrade to products; the
+    only nested-loop allowed is the 1-row total/bounds cross join."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
