@@ -590,15 +590,20 @@ query(
 # doc_id tie-breaks, so ranks are exact integers; the fused score is
 # two double divisions summed in written order and rounded to 12.
 
-def _rrf_sql(tok: str, split: str, emb_explode_seed: str,
-             emb_explode_all: str, emb_v: str) -> str:
+def _rrf_pre(tok: str, split: str) -> str:
+    """The lexical leg through the top-10 `lex` CTE. On the Spark side
+    this is MATERIALIZED once (lineage-truncated) before the dense leg:
+    `lex` is referenced by svec, the fusion, and the final select, and
+    Spark's CTE inlining re-executes the whole BM25 pipeline per
+    reference (~3x — measured 25 s at sf1 vs ~3 s for one bm25_topk).
+    DuckDB materializes CTEs natively, so the oracle keeps the
+    single-statement form."""
     queries = (
         "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
         "(2, 'stream'), (2, 'window'), (2, 'batch'), "
         "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
     )
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id, {tok} AS tok FROM (
         SELECT doc_id, {split}(text, ' ') AS ws FROM documents
     )
@@ -634,8 +639,12 @@ lex AS (
                                   ORDER BY bm25 DESC, doc_id) AS rn
         FROM scored
     ) r WHERE rn <= 10
-),
-svec AS (
+)"""
+
+
+def _rrf_tail(emb_explode_seed: str, emb_explode_all: str,
+              emb_v: str) -> str:
+    return f"""svec AS (
     SELECT l.qid, t_e.i, CAST({emb_v} AS DOUBLE) AS v
     FROM lex l
     JOIN embeddings e ON e.vec_id = l.doc_id
@@ -654,13 +663,20 @@ allvec AS (
     {emb_explode_all}
 ),
 dots AS (
+    -- Scaled-integer sums, NOT DECIMAL(30,12): precision > 18 forces
+    -- Spark onto boxed BigDecimal accumulators (measured ~9 s PER SUM
+    -- over the 3.8M-cell join at sf1; 3 sums = the whole query's
+    -- cost). Each (qid, doc_id) group has exactly 64 elements, so
+    -- round(x * 1e12) summed as BIGINT is exact (|sum| <= 64 * 1e16)
+    -- and whole-stage-codegen fast; the 1e12 scales cancel in the
+    -- cosine ratio.
     SELECT c.qid, a.doc_id,
-           CAST(SUM(CAST(ROUND(a.v * c.cv, 12) AS DECIMAL(30, 12)))
-                AS DOUBLE) AS dot,
-           CAST(SUM(CAST(ROUND(a.v * a.v, 12) AS DECIMAL(30, 12)))
-                AS DOUBLE) AS nv,
-           CAST(SUM(CAST(ROUND(c.cv * c.cv, 12) AS DECIMAL(30, 12)))
-                AS DOUBLE) AS nc
+           CAST(SUM(CAST(ROUND(a.v * c.cv * 1000000000000) AS BIGINT))
+                AS BIGINT) AS dot_s,
+           CAST(SUM(CAST(ROUND(a.v * a.v * 1000000000000) AS BIGINT))
+                AS BIGINT) AS nv_s,
+           CAST(SUM(CAST(ROUND(c.cv * c.cv * 1000000000000) AS BIGINT))
+                AS BIGINT) AS nc_s
     FROM allvec a JOIN centroid c ON c.i = a.i
     GROUP BY c.qid, a.doc_id
 ),
@@ -669,7 +685,10 @@ dense AS (
         SELECT qid, doc_id,
                ROW_NUMBER() OVER (
                    PARTITION BY qid
-                   ORDER BY ROUND(dot / SQRT(nv * nc), 9) DESC, doc_id
+                   ORDER BY ROUND(CAST(dot_s AS DOUBLE)
+                                  / SQRT(CAST(nv_s AS DOUBLE)
+                                         * CAST(nc_s AS DOUBLE)), 9)
+                            DESC, doc_id
                ) AS rn
         FROM dots
     ) r WHERE rn <= 10
@@ -701,16 +720,30 @@ ORDER BY query_id, rank
 """
 
 
+_RRF_LEX_VIEW = "rrf_lex_mat"
+
+
 def _rrf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank-fusion hybrid retrieval: independent BM25 and
     dense (PRF-centroid cosine) top-10 lists fused by 1/(60+rank) —
     see the block comment above for the scale framing, one-leg-only
-    contract, and determinism discipline."""
+    contract, and determinism discipline. The <= 30-row lexical top-k
+    is materialized before the dense leg (see _rrf_pre)."""
+    from crypto_lakehouse_spark.operators.checkpointing import truncate_lineage
+
     register_views(spark, sf_dir, ["documents", "embeddings"])
+    lex = truncate_lineage(
+        spark.sql(
+            "WITH "
+            + _rrf_pre("explode(ws)", "split")
+            + "\nSELECT qid, doc_id, rank_lex FROM lex"
+        ),
+        spark,
+    )
+    lex.createOrReplaceTempView(_RRF_LEX_VIEW)
     return spark.sql(
-        _rrf_sql(
-            "explode(ws)",
-            "split",
+        f"WITH lex AS (SELECT qid, doc_id, rank_lex FROM {_RRF_LEX_VIEW}),\n"
+        + _rrf_tail(
             "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
             "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
             "ev",
@@ -721,9 +754,10 @@ def _rrf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _rrf_fn.__name__ = "rrf_hybrid_topk"
 query(
     "rrf_hybrid_topk",
-    oracle=_rrf_sql(
-        "unnest(ws)",
-        "string_split",
+    oracle="WITH "
+    + _rrf_pre("unnest(ws)", "string_split")
+    + ",\n"
+    + _rrf_tail(
         ", range(1, 65) t_e(i)",
         ", range(1, 65) t_e(i)",
         "e.embedding[t_e.i]",

@@ -45,6 +45,10 @@ TIER = [
     "wordpiece_tokenize_recursive",
     "pagerank_iterated",
     "asof_join_cogroup",
+    # round-8 widening additions that crossed the >2s-at-sf0.1 rule
+    "triangle_census_copurchase",
+    "rrf_hybrid_topk",
+    "dedup_survivor_weights",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
