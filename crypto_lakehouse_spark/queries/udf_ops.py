@@ -407,3 +407,97 @@ def _wire_cogroup_oracle() -> None:
 
 
 _wire_cogroup_oracle()
+
+
+# --- Arrow twin of the covariance build --------------------------------------
+# embedding_covariance_upper's SQL form generates 64*65/2 cells PER
+# VECTOR (416M rows at sf10, 43 s): correct, oracle-checkable, but the
+# explode is pure overhead for dense linear algebra. This twin keeps
+# the identical contract — per-cell ROUND(v_i * v_j, 6) summed exactly
+# — by accumulating INTEGER-scaled sufficient statistics in numpy
+# (round(x * 1e6) as int64; integer sums are exact and order-free, so
+# the result is bit-equal to the SQL twin's DECIMAL(8,6) sums and the
+# shared DuckDB oracle hash-checks both). Scale shape: mapInPandas
+# emits at most 2080 partial rows per Arrow batch regardless of batch
+# size; the only shuffle is the 2080-key final aggregate. Ties in the
+# half-up-vs-half-even rounding difference cannot occur: a binary
+# double is never exactly (2k+1)/(2*10^6).
+
+def _cov_arrow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numpy-accumulated covariance sufficient statistics (block
+    comment above); final cov expression identical to the SQL twin."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("embedding")
+        .where(F.col("embedding").isNotNull())
+    )
+
+    def stats(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n, d = X.shape
+            cells = np.zeros((d, d), dtype=np.int64)
+            for lo in range(0, n, 512):
+                chunk = X[lo:lo + 512]
+                cells += (
+                    np.rint(
+                        np.einsum("ni,nj->nij", chunk, chunk) * 1e6
+                    ).astype(np.int64).sum(axis=0)
+                )
+            dim_sums = np.rint(X * 1e6).astype(np.int64).sum(axis=0)
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {
+                    "i": (iu + 1).astype("int32"),
+                    "j": (ju + 1).astype("int32"),
+                    "n": np.full(len(iu), n, dtype="int64"),
+                    "sxy": cells[iu, ju],
+                    "sxi": dim_sums[iu],
+                    "sxj": dim_sums[ju],
+                }
+            )
+
+    parts = emb.mapInPandas(
+        stats, schema="i int, j int, n long, sxy long, sxi long, sxj long"
+    )
+    agg = parts.groupBy("i", "j").agg(
+        F.sum("n").alias("n"),
+        F.sum("sxy").alias("sxy"),
+        F.sum("sxi").alias("sxi"),
+        F.sum("sxj").alias("sxj"),
+    )
+    n = F.col("n")
+    sxy = F.col("sxy").cast("double") / 1e6
+    sxi = F.col("sxi").cast("double") / 1e6
+    sxj = F.col("sxj").cast("double") / 1e6
+    return (
+        agg.where(n > 1)
+        .select(
+            F.col("i").alias("dim_i"),
+            F.col("j").alias("dim_j"),
+            n.cast("bigint").alias("n_vectors"),
+            F.round((sxy - sxi * sxj / n) / (n - 1), 9).alias("cov"),
+        )
+        .orderBy("dim_i", "dim_j")
+    )
+
+
+_cov_arrow_fn.__name__ = "embedding_covariance_arrow"
+
+
+def _wire_cov_arrow() -> None:
+    import crypto_lakehouse_spark.queries.similarity_ops  # noqa: F401
+
+    query(
+        "embedding_covariance_arrow",
+        oracle=REGISTRY["embedding_covariance_upper"].oracle,
+        tags=("arrow", "covariance", "pca", "map-partitions"),
+    )(_cov_arrow_fn)
+
+
+_wire_cov_arrow()
