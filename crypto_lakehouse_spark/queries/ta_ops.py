@@ -507,3 +507,227 @@ def updays_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("product_id")
     )
+
+
+# --- market microstructure: order-flow imbalance ------------------------------
+# Per (product, hour): (buy volume - sell volume) / total volume — the
+# standard buy-sell pressure signal. One projection + one group
+# aggregate on exact DECIMAL volumes; the single double division per
+# output row is the only float op.
+
+@query(
+    "order_flow_imbalance",
+    oracle=ORACLE_TRADES_CTE
+    + """
+SELECT product_id,
+       strftime(hour, '%Y-%m-%d %H:%M:%S') AS hour,
+       CAST(buy_vol AS DOUBLE) AS buy_volume,
+       CAST(sell_vol AS DOUBLE) AS sell_volume,
+       ROUND((CAST(buy_vol AS DOUBLE) - CAST(sell_vol AS DOUBLE))
+             / NULLIF(CAST(buy_vol AS DOUBLE)
+                      + CAST(sell_vol AS DOUBLE), 0), 9) AS ofi
+FROM (
+    SELECT product_id, date_trunc('hour', trade_time) AS hour,
+           SUM(CASE WHEN side = 'buy' THEN "size" ELSE 0 END) AS buy_vol,
+           SUM(CASE WHEN side = 'sell' THEN "size" ELSE 0 END) AS sell_vol
+    FROM silver
+    GROUP BY product_id, date_trunc('hour', trade_time)
+)
+ORDER BY product_id, hour
+""",
+    tags=("ta", "microstructure", "aggregation"),
+)
+def order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly buy-sell volume imbalance per product (block comment
+    above)."""
+    from crypto_lakehouse_spark.functions import fmt_ts
+    from crypto_lakehouse_spark.operators.trades import raw_trades, silver_trades
+
+    s = silver_trades(raw_trades(spark, sf_dir))
+    g = s.groupBy(
+        "product_id", F.date_trunc("hour", "trade_time").alias("hour")
+    ).agg(
+        F.sum(F.when(F.col("side") == "buy", F.col("size")).otherwise(F.lit(0)))
+        .alias("buy_vol"),
+        F.sum(F.when(F.col("side") == "sell", F.col("size")).otherwise(F.lit(0)))
+        .alias("sell_vol"),
+    )
+    b = F.col("buy_vol").cast("double")
+    v = F.col("sell_vol").cast("double")
+    return g.select(
+        "product_id",
+        fmt_ts("hour").alias("hour"),
+        b.alias("buy_volume"),
+        v.alias("sell_volume"),
+        F.round((b - v) / F.nullif(b + v, F.lit(0.0)), 9).alias("ofi"),
+    ).orderBy("product_id", "hour")
+
+
+# --- market microstructure: price impact (Kyle's lambda) ----------------------
+# Per product: the OLS slope of minute close-to-close price changes on
+# minute signed volume (buy size - sell size) — the classic price
+# impact regression, lambda = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). All
+# five sufficient statistics are exact decimal sums of bounded-scale
+# per-minute values (x rounded to 4, y is an exact decimal delta), one
+# fixed double expression per product at the end — same discipline as
+# returns_correlation_matrix. Scale shape: one (product, minute)
+# aggregate (shares the candle build's shuffle key family) + one
+# per-product window for the lag + one 5-sum aggregate.
+
+@query(
+    "price_impact_ols",
+    oracle=ORACLE_TRADES_CTE
+    + """,
+per_trade AS (
+    -- minute close via the candle build's full-frame LAST_VALUE
+    -- (deterministic (trade_time, trade_id) order); DuckDB's max_by
+    -- cannot take a composite ordering key.
+    SELECT product_id, date_trunc('minute', trade_time) AS m,
+           CASE WHEN side = 'buy' THEN "size" ELSE -"size" END AS sv,
+           LAST_VALUE(price) OVER (
+               PARTITION BY product_id, date_trunc('minute', trade_time)
+               ORDER BY trade_time, trade_id
+               ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND UNBOUNDED FOLLOWING) AS close
+    FROM silver
+),
+minutes AS (
+    SELECT product_id, m,
+           CAST(SUM(sv) AS DECIMAL(18, 4)) AS x,
+           MAX(close) AS close
+    FROM per_trade
+    GROUP BY product_id, m
+),
+deltas AS (
+    SELECT product_id,
+           x,
+           CAST(close - LAG(close) OVER (PARTITION BY product_id
+                                         ORDER BY m)
+                AS DECIMAL(18, 4)) AS y
+    FROM minutes
+),
+s AS (
+    SELECT product_id, COUNT(*) AS n,
+           SUM(x) AS sx, SUM(y) AS sy,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                    AS DECIMAL(18, 6))) AS sxy,
+           SUM(CAST(ROUND(CAST(x AS DOUBLE) * CAST(x AS DOUBLE), 6)
+                    AS DECIMAL(18, 6))) AS sxx
+    FROM deltas WHERE y IS NOT NULL
+    GROUP BY product_id
+)
+SELECT product_id,
+       CAST(n AS BIGINT) AS n_minutes,
+       ROUND((n * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(n * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0),
+             9) AS kyle_lambda
+FROM s
+ORDER BY product_id
+""",
+    tags=("ta", "microstructure", "regression", "window"),
+)
+def price_impact_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's-lambda price impact: per-product OLS slope of minute
+    price changes on signed volume (block comment above)."""
+    from crypto_lakehouse_spark.operators.trades import raw_trades, silver_trades
+
+    s = silver_trades(raw_trades(spark, sf_dir))
+    fw = (
+        Window.partitionBy("product_id", F.date_trunc("minute", "trade_time"))
+        .orderBy("trade_time", "trade_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_trade = s.select(
+        "product_id",
+        F.date_trunc("minute", "trade_time").alias("m"),
+        F.when(F.col("side") == "buy", F.col("size"))
+        .otherwise(-F.col("size"))
+        .alias("sv"),
+        F.last("price").over(fw).alias("close"),
+    )
+    minutes = per_trade.groupBy("product_id", "m").agg(
+        F.sum("sv").cast("decimal(18,4)").alias("x"),
+        F.max("close").alias("close"),
+    )
+    ow = Window.partitionBy("product_id").orderBy("m")
+    deltas = minutes.select(
+        "product_id",
+        "x",
+        (F.col("close") - F.lag("close").over(ow)).cast("decimal(18,4)").alias("y"),
+    ).where(F.col("y").isNotNull())
+    xd = F.col("x").cast("double")
+    yd = F.col("y").cast("double")
+    st = deltas.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.round(xd * yd, 6).cast("decimal(18,6)")).alias("sxy"),
+        F.sum(F.round(xd * xd, 6).cast("decimal(18,6)")).alias("sxx"),
+    )
+    n = F.col("n")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    return st.select(
+        "product_id",
+        n.cast("bigint").alias("n_minutes"),
+        F.round(
+            (n * sxy - sx * sy) / F.nullif(n * sxx - sx * sx, F.lit(0.0)), 9
+        ).alias("kyle_lambda"),
+    ).orderBy("product_id")
+
+
+# --- market microstructure: Amihud illiquidity --------------------------------
+# Per product: mean over days of |daily return| / daily volume
+# (Amihud 2002) — the standard price-impact-per-dollar illiquidity
+# proxy, here from the daily candle relation. Per-day terms are
+# rounded then decimal-summed; one double division per day plus one
+# per product.
+
+@query(
+    "amihud_illiquidity",
+    oracle=_DAILY_ORACLE
+    + """
+SELECT product_id,
+       COUNT(*) AS n_days,
+       ROUND(CAST(SUM(CAST(ROUND(illiq, 12) AS DECIMAL(24, 12)))
+                  AS DOUBLE) / COUNT(*), 9) AS amihud_illiq
+FROM (
+    SELECT product_id,
+           ABS((CAST(close AS DOUBLE) - CAST(open AS DOUBLE))
+               / NULLIF(CAST(open AS DOUBLE), 0))
+             / NULLIF(CAST(volume AS DOUBLE), 0) AS illiq
+    FROM candles
+)
+WHERE illiq IS NOT NULL
+GROUP BY product_id
+ORDER BY product_id
+""",
+    tags=("ta", "microstructure", "liquidity", "aggregation"),
+)
+def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity proxy per product (block comment above)."""
+    c = _candles(spark, sf_dir, "day")
+    op = F.col("open").cast("double")
+    cl = F.col("close").cast("double")
+    vol = F.col("volume").cast("double")
+    illiq = (
+        F.abs((cl - op) / F.nullif(op, F.lit(0.0)))
+        / F.nullif(vol, F.lit(0.0))
+    ).alias("illiq")
+    daily = c.select("product_id", illiq).where(F.col("illiq").isNotNull())
+    return (
+        daily.groupBy("product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.round(
+                F.sum(F.round(F.col("illiq"), 12).cast("decimal(24,12)")).cast(
+                    "double"
+                )
+                / F.count(F.lit(1)),
+                9,
+            ).alias("amihud_illiq"),
+        )
+        .orderBy("product_id")
+    )

@@ -645,3 +645,16 @@ def test_covariance_arrow_partial_aggregate_shape(spark):
     assert "Join" not in plan
     assert "Generate" not in plan.split("MapInPandas")[0]
     assert _data_exchanges(plan) <= 2, plan
+
+
+@pytest.mark.parametrize(
+    "name", ["order_flow_imbalance", "price_impact_ols", "amihud_illiquidity"]
+)
+def test_microstructure_ops_no_blowup(spark, name):
+    """The microstructure family stays on the trades pipeline's
+    shuffle structure: group aggregates + (for the OLS) one ordered
+    per-product window — no self-joins, no products."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan
