@@ -116,10 +116,12 @@ ORDER BY doc_id
 """
 
 # Portable total order on (doc_id, para_idx): doc_id < 1e9 and
-# para_idx < 1e6 in every fixture (runtime-asserted margins are
-# generous — 16-token paragraphs of a 2^63-safe composite), so a
-# single BIGINT composite key gives MIN() the lexicographic
-# (doc_id, para_idx) semantics in both engines.
+# para_idx < 1e6 — margins guaranteed BY CONSTRUCTION of the fixture
+# generators (TESTDATA doc_ids top out ~9.0e8 at sf10; paragraphs are
+# 16-token slices so para_idx stays tiny), not runtime-asserted: a
+# future fixture with a larger key offset must widen the multiplier.
+# Within those bounds a single BIGINT composite key gives MIN() the
+# lexicographic (doc_id, para_idx) semantics in both engines.
 _ORDKEY = "({a}doc_id * 1000000 + {a}para_idx)"
 
 _REASSEMBLE_SPARK = (

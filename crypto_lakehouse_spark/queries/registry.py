@@ -57,9 +57,23 @@ REGISTRY: dict[str, Query] = {}
 #   64-element arrays) declare a wider start, because AQE can merge
 #   small partitions but can never SPLIT an oversized non-skew one
 #   (sf10 ramp: 200 s at width 32 vs 75 s at 128 for the same plan).
-_QUERY_CONF_DEFAULTS = {
-    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "32",
+_INITIAL_PARTITIONS_KEY = (
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+)
+
+_QUERY_CONF_DEFAULTS: dict[str, str] = {
+    # `_INITIAL_PARTITIONS_KEY` is resolved PER SESSION at call time
+    # (defaultParallelism == core count on local[N], executor-core sum
+    # on a cluster) — a literal here would silently pin another
+    # cluster's shuffles to this box's core count.
 }
+
+
+def _default_initial_partitions(spark: SparkSession) -> str:
+    try:
+        return str(max(1, spark.sparkContext.defaultParallelism))
+    except Exception:
+        return "32"  # connect-style sessions without a SparkContext
 
 # Shorthand used by heavy queries.
 WIDE_SHUFFLE = {
@@ -92,7 +106,12 @@ def query(
 
         def _with_confs(inner: Callable) -> Callable:
             def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-                for key, val in merged.items():
+                effective = dict(merged)
+                effective.setdefault(
+                    _INITIAL_PARTITIONS_KEY,
+                    _default_initial_partitions(spark),
+                )
+                for key, val in effective.items():
                     try:
                         spark.conf.set(key, val)
                     except Exception:

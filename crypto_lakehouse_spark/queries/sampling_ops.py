@@ -337,7 +337,7 @@ ORDER BY digit
 
 _pair(
     "benford_first_digit_audit",
-    _BENFORD.replace("AS STRING", "AS STRING"),
+    _BENFORD,
     _BENFORD.replace("CAST(o_totalprice AS STRING)",
                      "CAST(o_totalprice AS VARCHAR)"),
     tables=["orders"],

@@ -421,7 +421,57 @@ _wire_cogroup_oracle()
 # emits at most 2080 partial rows per Arrow batch regardless of batch
 # size; the only shuffle is the 2080-key final aggregate. Ties in the
 # half-up-vs-half-even rounding difference cannot occur: a binary
-# double is never exactly (2k+1)/(2*10^6).
+# double is never exactly (2k+1)/(2*10^6). The residual hazard is
+# fl(x*y)*1e6 landing on the WRONG SIDE of a half-integer because of
+# the multiply's rounding error (~1e-10 probability per cell — real at
+# >=1e9 cells): _scaled_round6 flags every cell whose scaled double is
+# within 1e-6 of a half-integer (a bound >=50x the worst float error
+# here) and re-decides ONLY those in exact rational arithmetic, so the
+# int64 statistics equal the SQL twin's on ALL inputs, not just the
+# shipped fixtures.
+
+
+def _exact_round6(*factors: float) -> int:
+    """round(prod(factors) * 1e6) decided in exact rational arithmetic.
+
+    HALF_UP away from zero to match Spark/DuckDB ROUND; the tie branch
+    is unreachable for double inputs (see block comment) but kept so
+    the function is total.
+    """
+    import math
+    from fractions import Fraction
+
+    v = Fraction(1000000)
+    for f_ in factors:
+        v *= Fraction(f_)
+    fl = math.floor(v)
+    r = v - fl
+    if r > Fraction(1, 2):
+        return fl + 1
+    if r < Fraction(1, 2):
+        return fl
+    return fl + 1 if v > 0 else fl
+
+
+def _scaled_round6(products, factors):
+    """int64 round(exact_product * 1e6) for an ndarray of products.
+
+    `products` is the floated elementwise product of `factors` (each
+    broadcastable to products.shape). Hot path is one multiply + rint;
+    cells within 1e-6 of a half-integer after scaling (empirically
+    none per batch, ~2e-9 expected fraction) are re-decided exactly
+    from the original factors via Fraction.
+    """
+    import numpy as np
+
+    scaled = products * 1e6
+    out = np.rint(scaled)
+    near = np.abs(np.abs(scaled - out) - 0.5) < 1e-6
+    if near.any():
+        spread = [np.broadcast_to(f_, products.shape) for f_ in factors]
+        for at in map(tuple, np.argwhere(near)):
+            out[at] = _exact_round6(*(float(f_[at]) for f_ in spread))
+    return out.astype(np.int64)
 
 def _cov_arrow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """numpy-accumulated covariance sufficient statistics (block
@@ -444,12 +494,11 @@ def _cov_arrow_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             cells = np.zeros((d, d), dtype=np.int64)
             for lo in range(0, n, 512):
                 chunk = X[lo:lo + 512]
-                cells += (
-                    np.rint(
-                        np.einsum("ni,nj->nij", chunk, chunk) * 1e6
-                    ).astype(np.int64).sum(axis=0)
-                )
-            dim_sums = np.rint(X * 1e6).astype(np.int64).sum(axis=0)
+                cells += _scaled_round6(
+                    np.einsum("ni,nj->nij", chunk, chunk),
+                    (chunk[:, :, None], chunk[:, None, :]),
+                ).sum(axis=0)
+            dim_sums = _scaled_round6(X, (X,)).sum(axis=0)
             iu, ju = np.triu_indices(d)
             yield pd.DataFrame(
                 {

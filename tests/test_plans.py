@@ -418,16 +418,32 @@ def test_per_query_shuffle_width_applied_and_restored(spark):
     cluster submitter would set): a WIDE_SHUFFLE query starts its
     shuffles at 256 partitions for AQE to coalesce; the next default
     query's call must restore the narrow start — no conf leakage."""
-    from crypto_lakehouse_spark.queries.registry import (
-        _QUERY_CONF_DEFAULTS,
-        WIDE_SHUFFLE,
-    )
+    from crypto_lakehouse_spark.queries.registry import WIDE_SHUFFLE
 
     key = "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
     REGISTRY["ngram_jaccard_prefix_filtered"].spark_fn(spark, SF)
     assert spark.conf.get(key) == WIDE_SHUFFLE[key]
     REGISTRY["q6_revenue_forecast"].spark_fn(spark, SF)
-    assert spark.conf.get(key) == _QUERY_CONF_DEFAULTS[key]
+    # Default derives from the LIVE session's parallelism, not a
+    # constant — another cluster's core count must flow through.
+    assert spark.conf.get(key) == str(spark.sparkContext.defaultParallelism)
+
+
+def test_default_shuffle_width_tracks_session_cores():
+    """A 4-core session's default initial shuffle width is 4 — the
+    registry default is resolved per session at call time, never a
+    literal pinned to the dev box's core count."""
+    from crypto_lakehouse_spark.queries.registry import (
+        _default_initial_partitions,
+    )
+
+    class _Ctx:
+        defaultParallelism = 4
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+    assert _default_initial_partitions(_Sess()) == "4"
 
 
 def test_hashed_classifier_is_pure_map_scan(spark):
