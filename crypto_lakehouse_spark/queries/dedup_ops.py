@@ -32,7 +32,6 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 from crypto_lakehouse_spark.io import register_views, session_key
 from crypto_lakehouse_spark.queries.registry import WIDE_SHUFFLE, query
@@ -57,7 +56,17 @@ def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> No
 # of documents.parquet). Persisting the shingle relation once per
 # (session, sf_dir) turns those into InMemoryTableScan reuses — at
 # 100 TB this is the difference between one corpus pass and eight
-# (MEMORY_AND_DISK: spills instead of evicting under pressure).
+# Fixtures are materialized via _truncate_lineage (checkpoint /
+# localCheckpoint), NOT a bare .persist(): a view over a merely-cached
+# DataFrame LOSES the cache whenever the consuming SQL references it
+# inside a WITH CTE — Spark 4.1's CTE resolution wraps the view plan
+# in CTERelationDef/Ref and CacheManager replacement no longer
+# matches, silently recomputing the fixture per reference (measured
+# 72 s vs 21 s on the candidate self-join at sf10). A checkpointed
+# plan IS its materialized rows (LogicalRDD), so every reference —
+# CTE or not — scans the fixture. Eagerness also means no
+# double-compute when a fixture's first consumer hits it from two
+# concurrent stages.
 # Keyed on io.session_key (uuid stamped on the session object), never
 # id(spark): a GC'd session's address can be reused, aliasing a dead
 # session's persisted frame.
@@ -87,7 +96,7 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> str:
                 old.unpersist()
                 del _SHINGLE_MEMO[(sid, _)]
         register_views(spark, sf_dir, ["documents"])
-        df = spark.sql(_SHINGLE_SELECT_SPARK).persist(StorageLevel.MEMORY_AND_DISK)
+        df = _truncate_lineage(spark.sql(_SHINGLE_SELECT_SPARK), spark)
         df.createOrReplaceTempView(SHINGLE_VIEW)
         _SHINGLE_MEMO[key] = df
     return SHINGLE_VIEW
@@ -371,6 +380,12 @@ _pair(
 # the honest small-scale shape of the scale algorithm. The DuckDB
 # oracle computes the same components via a recursive CTE, so the
 # fixpoint itself is differentially checked, not just row counts.
+#
+# _CC_EDGES below is the BRUTE-FORCE edge definition and feeds ONLY
+# the oracles (_CC_CTES): the Spark side builds the same edge list via
+# the lossless prefix filter in `cached_cc_edges` (defined after the
+# prefix machinery below), so every green hash in this family also
+# proves the filtered pair generation equals the full self-join.
 _CC_EDGES = """
 pairs AS (
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
@@ -524,19 +539,14 @@ def dup_clusters_cc(spark, sf_dir: str):
     `dup_clusters_cc_star` below."""
     from pyspark.sql import functions as F
 
-    cached_shingles(spark, sf_dir)
-    edges = spark.sql(
-        f"WITH {_SH_PERSISTED},{_CC_EDGES}"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = spark.table(cached_cc_edges(spark, sf_dir))
     lbl = _cc_labels(spark, edges)
     sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    out = (
+    return (
         lbl.join(sizes, "component")
         .select(F.col("node").alias("doc_id"), "component", "cluster_size")
         .orderBy("doc_id")
     )
-    edges.unpersist()
-    return out
 
 
 # --- prefix-filtered Jaccard (PPJoin-style) --------------------------------
@@ -566,7 +576,9 @@ def dup_clusters_cc(spark, sf_dir: str):
 PREFIX_VIEW = "jaccard_prefix_persisted"
 _PREFIX_MEMO: dict[tuple[int, str], DataFrame] = {}
 
-_PREFIX_SELECT = f"""
+# Prefix bound is threshold-generic: J >= num/den admits prefix
+# length n - ceil(num*n/den) + 1 (same pigeonhole lemma, t = num/den).
+_PREFIX_SELECT_T = f"""
 WITH freqs AS (SELECT s, COUNT(*) AS df FROM {SHINGLE_VIEW} GROUP BY s),
 sizes AS (SELECT doc_id, COUNT(*) AS n FROM {SHINGLE_VIEW} GROUP BY doc_id),
 ranked AS (
@@ -578,8 +590,10 @@ ranked AS (
     JOIN sizes z ON z.doc_id = sh.doc_id
 )
 SELECT doc_id, xxhash64(s) AS sh, n FROM ranked
-WHERE pos <= n - (n + 1) DIV 2 + 1
+WHERE pos <= n - ({{num}} * n + {{den}} - 1) DIV {{den}} + 1
 """
+
+_PREFIX_SELECT = _PREFIX_SELECT_T.format(num=1, den=2)
 
 
 def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
@@ -593,10 +607,92 @@ def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
                 old.unpersist()
                 del _PREFIX_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
-        df = spark.sql(_PREFIX_SELECT).persist(StorageLevel.MEMORY_AND_DISK)
+        df = _truncate_lineage(spark.sql(_PREFIX_SELECT), spark)
         df.createOrReplaceTempView(PREFIX_VIEW)
         _PREFIX_MEMO[key] = df
     return PREFIX_VIEW
+
+
+# --- shared near-dup edge relation (Jaccard >= 0.3, prefix-filtered) -------
+# The J >= 0.3 edge list feeds the ENTIRE clustering family
+# (dup_clusters_cc, dup_clusters_cc_star, near_dup_keep,
+# dedup_survivor_weights, leakage_safe_split). Round-9 sf10 profiling
+# split leakage_safe_split's 81 s as: pair generation 41 s, CC loop
+# 5 s, tail <2 s — the uncapped inverted-index self-join (sum of
+# C(df,2) over every shingle) was the whole cost, not the iteration.
+# This builder applies the SAME lossless PPJoin prefix filter as
+# ngram_jaccard_prefix_filtered, at t = 3/10 (longer prefixes than
+# t = 1/2 — the lemma's prefix length is threshold-dependent), plus
+# the t-scaled size filter 3*max(n) <= 10*min(n), then verifies
+# candidates exactly by array intersection. Every consumer's oracle
+# still derives edges from the BRUTE self-join, so each green hash is
+# an end-to-end proof the filter lost no edge. Materialized once per
+# session (the checkpoint a 100 TB pipeline would persist between
+# pair generation and everything downstream); xxhash64 arrays carry
+# the same documented 2^-64-per-pair collision tradeoff as PPJoin.
+CC_EDGES_VIEW = "cc_edges_persisted"
+# memo value: (prefix03_df, edges_df) — BOTH persisted; the t=3/10
+# prefix is referenced on both sides of the candidate self-join, and
+# Spark inlines temp views, so an unpersisted prefix would recompute
+# the freq-join + window sort twice (same trap cached_prefix documents).
+_CC_EDGES_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+
+PREFIX03_VIEW = "jaccard_prefix03_persisted"
+
+_CC_EDGES_PREFIX = f"""
+WITH arrays AS (
+    SELECT doc_id, collect_list(xxhash64(s)) AS arr, COUNT(*) AS n
+    FROM {SHINGLE_VIEW} GROUP BY doc_id
+),
+candidates AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM {PREFIX03_VIEW} a
+    JOIN {PREFIX03_VIEW} b ON a.sh = b.sh AND a.doc_id < b.doc_id
+    WHERE 3 * (CASE WHEN a.n > b.n THEN a.n ELSE b.n END)
+          <= 10 * (CASE WHEN a.n < b.n THEN a.n ELSE b.n END)
+    GROUP BY a.doc_id, b.doc_id
+),
+verified AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(aa.arr, ab.arr)) AS inter,
+           aa.n AS na, ab.n AS nb
+    FROM candidates c
+    JOIN arrays aa ON aa.doc_id = c.doc_a
+    JOIN arrays ab ON ab.doc_id = c.doc_b
+)
+SELECT doc_a, doc_b FROM verified
+WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
+"""
+
+
+def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the Jaccard>=0.3 near-dup edge list once per
+    session via the t=3/10 prefix filter (block comment above);
+    returns the view name."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _CC_EDGES_MEMO:
+        for (sid, _), olds in list(_CC_EDGES_MEMO.items()):
+            if sid == skey:
+                for old in olds:
+                    old.unpersist()
+                del _CC_EDGES_MEMO[(sid, _)]
+        cached_shingles(spark, sf_dir)
+        pfx = _truncate_lineage(
+            spark.sql(_PREFIX_SELECT_T.format(num=3, den=10)), spark
+        )
+        pfx.createOrReplaceTempView(PREFIX03_VIEW)
+        # Lineage is TRUNCATED (not just persisted): downstream
+        # consumers checkpoint plans derived from this view inside
+        # iterative loops, and a view that still carries the CTE
+        # logical plan trips Spark's InlineCTE re-optimization
+        # ([PLAN_VALIDATION_FAILED_RULE_IN_BATCH] on re-checkpoint).
+        # A checkpointed edge list is also the honest 100 TB artifact.
+        df = _truncate_lineage(spark.sql(_CC_EDGES_PREFIX), spark)
+        df.createOrReplaceTempView(CC_EDGES_VIEW)
+        pfx.unpersist()
+        _CC_EDGES_MEMO[key] = (pfx, df)
+    return CC_EDGES_VIEW
 
 
 # Verification joins each candidate pair to per-doc shingle ARRAYS
@@ -781,19 +877,35 @@ _pair(
 # Determinism: the only float work is ln + the folds, and every fold
 # runs over the s-SORTED list in both engines; cosine is ROUND(9)ed
 # BEFORE ranking so the row_number tie-break (doc_b) is identical.
-_TFIDF_TAIL = """
+# norms CTE split out: the oracle inlines it (DuckDB materializes
+# CTEs); the Spark side substitutes the persisted norms view instead
+# (see cached_tfidf_norms below).
+_TFIDF_NORMS_CTE = """
 norms AS (
     SELECT doc_id, {fold} AS nrm FROM (
         SELECT doc_id, df, COUNT(*) AS c, MAX(wt) AS wt
         FROM w GROUP BY doc_id, df
     ) g GROUP BY doc_id
-),
+),"""
+
+# {w} and {norms} are TABLE NAMES, not CTE aliases, on purpose: the
+# Spark side passes the persisted view names DIRECTLY. Wrapping a
+# cached view in a CTE alias that is referenced more than once
+# (`w AS (SELECT ... FROM view)` + a self-join on w) makes Spark 4.1's
+# CTE inlining emit a plan whose canonical form NO LONGER MATCHES the
+# CacheManager entry — the whole upstream (idf join over 26M shingle
+# rows) silently recomputes on BOTH join sides (measured: the
+# candidates stage ran 76 s vs 22 s at sf10 for the identical query
+# with direct view references). The DuckDB oracle passes its own CTE
+# names; DuckDB materializes CTEs, so it is unaffected.
+_TFIDF_TAIL = """
 dots AS (
     SELECT doc_a, doc_b, {fold} AS dot FROM (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df AS df,
                COUNT(*) AS c, MAX(a.wt) AS wt
-        FROM (SELECT doc_id, s, wt, df FROM w WHERE df > 1 AND df <= {cap}) a
-        JOIN (SELECT doc_id, s FROM w WHERE df > 1 AND df <= {cap}) b
+        FROM (SELECT doc_id, s, wt, df FROM {w}
+              WHERE df > 1 AND df <= {cap}) a
+        JOIN (SELECT doc_id, s FROM {w} WHERE df > 1 AND df <= {cap}) b
           ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id, a.df
     ) g GROUP BY doc_a, doc_b
@@ -802,8 +914,8 @@ scored AS (
     SELECT d.doc_a, d.doc_b,
            ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9) AS cosine
     FROM dots d
-    JOIN norms na ON na.doc_id = d.doc_a
-    JOIN norms nb ON nb.doc_id = d.doc_b
+    JOIN {norms} na ON na.doc_id = d.doc_a
+    JOIN {norms} nb ON nb.doc_id = d.doc_b
 ),
 ranked AS (
     SELECT doc_a, doc_b, cosine,
@@ -863,7 +975,7 @@ def cached_tfidf_weights(spark: SparkSession, sf_dir: str) -> str:
                 old.unpersist()
                 del _TFIDF_W_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
-        df = spark.sql(_TFIDF_W_SELECT).persist(StorageLevel.MEMORY_AND_DISK)
+        df = _truncate_lineage(spark.sql(_TFIDF_W_SELECT), spark)
         df.createOrReplaceTempView(TFIDF_W_VIEW)
         _TFIDF_W_MEMO[key] = df
     return TFIDF_W_VIEW
@@ -878,6 +990,56 @@ w AS (
 ),
 """
 
+# Per-doc norm relation, materialized once per session: Spark INLINES
+# CTEs, so a `norms` CTE referenced three times (the g-threshold side
+# plus both sides of the final score join) would run the fold
+# aggregate over the full weighted relation three times — measured as
+# the dominant recompute in the thresholded twin at sf10. One scan,
+# persisted, shared by both idf-cosine queries.
+TFIDF_NORMS_VIEW = "tfidf_norms_persisted"
+_TFIDF_NORMS_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def cached_tfidf_norms(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize per-doc tf-idf vector norms once per session;
+    returns the view name."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _TFIDF_NORMS_MEMO:
+        for (sid, _), old in list(_TFIDF_NORMS_MEMO.items()):
+            if sid == skey:
+                old.unpersist()
+                del _TFIDF_NORMS_MEMO[(sid, _)]
+        cached_tfidf_weights(spark, sf_dir)
+        df = spark.sql(
+            f"""
+SELECT doc_id, {{fold}} AS nrm FROM (
+    SELECT doc_id, df, COUNT(*) AS c, MAX(wt) AS wt
+    FROM {TFIDF_W_VIEW} GROUP BY doc_id, df
+) g GROUP BY doc_id
+""".format(fold=_TFIDF_FOLD_SPARK)
+        )
+        df = _truncate_lineage(df, spark)
+        df.createOrReplaceTempView(TFIDF_NORMS_VIEW)
+        _TFIDF_NORMS_MEMO[key] = df
+    return TFIDF_NORMS_VIEW
+
+
+# Per-query conf for the idf-cosine family: the per-doc scalar
+# relations (norms, g-thresholds — ~16 B/doc) sit just above the
+# 10 MB default broadcast threshold at sf10 (650k docs ~ 15 MB), so
+# hint-free planning sort-merges the 112M-row pair relation against
+# them — measured 92 s vs ~35 s for the map-side plan. Raise ONLY the
+# ADAPTIVE threshold: AQE decides from ACTUAL materialized shuffle
+# sizes, so the 15 MB norms side converts to broadcast while the
+# multi-GB relations never do, and the billions-of-docs regime
+# (norms >> 64 MB) keeps the co-partitioned shuffle join. The STATIC
+# threshold stays at default on purpose — raising it was measured to
+# broadcast a mis-estimated 26M-row relation (GC death spiral).
+_TFIDF_CONFS = dict(WIDE_SHUFFLE)
+_TFIDF_CONFS["spark.sql.adaptive.autoBroadcastJoinThreshold"] = str(
+    64 * 1024 * 1024
+)
 
 # Hot-shingle document-frequency cap for pair generation (see the
 # block comment above `_TFIDF_TAIL`). 20 mirrors ngram_jaccard_capped's
@@ -888,11 +1050,18 @@ _TFIDF_DF_CAP = 20
 
 def _idf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """idf-weighted cosine top-3 per doc over the persisted weighted
-    shingle relation (block comment above has the scale framing)."""
-    cached_tfidf_weights(spark, sf_dir)
+    shingle relation (block comment above has the scale framing).
+    Weighted relation and norms are passed as DIRECT view names, never
+    CTE aliases — see the _TFIDF_TAIL comment for the cache-miss trap."""
+    cached_tfidf_norms(spark, sf_dir)
     return spark.sql(
-        f"WITH w AS (SELECT doc_id, s, wt, df FROM {TFIDF_W_VIEW}),"
-        + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_SPARK, cap=_TFIDF_DF_CAP)
+        "WITH "
+        + _TFIDF_TAIL.format(
+            fold=_TFIDF_FOLD_SPARK,
+            cap=_TFIDF_DF_CAP,
+            w=TFIDF_W_VIEW,
+            norms=TFIDF_NORMS_VIEW,
+        ).lstrip()
     )
 
 
@@ -902,10 +1071,153 @@ query(
     + _SH_DUCK
     + ","
     + _TFIDF_W_DUCK
-    + _TFIDF_TAIL.format(fold=_TFIDF_FOLD_DUCK, cap=_TFIDF_DF_CAP).lstrip(),
+    + _TFIDF_NORMS_CTE.format(fold=_TFIDF_FOLD_DUCK).lstrip()
+    + _TFIDF_TAIL.format(
+        fold=_TFIDF_FOLD_DUCK, cap=_TFIDF_DF_CAP, w="w", norms="norms"
+    ),
     tags=("similarity", "tfidf", "topk"),
-    confs=WIDE_SHUFFLE,
+    confs=_TFIDF_CONFS,
 )(_idf_cosine_topk)
+
+
+# --- count-bounded thresholded idf-cosine (all-pairs at scale) --------------
+# idf_cosine_topk's cost at sf10 (134.6 s) is NOT the inverted-index
+# join itself (measured 13 s for the 125M join rows) — it is
+# everything the unthresholded form must do to ALL 112M pairs: the
+# (a,b,df)-keyed fold aggregate, two norm joins, and the per-doc
+# ranking window. The production all-pairs query adds a similarity
+# threshold tau, and a threshold admits a LOSSLESS pair prefilter so
+# only genuine near-dup pairs reach that heavy tail.
+# Which prefilter matters: the classic Bayardo/Chaudhuri prefix
+# filter was tried first and MEASURED useless here — with tau = 0.3
+# and near-uniform idf weights (df capped at 20, so wt spans ~1.2x)
+# the Cauchy-Schwarz suffix bound keeps 1 - tau^2 ~ 91% of the capped
+# relation at sf10, i.e. no pruning. The effective lossless filter is
+# a MINIMUM SHARED-COUNT bound instead:
+#   dot(a,b) = sum of wt_s^2 over shared capped shingles
+#            <= |shared| * wmax^2          (wmax = max capped weight)
+#   cosine >= tau  ==>  |shared| >= tau * |a| * |b| / wmax^2
+#                                =  g_a * g_b,
+#   where g_d = sqrt(tau * nrm_d) / wmax is ONE scalar per doc.
+# So candidate generation is the inverted-index join carrying g on
+# both sides, one THIN count aggregate per pair, and a HAVING
+# COUNT >= g_a * g_b * (1 - 1e-12) test (the slack absorbs float
+# rounding in g; the bound itself is exact-real, so no qualifying
+# pair can fail it). Only survivors flow into the exact fold + norm
+# joins + window — thousands of rows, not 112M. The oracle is the
+# BRUTE threshold form, so every green hash proves the prefilter lost
+# no qualifying pair end to end.
+_TFIDF_TAU = 0.3
+
+TFIDF_CG_VIEW = "tfidf_cg_persisted"
+
+# Views are referenced DIRECTLY (never via a CTE alias used twice) —
+# see the _TFIDF_TAIL comment for the CacheManager-miss trap.
+_TFIDF_PREFIX_SPARK = f"""
+WITH candidates AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM {TFIDF_CG_VIEW} a JOIN {TFIDF_CG_VIEW} b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING COUNT(*) >= MAX(a.g) * MAX(b.g) * (1 - 1e-12)
+),
+dots AS (
+    SELECT doc_a, doc_b, {_TFIDF_FOLD_SPARK} AS dot FROM (
+        SELECT c.doc_a, c.doc_b, a.df, COUNT(*) AS c, MAX(a.wt) AS wt
+        FROM candidates c
+        JOIN {TFIDF_CG_VIEW} a ON a.doc_id = c.doc_a
+        JOIN {TFIDF_CG_VIEW} b ON b.doc_id = c.doc_b AND b.s = a.s
+        GROUP BY c.doc_a, c.doc_b, a.df
+    ) g GROUP BY doc_a, doc_b
+),
+scored AS (
+    SELECT d.doc_a, d.doc_b,
+           ROUND(d.dot / (SQRT(na.nrm) * SQRT(nb.nrm)), 9) AS cosine
+    FROM dots d
+    JOIN {TFIDF_NORMS_VIEW} na ON na.doc_id = d.doc_a
+    JOIN {TFIDF_NORMS_VIEW} nb ON nb.doc_id = d.doc_b
+),
+ranked AS (
+    SELECT doc_a, doc_b, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_a ORDER BY cosine DESC, doc_b
+           ) AS rnk
+    FROM scored WHERE cosine >= {_TFIDF_TAU}
+)
+SELECT doc_a, CAST(rnk AS INT) AS rnk, doc_b, cosine
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_a, rnk
+"""
+
+
+# The g-extended capped relation is materialized once per session:
+# it is referenced on BOTH sides of the candidate self-join, and Spark
+# inlines CTEs, so an unpersisted `cg` would recompute the doc-keyed
+# g join (and its norms upstream) twice — measured 92 s vs 22 s for
+# the cached scan at sf10. Like the shingle/weight views, this is the
+# checkpoint a 100 TB pipeline would persist before pair generation.
+# (TFIDF_CG_VIEW itself is declared above _TFIDF_PREFIX_SPARK, which
+# interpolates it.)
+_TFIDF_CG_MEMO: dict[tuple[int, str], DataFrame] = {}
+
+
+def cached_tfidf_cg(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the capped weighted relation extended with the
+    per-doc count-bound threshold g (block comment above); returns
+    the view name."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _TFIDF_CG_MEMO:
+        for (sid, _), old in list(_TFIDF_CG_MEMO.items()):
+            if sid == skey:
+                old.unpersist()
+                del _TFIDF_CG_MEMO[(sid, _)]
+        cached_tfidf_norms(spark, sf_dir)
+        df = spark.sql(
+            f"""
+SELECT c.doc_id, c.s, c.wt, c.df, g.g
+FROM (SELECT doc_id, s, wt, df FROM {TFIDF_W_VIEW}
+      WHERE df > 1 AND df <= {_TFIDF_DF_CAP}) c
+JOIN (SELECT n.doc_id, SQRT({_TFIDF_TAU} * n.nrm) / w.m AS g
+      FROM {TFIDF_NORMS_VIEW} n CROSS JOIN
+           (SELECT MAX(wt) AS m FROM {TFIDF_W_VIEW}
+            WHERE df > 1 AND df <= {_TFIDF_DF_CAP}) w) g
+  ON g.doc_id = c.doc_id
+"""
+        )
+        df = _truncate_lineage(df, spark)
+        df.createOrReplaceTempView(TFIDF_CG_VIEW)
+        _TFIDF_CG_MEMO[key] = df
+    return TFIDF_CG_VIEW
+
+
+def _idf_cosine_thresholded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-bounded thresholded idf-cosine top-3 (block comment
+    above: lossless minimum-shared-count candidate pruning); oracle
+    is the BRUTE inverted-index form with the same threshold, so the
+    hash check proves the prefilter loses no qualifying pair."""
+    cached_tfidf_cg(spark, sf_dir)
+    return spark.sql(_TFIDF_PREFIX_SPARK)
+
+
+query(
+    "idf_cosine_thresholded",
+    oracle=(
+        "WITH "
+        + _SH_DUCK
+        + ","
+        + _TFIDF_W_DUCK
+        + _TFIDF_NORMS_CTE.format(fold=_TFIDF_FOLD_DUCK).lstrip()
+        + _TFIDF_TAIL.format(
+            fold=_TFIDF_FOLD_DUCK, cap=_TFIDF_DF_CAP, w="w", norms="norms"
+        )
+    ).replace(
+        "FROM scored WHERE cosine > 0",
+        f"FROM scored WHERE cosine >= {_TFIDF_TAU}",
+    ),
+    tags=("similarity", "tfidf", "threshold", "count-bound"),
+    confs=_TFIDF_CONFS,
+)(_idf_cosine_thresholded)
 
 
 # --- connected components, large-star/small-star ---------------------------
@@ -972,8 +1284,7 @@ def dup_clusters_cc_star(spark, sf_dir: str):
     rounds to a fixed point (block comment above; oracle shared with
     dup_clusters_cc). Per-round skew posture documented on
     `_star_round`."""
-    cached_shingles(spark, sf_dir)
-    base = spark.sql(f"WITH {_SH_PERSISTED},{_CC_EDGES}")
+    base = spark.table(cached_cc_edges(spark, sf_dir))
     # Canonical edge orientation (big, small); self-loops impossible.
     # Checkpoint FIRST, then derive everything else (nodes, the round
     # loop) from the materialized edge list — deriving nodes from
@@ -1152,10 +1463,7 @@ _COMP = "COALESCE(c.component, d.doc_id)"
 def leakage_safe_split(spark, sf_dir: str):
     """Cluster-keyed train/val/test split with an in-result proof of
     near-dup leakage-safety (block comment above)."""
-    cached_shingles(spark, sf_dir)
-    edges = spark.sql(
-        f"WITH {_SH_PERSISTED},{_CC_EDGES}"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    edges = spark.table(cached_cc_edges(spark, sf_dir))
     _cc_labels(spark, edges).createOrReplaceTempView("cc_labels_split")
     edges.createOrReplaceTempView("cc_edges_split")
     out = spark.sql(
