@@ -11,10 +11,13 @@ shape) is real and tested. Decoding has two tiers:
   Both are exercised end-to-end and value-checked against a DuckDB
   oracle (`multimodal_decode_resize`): the blob is md5-derived, so
   every pixel is reproducible as md5_byte[(y*w + x) mod 16].
-- `decode_image` — the codec-library path for standard formats
-  (PNG/JPEG), gated on PIL which is NOT in this container; it raises
-  NotImplementedError with instructions. Swapping it in changes one
-  function, not the plumbing.
+- `png_encode` / `png_decode` — a REAL pure-stdlib PNG codec
+  (zlib + RFC 2083 filter reconstruction, CRC-validated), so standard
+  PNG decodes natively with no codec library; `decode_image` routes
+  PNGs there and gates only non-PNG formats (JPEG needs a DCT codec)
+  on PIL, raising NotImplementedError when absent. The
+  `multimodal_png_roundtrip` query differentially proves the codec
+  against a DuckDB oracle.
 
 Scale notes: blobs stay columnar in parquet; mapInPandas streams
 Arrow record batches so one task never holds more than
@@ -65,16 +68,202 @@ def attach_blobs(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(blob: bytes):  # pragma: no cover - requires PIL
-    """Real decode path; unavailable in this container by design."""
-    if not _HAS_PIL:
+def decode_image(blob: bytes):
+    """Real decode path for standard formats. PNG is decoded by the
+    pure-stdlib `png_decode` below (zlib + filter reconstruction — no
+    codec library needed); other formats (JPEG et al. need a DCT
+    codec) fall through to PIL when present, else raise."""
+    if blob[:8] == _PNG_SIG:
+        return png_decode(blob)
+    if not _HAS_PIL:  # pragma: no cover - PIL absent in this container
         raise NotImplementedError(
-            "image decoding requires PIL, which is not installed; "
-            "use fake_decode / extract_features for the plumbing path"
+            "non-PNG image decoding requires PIL, which is not "
+            "installed; PNG decodes natively via png_decode"
         )
-    import io
+    import io  # pragma: no cover
 
-    return PIL.Image.open(io.BytesIO(blob))
+    return PIL.Image.open(io.BytesIO(blob))  # pragma: no cover
+
+
+# --- pure-stdlib PNG codec ---------------------------------------------------
+# PNG is zlib + per-scanline difference filters (RFC 2083): nothing in
+# the container is missing for a correct implementation, so the "real
+# codec" seam is closed natively. The decoder handles 8-bit greyscale
+# (color type 0), truecolor (2), grey+alpha (4) and RGBA (6),
+# non-interlaced — the shapes a training-data pipeline actually
+# ingests after normalization; it validates chunk CRCs and rejects
+# interlaced/16-bit images loudly rather than mis-decoding them. The
+# encoder cycles all five filter types across scanlines ON PURPOSE:
+# every roundtrip exercises the full reconstruction matrix (None /
+# Sub / Up / Average / Paeth), so the differential oracle on the
+# roundtrip query is a genuine codec test, not an identity check.
+# Per-pixel Python in the filter loop is bounded by the blob sizes of
+# the multimodal fixtures (<=64x48); a production deployment would
+# swap libpng here — the SPARK plumbing (Arrow batches in mapInPandas)
+# is identical either way, which is the scale-relevant part.
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF)
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def png_encode(img: np.ndarray) -> bytes:
+    """Encode a uint8 array as PNG: (h, w) -> greyscale, (h, w, 3) ->
+    truecolor, (h, w, 4) -> RGBA. Scanline y uses filter type y % 5,
+    so a roundtrip exercises every filter's reconstruction."""
+    import struct
+    import zlib
+
+    if img.dtype != np.uint8:
+        raise ValueError("png_encode expects uint8 pixels")
+    if img.ndim == 2:
+        color_type, channels = 0, 1
+        img = img[:, :, None]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type, channels = 2, 3
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type, channels = 6, 4
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    flat = img.reshape(h, w * channels).astype(np.int32)
+    bpp = channels
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        cur = flat[y]
+        ft = y % 5
+        raw.append(ft)
+        if ft == 0:
+            out = cur
+        elif ft == 1:  # Sub
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            out = (cur - left) & 255
+        elif ft == 2:  # Up
+            out = (cur - prev) & 255
+        elif ft == 3:  # Average
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            out = (cur - (left + prev) // 2) & 255
+        else:  # Paeth
+            left = np.concatenate([np.zeros(bpp, np.int32), cur[:-bpp]])
+            upleft = np.concatenate([np.zeros(bpp, np.int32), prev[:-bpp]])
+            pred = np.fromiter(
+                (
+                    _paeth(int(a), int(b), int(c))
+                    for a, b, c in zip(left, prev, upleft)
+                ),
+                dtype=np.int32,
+                count=len(cur),
+            )
+            out = (cur - pred) & 255
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def png_decode(blob: bytes) -> np.ndarray:
+    """Decode a PNG byte string to a uint8 array ((h, w) for
+    greyscale, (h, w, c) otherwise). Pure stdlib + numpy: chunk walk
+    with CRC validation, zlib inflate, filter reconstruction for all
+    five filter types. Raises on 16-bit, palette, or interlaced input
+    instead of guessing."""
+    import struct
+    import zlib
+
+    if blob[:8] != _PNG_SIG:
+        raise ValueError("not a PNG byte string")
+    pos = 8
+    ihdr = None
+    idat = bytearray()
+    while pos < len(blob):
+        (length,) = struct.unpack(">I", blob[pos : pos + 4])
+        tag = blob[pos + 4 : pos + 8]
+        body = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack(
+            ">I", blob[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, depth, color_type, _comp, _filt, interlace = ihdr
+    if depth != 8:
+        raise ValueError(f"unsupported PNG bit depth {depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    if interlace != 0:
+        raise ValueError("interlaced PNG not supported")
+    channels = _PNG_CHANNELS[color_type]
+    stride = w * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    bpp = channels
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    pos = 0
+    for y in range(h):
+        ft = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw, np.uint8, stride, pos).astype(np.int32)
+        pos += stride
+        if ft == 0:
+            rec = line
+        elif ft == 2:  # Up
+            rec = (line + prev) & 255
+        elif ft in (1, 3, 4):  # Sub / Average / Paeth: left-dependent
+            rec = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = rec[x - bpp] if x >= bpp else 0
+                up = int(prev[x])
+                if ft == 1:
+                    pred = left
+                elif ft == 3:
+                    pred = (left + up) // 2
+                else:
+                    upleft = int(prev[x - bpp]) if x >= bpp else 0
+                    pred = _paeth(int(left), up, upleft)
+                rec[x] = (int(line[x]) + pred) & 255
+        else:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if channels == 1:
+        return out.reshape(h, w)
+    return out.reshape(h, w, channels)
 
 
 def fake_decode(blob: bytes) -> bytes:
@@ -167,6 +356,50 @@ def decode_resize_features(blobs: DataFrame, out: int = 8) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=DECODE_RESIZE_SCHEMA)
+
+
+PNG_ROUNDTRIP_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+    "pix_checksum BIGINT, px00 INT, px_last INT, mean_pixel DOUBLE"
+)
+
+
+def png_roundtrip_features(blobs: DataFrame) -> DataFrame:
+    """REAL codec path end-to-end: synthetic pixels -> `png_encode`
+    (cycling all five scanline filters) -> `png_decode` -> integer
+    statistics computed from the DECODED array. The DuckDB oracle
+    recomputes every statistic from the md5 hex pattern, so a wrong
+    reconstruction in ANY filter type breaks the value hash — this is
+    a differential test of the codec itself, not of the plumbing.
+    mean_pixel divides an exact int64 sum by n_pixels as the very
+    last step (single double rounding, identical in both engines)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, w, h, blob in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["blob"]
+            ):
+                img = decode_blob(bytes(blob), int(w), int(h))
+                dec = png_decode(png_encode(img))
+                flat = dec.reshape(-1).astype(np.int64)
+                n = flat.size
+                weights = 1 + (np.arange(n, dtype=np.int64) % 7)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(w),
+                        "height": int(h),
+                        "n_pixels": int(n),
+                        "pix_checksum": int((flat * weights).sum()),
+                        "px00": int(flat[0]),
+                        "px_last": int(flat[-1]),
+                        "mean_pixel": float(flat.sum()) / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=PNG_ROUNDTRIP_SCHEMA)
 
 
 def frame_sample(blobs: DataFrame, every_n_bytes: int = 16) -> DataFrame:

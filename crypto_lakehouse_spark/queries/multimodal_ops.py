@@ -183,6 +183,60 @@ def multimodal_decode_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "multimodal_png_roundtrip",
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(n_chars % 64 + 1 AS INTEGER) AS w,
+           CAST(n_chars % 48 + 1 AS INTEGER) AS hp
+    FROM documents
+    WHERE text IS NOT NULL
+),
+pix AS (
+    SELECT doc_id, w, hp,
+           list_transform(range(0, 16),
+               i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER)) AS bs
+    FROM hexes
+),
+stats AS (
+    SELECT doc_id, w, hp, w * hp AS n,
+           list_sum(list_transform(range(0, w * hp),
+               i -> CAST(bs[1 + i % 16] * (1 + i % 7) AS BIGINT))) AS cks,
+           list_sum(list_transform(range(0, w * hp),
+               i -> CAST(bs[1 + i % 16] AS BIGINT))) AS s
+    FROM pix
+)
+SELECT p.doc_id,
+       p.w AS width,
+       p.hp AS height,
+       CAST(st.n AS BIGINT) AS n_pixels,
+       CAST(st.cks AS BIGINT) AS pix_checksum,
+       CAST(p.bs[1] AS INTEGER) AS px00,
+       CAST(p.bs[1 + (st.n - 1) % 16] AS INTEGER) AS px_last,
+       CAST(st.s AS DOUBLE) / st.n AS mean_pixel
+FROM pix p JOIN stats st ON st.doc_id = p.doc_id
+ORDER BY p.doc_id
+""",
+    tags=("multimodal", "png", "codec", "pandas-udf"),
+    bench=False,
+)
+def multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-stdlib PNG codec, value-checked end to end: synthetic
+    cyclic-md5 pixels are PNG-ENCODED (all five scanline filters in
+    rotation) and PNG-DECODED inside mapInPandas; the emitted
+    statistics come from the decoded array, and the DuckDB oracle
+    recomputes them from the md5 hex digits — so every filter's
+    reconstruction arithmetic is differentially proven, closing the
+    former PIL seam (operators/multimodal.py png_encode/png_decode)."""
+    from crypto_lakehouse_spark.operators.multimodal import (
+        png_roundtrip_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return png_roundtrip_features(attach_blobs(docs)).orderBy("doc_id")
+
+
+@query(
     "multimodal_ahash_near_dup",
     oracle="""
 WITH toks AS (
