@@ -466,7 +466,6 @@ def _cached_fp64(spark: SparkSession, sf_dir: str) -> None:
     whole corpus fold — 4 corpus scans at 100 TB (measured 4x here).
     Same memo discipline as dedup_ops.cached_shingles."""
     from crypto_lakehouse_spark.io import session_key
-    from pyspark.storagelevel import StorageLevel
 
     skey = session_key(spark)
     key = (skey, sf_dir)
@@ -475,10 +474,15 @@ def _cached_fp64(spark: SparkSession, sf_dir: str) -> None:
             if sid == skey:
                 old.unpersist()
                 del _FP64_MEMO[(sid, _)]
-        register_views(spark, sf_dir, ["documents"])
-        df = spark.sql(_FPS_SELECT_SPARK).persist(
-            StorageLevel.MEMORY_AND_DISK
+        from crypto_lakehouse_spark.operators.checkpointing import (
+            truncate_lineage,
         )
+
+        register_views(spark, sf_dir, ["documents"])
+        # truncate_lineage, not bare persist: consumers wrap this view
+        # in WITH CTEs, which misses the CacheManager in Spark 4.1
+        # (see dedup_ops._SHINGLE_MEMO comment).
+        df = truncate_lineage(spark.sql(_FPS_SELECT_SPARK), spark)
         df.createOrReplaceTempView(_FP64_VIEW)
         _FP64_MEMO[key] = df
 

@@ -8,8 +8,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from pyspark import StorageLevel
-
 from crypto_lakehouse_spark.io import load_table, session_key
 from crypto_lakehouse_spark.operators.multimodal import attach_blobs, extract_features
 from crypto_lakehouse_spark.queries.registry import query
@@ -20,9 +18,8 @@ from crypto_lakehouse_spark.queries.registry import query
 # encode -> decode -> average-hash -> band split) 8-12x per run —
 # audited at sf0.1: the capped-only query scanned documents.parquet
 # 12 times before this memo existed. Persisting the 5-column signature
-# relation once per (session, sf_dir) turns every reference into an
-# InMemoryTableScan reuse (MEMORY_AND_DISK: spills, never silently
-# evicts under pressure). Same pattern + keying discipline as
+# relation once per (session, sf_dir) turns every reference into a
+# scan of the materialized rows. Same pattern + keying discipline as
 # dedup_ops.cached_shingles: keyed on io.session_key, never id(spark).
 _AHASH_MEMO: dict[tuple[str, str], DataFrame] = {}
 
@@ -47,9 +44,18 @@ def cached_ahash_sig(spark: SparkSession, sf_dir: str) -> str:
             if sid == skey:
                 old.unpersist()
                 del _AHASH_MEMO[(sid, d)]
+        from crypto_lakehouse_spark.operators.checkpointing import (
+            truncate_lineage,
+        )
+
         docs = load_table(spark, sf_dir, "documents")
-        df = ahash_bands(attach_token_histogram_blobs(docs)).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # truncate_lineage, not bare persist: the banded self-join SQL
+        # consumes this view inside WITH CTEs, and Spark 4.1 misses the
+        # CacheManager for CTE-wrapped cached views (see
+        # dedup_ops._SHINGLE_MEMO comment); a checkpointed plan is
+        # immune.
+        df = truncate_lineage(
+            ahash_bands(attach_token_histogram_blobs(docs)), spark
         )
         df.createOrReplaceTempView(AHASH_VIEW)
         _AHASH_MEMO[key] = df

@@ -27,6 +27,35 @@ from pyspark.sql import DataFrame, SparkSession
 from crypto_lakehouse_spark.io import register_views
 from crypto_lakehouse_spark.queries.registry import query
 
+# Driver-memory contract for centroid/seed collect() sites. Every
+# collect in this module is bounded — k = ceil(sqrt(N)) seeds for the
+# flat SemDeDup, N^(1/4) coarse + sqrt(N) fine seeds for the
+# hierarchical one, a fixed 64-row panel for the contamination probe —
+# but "bounded" deserves a number: at d = 64 doubles a seed row is
+# ~0.5 KB, so sqrt(N) rows cross this 256 MB budget only past
+# N ~ 2.5e11 vectors. The assert turns that regime into a loud error
+# instead of a silent driver OOM. The 10^9+-doc alternative, sketched
+# for when a deployment hits this: keep seeds IN a DataFrame, assign
+# via a broadcast JOIN of the seed relation against the corpus
+# (seed side ~sqrt(N) rows still broadcasts at 1e9 docs: ~16 MB), and
+# replace the numpy argmax with a groupBy(vec_id) max_by over the
+# seed-cross products — same semantics, zero driver-side rows.
+_CENTROID_DRIVER_BUDGET_BYTES = 256 * 1024 * 1024
+
+
+def _assert_centroid_budget(n_rows: int, dim: int) -> None:
+    """Loud guard on driver-side seed materialization (module comment
+    above): n_rows seed vectors of `dim` doubles must fit the fixed
+    driver budget."""
+    need = n_rows * (dim + 1) * 8
+    if need > _CENTROID_DRIVER_BUDGET_BYTES:
+        raise MemoryError(
+            f"centroid collect would materialize ~{need >> 20} MiB on "
+            f"the driver (> {_CENTROID_DRIVER_BUDGET_BYTES >> 20} MiB "
+            "budget); switch the assignment to the broadcast-join "
+            "form documented in similarity_ops.py"
+        )
+
 
 def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> None:
     def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -841,6 +870,7 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "semdedup_clustered: k >= 100000 collides with the scaled-copy "
             "id offset; use semdedup_hierarchical at this corpus size"
         )
+    _assert_centroid_budget(k, 64)  # driver contract, module comment
     cent_rows = sorted(
         emb.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
     )
@@ -1049,6 +1079,8 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     # Coarse seeds: normed u of corpus vec_id < k1 — copies live at
     # +100000, so these are base-relation rows, as in the oracle.
+    _assert_centroid_budget(k1 + k, 64)  # coarse + fine seeds both
+    # land on the driver (f_rows below); module comment has the bound
     c_rows = sorted(
         emb.filter(F.col("vec_id") < k1).collect(), key=lambda r: r.vec_id
     )

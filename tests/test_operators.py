@@ -328,3 +328,19 @@ def test_wordpiece_census_covers_words_longer_than_16_chars(spark, tmp_path):
     assert sorted(duck) == sorted(
         (r.piece, r.piece_len, r.n_occurrences, r.n_distinct_words) for r in rows
     )
+
+
+def test_centroid_driver_budget_contract():
+    """similarity_ops' seed collects carry an explicit driver-memory
+    contract: within budget at sqrt(N) seeds for any realistic corpus,
+    a loud MemoryError (not a silent OOM) past ~2.5e11 vectors."""
+    import pytest as _pytest
+
+    from crypto_lakehouse_spark.queries.similarity_ops import (
+        _assert_centroid_budget,
+    )
+
+    _assert_centroid_budget(int(1e9**0.5) + 1, 64)  # 1e9 docs: fine
+    _assert_centroid_budget(500_000, 64)  # ~250 MB: still inside
+    with _pytest.raises(MemoryError, match="broadcast-join"):
+        _assert_centroid_budget(600_000, 64)
