@@ -206,6 +206,126 @@ _pair(
     tags=("similarity", "ann", "ivf"),
 )
 
+# --- IVF-PQ: probe-bounded candidates + ADC rerank + in-result recall ------
+# The production ANN layout (FAISS IVF-PQ): IVF picks the cells to
+# probe (2 of the label cells here, by centroid cosine), PQ's
+# asymmetric-distance scoring ranks ONLY the candidates from those
+# cells, and recall@10 against the EXACT global top-10 is reported in
+# the result — so the one number a deployment tunes (probes x
+# codebook vs recall) is part of the oracle-checked output. Both
+# building blocks are the ones already proven standalone
+# (embedding_ivf_topk for the probe stage, pq_adc_topk for the ADC
+# stage); composition restricts the ADC term join to the candidate
+# set, which is the step that makes the scoring probe-bounded — the
+# 100 TB shape where per-query cost is |probed cells| x cell size,
+# never the corpus. Codebook/encoding (encd) is the offline index
+# build, computed corpus-wide exactly as a real IVF-PQ index is.
+# The measured recall (0.2 at sf0.01) is LOW by design honesty: the
+# fixture's `label` column partitions vectors arbitrarily, not by
+# geometry, so cell probing misses most true neighbors — exactly the
+# signal this eval exists to surface (a real deployment k-means the
+# cells, then tunes nprobe against this same number).
+
+
+def _ivf_pq_sql(core: str, dot: str, cent_long: str, rebuild: str,
+                l2_64: str) -> str:
+    cos_probe = (
+        f"ROUND({dot.format(a='q.vec', b='c.cvec')} / "
+        f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
+        f"SQRT({dot.format(a='c.cvec', b='c.cvec')})), 9)"
+    )
+    inject = f"""cents AS (
+    SELECT label, {rebuild} AS cvec
+    FROM ({cent_long}) cl
+    GROUP BY label
+),
+qfull AS (SELECT vec FROM corpus WHERE vec_id = 0),
+probes AS (
+    SELECT label FROM (
+        SELECT c.label,
+               ROW_NUMBER() OVER (ORDER BY {cos_probe} DESC, c.label) AS rn
+        FROM cents c CROSS JOIN qfull q
+    ) pr WHERE rn <= 2
+),
+cand AS (
+    SELECT e.vec_id FROM embeddings e
+    JOIN probes p ON e.label = p.label
+    WHERE e.vec_id <> 0
+),
+terms AS ("""
+    # Surgical composition of the proven PQ core: candidates gate the
+    # term join (probe-bounded scoring), everything upstream is the
+    # shared codebook/encode chain.
+    assert core.count("terms AS (") == 1
+    core = core.replace("terms AS (", inject, 1)
+    assert core.count("FROM encd e\n") == 1
+    core = core.replace(
+        "FROM encd e\n",
+        "FROM encd e\n    JOIN cand ca ON ca.vec_id = e.vec_id\n",
+        1,
+    )
+    return f"""
+WITH {core},
+exact10 AS (
+    SELECT c.vec_id FROM (
+        SELECT c.vec_id,
+               ROW_NUMBER() OVER (ORDER BY {l2_64}, c.vec_id) AS rn
+        FROM corpus c CROSS JOIN qfull q
+        WHERE c.vec_id <> 0
+    ) c WHERE rn <= 10
+),
+adc10 AS (
+    SELECT vec_id FROM (
+        SELECT vec_id, ROW_NUMBER() OVER (ORDER BY adc_dist, vec_id) AS rn
+        FROM adc
+    ) a WHERE rn <= 10
+),
+hits AS (
+    SELECT COUNT(*) AS h
+    FROM exact10 e JOIN adc10 a ON a.vec_id = e.vec_id
+)
+SELECT CAST(0 AS BIGINT) AS query_id,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       CAST(h.h AS BIGINT) AS hits,
+       CAST(10 AS BIGINT) AS k,
+       ROUND(CAST(h.h AS DOUBLE) / 10, 9) AS recall_at_10
+FROM hits h
+"""
+
+
+def _wire_ivf_pq() -> None:
+    from crypto_lakehouse_spark.queries.similarity_ops import (
+        _DOT_DUCK,
+        _DOT_SPARK,
+        _PQ_DUCK_CORE,
+        _PQ_L2_64_DUCK,
+        _PQ_L2_64_SPARK,
+        _PQ_SPARK_CORE,
+    )
+
+    _pair(
+        "ivf_pq_topk",
+        _ivf_pq_sql(
+            _PQ_SPARK_CORE,
+            _DOT_SPARK,
+            _CENT_LONG_S,
+            "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+            _PQ_L2_64_SPARK,
+        ),
+        _ivf_pq_sql(
+            _PQ_DUCK_CORE,
+            _DOT_DUCK,
+            _CENT_LONG_D,
+            "list(cv ORDER BY dim)",
+            _PQ_L2_64_DUCK,
+        ),
+        tables=["embeddings"],
+        tags=("similarity", "ann", "ivf", "pq"),
+    )
+
+
+_wire_ivf_pq()
+
 # --- embedding-cosine near-dup via LSH candidates --------------------------
 _HI = "('8','9','a','b','c','d','e','f')"
 
