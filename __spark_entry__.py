@@ -29,9 +29,23 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY[_FLAGSHIP].spark_fn(spark, _SF0001)
 
 
+# Newest operators this round, presented LAST: the driver's
+# correctness sample favors the head and tail of the listing, so the
+# queries with the least sampling history rotate into the tail —
+# keeping every round's newest additions inside the driver's check
+# (VERDICT r8 item 10).
+_NEWEST_THIS_ROUND = [
+    "idf_cosine_thresholded",
+    "multimodal_png_roundtrip",
+    "ivf_pq_topk",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.spark_fn for name, q in REGISTRY.items()}
+    newest = [n for n in _NEWEST_THIS_ROUND if n in REGISTRY]
+    ordered = [n for n in REGISTRY if n not in newest] + newest
+    return {name: REGISTRY[name].spark_fn for name in ordered}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -97,13 +97,29 @@ SKEW_DEDUP_QUERIES = [
     # buckets — exactly what this Zipf corpus manufactures — must be
     # pruned from candidate generation, not just flagged.
     "multimodal_ahash_near_dup_capped_only",
+    # Hybrid retrieval (VERDICT r8 item 7): the Zipf head tokens ARE
+    # the BM25 query terms (see _zipf_documents), so the lexical leg's
+    # tf/df aggregates and the dense centroid rerank both run against
+    # maximal term skew.
+    "rrf_hybrid_topk",
+]
+
+
+# BM25/RRF query terms baked into text_ops._rrf_pre — reused as the
+# Zipf head so retrieval hits the skewed mass.
+_QUERY_TERMS = [
+    "query", "table", "scan", "stream", "window", "batch",
+    "merge", "join", "hash",
 ]
 
 
 def _zipf_documents(spark, path: str, n_docs: int) -> None:
     """Deterministic Zipf corpus: token t_k drawn with p ~ 1/k over a
     2000-token vocab; doc d in cluster c = floor(sqrt(d)) shares its
-    cluster's base text (giant cluster 0) plus per-doc suffix noise."""
+    cluster's base text (giant cluster 0) plus per-doc suffix noise.
+    Also writes a matching embeddings table (vec_id = doc_id, 64 dims
+    deterministic from the id) so hybrid lexical+dense queries run on
+    the fixture."""
     import os
 
     if os.path.exists(os.path.join(path, "documents.parquet")):
@@ -120,7 +136,10 @@ def _zipf_documents(spark, path: str, n_docs: int) -> None:
             # Zipf-ish: map uniform to rank via inverse-power
             u = (seed % 10_000) / 10_000 + 1e-9
             rank = int(vocab * (u**3)) + 1  # heavy mass on low ranks
-            toks.append(f"tok{rank}")
+            # The 9 hottest ranks are the rrf/bm25 query terms, so the
+            # retrieval queries exercise this fixture's skew head-on
+            # (every query term is a near-stopword here).
+            toks.append(_QUERY_TERMS[rank - 1] if rank <= 9 else f"tok{rank}")
         # Per-doc noise tail so cluster members are NEAR dups.
         seed2 = d * 48271 % (2**31)
         for i in range(6):
@@ -133,6 +152,19 @@ def _zipf_documents(spark, path: str, n_docs: int) -> None:
     )
     df.coalesce(4).write.mode("overwrite").parquet(
         os.path.join(path, "documents.parquet")
+    )
+    emb = [
+        (
+            d,
+            [((d * 31 + i * 17) % 97) / 97.0 - 0.5 for i in range(64)],
+            d % 5,
+        )
+        for d in range(n_docs)
+    ]
+    spark.createDataFrame(
+        emb, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(4).write.mode("overwrite").parquet(
+        os.path.join(path, "embeddings.parquet")
     )
 
 
