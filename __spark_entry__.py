@@ -38,6 +38,11 @@ _NEWEST_THIS_ROUND = [
     "idf_cosine_thresholded",
     "multimodal_png_roundtrip",
     "ivf_pq_topk",
+    "lsh_band_sweep_eval",
+    "bigram_lm_doc_score",
+    "zipf_slope_by_source",
+    "token_burstiness_dispersion",
+    "variance_ratio_daily",
 ]
 
 

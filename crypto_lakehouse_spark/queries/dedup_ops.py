@@ -300,6 +300,91 @@ _pair_shingled(
     tags=("dedup", "minhash", "lsh"),
 )
 
+# --- LSH band-parameter sweep eval ------------------------------------------
+# "Measure, don't guess" for the (bands b, rows r) knob: before
+# committing a 100 TB dedup run to one banding, a pipeline measures
+# the candidate volume AND the recall/precision of EVERY feasible
+# banding of its K=8 signature against exact-Jaccard truth (J >= 0.5,
+# the dedup threshold). The S-curve theory says P(candidate) =
+# 1 - (1 - J^r)^(8/r); this query replaces the theory with the
+# corpus's own numbers — r=8 (one strict band) should show tiny
+# candidate volume / low recall, r=1 (8 loose bands) near-total
+# recall at maximal candidate cost, with the production choice in
+# between. Truth is the same inverted-index exact join the dedup
+# queries use; candidate generation per config is the same banded
+# equi-join as minhash_lsh_dedup — never all-pairs.
+_BAND_SWEEP_TAIL = """
+configs AS (
+    SELECT 8 AS r UNION ALL SELECT 4 UNION ALL SELECT 2 UNION ALL SELECT 1
+),
+cfg_bands AS (
+    SELECT doc_id, r, CAST(floor(i / (r * 1.0)) AS INT) AS band,
+           {bandkey} AS band_key
+    FROM minhash CROSS JOIN configs
+    GROUP BY doc_id, r, CAST(floor(i / (r * 1.0)) AS INT)
+),
+cand AS (
+    SELECT DISTINCT a.r, a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM cfg_bands a
+    JOIN cfg_bands b ON a.r = b.r AND a.band = b.band
+                    AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+truth AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
+),
+cand_counts AS (SELECT r, COUNT(*) AS n_cand FROM cand GROUP BY r),
+hit_counts AS (
+    SELECT c.r, COUNT(*) AS n_hit
+    FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    GROUP BY c.r
+),
+tcount AS (SELECT COUNT(*) AS n_true FROM truth)
+SELECT cf.r AS rows_per_band,
+       CAST(8 / cf.r AS INT) AS n_bands,
+       CAST(COALESCE(cc.n_cand, 0) AS BIGINT) AS n_candidates,
+       CAST(t.n_true AS BIGINT) AS n_true_pairs,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hits,
+       ROUND(CASE WHEN t.n_true = 0 THEN 1.0
+                  ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / t.n_true
+             END, 9) AS recall,
+       ROUND(CASE WHEN COALESCE(cc.n_cand, 0) = 0 THEN 1.0
+                  ELSE CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / cc.n_cand
+             END, 9) AS precision
+FROM configs cf
+LEFT JOIN cand_counts cc ON cc.r = cf.r
+LEFT JOIN hit_counts h ON h.r = cf.r
+CROSS JOIN tcount t
+ORDER BY rows_per_band DESC
+"""
+
+_pair_shingled(
+    "lsh_band_sweep_eval",
+    "WITH "
+    + _SH_PERSISTED
+    + ","
+    + _MINHASH_SPARK
+    + ","
+    + _BAND_SWEEP_TAIL.format(bandkey=_BANDKEY_SPARK),
+    "WITH "
+    + _SH_DUCK
+    + ","
+    + _MINHASH_DUCK
+    + ","
+    + _BAND_SWEEP_TAIL.format(bandkey=_BANDKEY_DUCK),
+    tags=("dedup", "minhash", "lsh", "quality-eval", "sweep"),
+)
+
 # --- exact n-gram Jaccard via shared-shingle inverted index ---------------
 _JACCARD_TAIL = """
 pairs AS (

@@ -162,6 +162,107 @@ _pair(
 )
 
 
+# --- bigram-LM document scoring ---------------------------------------------
+# The order-2 companion of ngram_lm_doc_score: train a bigram LM on
+# the corpus itself (bigram counts + prefix counts, two shuffles with
+# map-side partials) and score every doc by its average conditional
+# cross-entropy -log2 p(cur|prev) with add-one smoothing over the
+# token vocabulary V: p = (c2 + 1) / (c_prefix + V). A doc of common
+# words in UNCOMMON order now scores badly where the unigram model
+# cannot see it — the actual quality signal n-gram LM filters (CCNet,
+# KenLM-style) rely on. Scale shape: bigram explode is a narrow map
+# (len-1 rows/doc); c2/prefix aggregates are hot-key-safe (combiners);
+# the doc-side join fans out only to the doc's own bigram rows. The
+# per-doc float fold runs bigram-sorted in both engines (bit-exact).
+_BG_TAIL = """
+c2 AS (SELECT bg, COUNT(*) AS cf FROM bigrams GROUP BY bg),
+pfx AS (
+    SELECT {first_tok} AS prev, SUM(cf) AS n
+    FROM c2 GROUP BY {first_tok}
+),
+vsize AS (SELECT COUNT(DISTINCT tok) AS v FROM toks_flat),
+doc_bg AS (
+    SELECT doc_id, bg, COUNT(*) AS c FROM bigrams GROUP BY doc_id, bg
+),
+contrib AS (
+    SELECT d.doc_id, d.bg, d.c,
+           -d.c * (ln(CAST(c2.cf + 1 AS DOUBLE) / (p.n + v.v)) / ln(2))
+               AS nll
+    FROM doc_bg d
+    JOIN c2 ON c2.bg = d.bg
+    JOIN pfx p ON p.prev = {first_tok_d}
+    CROSS JOIN vsize v
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           {fold} AS total_nll
+    FROM contrib GROUP BY doc_id
+)
+SELECT doc_id, n_bigrams, n_distinct_bigrams,
+       ROUND(total_nll / n_bigrams, 9) AS avg_neg_log2p,
+       CASE NTILE(3) OVER (ORDER BY ROUND(total_nll / n_bigrams, 9), doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ccnet_bucket
+FROM folded
+ORDER BY doc_id
+"""
+
+_BIGRAM_SPARK = (
+    """
+WITH toks AS (
+    SELECT doc_id, split(lower(text), ' ') AS ws
+    FROM documents WHERE length(text) > 0
+),
+toks_flat AS (SELECT explode(ws) AS tok FROM toks),
+bigrams AS (
+    SELECT doc_id, explode(transform(sequence(2, size(ws)),
+        i -> concat_ws(' ', element_at(ws, i - 1), element_at(ws, i)))) AS bg
+    FROM toks WHERE size(ws) >= 2
+),
+"""
+    + _BG_TAIL.format(
+        first_tok="element_at(split(bg, ' '), 1)",
+        first_tok_d="element_at(split(d.bg, ' '), 1)",
+        fold=(
+            "aggregate(array_sort(collect_list(struct(bg, nll))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.nll)"
+        ),
+    )
+)
+
+_BIGRAM_DUCK = (
+    """
+WITH toks AS (
+    SELECT doc_id, string_split(lower(text), ' ') AS ws
+    FROM documents WHERE length(text) > 0
+),
+toks_flat AS (SELECT unnest(ws) AS tok FROM toks),
+bigrams AS (
+    SELECT doc_id, unnest(list_transform(range(2, len(ws) + 1),
+        i -> ws[i - 1] || ' ' || ws[i])) AS bg
+    FROM toks WHERE len(ws) >= 2
+),
+"""
+    + _BG_TAIL.format(
+        first_tok="string_split(bg, ' ')[1]",
+        first_tok_d="string_split(d.bg, ' ')[1]",
+        fold=(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list(nll ORDER BY bg)), (acc, x) -> acc + x)"
+        ),
+    )
+)
+
+_pair(
+    "bigram_lm_doc_score",
+    _BIGRAM_SPARK,
+    _BIGRAM_DUCK,
+    tags=("lmdata", "text", "quality", "perplexity", "bigram"),
+)
+
+
 # --- character-level substring-span duplication ----------------------------
 # 30-char windows at stride 10; a span is duplicated if its hash occurs
 # in >= 2 distinct documents.

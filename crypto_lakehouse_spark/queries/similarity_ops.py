@@ -908,12 +908,28 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    assigned = corpus.mapInPandas(
-        _assign, "vec_id long, cid long, u array<double>"
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        truncate_lineage,
     )
 
-    pairs = assigned.groupBy("cid").applyInPandas(
-        _cluster_pairs, "cid long, keep_id long, drop_id long"
+    # Both relations are materialized BEFORE view registration: the
+    # census SQL references {pairs} twice (dropped CTE + dup-pair
+    # subquery) and {assigned} once more than the pairs derivation, so
+    # unmaterialized plans would re-run the Arrow assignment and the
+    # per-cluster pairwise kernel per reference (and CTE-wrapped
+    # cached views miss the CacheManager in Spark 4.1 anyway — see
+    # dedup_ops._SHINGLE_MEMO).
+    assigned = truncate_lineage(
+        corpus.mapInPandas(
+            _assign, "vec_id long, cid long, u array<double>"
+        ),
+        spark,
+    )
+    pairs = truncate_lineage(
+        assigned.groupBy("cid").applyInPandas(
+            _cluster_pairs, "cid long, keep_id long, drop_id long"
+        ),
+        spark,
     )
     assigned.select("vec_id", "cid").createOrReplaceTempView("sem_assigned")
     pairs.createOrReplaceTempView("sem_pairs")
@@ -1161,11 +1177,24 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
                     }
                 )
 
-    assigned = assigned1.mapInPandas(
-        _assign_fine, "vec_id long, cid long, u array<double>"
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        truncate_lineage,
     )
-    pairs = assigned.groupBy("cid").applyInPandas(
-        _cluster_pairs, "cid long, keep_id long, drop_id long"
+
+    # Materialized before registration for the same reasons as the
+    # flat variant (census references pairs twice; CTE-wrapped cached
+    # views miss the CacheManager).
+    assigned = truncate_lineage(
+        assigned1.mapInPandas(
+            _assign_fine, "vec_id long, cid long, u array<double>"
+        ),
+        spark,
+    )
+    pairs = truncate_lineage(
+        assigned.groupBy("cid").applyInPandas(
+            _cluster_pairs, "cid long, keep_id long, drop_id long"
+        ),
+        spark,
     )
     assigned.select("vec_id", "cid").createOrReplaceTempView(
         "sem_assigned_hier"

@@ -731,3 +731,153 @@ def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("product_id")
     )
+
+
+# --- Lo-MacKinlay variance ratio (q = 5) --------------------------------------
+# Random-walk diagnostic per product: VR(q) = Var(q-day log return) /
+# (q * Var(1-day log return)) over overlapping q-sums (Lo & MacKinlay
+# 1988). VR ~ 1 under a random walk, > 1 momentum, < 1 mean reversion
+# — the statistic a market-microstructure pipeline computes right
+# after Amihud/Kyle. This is the plain homoskedastic VR without the
+# small-sample bias correction (documented choice: the correction is
+# a deterministic scalar, trivially layered on).
+# Determinism discipline: log returns ROUND(...,12) into exact
+# DECIMAL; the rolling 5-sum and both deviation sums are decimal
+# (order-free); mu and each variance are single double expressions;
+# squared deviations are ROUND(...,12) before the decimal sum.
+
+@query(
+    "variance_ratio_daily",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           CAST(ROUND(LN(CAST(close AS DOUBLE)
+                         / CAST(LAG(close) OVER (PARTITION BY product_id
+                                                 ORDER BY bucket)
+                                AS DOUBLE)), 12)
+                AS DECIMAL(28, 12)) AS r
+    FROM candles
+),
+rets2 AS (SELECT product_id, bucket, r FROM rets WHERE r IS NOT NULL),
+m AS (
+    SELECT product_id, COUNT(*) AS n,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mu
+    FROM rets2 GROUP BY product_id
+),
+rolls AS (
+    SELECT product_id, bucket, r,
+           SUM(r) OVER w AS r5, COUNT(r) OVER w AS cnt
+    FROM rets2
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+d1 AS (
+    SELECT s.product_id,
+           CAST(ROUND(POW(CAST(s.r AS DOUBLE) - m.mu, 2), 12)
+                AS DECIMAL(28, 12)) AS dev
+    FROM rets2 s JOIN m ON m.product_id = s.product_id
+),
+dq AS (
+    SELECT s.product_id,
+           CAST(ROUND(POW(CAST(s.r5 AS DOUBLE) - 5 * m.mu, 2), 12)
+                AS DECIMAL(28, 12)) AS dev
+    FROM rolls s JOIN m ON m.product_id = s.product_id
+    WHERE s.cnt = 5
+),
+v1 AS (
+    SELECT product_id, COUNT(*) AS n1,
+           CAST(SUM(dev) AS DOUBLE) / (COUNT(*) - 1) AS var1
+    FROM d1 GROUP BY product_id HAVING COUNT(*) > 1
+),
+vq AS (
+    SELECT product_id, COUNT(*) AS nq,
+           CAST(SUM(dev) AS DOUBLE) / (COUNT(*) - 1) AS varq
+    FROM dq GROUP BY product_id HAVING COUNT(*) > 1
+)
+SELECT v1.product_id,
+       CAST(v1.n1 AS BIGINT) AS n_returns,
+       ROUND(v1.var1, 9) AS var_1d,
+       ROUND(vq.varq, 9) AS var_5d,
+       ROUND(vq.varq / (5 * v1.var1), 9) AS variance_ratio
+FROM v1 JOIN vq ON vq.product_id = v1.product_id
+ORDER BY v1.product_id
+""",
+    tags=("ta", "variance-ratio", "microstructure", "window"),
+)
+def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo-MacKinlay VR(5) per product over daily closes (block comment
+    above: exact-decimal sums, single-double-expression statistics)."""
+    c = _candles(spark, sf_dir, "day")
+    w = Window.partitionBy("product_id").orderBy("bucket")
+    cl = F.col("close").cast("double")
+    r_dbl = F.log(cl / F.lag(cl).over(w))
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round(r_dbl, 12).cast("decimal(28,12)").alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    m = rets.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    w5 = w.rowsBetween(-4, 0)
+    rolls = rets.select(
+        "product_id",
+        "r",
+        F.sum("r").over(w5).alias("r5"),
+        F.count("r").over(w5).alias("cnt"),
+    )
+    d1 = rets.join(m, "product_id").select(
+        "product_id",
+        F.round(F.pow(F.col("r").cast("double") - F.col("mu"), 2), 12)
+        .cast("decimal(28,12)")
+        .alias("dev"),
+    )
+    dq = (
+        rolls.where(F.col("cnt") == 5)
+        .join(m, "product_id")
+        .select(
+            "product_id",
+            F.round(
+                F.pow(F.col("r5").cast("double") - 5 * F.col("mu"), 2), 12
+            )
+            .cast("decimal(28,12)")
+            .alias("dev"),
+        )
+    )
+
+    def _var(df: DataFrame, n_name: str, v_name: str) -> DataFrame:
+        return (
+            df.groupBy("product_id")
+            .agg(
+                F.count(F.lit(1)).alias(n_name),
+                (
+                    F.sum("dev").cast("double")
+                    / (F.count(F.lit(1)) - 1)
+                ).alias(v_name),
+            )
+            .where(F.col(n_name) > 1)
+        )
+
+    v1 = _var(d1, "n1", "var1")
+    vq = _var(dq, "nq", "varq")
+    return (
+        v1.join(vq, "product_id")
+        .select(
+            "product_id",
+            F.col("n1").cast("bigint").alias("n_returns"),
+            # ROUND(...,9) on emission (house discipline): a 1e-12
+            # grid put the double division result ON a boundary where
+            # Spark and DuckDB ROUND(double) disagree by one step.
+            F.round("var1", 9).alias("var_1d"),
+            F.round("varq", 9).alias("var_5d"),
+            F.round(F.col("varq") / (5 * F.col("var1")), 9).alias(
+                "variance_ratio"
+            ),
+        )
+        .orderBy("product_id")
+    )

@@ -812,3 +812,128 @@ _pair(
     _tfidf_kw_sql("unnest(ws)", "string_split"),
     tags=("text", "tfidf", "keywords", "topk"),
 )
+
+
+# --- Zipf rank-frequency slope per source ------------------------------------
+# Corpus-linguistics fit: over each source's top-100 tokens by
+# frequency (rank by freq DESC, token tiebreak), the least-squares
+# slope of ln(freq) on ln(rank). A natural-language source fits
+# slope ~ -1 (Zipf's law); templated/boilerplate sources flatten
+# toward 0, and adversarial token-stuffed ones steepen — a one-number
+# distribution-shift detector per ingest source. Determinism: the
+# regression is computed FROM exact-decimal sums of ROUND(ln, 12)
+# values (never regr_slope, whose internal double accumulation is
+# order-dependent); the final slope/intercept are single double
+# expressions, ROUND(9)-stabilized.
+_ZIPF_TAIL = """
+tf AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY source, t),
+ranked AS (
+    SELECT source, t, c,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY c DESC, t) AS rnk
+    FROM tf
+),
+pts AS (
+    -- DECIMAL(18,12), NOT (28,12): the x*y product must keep its full
+    -- 24-digit scale exactly. (28,12) x (28,12) needs precision 57 and
+    -- Spark caps at 38 by REDUCING SCALE (DuckDB truncates
+    -- differently) — measured as a 3e-7 slope divergence; 18+18+1=37
+    -- fits, so the product is exact in both engines. ln values are
+    -- < 20, far inside 6 integer digits.
+    SELECT source,
+           CAST(ROUND(LN(CAST(rnk AS DOUBLE)), 12) AS DECIMAL(18, 12)) AS x,
+           CAST(ROUND(LN(CAST(c AS DOUBLE)), 12) AS DECIMAL(18, 12)) AS y
+    FROM ranked WHERE rnk <= 100
+),
+sums AS (
+    SELECT source,
+           COUNT(*) AS n,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM pts GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_points,
+       ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+       ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 9)
+           AS intercept
+FROM sums
+WHERE n >= 2
+ORDER BY source
+"""
+
+
+def _zipf_sql(tok: str, split: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT source, {tok} AS t FROM (
+        SELECT source, {split}(lower(text), ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    )
+),
+{_ZIPF_TAIL.lstrip()}"""
+
+
+_pair(
+    "zipf_slope_by_source",
+    _zipf_sql("explode(ws)", "split"),
+    _zipf_sql("unnest(ws)", "string_split"),
+    tags=("text", "zipf", "distribution", "quality"),
+)
+
+
+# --- token burstiness (index of dispersion) -----------------------------------
+# For the 25 most frequent tokens: variance-to-mean ratio of the
+# per-document count, zeros included (D = Var/Mean; Poisson scatter
+# gives D ~ 1, topical/bursty tokens D >> 1, rigid boilerplate D < 1).
+# The classic boilerplate-vs-content separator: a token that appears
+# 40 times in every doc (template) disperses near 0, one that appears
+# 400 times in 10% of docs (topic) disperses high — corpus curation
+# uses this where document frequency alone cannot distinguish them.
+# All sums are integer (counts and squared counts) so both engines'
+# statistics are exact until the final double division; absent docs
+# contribute zero via N-normalization rather than a row explosion
+# (variance over all N docs computed from present-doc sums alone).
+_BURST_TAIL = """
+tf AS (SELECT doc_id, t, COUNT(*) AS c FROM toks GROUP BY doc_id, t),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM toks),
+top_tokens AS (
+    SELECT t, SUM(c) AS total, COUNT(*) AS n_present,
+           SUM(c * c) AS sum_sq
+    FROM tf GROUP BY t
+    ORDER BY SUM(c) DESC, t
+    LIMIT 25
+)
+SELECT t AS token,
+       CAST(total AS BIGINT) AS total_count,
+       CAST(n_present AS BIGINT) AS n_docs_present,
+       ROUND(CAST(total AS DOUBLE) / n.n_docs, 9) AS mean_per_doc,
+       ROUND(
+           (CAST(sum_sq AS DOUBLE)
+            - CAST(total AS DOUBLE) * total / n.n_docs)
+           / (n.n_docs - 1)
+           / (CAST(total AS DOUBLE) / n.n_docs), 9) AS dispersion
+FROM top_tokens CROSS JOIN nn n
+ORDER BY dispersion DESC, token
+"""
+
+
+def _burst_sql(tok: str, split: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {tok} AS t FROM (
+        SELECT doc_id, {split}(lower(text), ' ') AS ws
+        FROM documents WHERE length(text) > 0
+    )
+),
+{_BURST_TAIL.lstrip()}"""
+
+
+_pair(
+    "token_burstiness_dispersion",
+    _burst_sql("explode(ws)", "split"),
+    _burst_sql("unnest(ws)", "string_split"),
+    tags=("text", "burstiness", "dispersion", "quality"),
+)

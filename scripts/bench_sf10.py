@@ -49,6 +49,9 @@ TIER = [
     "triangle_census_copurchase",
     "rrf_hybrid_topk",
     "dedup_survivor_weights",
+    # round-9: the thresholded all-pairs twin whose whole point is the
+    # sf10 number (VERDICT r8 item 1)
+    "idf_cosine_thresholded",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
