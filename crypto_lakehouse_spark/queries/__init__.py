@@ -190,4 +190,5 @@ def load_all() -> None:
     import crypto_lakehouse_spark.queries.graph_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.curation_ops  # noqa: F401
     import crypto_lakehouse_spark.queries.ta_ops  # noqa: F401
+    import crypto_lakehouse_spark.queries.statfit_ops  # noqa: F401
     _reorder()

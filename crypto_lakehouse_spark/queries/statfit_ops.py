@@ -1,0 +1,348 @@
+"""Distribution-fit / shift-detection operators — round-9 widening of
+the data-quality surface. Everything here is the statistics a
+training-data pipeline runs to DECIDE things (is this source drifting?
+is the mix balanced? does the corpus still look like language?) rather
+than to transform rows:
+
+- Heaps-law vocabulary growth (V(n) ~ k * n^beta): sub-linear beta is
+  the signature of natural text; beta near 1 means every document
+  brings its own vocabulary (id-stuffed or synthetic), beta near 0
+  means templated. Curve checkpoints + exact-decimal least squares.
+- Jensen-Shannon divergence of each source's token distribution from
+  the corpus: the mixture-drift number per ingest source, in bits.
+- Two-sample Kolmogorov-Smirnov over order values for every priority
+  pair: the classic distribution test, computed with INTEGER
+  cross-multiplied ECDF differences (exact argmax; one double division
+  at emission).
+- Mutual information between event type and weekday (epoch-day
+  arithmetic, convention-free across engines): the coupling number a
+  seasonality model needs to justify itself.
+- Per-source Gini concentration of document lengths: the inequality
+  summary that flags a source whose "documents" are one giant page
+  plus stubs.
+
+Cross-engine determinism: the house discipline throughout — integer
+sufficient statistics wherever possible, ROUND(...,12)-then-DECIMAL
+sums where a float term must be aggregated, one double expression per
+emitted value, ROUND(...,9) on emission.
+
+Scale notes: every query is scan -> one or two grouped aggregates;
+the only joins are against per-group scalar relations (sources,
+priorities, event types — broadcast-sized by construction). The
+Heaps checkpoint join fans the first-occurrence relation out by the
+~14 checkpoints (a bounded constant), not by corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.queries.registry import query
+
+
+def _pair(
+    name: str,
+    spark_sql: str,
+    duck_sql: str,
+    tags: tuple[str, ...],
+    tables: list[str] | None = None,
+) -> None:
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir, tables or ["documents"])
+        return spark.sql(spark_sql)
+
+    fn.__name__ = name
+    fn.__doc__ = (
+        "Paired-dialect SQL (semantics in the module docstring). "
+        f"Spark SQL:\n{spark_sql}"
+    )
+    query(name, oracle=duck_sql, tags=tags)(fn)
+
+
+# --- Heaps-law vocabulary growth ---------------------------------------------
+# Checkpoints at powers of two over the doc_id-ordered corpus prefix;
+# V(n) = tokens whose FIRST occurrence falls within the first n docs.
+# beta/k from exact-decimal least squares on (ln n, ln V) — the same
+# DECIMAL(18,12) bound as zipf_slope_by_source (the cross product must
+# stay inside Spark's 38-digit cap without scale loss).
+_HEAPS_TAIL = """
+ranked_docs AS (
+    SELECT doc_id, ROW_NUMBER() OVER (ORDER BY doc_id) AS rnk FROM docs
+),
+firsts AS (
+    SELECT t, MIN(r.rnk) AS fr
+    FROM toks JOIN ranked_docs r ON r.doc_id = toks.doc_id
+    GROUP BY t
+),
+maxr AS (SELECT MAX(rnk) AS m FROM ranked_docs),
+checkpoints AS (
+    SELECT DISTINCT n FROM (
+        SELECT CAST(POW(2, e) AS BIGINT) AS n FROM exps CROSS JOIN maxr
+        WHERE CAST(POW(2, e) AS BIGINT) <= m
+        UNION ALL
+        SELECT m AS n FROM maxr
+    ) u
+),
+vg AS (
+    SELECT c.n, COUNT(*) AS v
+    FROM checkpoints c JOIN firsts f ON f.fr <= c.n
+    GROUP BY c.n
+),
+pts AS (
+    SELECT CAST(ROUND(LN(CAST(n AS DOUBLE)), 12) AS DECIMAL(18, 12)) AS x,
+           CAST(ROUND(LN(CAST(v AS DOUBLE)), 12) AS DECIMAL(18, 12)) AS y
+    FROM vg
+),
+sums AS (
+    SELECT COUNT(*) AS np,
+           CAST(SUM(x) AS DOUBLE) AS sx,
+           CAST(SUM(y) AS DOUBLE) AS sy,
+           CAST(SUM(x * y) AS DOUBLE) AS sxy,
+           CAST(SUM(x * x) AS DOUBLE) AS sxx
+    FROM pts
+)
+SELECT CAST(vg.n AS BIGINT) AS checkpoint_docs,
+       CAST(vg.v AS BIGINT) AS vocab_size,
+       ROUND((s.np * s.sxy - s.sx * s.sy)
+             / (s.np * s.sxx - s.sx * s.sx), 9) AS heaps_beta,
+       ROUND(EXP((s.sy - ((s.np * s.sxy - s.sx * s.sy)
+                          / (s.np * s.sxx - s.sx * s.sx)) * s.sx)
+                 / s.np), 9) AS heaps_k
+FROM vg CROSS JOIN sums s
+ORDER BY checkpoint_docs
+"""
+
+
+def _heaps_sql(tok: str, split: str, exps: str) -> str:
+    return f"""
+WITH docs AS (
+    SELECT doc_id FROM documents WHERE text IS NOT NULL
+),
+toks AS (
+    SELECT doc_id, {tok} AS t FROM (
+        SELECT doc_id, {split}(lower(text), ' ') AS ws
+        FROM documents WHERE text IS NOT NULL
+    )
+),
+exps AS ({exps}),
+{_HEAPS_TAIL.lstrip()}"""
+
+
+_pair(
+    "heaps_law_vocab_growth",
+    _heaps_sql(
+        "explode(ws)", "split", "SELECT explode(sequence(3, 24)) AS e"
+    ),
+    _heaps_sql(
+        "unnest(ws)", "string_split", "SELECT unnest(range(3, 25)) AS e"
+    ),
+    tags=("text", "heaps-law", "vocabulary", "distribution"),
+)
+
+
+# --- Jensen-Shannon divergence per source --------------------------------------
+# JS(p_source || q_corpus) in bits: one row per (source, corpus token)
+# with p possibly 0 (LEFT JOIN miss -> the p*ln(p/m) term is 0 by the
+# 0*ln(0) = 0 convention, handled explicitly). Terms are
+# ROUND(...,12)-then-decimal summed per source; the /ln(2) bits
+# conversion is one double expression at emission.
+_JS_TAIL = """
+sc AS (SELECT source, t, COUNT(*) AS c FROM toks GROUP BY source, t),
+stot AS (SELECT source, SUM(c) AS n FROM sc GROUP BY source),
+ct AS (SELECT t, SUM(c) AS c FROM sc GROUP BY t),
+tot AS (SELECT SUM(c) AS n FROM ct),
+terms AS (
+    SELECT st.source,
+           CAST(ROUND(
+               CASE WHEN s.c IS NULL THEN 0.0
+                    ELSE 0.5 * (CAST(s.c AS DOUBLE) / st.n)
+                         * LN((CAST(s.c AS DOUBLE) / st.n)
+                              / ((CAST(s.c AS DOUBLE) / st.n
+                                  + CAST(ct.c AS DOUBLE) / t.n) / 2))
+               END
+               + 0.5 * (CAST(ct.c AS DOUBLE) / t.n)
+                 * LN((CAST(ct.c AS DOUBLE) / t.n)
+                      / ((COALESCE(CAST(s.c AS DOUBLE), 0.0) / st.n
+                          + CAST(ct.c AS DOUBLE) / t.n) / 2)),
+               12) AS DECIMAL(18, 12)) AS term
+    FROM stot st
+    CROSS JOIN ct
+    CROSS JOIN tot t
+    LEFT JOIN sc s ON s.source = st.source AND s.t = ct.t
+),
+present AS (SELECT source, COUNT(*) AS n_tokens FROM sc GROUP BY source)
+SELECT st.source,
+       CAST(p.n_tokens AS BIGINT) AS n_distinct_tokens,
+       CAST(st.n AS BIGINT) AS n_tokens_total,
+       ROUND(CAST(SUM(tm.term) AS DOUBLE) / LN(2), 9) AS js_divergence_bits
+FROM terms tm
+JOIN stot st ON st.source = tm.source
+JOIN present p ON p.source = tm.source
+GROUP BY st.source, p.n_tokens, st.n
+ORDER BY st.source
+"""
+
+
+def _js_sql(tok: str, split: str) -> str:
+    return f"""
+WITH toks AS (
+    SELECT source, {tok} AS t FROM (
+        SELECT source, {split}(lower(text), ' ') AS ws
+        FROM documents WHERE text IS NOT NULL
+    )
+),
+{_JS_TAIL.lstrip()}"""
+
+
+_pair(
+    "js_divergence_by_source",
+    _js_sql("explode(ws)", "split"),
+    _js_sql("unnest(ws)", "string_split"),
+    tags=("text", "divergence", "distribution", "drift"),
+)
+
+
+# --- two-sample Kolmogorov-Smirnov over priority pairs --------------------------
+# D = max over the pooled value grid of |ECDF_a - ECDF_b|, computed as
+# integer |cum_a * n_b - cum_b * n_a| (exact argmax — no float until
+# the single division at emission). Every one of the C(5,2) priority
+# pairs is tested in one pass: the pooled per-value counts are grouped
+# per pair, cumulated by one window, and reduced by one MAX.
+_KS_SQL = """
+WITH vals AS (
+    SELECT o_orderpriority AS pr, o_totalprice AS v FROM orders
+),
+base AS (SELECT pr, v, COUNT(*) AS c FROM vals GROUP BY pr, v),
+ns AS (SELECT pr, COUNT(*) AS n FROM vals GROUP BY pr),
+prs AS (SELECT pr FROM ns),
+pairs AS (
+    SELECT a.pr AS pa, b.pr AS pb
+    FROM prs a JOIN prs b ON a.pr < b.pr
+),
+pooled AS (
+    SELECT p.pa, p.pb, b.v,
+           SUM(CASE WHEN b.pr = p.pa THEN b.c ELSE 0 END) AS ca,
+           SUM(CASE WHEN b.pr = p.pb THEN b.c ELSE 0 END) AS cb
+    FROM pairs p JOIN base b ON b.pr = p.pa OR b.pr = p.pb
+    GROUP BY p.pa, p.pb, b.v
+),
+cum AS (
+    SELECT pa, pb, v,
+           SUM(ca) OVER (PARTITION BY pa, pb ORDER BY v) AS cca,
+           SUM(cb) OVER (PARTITION BY pa, pb ORDER BY v) AS ccb
+    FROM pooled
+)
+SELECT c.pa AS priority_a,
+       c.pb AS priority_b,
+       CAST(na.n AS BIGINT) AS n_a,
+       CAST(nb.n AS BIGINT) AS n_b,
+       ROUND(CAST(MAX(ABS(c.cca * nb.n - c.ccb * na.n)) AS DOUBLE)
+             / (na.n * nb.n), 9) AS ks_statistic
+FROM cum c
+JOIN ns na ON na.pr = c.pa
+JOIN ns nb ON nb.pr = c.pb
+GROUP BY c.pa, c.pb, na.n, nb.n
+ORDER BY priority_a, priority_b
+"""
+
+_pair(
+    "ks_statistic_priority_pairs",
+    _KS_SQL,
+    _KS_SQL,
+    tags=("statistics", "ks-test", "distribution", "data-quality"),
+    tables=["orders"],
+)
+
+
+# --- mutual information: event type x weekday -----------------------------------
+# MI in bits between the categorical event type and the weekday
+# (epoch-day modulo arithmetic — convention-free across engines, same
+# trick as weekday_seasonality_index). Emitted per event type as the
+# type's contribution sum_w p(t,w) * log2(p(t,w) / (p(t) p(w))), with
+# the corpus total repeated per row (single-row outputs hash too
+# weakly). Integer counts everywhere; each term is one rounded double.
+_MI_TAIL = """
+cells AS (
+    SELECT event_type, epoch_day % 7 AS wd, COUNT(*) AS c
+    FROM base GROUP BY event_type, epoch_day % 7
+),
+mt AS (SELECT event_type, SUM(c) AS c FROM cells GROUP BY event_type),
+mw AS (SELECT wd, SUM(c) AS c FROM cells GROUP BY wd),
+tot AS (SELECT SUM(c) AS n FROM cells),
+terms AS (
+    SELECT cl.event_type,
+           CAST(ROUND(
+               (CAST(cl.c AS DOUBLE) / t.n)
+               * LN((CAST(cl.c AS DOUBLE) * t.n)
+                    / (CAST(mt.c AS DOUBLE) * mw.c)) / LN(2),
+               12) AS DECIMAL(18, 12)) AS term
+    FROM cells cl
+    JOIN mt ON mt.event_type = cl.event_type
+    JOIN mw ON mw.wd = cl.wd
+    CROSS JOIN tot t
+),
+contrib AS (
+    SELECT event_type, CAST(SUM(term) AS DOUBLE) AS mi_bits
+    FROM terms GROUP BY event_type
+),
+total AS (SELECT CAST(SUM(term) AS DOUBLE) AS mi FROM terms)
+SELECT c.event_type,
+       CAST(mt.c AS BIGINT) AS n_events,
+       ROUND(c.mi_bits, 9) AS mi_contribution_bits,
+       ROUND(t.mi, 9) AS total_mi_bits
+FROM contrib c
+JOIN mt ON mt.event_type = c.event_type
+CROSS JOIN total t
+ORDER BY c.event_type
+"""
+
+
+def _mi_sql(epoch_day: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT event_type, {epoch_day} AS epoch_day FROM events
+),
+{_MI_TAIL.lstrip()}"""
+
+
+_pair(
+    "mutual_information_type_weekday",
+    _mi_sql("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)"),
+    _mi_sql("CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"),
+    tags=("events", "mutual-information", "statistics", "seasonality"),
+    tables=["events"],
+)
+
+
+# --- Gini concentration of document lengths per source --------------------------
+# G = (2 * sum(i * x_i)) / (n * sum(x)) - (n + 1) / n over the
+# length-sorted (doc_id tie-break) docs of each source. All-integer
+# sufficient statistics; one double expression at emission.
+_GINI_SQL = """
+WITH ranked AS (
+    SELECT source, n_chars,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY n_chars, doc_id) AS i
+    FROM documents WHERE n_chars IS NOT NULL
+),
+g AS (
+    SELECT source, COUNT(*) AS n, SUM(n_chars) AS s,
+           SUM(i * n_chars) AS si
+    FROM ranked GROUP BY source
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       CAST(s AS BIGINT) AS total_chars,
+       ROUND(2.0 * si / (n * CAST(s AS DOUBLE))
+             - CAST(n + 1 AS DOUBLE) / n, 9) AS gini
+FROM g
+ORDER BY source
+"""
+
+_pair(
+    "gini_doc_length_by_source",
+    _GINI_SQL,
+    _GINI_SQL,
+    tags=("statistics", "gini", "concentration", "data-quality"),
+)
