@@ -674,7 +674,7 @@ ranked AS (
     JOIN freqs f ON f.s = sh.s
     JOIN sizes z ON z.doc_id = sh.doc_id
 )
-SELECT doc_id, xxhash64(s) AS sh, n FROM ranked
+SELECT doc_id, xxhash64(s) AS sh, n, pos FROM ranked
 WHERE pos <= n - ({{num}} * n + {{den}} - 1) DIV {{den}} + 1
 """
 
@@ -696,6 +696,40 @@ def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
         df.createOrReplaceTempView(PREFIX_VIEW)
         _PREFIX_MEMO[key] = df
     return PREFIX_VIEW
+
+
+# --- shared per-doc shingle-array relation -----------------------------------
+# (doc_id, sorted-hash array, set size): the verify-side payload of
+# every PPJoin-style query. It was an inline `arrays` CTE referenced
+# twice per query (aa/ab verify sides), i.e. the 26M-row collect_list
+# aggregate ran twice per run — and as a CTE it would miss the cache
+# anyway (Spark 4.1 trap, see _SHINGLE_MEMO). One lineage-truncated
+# fixture per session; at 100 TB this is the doc->signature relation
+# a pipeline materializes once next to the shingle store.
+ARRAYS_VIEW = "shingle_arrays_persisted"
+_ARRAYS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+_ARRAYS_SELECT = f"""
+SELECT doc_id, collect_list(xxhash64(s)) AS arr, COUNT(*) AS n
+FROM {SHINGLE_VIEW} GROUP BY doc_id
+"""
+
+
+def cached_shingle_arrays(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the per-doc hashed shingle arrays once per session;
+    returns the view name."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _ARRAYS_MEMO:
+        for (sid, _), old in list(_ARRAYS_MEMO.items()):
+            if sid == skey:
+                old.unpersist()
+                del _ARRAYS_MEMO[(sid, _)]
+        cached_shingles(spark, sf_dir)
+        df = _truncate_lineage(spark.sql(_ARRAYS_SELECT), spark)
+        df.createOrReplaceTempView(ARRAYS_VIEW)
+        _ARRAYS_MEMO[key] = df
+    return ARRAYS_VIEW
 
 
 # --- shared near-dup edge relation (Jaccard >= 0.3, prefix-filtered) -------
@@ -725,16 +759,18 @@ _CC_EDGES_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
 PREFIX03_VIEW = "jaccard_prefix03_persisted"
 
 _CC_EDGES_PREFIX = f"""
-WITH arrays AS (
-    SELECT doc_id, collect_list(xxhash64(s)) AS arr, COUNT(*) AS n
-    FROM {SHINGLE_VIEW} GROUP BY doc_id
-),
-candidates AS (
+WITH candidates AS (
+    -- Positional filter at t = 3/10: J >= 3/10 needs overlap
+    -- >= ceil(3 (n_a + n_b) / 13), bounded by 1 + min(n - pos), so
+    -- 13 * ubound >= 3 * (n_a + n_b) — same lossless first-shared-row
+    -- argument as the t = 1/2 form above.
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM {PREFIX03_VIEW} a
     JOIN {PREFIX03_VIEW} b ON a.sh = b.sh AND a.doc_id < b.doc_id
     WHERE 3 * (CASE WHEN a.n > b.n THEN a.n ELSE b.n END)
           <= 10 * (CASE WHEN a.n < b.n THEN a.n ELSE b.n END)
+      AND 13 * (1 + least(a.n - a.pos, b.n - b.pos))
+          >= 3 * (a.n + b.n)
     GROUP BY a.doc_id, b.doc_id
 ),
 verified AS (
@@ -742,8 +778,8 @@ verified AS (
            size(array_intersect(aa.arr, ab.arr)) AS inter,
            aa.n AS na, ab.n AS nb
     FROM candidates c
-    JOIN arrays aa ON aa.doc_id = c.doc_a
-    JOIN arrays ab ON ab.doc_id = c.doc_b
+    JOIN {ARRAYS_VIEW} aa ON aa.doc_id = c.doc_a
+    JOIN {ARRAYS_VIEW} ab ON ab.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b FROM verified
 WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.3
@@ -763,6 +799,7 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
                     old.unpersist()
                 del _CC_EDGES_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
+        cached_shingle_arrays(spark, sf_dir)
         pfx = _truncate_lineage(
             spark.sql(_PREFIX_SELECT_T.format(num=3, den=10)), spark
         )
@@ -800,24 +837,29 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
 #   scale still gets the broadcast plan while a billions-of-docs
 #   corpus keeps the partitioned join, with no hint to remove.
 _PPJOIN_SPARK = f"""
-WITH arrays AS (
-    SELECT doc_id, collect_list(xxhash64(s)) AS arr, COUNT(*) AS n
-    FROM {SHINGLE_VIEW} GROUP BY doc_id
-),
-candidates AS (
+WITH candidates AS (
+    -- Positional filter (PPJoin proper, lossless): at a shared
+    -- prefix feature at global-rarity positions (pos_a, pos_b), the
+    -- overlap can be at most 1 + min(n_a - pos_a, n_b - pos_b); a
+    -- J >= 1/2 pair needs overlap >= ceil((n_a + n_b) / 3), and its
+    -- FIRST shared feature row maximizes the bound, so keeping pairs
+    -- from passing rows loses nothing. Integer form: 3 * ubound >=
+    -- n_a + n_b. Round-9 sf10 measurement: 31M candidates made the
+    -- verify join the whole cost; this prunes them at the join.
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
     FROM {PREFIX_VIEW} a
     JOIN {PREFIX_VIEW} b ON a.sh = b.sh AND a.doc_id < b.doc_id
     WHERE (CASE WHEN a.n > b.n THEN a.n ELSE b.n END)
           <= 2 * (CASE WHEN a.n < b.n THEN a.n ELSE b.n END)
+      AND 3 * (1 + least(a.n - a.pos, b.n - b.pos)) >= a.n + b.n
 ),
 verified AS (
     SELECT c.doc_a, c.doc_b,
            size(array_intersect(aa.arr, ab.arr)) AS inter,
            aa.n AS na, ab.n AS nb
     FROM candidates c
-    JOIN arrays aa ON aa.doc_id = c.doc_a
-    JOIN arrays ab ON ab.doc_id = c.doc_b
+    JOIN {ARRAYS_VIEW} aa ON aa.doc_id = c.doc_a
+    JOIN {ARRAYS_VIEW} ab ON ab.doc_id = c.doc_b
 )
 SELECT doc_a, doc_b,
        CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
@@ -832,6 +874,7 @@ def _ngram_jaccard_prefix_filtered(spark: SparkSession, sf_dir: str) -> DataFram
     block above has the lemma + scale notes); oracle is the FULL
     inverted-index Jaccard — prefix filtering must lose nothing."""
     cached_prefix(spark, sf_dir)
+    cached_shingle_arrays(spark, sf_dir)
     return spark.sql(_PPJOIN_SPARK)
 
 
