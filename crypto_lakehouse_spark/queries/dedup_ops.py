@@ -1650,3 +1650,64 @@ def dedup_survivor_weights(spark, sf_dir: str):
     return j.select(
         "doc_id", F.coalesce(F.col("w"), F.lit(1)).cast("bigint").alias("weight")
     ).orderBy("doc_id")
+
+
+# --- cross-source duplicate matrix --------------------------------------------
+# Where do the near-dups COME FROM? The per-source-pair count of
+# Jaccard>=0.3 near-dup edges — the provenance report a curation run
+# publishes next to the dedup yield (mirror sites and syndication
+# show up as heavy OFF-diagonal cells; template reuse within one crawl
+# as a heavy diagonal). Spark side reads the shared prefix-filtered
+# edge fixture (cached_cc_edges — one checkpoint feeds the whole
+# clustering family); the oracle re-derives edges from the BRUTE
+# self-join, so the green hash re-proves the filter's losslessness on
+# yet another aggregate of the same relation.
+
+@query(
+    "cross_source_dup_matrix",
+    oracle="WITH "
+    + _SH_DUCK
+    + ",\n"
+    + _CC_EDGES.replace(
+        "\nSELECT p.doc_a, p.doc_b", "\n, edges AS (SELECT p.doc_a, p.doc_b", 1
+    )
+    + """)
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_dup_pairs
+FROM edges e
+JOIN documents da ON da.doc_id = e.doc_a
+JOIN documents db ON db.doc_id = e.doc_b
+GROUP BY LEAST(da.source, db.source), GREATEST(da.source, db.source)
+ORDER BY source_a, source_b
+""",
+    tags=("dedup", "provenance", "matrix", "curation"),
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup edge counts per unordered source pair (block comment
+    above); edges from the shared checkpointed fixture, documents
+    joined on both endpoints (AQE broadcasts the doc-source side when
+    small; doc_id-keyed shuffle join otherwise)."""
+    from crypto_lakehouse_spark.io import load_table
+
+    edges = spark.table(cached_cc_edges(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    j = (
+        edges.join(docs.withColumnRenamed("source", "sa"), edges.doc_a == docs.doc_id)
+        .drop("doc_id")
+        .join(
+            docs.withColumnRenamed("source", "sb").withColumnRenamed(
+                "doc_id", "doc_id_b"
+            ),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -1067,3 +1067,59 @@ query(
     ),
     tags=("lmdata", "tokenizer", "diagnostics"),
 )(_vocab_coverage_fn)
+
+
+# --- n-gram singleton decay (memorization-risk curve) -------------------------
+# For n = 1..5: how many distinct n-grams exist and what fraction are
+# SINGLETONS (frequency 1). The singleton fraction rises steeply with
+# n in natural text (Good-Turing mass); a corpus whose 5-gram
+# singleton fraction is LOW is heavily templated/duplicated — and the
+# singleton tail is exactly the material a language model can only
+# memorize, so this curve is the one-look memorization-risk summary a
+# data audit starts from. Shape: five narrow explodes unioned, ONE
+# (n, gram) count aggregate (map-side combiners absorb hot grams), a
+# 5-row rollup. All-integer statistics.
+def _singleton_sql(gram: str, lenfn: str) -> str:
+    legs = "\nUNION ALL\n".join(
+        f"""SELECT {n} AS n, {gram.format(n=n)} AS g
+FROM toks WHERE {lenfn}(ws) >= {n}"""
+        for n in range(1, 6)
+    )
+    return f"""
+WITH toks AS (
+    SELECT {{split}}(lower(text), ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+grams AS ({legs}),
+flat AS (SELECT n, {{unn}} AS gram FROM grams),
+counts AS (SELECT n, gram, COUNT(*) AS c FROM flat GROUP BY n, gram)
+SELECT n,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singletons,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS singleton_frac
+FROM counts
+GROUP BY n
+ORDER BY n
+"""
+
+
+_SINGLETON_SPARK = _singleton_sql(
+    "transform(sequence(1, size(ws) - {n} + 1), "
+    "i -> array_join(slice(ws, i, {n}), ' '))",
+    "size",
+).format(split="split", unn="explode(g)")
+
+_SINGLETON_DUCK = _singleton_sql(
+    "list_transform(range(1, len(ws) - {n} + 2), "
+    "i -> array_to_string(list_slice(ws, i, i + {n} - 1), ' '))",
+    "len",
+).format(split="string_split", unn="unnest(g)")
+
+_pair(
+    "ngram_singleton_decay",
+    _SINGLETON_SPARK,
+    _SINGLETON_DUCK,
+    tags=("lmdata", "ngram", "memorization", "distribution"),
+)

@@ -1412,3 +1412,64 @@ WITH cells AS (
     + _COV_TAIL,
     tags=("similarity", "covariance", "pca", "statistics"),
 )
+
+
+# --- embedding-norm MAD outliers ----------------------------------------------
+# Robust per-label embedding sanity check: median norm, MAD (median
+# absolute deviation), and the count of vectors whose |norm - median|
+# exceeds 3 * 1.4826 * MAD (the normal-consistent robust z-score) —
+# the batch-ingest gate that catches unnormalized or corrupted vector
+# shipments without being fooled by them (mean/stddev would move WITH
+# the outliers). Norm^2 is an exact decimal sum of ROUND(v*v, 12)
+# terms (order-free); percentile_cont interpolates identical doubles
+# identically in both engines; the final comparisons are single
+# double expressions.
+_NORM_MAD_SQL = """
+WITH comps AS (
+    SELECT vec_id, label,
+           CAST(ROUND(v * v, 12) AS DECIMAL(24, 12)) AS v2
+    FROM ({explode})
+),
+norms AS (
+    SELECT vec_id, label,
+           SQRT(CAST(SUM(v2) AS DOUBLE)) AS nrm
+    FROM comps GROUP BY vec_id, label
+),
+med AS (
+    SELECT label,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY nrm) AS med_norm
+    FROM norms GROUP BY label
+),
+devs AS (
+    SELECT n.label, n.nrm, m.med_norm,
+           ABS(n.nrm - m.med_norm) AS dev
+    FROM norms n JOIN med m ON m.label = n.label
+),
+mad AS (
+    SELECT label,
+           percentile_cont(0.5) WITHIN GROUP (ORDER BY dev) AS mad_raw
+    FROM devs GROUP BY label
+)
+SELECT d.label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(MAX(d.med_norm), 9) AS median_norm,
+       ROUND(MAX(m.mad_raw), 9) AS mad,
+       CAST(SUM(CASE WHEN d.dev > 3 * 1.4826 * m.mad_raw
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM devs d JOIN mad m ON m.label = d.label
+GROUP BY d.label
+ORDER BY d.label
+"""
+
+_pair(
+    "embedding_norm_mad_outliers",
+    _NORM_MAD_SQL.format(
+        explode="SELECT vec_id, label, CAST(v AS DOUBLE) AS v "
+        "FROM embeddings LATERAL VIEW explode(embedding) t AS v"
+    ),
+    _NORM_MAD_SQL.format(
+        explode="SELECT vec_id, label, CAST(unnest(embedding) AS DOUBLE) AS v "
+        "FROM embeddings"
+    ),
+    tags=("similarity", "embedding", "robust-statistics", "data-quality"),
+)

@@ -346,3 +346,49 @@ _pair(
     _GINI_SQL,
     tags=("statistics", "gini", "concentration", "data-quality"),
 )
+
+
+# --- Hill tail-index estimator over document lengths ----------------------------
+# alpha_hat(k) = k / sum_{i=1..k} ln(x_(i) / x_(k+1)) over the k
+# largest lengths — the standard heavy-tail exponent estimator
+# (Hill 1975). Reported at three k fractions (5/10/20% of n) because
+# the estimator's STABILITY across k is the actual diagnostic: stable
+# alpha ~ 1-3 means a genuine power-law tail (one mega-document class
+# dominating token budgets); alpha drifting upward means the tail is
+# thinner than it looks. ln ratios are ROUND(...,12) decimal-summed
+# (order-free); the division is one double expression per row.
+_HILL_SQL = """
+WITH ranked AS (
+    SELECT CAST(n_chars AS DOUBLE) AS x,
+           ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS r
+    FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+),
+nn AS (SELECT COUNT(*) AS n FROM ranked),
+ks AS (
+    SELECT CAST(frac * n AS BIGINT) AS k
+    FROM (SELECT 0.05 AS frac UNION ALL SELECT 0.10
+          UNION ALL SELECT 0.20) f
+    CROSS JOIN nn
+    WHERE CAST(frac * n AS BIGINT) >= 2
+),
+terms AS (
+    SELECT k.k,
+           CAST(ROUND(LN(r1.x / rk.x), 12) AS DECIMAL(24, 12)) AS lt
+    FROM ks k
+    JOIN ranked rk ON rk.r = k.k + 1
+    JOIN ranked r1 ON r1.r <= k.k
+)
+SELECT CAST(k AS BIGINT) AS k_top,
+       ROUND(CAST(k AS DOUBLE)
+             / CAST(SUM(lt) AS DOUBLE), 9) AS hill_alpha
+FROM terms
+GROUP BY k
+ORDER BY k_top
+"""
+
+_pair(
+    "hill_tail_index_doc_lengths",
+    _HILL_SQL,
+    _HILL_SQL,
+    tags=("statistics", "heavy-tail", "hill", "distribution"),
+)
