@@ -1176,20 +1176,54 @@ _TFIDF_CONFS["spark.sql.adaptive.autoBroadcastJoinThreshold"] = str(
 _TFIDF_DF_CAP = 20
 
 
+# Spark-side tail with NORM-CARRIED scoring: joining the per-doc norm
+# relation onto the 112M-row pair relation costs two extra full
+# shuffles (measured +38 s at sf10 — dots alone 24 s, dots+norm joins
+# 62 s). Instead the capped fixture (TFIDF_CG_VIEW) carries each
+# row's own nrm, the pair aggregate keeps it via MAX (constant per
+# group), and the cosine divides at emission — the IDENTICAL formula
+# and rounding points as the oracle's join form, zero extra shuffles.
+_TFIDF_TOPK_SPARK_T = """
+WITH dots AS (
+    SELECT doc_a, doc_b, {fold} AS dot,
+           MAX(na) AS na, MAX(nb) AS nb
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.df AS df,
+               COUNT(*) AS c, MAX(a.wt) AS wt,
+               MAX(a.nrm) AS na, MAX(b.nrm) AS nb
+        FROM {cg} a JOIN {cg} b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.df
+    ) g GROUP BY doc_a, doc_b
+),
+scored AS (
+    SELECT doc_a, doc_b,
+           ROUND(dot / (SQRT(na) * SQRT(nb)), 9) AS cosine
+    FROM dots
+),
+ranked AS (
+    SELECT doc_a, doc_b, cosine,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_a ORDER BY cosine DESC, doc_b
+           ) AS rnk
+    FROM scored WHERE cosine > 0
+)
+SELECT doc_a, CAST(rnk AS INT) AS rnk, doc_b, cosine
+FROM ranked WHERE rnk <= 3
+ORDER BY doc_a, rnk
+"""
+
+
 def _idf_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """idf-weighted cosine top-3 per doc over the persisted weighted
-    shingle relation (block comment above has the scale framing).
-    Weighted relation and norms are passed as DIRECT view names, never
-    CTE aliases — see the _TFIDF_TAIL comment for the cache-miss trap."""
-    cached_tfidf_norms(spark, sf_dir)
+    shingle relation (block comments above: scale framing + the
+    norm-carried scoring shape; views referenced directly, never via
+    CTE aliases — see the _TFIDF_TAIL comment for the cache trap)."""
+    cached_tfidf_cg(spark, sf_dir)
     return spark.sql(
-        "WITH "
-        + _TFIDF_TAIL.format(
-            fold=_TFIDF_FOLD_SPARK,
-            cap=_TFIDF_DF_CAP,
-            w=TFIDF_W_VIEW,
-            norms=TFIDF_NORMS_VIEW,
-        ).lstrip()
+        _TFIDF_TOPK_SPARK_T.format(
+            fold=_TFIDF_FOLD_SPARK, cg=TFIDF_CG_VIEW
+        )
     )
 
 
@@ -1303,10 +1337,10 @@ def cached_tfidf_cg(spark: SparkSession, sf_dir: str) -> str:
         cached_tfidf_norms(spark, sf_dir)
         df = spark.sql(
             f"""
-SELECT c.doc_id, c.s, c.wt, c.df, g.g
+SELECT c.doc_id, c.s, c.wt, c.df, g.g, g.nrm
 FROM (SELECT doc_id, s, wt, df FROM {TFIDF_W_VIEW}
       WHERE df > 1 AND df <= {_TFIDF_DF_CAP}) c
-JOIN (SELECT n.doc_id, SQRT({_TFIDF_TAU} * n.nrm) / w.m AS g
+JOIN (SELECT n.doc_id, n.nrm, SQRT({_TFIDF_TAU} * n.nrm) / w.m AS g
       FROM {TFIDF_NORMS_VIEW} n CROSS JOIN
            (SELECT MAX(wt) AS m FROM {TFIDF_W_VIEW}
             WHERE df > 1 AND df <= {_TFIDF_DF_CAP}) w) g
