@@ -33,3 +33,37 @@ def truncate_lineage(df: DataFrame, spark: SparkSession) -> DataFrame:
     if spark.sparkContext.getCheckpointDir() is not None:
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
+
+
+def release_lineage(df: DataFrame) -> None:
+    """Free the storage behind a `truncate_lineage` result.
+
+    `DataFrame.unpersist()` is a NO-OP on checkpointed frames: it only
+    clears CacheManager entries, while (local)checkpoint data lives as
+    RDD-level blocks on the INTERNAL RDD wrapped by the plan's
+    LogicalRDD node.  This reaches that RDD through the analyzed plan
+    and unpersists it directly, so superseded sf_dir fixtures release
+    executor memory immediately instead of waiting for the JVM to GC
+    the RDD (driver-side ContextCleaner).
+
+    Best-effort by design: the LogicalRDD traversal uses py4j access
+    to Catalyst internals, so any mismatch (future Spark renames,
+    Connect sessions without a JVM plan) falls back to the GC path —
+    correctness never depends on the eager release.  Reliable-mode
+    checkpoint FILES are cleaned by the GC path only, which is why
+    the session builder sets
+    `spark.cleaner.referenceTracking.cleanCheckpoints=true`.
+    """
+    try:
+        plan = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        # truncate_lineage returns a Dataset whose analyzed plan IS the
+        # LogicalRDD (no operators above it), so no tree walk needed.
+        if plan.getClass().getSimpleName() == "LogicalRDD":
+            plan.rdd().unpersist(False)
+            return
+    except Exception:
+        pass
+    try:  # non-checkpointed (plain persisted) frames: the normal path
+        df.unpersist()
+    except Exception:
+        pass

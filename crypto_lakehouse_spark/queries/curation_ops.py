@@ -467,16 +467,18 @@ def _cached_fp64(spark: SparkSession, sf_dir: str) -> None:
     Same memo discipline as dedup_ops.cached_shingles."""
     from crypto_lakehouse_spark.io import session_key
 
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
     skey = session_key(spark)
     key = (skey, sf_dir)
     if key not in _FP64_MEMO:
         for (sid, _), old in list(_FP64_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                release_lineage(old)
                 del _FP64_MEMO[(sid, _)]
-        from crypto_lakehouse_spark.operators.checkpointing import (
-            truncate_lineage,
-        )
 
         register_views(spark, sf_dir, ["documents"])
         # truncate_lineage, not bare persist: consumers wrap this view

@@ -93,7 +93,7 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> str:
         # A different sf_dir previously owning the view is unpersisted.
         for (sid, _), old in list(_SHINGLE_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                _release_lineage(old)
                 del _SHINGLE_MEMO[(sid, _)]
         register_views(spark, sf_dir, ["documents"])
         df = _truncate_lineage(spark.sql(_SHINGLE_SELECT_SPARK), spark)
@@ -528,6 +528,7 @@ ORDER BY doc_id
 # Shared with graph_ops (operators/checkpointing.py): reliable
 # checkpoint() when a checkpoint dir is set, localCheckpoint otherwise.
 from crypto_lakehouse_spark.operators.checkpointing import (  # noqa: E402
+    release_lineage as _release_lineage,
     truncate_lineage as _truncate_lineage,
 )
 
@@ -659,7 +660,7 @@ def dup_clusters_cc(spark, sf_dir: str):
 # ranked-prefix relation is the thing you'd checkpoint before the
 # pair-generation stage.
 PREFIX_VIEW = "jaccard_prefix_persisted"
-_PREFIX_MEMO: dict[tuple[int, str], DataFrame] = {}
+_PREFIX_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 # Prefix bound is threshold-generic: J >= num/den admits prefix
 # length n - ceil(num*n/den) + 1 (same pigeonhole lemma, t = num/den).
@@ -689,7 +690,7 @@ def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
     if key not in _PREFIX_MEMO:
         for (sid, _), old in list(_PREFIX_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                _release_lineage(old)
                 del _PREFIX_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
         df = _truncate_lineage(spark.sql(_PREFIX_SELECT), spark)
@@ -723,7 +724,7 @@ def cached_shingle_arrays(spark: SparkSession, sf_dir: str) -> str:
     if key not in _ARRAYS_MEMO:
         for (sid, _), old in list(_ARRAYS_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                _release_lineage(old)
                 del _ARRAYS_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
         df = _truncate_lineage(spark.sql(_ARRAYS_SELECT), spark)
@@ -750,11 +751,13 @@ def cached_shingle_arrays(spark: SparkSession, sf_dir: str) -> str:
 # pair generation and everything downstream); xxhash64 arrays carry
 # the same documented 2^-64-per-pair collision tradeoff as PPJoin.
 CC_EDGES_VIEW = "cc_edges_persisted"
-# memo value: (prefix03_df, edges_df) — BOTH persisted; the t=3/10
-# prefix is referenced on both sides of the candidate self-join, and
-# Spark inlines temp views, so an unpersisted prefix would recompute
-# the freq-join + window sort twice (same trap cached_prefix documents).
-_CC_EDGES_MEMO: dict[tuple[int, str], tuple[DataFrame, DataFrame]] = {}
+# memo value: (prefix03_df, edges_df) — BOTH checkpointed and both
+# kept live for the memo's lifetime: the t=3/10 prefix stays
+# registered as PREFIX03_VIEW (referenced on both sides of the
+# candidate self-join — Spark inlines temp views, so a released
+# prefix would recompute the freq-join + window sort twice), and
+# eviction releases both via release_lineage on sf_dir switch.
+_CC_EDGES_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 
 PREFIX03_VIEW = "jaccard_prefix03_persisted"
 
@@ -796,7 +799,7 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
         for (sid, _), olds in list(_CC_EDGES_MEMO.items()):
             if sid == skey:
                 for old in olds:
-                    old.unpersist()
+                    _release_lineage(old)
                 del _CC_EDGES_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
         cached_shingle_arrays(spark, sf_dir)
@@ -812,7 +815,6 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
         # A checkpointed edge list is also the honest 100 TB artifact.
         df = _truncate_lineage(spark.sql(_CC_EDGES_PREFIX), spark)
         df.createOrReplaceTempView(CC_EDGES_VIEW)
-        pfx.unpersist()
         _CC_EDGES_MEMO[key] = (pfx, df)
     return CC_EDGES_VIEW
 
@@ -1081,7 +1083,7 @@ _TFIDF_FOLD_DUCK = (
 # verify already takes — the oracle joins raw strings and proves no
 # collision bit).
 TFIDF_W_VIEW = "tfidf_w_persisted"
-_TFIDF_W_MEMO: dict[tuple[int, str], DataFrame] = {}
+_TFIDF_W_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 _TFIDF_W_SELECT = f"""
 WITH nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM {SHINGLE_VIEW}),
@@ -1100,7 +1102,7 @@ def cached_tfidf_weights(spark: SparkSession, sf_dir: str) -> str:
     if key not in _TFIDF_W_MEMO:
         for (sid, _), old in list(_TFIDF_W_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                _release_lineage(old)
                 del _TFIDF_W_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
         df = _truncate_lineage(spark.sql(_TFIDF_W_SELECT), spark)
@@ -1125,7 +1127,7 @@ w AS (
 # the dominant recompute in the thresholded twin at sf10. One scan,
 # persisted, shared by both idf-cosine queries.
 TFIDF_NORMS_VIEW = "tfidf_norms_persisted"
-_TFIDF_NORMS_MEMO: dict[tuple[int, str], DataFrame] = {}
+_TFIDF_NORMS_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def cached_tfidf_norms(spark: SparkSession, sf_dir: str) -> str:
@@ -1136,7 +1138,7 @@ def cached_tfidf_norms(spark: SparkSession, sf_dir: str) -> str:
     if key not in _TFIDF_NORMS_MEMO:
         for (sid, _), old in list(_TFIDF_NORMS_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                _release_lineage(old)
                 del _TFIDF_NORMS_MEMO[(sid, _)]
         cached_tfidf_weights(spark, sf_dir)
         df = spark.sql(
@@ -1320,7 +1322,7 @@ ORDER BY doc_a, rnk
 # checkpoint a 100 TB pipeline would persist before pair generation.
 # (TFIDF_CG_VIEW itself is declared above _TFIDF_PREFIX_SPARK, which
 # interpolates it.)
-_TFIDF_CG_MEMO: dict[tuple[int, str], DataFrame] = {}
+_TFIDF_CG_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def cached_tfidf_cg(spark: SparkSession, sf_dir: str) -> str:
@@ -1332,7 +1334,7 @@ def cached_tfidf_cg(spark: SparkSession, sf_dir: str) -> str:
     if key not in _TFIDF_CG_MEMO:
         for (sid, _), old in list(_TFIDF_CG_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                _release_lineage(old)
                 del _TFIDF_CG_MEMO[(sid, _)]
         cached_tfidf_norms(spark, sf_dir)
         df = spark.sql(

@@ -37,16 +37,18 @@ def cached_ahash_sig(spark: SparkSession, sf_dir: str) -> str:
         attach_token_histogram_blobs,
     )
 
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
     skey = session_key(spark)
     key = (skey, sf_dir)
     if key not in _AHASH_MEMO:
         for (sid, d), old in list(_AHASH_MEMO.items()):
             if sid == skey:
-                old.unpersist()
+                release_lineage(old)
                 del _AHASH_MEMO[(sid, d)]
-        from crypto_lakehouse_spark.operators.checkpointing import (
-            truncate_lineage,
-        )
 
         docs = load_table(spark, sf_dir, "documents")
         # truncate_lineage, not bare persist: the banded self-join SQL

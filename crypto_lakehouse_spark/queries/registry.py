@@ -80,6 +80,17 @@ WIDE_SHUFFLE = {
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
 }
 
+# Union of every conf key ANY registered query declares via `confs`.
+# Populated at decoration time (module import), so it is complete
+# before the first query executes.  The per-call wrapper UNSETS any
+# key in this union that the current query does not itself set —
+# otherwise a key declared by only a few queries (e.g. the idf_cosine
+# pair's raised adaptive autoBroadcastJoinThreshold) would silently
+# leak into every subsequent query in the session, changing their
+# plans.  Unset restores Spark's built-in default, which is exactly
+# the state a query that never declared the key expects.
+_ALL_DECLARED_CONF_KEYS: set[str] = set()
+
 
 def query(
     name: str,
@@ -103,6 +114,7 @@ def query(
         merged = dict(_QUERY_CONF_DEFAULTS)
         if confs:
             merged.update(confs)
+        _ALL_DECLARED_CONF_KEYS.update(merged)
 
         def _with_confs(inner: Callable) -> Callable:
             def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -111,6 +123,11 @@ def query(
                     _INITIAL_PARTITIONS_KEY,
                     _default_initial_partitions(spark),
                 )
+                for key in _ALL_DECLARED_CONF_KEYS - effective.keys():
+                    try:  # restore Spark's default for keys set only
+                        spark.conf.unset(key)  # by OTHER queries
+                    except Exception:
+                        pass
                 for key, val in effective.items():
                     try:
                         spark.conf.set(key, val)

@@ -365,11 +365,15 @@ WITH ranked AS (
 ),
 nn AS (SELECT COUNT(*) AS n FROM ranked),
 ks AS (
-    SELECT CAST(frac * n AS BIGINT) AS k
+    -- FLOOR before the cast: DuckDB ROUNDS decimal->bigint casts while
+    -- Spark TRUNCATES, so a bare CAST(frac * n AS BIGINT) picks different
+    -- k whenever frac*n has fractional part >= 0.5 (e.g. n % 20 in 10..19
+    -- for the 5% tier). Explicit FLOOR makes both engines truncate.
+    SELECT CAST(FLOOR(frac * n) AS BIGINT) AS k
     FROM (SELECT 0.05 AS frac UNION ALL SELECT 0.10
           UNION ALL SELECT 0.20) f
     CROSS JOIN nn
-    WHERE CAST(frac * n AS BIGINT) >= 2
+    WHERE CAST(FLOOR(frac * n) AS BIGINT) >= 2
 ),
 terms AS (
     SELECT k.k,

@@ -55,6 +55,13 @@ def get_spark_session(app_name: str = "crypto-lakehouse-spark") -> SparkSession:
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
         .config("spark.sql.ui.explainMode", "formatted")
+        # Reliable-mode checkpoint FILES (sessions with a checkpoint
+        # dir) are only ever deleted by the driver's ContextCleaner
+        # when the RDD is GC'd; without this flag they accumulate
+        # unboundedly as memo fixtures are superseded on sf_dir
+        # switches. Local-mode blocks are released eagerly by
+        # operators.checkpointing.release_lineage.
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     master = os.environ.get("SPARK_GRAFT_MASTER_OVERRIDE", "")
