@@ -41,7 +41,33 @@ def main() -> int:
         from gen_operators_md import write as write_operators_md
 
         print("regenerated", write_operators_md())
+    elif operators_md_stale():
+        # Partial runs still assert index freshness (VERDICT r9 item
+        # 6: two widening waves once shipped without regenerating).
+        print(
+            "STALE OPERATORS.md: header count != registry count "
+            f"({len(REGISTRY)} registered) — run "
+            "`python scripts/gen_operators_md.py`"
+        )
+        failed.append("OPERATORS.md-stale")
     return 1 if failed else 0
+
+
+def operators_md_stale() -> bool:
+    """True when OPERATORS.md's generated header count disagrees with
+    the live registry (the index was not regenerated after a widening
+    wave)."""
+    import os
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "OPERATORS.md")
+    try:
+        with open(path) as f:
+            head = f.read(2000)
+    except OSError:
+        return True
+    m = re.search(r"(\d+) registered queries", head)
+    return m is None or int(m.group(1)) != len(REGISTRY)
 
 
 if __name__ == "__main__":
