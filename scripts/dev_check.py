@@ -50,7 +50,40 @@ def main() -> int:
             "`python scripts/gen_operators_md.py`"
         )
         failed.append("OPERATORS.md-stale")
+    for name in ramp_rule_violations():
+        # VERDICT r9 item 1: "every benched >2 s query carries ramp
+        # evidence" regressed silently across two rounds — enforce it
+        # mechanically on every dev_check run.
+        print(
+            f"RAMP RULE: {name} is >2 s in BENCH_FULL.json but absent "
+            "from scripts/bench_sf1.py TIER — add it (and run the sf1 "
+            "bench) or drop it under 2 s"
+        )
+        failed.append(f"ramp-rule:{name}")
     return 1 if failed else 0
+
+
+def ramp_rule_violations() -> list[str]:
+    """Benched queries >2 s in the latest recorded full bench that are
+    missing from the sf1 ramp tier (the declared ramp-evidence rule)."""
+    import json
+    import os
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    try:
+        with open(os.path.join(repo, "BENCH_FULL.json")) as f:
+            bench = json.load(f).get("queries", {})
+    except (OSError, ValueError):
+        return []
+    import bench_sf1
+
+    tier = set(bench_sf1.TIER)
+    return sorted(
+        n
+        for n, t in bench.items()
+        if isinstance(t, (int, float)) and t > 2.0 and n not in tier
+        and n in REGISTRY
+    )
 
 
 def operators_md_stale() -> bool:
