@@ -70,15 +70,21 @@ def attach_blobs(documents: DataFrame) -> DataFrame:
 
 def decode_image(blob: bytes):
     """Real decode path for standard formats. PNG is decoded by the
-    pure-stdlib `png_decode` below (zlib + filter reconstruction — no
-    codec library needed); other formats (JPEG et al. need a DCT
-    codec) fall through to PIL when present, else raise."""
+    pure-stdlib `png_decode` below (zlib + filter reconstruction) and
+    JPEG by the pure-stdlib/numpy baseline codec in `operators.jpeg`
+    (Huffman + exact-matrix IDCT) — the two formats that dominate web
+    corpora decode natively with no codec library. Remaining formats
+    (WebP/AVIF et al.) fall through to PIL when present, else raise."""
     if blob[:8] == _PNG_SIG:
         return png_decode(blob)
+    if blob[:2] == b"\xff\xd8":
+        from crypto_lakehouse_spark.operators.jpeg import jpeg_decode
+
+        return jpeg_decode(blob)
     if not _HAS_PIL:  # pragma: no cover - PIL absent in this container
         raise NotImplementedError(
-            "non-PNG image decoding requires PIL, which is not "
-            "installed; PNG decodes natively via png_decode"
+            "non-PNG/JPEG image decoding requires PIL, which is not "
+            "installed; PNG and baseline JPEG decode natively"
         )
     import io  # pragma: no cover
 
@@ -400,6 +406,76 @@ def png_roundtrip_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=PNG_ROUNDTRIP_SCHEMA)
+
+
+JPEG_ROUNDTRIP_SCHEMA = (
+    "doc_id BIGINT, width INT, height INT, n_pixels BIGINT, "
+    "pix_checksum BIGINT, px00 INT, px_last INT, mean_pixel DOUBLE"
+)
+
+
+def jpeg_roundtrip_features(blobs: DataFrame) -> DataFrame:
+    """REAL JPEG codec path end-to-end, on the one input class where
+    a LOSSY codec admits an exact value oracle: FLAT 8x8 blocks.
+    A flat block's DCT is DC = 8*(v-128) with analytically-zero ACs;
+    with the all-8s quant table the DC quantizes to exactly v-128 and
+    the orthonormal IDCT returns v bit-exactly, so
+    decode(encode(img)) == img for every flat-block image. Each doc's
+    image is built from its md5 bytes (block (by,bx) gets value
+    md5_byte[(by*w8+bx) mod 16]), cropped to a NON-multiple-of-8 size
+    so edge-replication padding is exercised, encoded, DECODED, and
+    summarized with the same integer statistics as the PNG roundtrip;
+    the DuckDB oracle recomputes every statistic from the hex digits.
+    Varying block values drive the DC Huffman DIFF path across size
+    categories and signs; the general AC path is differentially
+    bounded in tests/test_jpeg.py (a lossy path cannot be
+    SQL-recomputed exactly, so it is pytest-anchored instead)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from crypto_lakehouse_spark.operators.jpeg import (
+            jpeg_decode,
+            jpeg_encode,
+        )
+
+        qtab = np.full((8, 8), 8, dtype=np.int64)
+        for pdf in it:
+            rows = []
+            for doc_id, w8, h8, cw, ch, blob in zip(
+                pdf["doc_id"],
+                pdf["w8"],
+                pdf["h8"],
+                pdf["crop_w"],
+                pdf["crop_h"],
+                pdf["blob"],
+            ):
+                md = np.frombuffer(bytes(blob)[:16], dtype=np.uint8)
+                w8, h8 = int(w8), int(h8)
+                vals = md[
+                    (np.arange(h8 * w8) % 16).reshape(h8, w8)
+                ]
+                img = (
+                    np.repeat(np.repeat(vals, 8, axis=0), 8, axis=1)
+                    .astype(np.uint8)[: int(ch), : int(cw)]
+                )
+                dec = jpeg_decode(jpeg_encode(img, qtable=qtab))
+                flat = dec.reshape(-1).astype(np.int64)
+                n = flat.size
+                weights = 1 + (np.arange(n, dtype=np.int64) % 7)
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "width": int(cw),
+                        "height": int(ch),
+                        "n_pixels": int(n),
+                        "pix_checksum": int((flat * weights).sum()),
+                        "px00": int(flat[0]),
+                        "px_last": int(flat[-1]),
+                        "mean_pixel": float(flat.sum()) / n,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=JPEG_ROUNDTRIP_SCHEMA)
 
 
 def frame_sample(blobs: DataFrame, every_n_bytes: int = 16) -> DataFrame:

@@ -1288,6 +1288,25 @@ query(
 # no qualifying pair end to end.
 _TFIDF_TAU = 0.3
 
+# sf10 cost split (VERDICT r9 item 3, measured round 10): of the
+# ~43 s warm-fixture total, the candidate aggregate alone is ~41 s
+# (94%) and the survivor fold + norm joins + window ~3 s — 25,700
+# candidates survive out of 112M pairs, so everything downstream of
+# the HAVING is noise. The aggregate's cost is LINEAR in pair volume
+# (sum of C(df,2), df capped at 20): the sf10 fixture's disjoint
+# replicas scale pairs exactly 10x and the measured decade ratio
+# ~12 is 10x volume plus shuffle-overhead growth, not superlinearity.
+# Two alternatives were measured and rejected:
+# - thin count (drop g from the join, filter via per-doc g joins
+#   after the aggregate): the 112M-pair x g-relation joins pick
+#   sort-merge at default thresholds and GC-OOM'd at sf10 — the
+#   same +38 s/OOM trap the norm-carried scoring exists to avoid;
+# - Bayardo prefix filter: kept ~91% of the relation at this
+#   tau/weight profile (see below), no pruning.
+# Carrying g through the map-side MAX is therefore the plan; the
+# remaining 16 B/row of aggregate-buffer width is the price of
+# avoiding any second pass over the pair relation.
+
 TFIDF_CG_VIEW = "tfidf_cg_persisted"
 
 # Views are referenced DIRECTLY (never via a CTE alias used twice) —
