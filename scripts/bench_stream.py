@@ -26,11 +26,104 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from pyspark.sql import functions as F
+
 from crypto_lakehouse_spark.session import get_spark_session
-from crypto_lakehouse_spark.streaming.file_stream import run_stream_ingest
+from crypto_lakehouse_spark.streaming.file_stream import (
+    _stream_schema,
+    run_stream_ingest,
+)
 
 SF = os.environ.get("SPARK_GRAFT_STREAM_SF_DIR", "/tmp/spark_graft_sf1")
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+STATEFUL_CHUNKS = 8
+
+
+def bench_stateful(spark, root: str) -> dict:
+    """Stateful drain (VERDICT r9 item 8): watermark + 1-hour windowed
+    aggregation in APPEND mode over the sf1 events table — a real
+    state-store workload (window x event_type state rows carried
+    across micro-batches, finalized as the watermark passes), unlike
+    the stateless ingest path above. Events are staged once into
+    STATEFUL_CHUNKS files drained one per micro-batch; each timed run
+    gets a fresh checkpoint + memory sink so the wall clock covers the
+    full stateful drain."""
+    from crypto_lakehouse_spark.io import load_table
+
+    stage = os.path.join(root, "stateful_stage")
+    os.makedirs(stage, exist_ok=True)
+    ev = load_table(spark, SF, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    total_rows = ev.count()
+    # deterministic chunking by event_id keeps every run identical
+    tmp = os.path.join(root, "stateful_tmp")
+    (
+        ev.withColumn(
+            "chunk", (F.abs(F.hash("event_id")) % STATEFUL_CHUNKS)
+        )
+        .repartition(STATEFUL_CHUNKS, "chunk")
+        .write.mode("overwrite")
+        .partitionBy("chunk")
+        .parquet(tmp)
+    )
+    n = 0
+    for sub in sorted(os.listdir(tmp)):
+        if not sub.startswith("chunk="):
+            continue
+        d = os.path.join(tmp, sub)
+        for p in sorted(os.listdir(d)):
+            if p.endswith(".parquet"):
+                os.rename(
+                    os.path.join(d, p),
+                    os.path.join(stage, f"{n:03d}.parquet"),
+                )
+                n += 1
+
+    def drain(i: int) -> float:
+        ckpt = os.path.join(root, f"stateful_ckpt_{i}")
+        name = f"bench_stateful_{i}"
+        stream = (
+            spark.readStream.schema(_stream_schema(spark, stage))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stage)
+        )
+        agg = (
+            stream.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+            .agg(
+                F.count("*").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,4)")).alias(
+                    "value_sum"
+                ),
+            )
+        )
+        t0 = time.perf_counter()
+        q = (
+            agg.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        dt = time.perf_counter() - t0
+        shutil.rmtree(ckpt, ignore_errors=True)
+        return dt
+
+    drain(999)  # warm-up (codegen + scan caches), untimed
+    best = min(drain(i) for i in range(RUNS))
+    return {
+        "metric": "stream_stateful_window_rows_per_sec",
+        "value": round(total_rows / best, 1),
+        "unit": "rows/sec",
+        "rows": total_rows,
+        "drain_wall_s": round(best, 3),
+        "micro_batches": STATEFUL_CHUNKS,
+        "runs_best_of": RUNS,
+        "sf_dir": SF,
+    }
 
 
 def main() -> int:
@@ -75,11 +168,14 @@ def main() -> int:
         "runs_best_of": RUNS,
         "sf_dir": SF,
     }
+    stateful = bench_stateful(spark, root)
     line = json.dumps(out)
     print(line)
+    print(json.dumps(stateful))
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_STREAM.json"), "w") as f:
         f.write(line + "\n")
+        f.write(json.dumps(stateful) + "\n")
     shutil.rmtree(root, ignore_errors=True)
     return 0
 
