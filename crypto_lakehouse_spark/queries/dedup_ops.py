@@ -1781,3 +1781,114 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_dup_pairs"))
         .orderBy("source_a", "source_b")
     )
+
+
+# --- asymmetric containment near-dup (round 10) ------------------------------
+# Jaccard misses the commonest real duplication shape: document A
+# quoted WHOLE inside a much larger B (J = |A|/|B| can be tiny while
+# A is 100% redundant). Containment C(a->b) = |S_a n S_b| / |S_a|
+# >= 3/5 catches it. The prefix filter works on the CONTAINED side
+# only — C(a->b) >= t needs overlap >= ceil(t*n_a), so b must share
+# one of a's first n_a - ceil(t*n_a) + 1 canonically-ordered shingles
+# (the overlap form of the PPJoin lemma); the CONTAINER side cannot
+# be pruned (b may be arbitrarily large), so candidates are
+# prefix(a) x full postings(b), verified exactly against the
+# persisted per-doc arrays. The DuckDB oracle is the BRUTE directed
+# self-join on raw shingle strings — a green hash proves the prefix
+# filter lost no qualifying pair AND covers the xxhash64 collision
+# bit. Integer threshold (5*inter >= 3*n_in), no float compares.
+_CONTAIN_SPARK = f"""
+WITH freqs AS (SELECT s, COUNT(*) AS df FROM {SHINGLE_VIEW} GROUP BY s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {SHINGLE_VIEW} GROUP BY doc_id),
+ranked AS (
+    SELECT sh.doc_id, sh.s, z.n,
+           ROW_NUMBER() OVER (
+               PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS pos
+    FROM {SHINGLE_VIEW} sh
+    JOIN freqs f ON f.s = sh.s
+    JOIN sizes z ON z.doc_id = sh.doc_id
+),
+pa AS (
+    SELECT doc_id, xxhash64(s) AS sh
+    FROM ranked WHERE pos <= n - (3 * n + 4) DIV 5 + 1
+),
+fb AS (SELECT doc_id, xxhash64(s) AS sh FROM {SHINGLE_VIEW}),
+cand AS (
+    SELECT pa.doc_id AS doc_in, fb.doc_id AS doc_of
+    FROM pa JOIN fb ON fb.sh = pa.sh AND fb.doc_id != pa.doc_id
+    GROUP BY pa.doc_id, fb.doc_id
+),
+ver AS (
+    SELECT c.doc_in, c.doc_of, aa.n AS n_in,
+           size(array_intersect(aa.arr, ab.arr)) AS inter
+    FROM cand c
+    JOIN {ARRAYS_VIEW} aa ON aa.doc_id = c.doc_in
+    JOIN {ARRAYS_VIEW} ab ON ab.doc_id = c.doc_of
+),
+dirc AS (
+    SELECT doc_in, doc_of, n_in, inter
+    FROM ver WHERE 5 * inter >= 3 * n_in
+),
+top1 AS (
+    SELECT doc_in, doc_of, n_in, inter,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_in ORDER BY inter DESC, doc_of) AS rn
+    FROM dirc
+)
+SELECT doc_in, doc_of,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(inter AS BIGINT) AS shared,
+       ROUND(CAST(inter AS DOUBLE) / n_in, 9) AS containment
+FROM top1 WHERE rn = 1
+ORDER BY doc_in
+"""
+
+_CONTAIN_DUCK = (
+    "WITH "
+    + _SH_DUCK.strip().lstrip()
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+pair_inter AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS c
+    FROM shingles a JOIN shingles b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+dirc AS (
+    SELECT p.da AS doc_in, p.db AS doc_of, sa.n AS n_in, p.c AS inter
+    FROM pair_inter p JOIN sizes sa ON sa.doc_id = p.da
+    WHERE 5 * p.c >= 3 * sa.n
+    UNION ALL
+    SELECT p.db, p.da, sb.n, p.c
+    FROM pair_inter p JOIN sizes sb ON sb.doc_id = p.db
+    WHERE 5 * p.c >= 3 * sb.n
+),
+top1 AS (
+    SELECT doc_in, doc_of, n_in, inter,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_in ORDER BY inter DESC, doc_of) AS rn
+    FROM dirc
+)
+SELECT doc_in, doc_of,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(inter AS BIGINT) AS shared,
+       ROUND(CAST(inter AS DOUBLE) / n_in, 9) AS containment
+FROM top1 WHERE rn = 1
+ORDER BY doc_in
+"""
+)
+
+
+def _containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered asymmetric containment (block comment above);
+    rides the persisted shingle + arrays fixtures."""
+    cached_shingles(spark, sf_dir)
+    cached_shingle_arrays(spark, sf_dir)
+    return spark.sql(_CONTAIN_SPARK)
+
+
+query(
+    "containment_topk",
+    oracle=_CONTAIN_DUCK,
+    tags=("dedup", "containment", "prefix-filter", "asymmetric"),
+)(_containment_topk)

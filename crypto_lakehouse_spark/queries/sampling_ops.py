@@ -382,3 +382,54 @@ _pair(
     tables=["events"],
     tags=("sampling", "robust-statistics", "aggregation"),
 )
+
+
+# --- weighted sampling without replacement (Efraimidis-Spirakis A-ES) --------
+# The weighted analog of deterministic_split: pick k documents with
+# inclusion probability proportional to weight (here n_chars — the
+# "sample long docs more" curriculum primitive) WITHOUT replacement,
+# in one distributed pass. A-ES reduces weighted sampling to a plain
+# top-k: key_i = -ln(u_i) / w_i with u_i uniform — the k SMALLEST
+# keys are exactly a weight-proportional sample (Efraimidis &
+# Spirakis 2006), and top-k is embarrassingly parallel (per-partition
+# top-k then merge — Spark's TakeOrderedAndProject does precisely
+# this, no full sort at 100 TB).
+# Determinism: u_i comes from 6 md5 hex chars of doc_id ((v + 0.5) /
+# 16^6, never 0 or 1), the same portable-hash discipline as _BUCKET;
+# ln/division on identically-constructed doubles is bit-equal across
+# engines, and (key, doc_id) ordering breaks any residual tie.
+_AES_U = (
+    "(CAST(%%HEX2INT%% AS DOUBLE) + 0.5) / 16777216.0"
+)
+
+_AES_SQL = """
+SELECT doc_id, source, CAST(n_chars AS BIGINT) AS weight,
+       ROUND(aes_key, 9) AS aes_key
+FROM (
+    SELECT doc_id, source, n_chars,
+           -LN({u}) / n_chars AS aes_key
+    FROM documents
+    WHERE n_chars IS NOT NULL AND n_chars > 0
+)
+ORDER BY aes_key, doc_id
+LIMIT 25
+"""
+
+_pair(
+    "weighted_sample_aexpj",
+    _AES_SQL.format(
+        u=_AES_U.replace(
+            "%%HEX2INT%%",
+            "CONV(SUBSTR(MD5(CAST(doc_id AS STRING)), 1, 6), 16, 10)",
+        )
+    ),
+    _AES_SQL.format(
+        u=_AES_U.replace(
+            "%%HEX2INT%%",
+            "('0x' || SUBSTR(MD5(CAST(doc_id AS VARCHAR(20))), 1, 6))"
+            "::BIGINT",
+        )
+    ),
+    tables=["documents"],
+    tags=("sampling", "weighted", "aes", "pipeline"),
+)

@@ -522,3 +522,74 @@ _pair(
     _HILL_SQL,
     tags=("statistics", "heavy-tail", "hill", "distribution"),
 )
+
+
+# --- Population Stability Index per source --------------------------------------
+# PSI = sum over bins of (p_source - p_corpus) * ln(p_source /
+# p_corpus) — the standard model-monitoring drift number, here over
+# doc-length deciles: the per-ingest-source alarm a corpus pipeline
+# fires when a source's length mix shifts from the corpus shape
+# (scraper regression, template flood). Bins are NTILE(10) over the
+# deterministic total order (n_chars, doc_id), so bin membership is
+# identical in both engines with no percentile-interpolation
+# convention in play. Laplace (+1 per bin) smoothing keeps every
+# log argument finite without zero-guards, identically on both
+# sides; per-bin terms are ROUND(...,12)-then-DECIMAL summed (the
+# house float discipline), one double division at emission.
+# Conventional reading: PSI < 0.1 stable, 0.1-0.25 moderate shift,
+# > 0.25 action. Scale: one global NTILE window (the corpus decile
+# assignment — at 100 TB this becomes the two-phase bucketed prefix
+# sum used by ks_statistic_priority_pairs above, or plain
+# percentile_approx boundaries since bin EDGES need not be exact for
+# a drift alarm), then integer group counts and a 20x10-row reduce.
+_PSI_SQL = """
+WITH binned AS (
+    SELECT source,
+           NTILE(10) OVER (ORDER BY n_chars, doc_id) AS bin
+    FROM documents WHERE n_chars IS NOT NULL
+),
+corpus AS (SELECT bin, COUNT(*) AS nb FROM binned GROUP BY bin),
+ntot AS (SELECT COUNT(*) AS n FROM binned),
+per_source AS (
+    SELECT source, bin, COUNT(*) AS nsb FROM binned GROUP BY source, bin
+),
+stot AS (SELECT source, COUNT(*) AS ns FROM binned GROUP BY source),
+terms AS (
+    -- CAST(... AS DOUBLE) before each division: a bare 1.0 literal is
+    -- DECIMAL in both engines but their decimal-division scale rules
+    -- differ, which shifted the 7th decimal of the summed PSI.
+    SELECT st.source,
+           CAST(ROUND(
+               (
+                   CAST(COALESCE(ps.nsb, 0) + 1 AS DOUBLE) / (st.ns + 10)
+                   - CAST(c.nb + 1 AS DOUBLE) / (t.n + 10)
+               )
+               * LN((CAST(COALESCE(ps.nsb, 0) + 1 AS DOUBLE) / (st.ns + 10))
+                    / (CAST(c.nb + 1 AS DOUBLE) / (t.n + 10))),
+               12) AS DECIMAL(18, 12)) AS term
+    FROM stot st
+    CROSS JOIN corpus c
+    CROSS JOIN ntot t
+    LEFT JOIN per_source ps
+      ON ps.source = st.source AND ps.bin = c.bin
+),
+psi AS (
+    SELECT source, CAST(SUM(term) AS DOUBLE) AS psi
+    FROM terms GROUP BY source
+)
+SELECT p.source,
+       CAST(st.ns AS BIGINT) AS n_docs,
+       ROUND(p.psi, 9) AS psi,
+       CASE WHEN p.psi < 0.1 THEN 'stable'
+            WHEN p.psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS drift_band
+FROM psi p JOIN stot st ON st.source = p.source
+ORDER BY p.source
+"""
+
+_pair(
+    "psi_drift_by_source",
+    _PSI_SQL,
+    _PSI_SQL,
+    tags=("statistics", "psi", "drift", "data-quality"),
+)

@@ -453,3 +453,86 @@ _pair(
     _fuzzy_contamination(_ngrams_duck("corpus", 3), _ngrams_duck("bench", 3)),
     tags=("trainprep", "dedup", "minhash", "decontamination"),
 )
+
+
+# --- content-defined chunking (Rabin boundaries) ----------------------------
+# The chunk-level dedup primitive (LBFS/FastCDC lineage): boundaries
+# are placed where a rolling window hash of the CONTENT satisfies a
+# mask, so an insertion early in a document shifts every byte offset
+# but leaves all downstream boundaries — and therefore the chunk
+# hashes a dedup store keys on — unchanged. That shift-resistance is
+# why 100 TB blob stores chunk this way instead of fixed-size blocks.
+# This operator computes the boundary set and per-source chunk-length
+# statistics. Implementation notes:
+# - window hash = sum of ascii(char[i+j]) * 31^j over j = 0..7, an
+#   exact-integer polynomial both engines evaluate identically (max
+#   ~5.6e13, far inside int64); boundary where hash % 61 == 0
+#   (expected chunk ~61 chars at this corpus's alphabet).
+# - STATELESS Rabin boundaries on purpose: FastCDC's min/max chunk
+#   clamps are a sequential scan per document (each boundary depends
+#   on where the previous one landed) — fine inside a partition-local
+#   kernel, but the set-oriented form keeps the whole operator three
+#   shuffles (explode -> boundary filter -> per-doc window) and the
+#   dedup-relevant statistics are the same.
+# - every document contributes a terminal boundary at L, so chunk
+#   lengths always sum to L exactly (asserted by total_chars /
+#   total_chunks being consistent in the result).
+_CDC_POWERS = [31**j for j in range(8)]
+_CDC_HASH = " + ".join(
+    # BIGINT cast before the multiply: ascii() is INT32 and Spark's
+    # ANSI mode overflows on int * 31^7 otherwise
+    f"CAST(ASCII(SUBSTR(text, CAST(i + {j} AS INT), 1)) AS BIGINT) * {p}"
+    for j, p in enumerate(_CDC_POWERS)
+)
+
+
+def _cdc_sql(explode_positions: str) -> str:
+    return f"""
+WITH docs AS (
+    SELECT doc_id, source, text, LENGTH(text) AS L
+    FROM documents WHERE text IS NOT NULL AND LENGTH(text) >= 1
+),
+posx AS (
+    SELECT doc_id, text, L, {explode_positions} AS i FROM docs
+),
+bpos AS (
+    SELECT doc_id, CAST(i AS BIGINT) AS pos
+    FROM posx
+    WHERE i <= L - 7 AND ({_CDC_HASH}) % 61 = 0
+    UNION ALL
+    SELECT doc_id, CAST(L AS BIGINT) AS pos FROM docs
+),
+segs AS (
+    SELECT doc_id,
+           pos - COALESCE(
+               LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos), 0
+           ) AS clen
+    FROM bpos
+),
+per_doc AS (
+    SELECT doc_id, COUNT(*) AS n_chunks, MAX(clen) AS max_chunk
+    FROM segs GROUP BY doc_id
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_chunks) AS BIGINT) AS total_chunks,
+       CAST(SUM(d.L) AS BIGINT) AS total_chars,
+       ROUND(CAST(SUM(d.L) AS DOUBLE) / SUM(p.n_chunks), 9)
+           AS avg_chunk_len,
+       CAST(MAX(p.max_chunk) AS BIGINT) AS max_chunk_len
+FROM docs d JOIN per_doc p ON p.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
+_pair(
+    "cdc_chunk_boundaries",
+    # Spark: sequence() is INCLUSIVE and generates DESCENDING ranges
+    # when stop < start, so short docs clamp to a 1-element sequence
+    # that the i <= L - 7 filter then removes.
+    _cdc_sql("EXPLODE(SEQUENCE(1, GREATEST(L - 7, 1)))"),
+    # DuckDB: range() is end-exclusive and empty when stop <= start.
+    _cdc_sql("UNNEST(RANGE(1, GREATEST(L - 6, 1)))"),
+    tags=("trainprep", "cdc", "chunking", "dedup"),
+)
