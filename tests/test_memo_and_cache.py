@@ -113,3 +113,66 @@ def test_unparseable_string_timestamps_fail_loudly(spark, tmp_path):
     with pytest.raises(ValueError, match="refusing to degrade"):
         # .count() via the strict probe runs inside load_table already.
         load_table(spark.newSession(), str(tmp_path), "events")
+
+
+def test_release_lineage_frees_checkpoint_blocks(spark):
+    """DataFrame.unpersist is a NO-OP on checkpointed frames (it only
+    clears CacheManager entries, not the LogicalRDD's block storage);
+    release_lineage must actually free the blocks — the fixture-memo
+    eviction path relies on it (ADVICE r9)."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persisted() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_persisted()
+    cp = truncate_lineage(
+        spark.range(50_000).selectExpr("id", "id * 2 AS y"), spark
+    )
+    assert n_persisted() == base + 1
+    cp.unpersist()  # documented no-op on checkpointed frames
+    assert n_persisted() == base + 1
+    release_lineage(cp)
+    assert n_persisted() == base
+
+
+def test_release_lineage_plain_persist_fallback(spark):
+    """Non-checkpointed persisted frames release through the normal
+    unpersist path."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+    )
+
+    sc = spark.sparkContext
+
+    def n_persisted() -> int:
+        return len(sc._jsc.sc().getRDDStorageInfo())
+
+    base = n_persisted()
+    df = spark.range(10_000).persist()
+    df.count()
+    assert n_persisted() == base + 1
+    release_lineage(df)
+    assert n_persisted() == base
+
+
+def test_query_conf_keys_reset_between_queries(spark):
+    """A conf key declared by ONE query (e.g. the idf-cosine pair's
+    raised adaptive broadcast threshold) must not leak into the next
+    query's session state (ADVICE r9: plans of unrelated queries were
+    silently changing)."""
+    from crypto_lakehouse_spark.queries import load_all
+    from crypto_lakehouse_spark.queries.registry import REGISTRY
+
+    load_all()
+    sf = "/root/testdata/sf0.001"
+    key = "spark.sql.adaptive.autoBroadcastJoinThreshold"
+    REGISTRY["idf_cosine_thresholded"].spark_fn(spark, sf)
+    assert spark.conf.get(key, None) == str(64 * 1024 * 1024)
+    REGISTRY["gini_doc_length_by_source"].spark_fn(spark, sf)
+    assert spark.conf.get(key, None) is None
