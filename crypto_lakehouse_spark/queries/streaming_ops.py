@@ -465,3 +465,41 @@ def versioned_table_stream_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     return run_versioned_table_stream(spark, sf_dir)
+
+
+def _ohlcv_stream_oracle() -> str:
+    """The streaming OHLCV oracle IS the batch ohlcv_1m oracle: the
+    whole point of the query is batch == streaming value equivalence
+    on the flagship workload (T5 at reference fidelity)."""
+    from crypto_lakehouse_spark.operators.trades import ORACLE_TRADES_CTE
+    from crypto_lakehouse_spark.queries.reference_ops import (
+        _ORACLE_CANDLES,
+        _ORACLE_FINISH,
+    )
+
+    return (
+        ORACLE_TRADES_CTE
+        + ","
+        + _ORACLE_CANDLES.format(bucket="minute")
+        + _ORACLE_FINISH.format(interval="MINUTE")
+    )
+
+
+@query(
+    "streaming_ohlcv_1m",
+    oracle=_ohlcv_stream_oracle(),
+    tags=("streaming", "ohlcv", "window", "parity"),
+    bench=False,
+)
+def streaming_ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship batch == streaming parity: 1-minute OHLCV candles from
+    a real streaming window aggregation (min_by/max_by open/close with
+    the batch plan's exact (trade_time, trade_id) tie-break), drained
+    across 3 micro-batches, hash-checked against the batch ohlcv_1m
+    oracle. See streaming/file_stream.run_streaming_ohlcv_1m."""
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_streaming_ohlcv_1m,
+    )
+
+    configure_session(spark)
+    return run_streaming_ohlcv_1m(spark, sf_dir)

@@ -266,6 +266,102 @@ def run_kafka_wire_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def run_streaming_ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FLAGSHIP parity query: 1-minute OHLCV candles computed by a
+    real Structured Streaming window aggregation over a replayed trade
+    feed, oracle-checked against the BATCH ohlcv_1m SQL — the batch ==
+    streaming equivalence (T5) on the reference's actual workload, not
+    a toy counter.
+
+    Streaming open/close use min_by/max_by over the (trade_time,
+    trade_id) struct — the declarative, order-insensitive equivalent
+    of the batch plan's full-frame FIRST/LAST_VALUE window with the
+    same tie-break, so the results are value-identical no matter how
+    rows land in micro-batches. high/low/volume/pv are plain algebraic
+    aggregates; vwap divides the exact decimal pv at emission,
+    identical to _finish_candles. The silver relation is staged (the
+    dedup step is covered by the streaming_dedup_* queries; chaining
+    both stateful stages here would just retest them), split into 3
+    micro-batches by trade_id so every window's state is built
+    incrementally across triggers. Complete output mode keeps the
+    bounded window x product key space; at 100 TB this becomes
+    watermark + append into a keyed sink with the same plan shape.
+    """
+    from crypto_lakehouse_spark.functions import ddiv, fmt_ts
+    from crypto_lakehouse_spark.operators.trades import (
+        raw_trades,
+        silver_trades,
+    )
+
+    s = silver_trades(raw_trades(spark, sf_dir)).select(
+        "product_id", "trade_id", "trade_time", "price", "size"
+    )
+    feed = _scratch_dir("ohlcv_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = _scratch_dir("oc_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        os.rename(
+            os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet")
+        )
+
+    for chunk in range(3):
+        _stage(s.filter(F.col("trade_id") % 3 == chunk), chunk)
+
+    stream = (
+        spark.readStream.schema(_stream_schema(spark, feed))
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    agg = (
+        stream.withColumn("trade_value", F.col("price") * F.col("size"))
+        .groupBy(
+            F.window("trade_time", "1 minute").alias("w"),
+            F.col("product_id"),
+        )
+        .agg(
+            F.expr("min_by(price, struct(trade_time, trade_id))").alias(
+                "open"
+            ),
+            F.expr("max_by(price, struct(trade_time, trade_id))").alias(
+                "close"
+            ),
+            F.max("price").alias("high"),
+            F.min("price").alias("low"),
+            F.sum("size").alias("volume"),
+            F.count("*").alias("trade_count"),
+            F.sum("trade_value").alias("pv"),
+        )
+        .select(
+            "product_id",
+            fmt_ts("w.start").alias("window_start"),
+            fmt_ts("w.end").alias("window_end"),
+            F.col("open").cast("double").alias("open"),
+            F.col("high").cast("double").alias("high"),
+            F.col("low").cast("double").alias("low"),
+            F.col("close").cast("double").alias("close"),
+            F.col("volume").cast("double").alias("volume"),
+            "trade_count",
+            ddiv(F.col("pv"), F.col("volume")).alias("vwap"),
+        )
+    )
+    name = f"ohlcv_stream_{uuid.uuid4().hex[:8]}"
+    ckpt = _scratch_dir("ckpt_")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def run_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling-window aggregation (T5 as a *real* streaming
     window, not batch date_trunc): hourly event counts + value sum per
