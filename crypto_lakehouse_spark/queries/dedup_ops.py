@@ -1892,3 +1892,78 @@ query(
     oracle=_CONTAIN_DUCK,
     tags=("dedup", "containment", "prefix-filter", "asymmetric"),
 )(_containment_topk)
+
+
+# --- incremental MinHash-LSH dedup (round 10) --------------------------------
+# The DAILY-INGEST shape: a new batch of documents arrives and must be
+# deduplicated against the EXISTING corpus (and internally) without
+# re-pairing the corpus against itself. Candidates are
+# new-batch bands x full band index only — never store x store — so
+# per-ingest cost is O(|batch| x bucket width), the property that
+# makes continuous dedup affordable at 100 TB (the corpus-side band
+# index is the persisted signature table a production pipeline keeps;
+# here both sides derive from one fixture but the JOIN SHAPE is the
+# incremental one, asserted by the a-side batch filter). Within-batch
+# pairs are kept once (doc_old < doc_new) so a batch with internal
+# dups still converges. Verification is the exact shingle join at
+# J >= 0.5; emission is each new doc's best surviving match.
+_INCR_MINHASH_TAIL = """
+bands AS (
+    SELECT doc_id, CAST(floor(i / 4.0) AS INT) AS band,
+           {bandkey} AS band_key
+    FROM minhash
+    GROUP BY doc_id, CAST(floor(i / 4.0) AS INT)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_new, b.doc_id AS doc_old
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id != b.doc_id
+    WHERE a.doc_id % 10 = 7
+      AND (b.doc_id % 10 != 7 OR b.doc_id < a.doc_id)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+verified AS (
+    SELECT c.doc_new, c.doc_old, COUNT(*) AS inter
+    FROM cand c
+    JOIN shingles sa ON sa.doc_id = c.doc_new
+    JOIN shingles sb ON sb.doc_id = c.doc_old AND sa.s = sb.s
+    GROUP BY c.doc_new, c.doc_old
+),
+scored AS (
+    SELECT v.doc_new, v.doc_old,
+           CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter) AS j
+    FROM verified v
+    JOIN sizes za ON za.doc_id = v.doc_new
+    JOIN sizes zb ON zb.doc_id = v.doc_old
+    WHERE CAST(v.inter AS DOUBLE) / (za.n + zb.n - v.inter) >= 0.5
+),
+best AS (
+    SELECT doc_new, doc_old, j,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_new ORDER BY j DESC, doc_old) AS rn
+    FROM scored
+)
+SELECT doc_new, doc_old,
+       CASE WHEN doc_old % 10 = 7 THEN 1 ELSE 0 END AS within_batch,
+       ROUND(j, 9) AS jaccard
+FROM best WHERE rn = 1
+ORDER BY doc_new
+"""
+
+_pair_shingled(
+    "incremental_minhash_dedup",
+    "WITH "
+    + _SH_PERSISTED
+    + ","
+    + _MINHASH_SPARK
+    + ","
+    + _INCR_MINHASH_TAIL.format(bandkey=_BANDKEY_SPARK),
+    "WITH "
+    + _SH_DUCK.strip().lstrip("WITH").strip()
+    + ","
+    + _MINHASH_DUCK
+    + ","
+    + _INCR_MINHASH_TAIL.format(bandkey=_BANDKEY_DUCK),
+    tags=("dedup", "minhash", "lsh", "incremental"),
+)

@@ -1473,3 +1473,65 @@ _pair(
     ),
     tags=("similarity", "embedding", "robust-statistics", "data-quality"),
 )
+
+
+# --- embedding-space drift per label (round 10) ------------------------------
+# The semantic complement of psi_drift_by_source: instead of a scalar
+# feature's bin mix, compare each label's CENTROID direction to the
+# corpus centroid — cosine near 1 means the group sits where the
+# corpus sits; a drop flags a cluster drifting away (new topic,
+# corrupted embeddings, scraper change). All sums are ROUND-then-
+# DECIMAL (order-free); the cosine is assembled from three decimal
+# dot-products over the 64-dim centroid relation at emission.
+# Scale: one posexplode pass + a (label x 64)-row reduce — the corpus
+# side is a broadcast-sized relation by construction at any corpus
+# size (64 rows).
+def _drift_sql(explode_clause: str) -> str:
+    return f"""
+WITH comp AS (
+    SELECT label, dim, CAST(ROUND(v, 9) AS DECIMAL(28, 9)) AS v
+    FROM ({explode_clause})
+),
+lc AS (
+    SELECT label, dim,
+           CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c,
+           COUNT(*) AS n
+    FROM comp GROUP BY label, dim
+),
+cc AS (
+    SELECT dim, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+    FROM comp GROUP BY dim
+),
+terms AS (
+    SELECT l.label, l.n,
+           CAST(ROUND(l.c * g.c, 12) AS DECIMAL(28, 12)) AS dot_t,
+           CAST(ROUND(l.c * l.c, 12) AS DECIMAL(28, 12)) AS la_t,
+           CAST(ROUND(g.c * g.c, 12) AS DECIMAL(28, 12)) AS ga_t
+    FROM lc l JOIN cc g ON g.dim = l.dim
+)
+SELECT label,
+       CAST(MAX(n) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(dot_t) AS DOUBLE)
+             / (SQRT(CAST(SUM(la_t) AS DOUBLE))
+                * SQRT(CAST(SUM(ga_t) AS DOUBLE))), 9)
+           AS cosine_to_corpus,
+       ROUND(SQRT(CAST(SUM(la_t) AS DOUBLE))
+             / SQRT(CAST(SUM(ga_t) AS DOUBLE)), 9) AS norm_ratio
+FROM terms
+GROUP BY label
+ORDER BY label
+"""
+
+
+_pair(
+    "embedding_drift_by_label",
+    _drift_sql(
+        "SELECT label, pos AS dim, CAST(v AS DOUBLE) AS v "
+        "FROM embeddings LATERAL VIEW posexplode(embedding) t AS pos, v"
+    ),
+    _drift_sql(
+        "SELECT label, i - 1 AS dim, CAST(embedding[i] AS DOUBLE) AS v "
+        "FROM embeddings, range(1, 65) t(i)"
+    ),
+    tags=("similarity", "drift", "centroid", "data-quality"),
+)
