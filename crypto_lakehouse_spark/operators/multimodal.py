@@ -586,3 +586,50 @@ def ahash_bands(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=AHASH_SCHEMA)
+
+
+CODEC_AHASH_SCHEMA = (
+    "doc_id BIGINT, b0 INT, b1 INT, b2 INT, b3 INT, px_sum BIGINT"
+)
+
+
+def codec_ahash_features(blobs: DataFrame) -> DataFrame:
+    """The REAL image-dedup pipeline end to end: synthetic pixels ->
+    png_encode -> png_decode (the actual codec, not the histogram
+    stand-in) -> resize_nearest to 8x8 -> aHash -> 16-bit bands. PNG
+    is lossless, so the DuckDB oracle can recompute every stage from
+    the md5 hex digits — decode arithmetic, floor-mapped resize
+    indices, the integer aHash threshold, and the band packing are all
+    differentially proven in one query. (The JPEG codec has its own
+    exactness-class roundtrip; chaining the lossy path here would
+    break oracle recomputability.)"""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, w, h, blob in zip(
+                pdf["doc_id"], pdf["width"], pdf["height"], pdf["blob"]
+            ):
+                img = decode_blob(bytes(blob), int(w), int(h))
+                rt = png_decode(png_encode(img))
+                resized = resize_nearest(rt, 8, 8)
+                px = resized.astype(np.int64).ravel()
+                total = int(px.sum())
+                bits = (px * 64 >= total).astype(np.int64)
+                bands = [
+                    int((bits[16 * k : 16 * k + 16] << np.arange(16)).sum())
+                    for k in range(4)
+                ]
+                rows.append(
+                    {
+                        "doc_id": doc_id,
+                        "b0": bands[0],
+                        "b1": bands[1],
+                        "b2": bands[2],
+                        "b3": bands[3],
+                        "px_sum": total,
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return blobs.mapInPandas(batches, schema=CODEC_AHASH_SCHEMA)

@@ -712,3 +712,60 @@ def multimodal_ahash_near_dup_capped_only(
         )
         .orderBy("hamming")
     )
+
+
+@query(
+    "multimodal_codec_ahash",
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(n_chars % 64 + 1 AS INTEGER) AS w,
+           CAST(n_chars % 48 + 1 AS INTEGER) AS hp
+    FROM documents
+    WHERE text IS NOT NULL
+),
+bsrc AS (
+    SELECT doc_id, w, hp,
+           list_transform(range(0, 16),
+               i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER)) AS bs
+    FROM hexes
+),
+px AS (
+    SELECT doc_id,
+           list_transform(range(0, 64),
+               i -> bs[1 + (((i // 8) * hp // 8) * w
+                            + ((i % 8) * w // 8)) % 16]) AS p
+    FROM bsrc
+),
+hashed AS (SELECT doc_id, p, list_sum(p) AS s FROM px),
+bands AS (
+    SELECT doc_id, s,
+           list_transform(range(0, 4), k ->
+               list_sum(list_transform(range(0, 16), j ->
+                   (CASE WHEN p[16 * k + j + 1] * 64 >= s
+                         THEN 1 ELSE 0 END) * (1 << j)))) AS b
+    FROM hashed
+)
+SELECT doc_id,
+       CAST(b[1] AS INTEGER) AS b0,
+       CAST(b[2] AS INTEGER) AS b1,
+       CAST(b[3] AS INTEGER) AS b2,
+       CAST(b[4] AS INTEGER) AS b3,
+       CAST(s AS BIGINT) AS px_sum
+FROM bands
+ORDER BY doc_id
+""",
+    tags=("multimodal", "codec", "ahash", "pandas-udf"),
+    bench=False,
+)
+def multimodal_codec_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image pipeline: decode -> PNG roundtrip (actual
+    codec) -> nearest resize -> aHash bands, every stage recomputed by
+    the DuckDB oracle from md5 hex (operators/multimodal.py
+    codec_ahash_features)."""
+    from crypto_lakehouse_spark.operators.multimodal import (
+        codec_ahash_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    return codec_ahash_features(attach_blobs(docs)).orderBy("doc_id")
