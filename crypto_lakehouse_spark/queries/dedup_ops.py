@@ -1967,3 +1967,82 @@ _pair_shingled(
     + _INCR_MINHASH_TAIL.format(bandkey=_BANDKEY_DUCK),
     tags=("dedup", "minhash", "lsh", "incremental"),
 )
+
+
+# --- dedup dividend by threshold band (round 10) -----------------------------
+# The number a pipeline owner actually asks before committing a dedup
+# run: "how much does each threshold buy?" Per Jaccard band
+# ([0.3,0.5), [0.5,0.7), [0.7,1.0]) this reports pair volume and the
+# redundant-char upper bound (sum of min(doc chars) over pairs — an
+# upper bound because transitive clusters double-count; the exact
+# figure needs the CC pass, which dedup_survivor_weights prices).
+# Bands are INTEGER comparisons (10*inter vs 3/5/7*union) — no float
+# thresholds. Spark rides the shared prefix-filtered J >= 0.3 edge
+# fixture + one arrays re-verify to recover inter/union; the oracle
+# is the brute self-join, so the fixture's losslessness is re-proven
+# through yet another consumer.
+_SAVINGS_TAIL = """
+SELECT band,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(mn) AS BIGINT) AS chars_redundant_ub,
+       CAST(SUM(mx) AS BIGINT) AS chars_kept_min
+FROM (
+    SELECT CASE WHEN 10 * inter >= 7 * (na + nb - inter) THEN '0.7+'
+                WHEN 10 * inter >= 5 * (na + nb - inter) THEN '0.5-0.7'
+                ELSE '0.3-0.5' END AS band,
+           CASE WHEN ca.n_chars < cb.n_chars
+                THEN ca.n_chars ELSE cb.n_chars END AS mn,
+           CASE WHEN ca.n_chars < cb.n_chars
+                THEN cb.n_chars ELSE ca.n_chars END AS mx
+    FROM jpairs p
+    JOIN documents ca ON ca.doc_id = p.doc_a
+    JOIN documents cb ON cb.doc_id = p.doc_b
+)
+GROUP BY band
+ORDER BY band
+"""
+
+
+def _dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold-band dedup dividend (block comment above); rides the
+    shared J>=0.3 edge fixture + per-doc arrays."""
+    register_views(spark, sf_dir, ["documents"])
+    cached_cc_edges(spark, sf_dir)
+    cached_shingle_arrays(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH jpairs AS (
+    SELECT e.doc_a, e.doc_b,
+           size(array_intersect(aa.arr, ab.arr)) AS inter,
+           aa.n AS na, ab.n AS nb
+    FROM {CC_EDGES_VIEW} e
+    JOIN {ARRAYS_VIEW} aa ON aa.doc_id = e.doc_a
+    JOIN {ARRAYS_VIEW} ab ON ab.doc_id = e.doc_b
+)
+"""
+        + _SAVINGS_TAIL
+    )
+
+
+query(
+    "dedup_savings_by_threshold",
+    oracle="WITH "
+    + _SH_DUCK.strip().lstrip("WITH").strip()
+    + """,
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+jpairs AS (
+    SELECT v.doc_a, v.doc_b, v.inter, za.n AS na, zb.n AS nb
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+        FROM shingles a JOIN shingles b
+          ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ) v
+    JOIN sizes za ON za.doc_id = v.doc_a
+    JOIN sizes zb ON zb.doc_id = v.doc_b
+    WHERE 10 * v.inter >= 3 * (za.n + zb.n - v.inter)
+)
+"""
+    + _SAVINGS_TAIL,
+    tags=("dedup", "savings", "threshold", "planning"),
+)(_dedup_savings)

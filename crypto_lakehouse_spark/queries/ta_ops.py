@@ -881,3 +881,147 @@ def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("product_id")
     )
+
+
+# --- return autocorrelation function (lags 1..5) -----------------------------
+# ACF(k) = sum (r_t - mu)(r_{t-k} - mu) / sum (r_t - mu)^2 per product
+# over daily log returns — the serial-dependence diagnostic next to
+# the Lo-MacKinlay VR above (VR aggregates ACF mass; the ACF shows
+# WHERE it sits). Same exactness discipline: returns and cross
+# products are ROUND(...,12)-then-DECIMAL summed, mu and the final
+# ratio are single double expressions, ROUND(...,9) on emission.
+# Plan: one LAG window for returns, one 5-lag LAG fan-out (constant
+# 5x row multiplier, not data-dependent), two grouped aggregates —
+# all partitioned by product, no global shuffle.
+@query(
+    "return_acf_daily",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           CAST(ROUND(LN(CAST(close AS DOUBLE)
+                         / CAST(LAG(close) OVER (PARTITION BY product_id
+                                                 ORDER BY bucket)
+                                AS DOUBLE)), 12)
+                AS DECIMAL(28, 12)) AS r
+    FROM candles
+),
+rets2 AS (SELECT product_id, bucket, r FROM rets WHERE r IS NOT NULL),
+m AS (
+    SELECT product_id, COUNT(*) AS n,
+           CAST(SUM(r) AS DOUBLE) / COUNT(*) AS mu
+    FROM rets2 GROUP BY product_id
+),
+denom AS (
+    SELECT s.product_id,
+           SUM(CAST(ROUND(POW(CAST(s.r AS DOUBLE) - m.mu, 2), 12)
+                    AS DECIMAL(28, 12))) AS d
+    FROM rets2 s JOIN m ON m.product_id = s.product_id
+    GROUP BY s.product_id
+),
+lagged AS (
+    SELECT product_id, bucket, r,
+           LAG(r, 1) OVER w AS r1, LAG(r, 2) OVER w AS r2,
+           LAG(r, 3) OVER w AS r3, LAG(r, 4) OVER w AS r4,
+           LAG(r, 5) OVER w AS r5
+    FROM rets2
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+longf AS (
+    SELECT l.product_id, k.k,
+           CASE k.k WHEN 1 THEN l.r1 WHEN 2 THEN l.r2 WHEN 3 THEN l.r3
+                    WHEN 4 THEN l.r4 ELSE l.r5 END AS rk,
+           l.r
+    FROM lagged l
+    CROSS JOIN (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3
+                UNION ALL SELECT 4 UNION ALL SELECT 5) k
+),
+num AS (
+    SELECT f.product_id, f.k,
+           COUNT(*) AS n_pairs,
+           SUM(CAST(ROUND((CAST(f.r AS DOUBLE) - m.mu)
+                          * (CAST(f.rk AS DOUBLE) - m.mu), 12)
+                    AS DECIMAL(28, 12))) AS s
+    FROM longf f JOIN m ON m.product_id = f.product_id
+    WHERE f.rk IS NOT NULL
+    GROUP BY f.product_id, f.k
+)
+SELECT n.product_id,
+       CAST(n.k AS INT) AS lag,
+       CAST(n.n_pairs AS BIGINT) AS n_pairs,
+       ROUND(CAST(n.s AS DOUBLE) / CAST(d.d AS DOUBLE), 9) AS acf
+FROM num n JOIN denom d ON d.product_id = n.product_id
+ORDER BY n.product_id, lag
+""",
+    tags=("ta", "acf", "autocorrelation", "window"),
+)
+def return_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-return ACF at lags 1..5 per product (block comment
+    above)."""
+    c = _candles(spark, sf_dir, "day")
+    w = Window.partitionBy("product_id").orderBy("bucket")
+    cl = F.col("close").cast("double")
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round(F.log(cl / F.lag(cl).over(w)), 12)
+            .cast("decimal(28,12)")
+            .alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    m = rets.groupBy("product_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("r").cast("double") / F.count(F.lit(1))).alias("mu"),
+    )
+    denom = (
+        rets.join(m, "product_id")
+        .select(
+            "product_id",
+            F.round(F.pow(F.col("r").cast("double") - F.col("mu"), 2), 12)
+            .cast("decimal(28,12)")
+            .alias("dev"),
+        )
+        .groupBy("product_id")
+        .agg(F.sum("dev").alias("d"))
+    )
+    lagged = rets.select(
+        "product_id",
+        "bucket",
+        "r",
+        *[F.lag("r", k).over(w).alias(f"r{k}") for k in range(1, 6)],
+    )
+    longf = lagged.selectExpr(
+        "product_id",
+        "r",
+        "stack(5, 1, r1, 2, r2, 3, r3, 4, r4, 5, r5) AS (k, rk)",
+    ).where(F.col("rk").isNotNull())
+    num = (
+        longf.join(m, "product_id")
+        .select(
+            "product_id",
+            "k",
+            F.round(
+                (F.col("r").cast("double") - F.col("mu"))
+                * (F.col("rk").cast("double") - F.col("mu")),
+                12,
+            )
+            .cast("decimal(28,12)")
+            .alias("t"),
+        )
+        .groupBy("product_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("t").alias("s"))
+    )
+    return (
+        num.join(denom, "product_id")
+        .select(
+            "product_id",
+            F.col("k").cast("int").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.round(
+                F.col("s").cast("double") / F.col("d").cast("double"), 9
+            ).alias("acf"),
+        )
+        .orderBy("product_id", "lag")
+    )
