@@ -677,3 +677,69 @@ def test_microstructure_ops_no_blowup(spark, name):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_ks_window_is_bucket_partitioned(spark):
+    """Round-10 KS rewrite: the heavy cumulative window must be
+    PARTITIONED by the percentile bucket — a global ORDER BY window
+    would drag the whole grid into one WindowExec partition. The only
+    unpartitioned windows allowed are the two tiny ones (the 5-row
+    priority ranking and the 32-row bucket-offset prefix)."""
+    import re
+
+    plan = _plan(spark, "ks_statistic_priority_pairs")
+    specs = re.findall(
+        r"windowspecdefinition\(([^)]*)\)", plan
+    )
+    assert specs, "no window in KS plan"
+    bucketed = [s for s in specs if s.startswith("bkt")]
+    assert bucketed, f"cumulative window not bucket-partitioned: {specs}"
+    # no pair-replicated windows remain (old plan had 10 pair
+    # partitions keyed on priority columns)
+    assert not any(s.startswith("pa#") or s.startswith("pb#") for s in specs)
+
+
+def test_triangle_census_single_close_join(spark):
+    """Round-10 fix: the per-vertex triangle count uses ONE explode
+    over the closed-wedge join, not a 3-way UNION that re-runs the
+    join three times (Spark inlines CTEs)."""
+    import re
+
+    plan = _plan(spark, "triangle_census_copurchase")
+    generates = re.findall(r"\(\d+\) Generate", plan)
+    assert len(generates) == 1, plan.count("Generate")
+    assert "explode(array(" in plan
+    # wedge + close = exactly two self-joins of the oriented edges,
+    # plus the final deg left-join: no join explosion
+    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert joins <= 4, f"triangle census join explosion: {joins}"
+
+
+def test_containment_prefix_filters_contained_side(spark):
+    """containment_topk: the candidate join must read the PREFIX
+    relation on one side (pos <= ... filter present) and the full
+    posting list on the other; verification joins the persisted
+    arrays view."""
+    plan = _plan(spark, "containment_topk")
+    assert "shingle_arrays_persisted" in plan or "InMemory" in plan or "Scan ExistingRDD" in plan
+    # prefix filter's ceil arithmetic appears as a Filter on pos
+    assert "pos" in plan
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    """A-ES sampling must compile to TakeOrderedAndProject (per-
+    partition top-k + merge), never a global Sort + Limit."""
+    plan = _plan(spark, "weighted_sample_aexpj")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cdc_chunking_no_joins_before_stats(spark):
+    """CDC boundary generation is a narrow explode + filter; the only
+    joins are the per-doc stats join at the end (no candidate
+    explosion)."""
+    import re
+
+    plan = _plan(spark, "cdc_chunk_boundaries")
+    joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
+    assert joins <= 1, f"CDC plan grew unexpected joins: {joins}"
+    assert "CartesianProduct" not in plan
