@@ -341,3 +341,90 @@ SELECT e.exact_distinct,
 FROM e CROSS JOIN m CROSS JOIN g
 """
     )
+
+
+# --- bucketed co-located join (round 10) -------------------------------------
+# The pre-shuffle strategy for REPEATED big-big joins: write both
+# sides bucketed by the join key with the same bucket count, and every
+# subsequent orders x lineitem join plans with NO exchange on either
+# side — at 100 TB the difference between a full-network shuffle per
+# query and none (tests/test_bucketing.py pins the no-Exchange plan
+# property; this query adds the value proof over the same layout).
+# The bucketed tables are materialized once per (session, sf_dir) in
+# scratch-dir catalogs (the engine's stand-in for the curated
+# bucketed layer a warehouse maintains).
+_BUCKET_MEMO: dict[tuple[str, str], str] = {}
+
+
+def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize bucketed orders/lineitem once per session; returns
+    the database name."""
+    import atexit
+    import shutil
+    import tempfile
+    import uuid
+
+    from crypto_lakehouse_spark.io import session_key
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _BUCKET_MEMO:
+        db = f"buck_{uuid.uuid4().hex[:8]}"
+        loc = tempfile.mkdtemp(prefix="bucketed_")
+        atexit.register(shutil.rmtree, loc, ignore_errors=True)
+        spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+        (
+            load_table(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            load_table(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        _BUCKET_MEMO[key] = db
+    return _BUCKET_MEMO[key]
+
+
+@query(
+    "bucketed_join_agg",
+    oracle="""
+SELECT o.o_orderstatus,
+       COUNT(*) AS n_lines,
+       CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_qty,
+       CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+           AS total_price
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderstatus
+ORDER BY o.o_orderstatus
+""",
+    tags=("scale", "bucketing", "join", "layout"),
+)
+def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exchange-free orders x lineitem join over the bucketed layout
+    (block comment above); value-identical to the plain-join oracle."""
+    db = _bucketed_tables(spark, sf_dir)
+    o = spark.table(f"{db}.orders_b")
+    li = spark.table(f"{db}.lineitem_b")
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
