@@ -20,6 +20,10 @@ than to transform rows:
 - Per-source Gini concentration of document lengths: the inequality
   summary that flags a source whose "documents" are one giant page
   plus stubs.
+- Population Stability Index per source (round 10): the standard
+  model-monitoring drift number over NTILE-deterministic doc-length
+  deciles, Laplace-smoothed, with conventional stable/moderate/
+  shifted bands.
 
 Cross-engine determinism: the house discipline throughout — integer
 sufficient statistics wherever possible, ROUND(...,12)-then-DECIMAL

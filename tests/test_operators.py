@@ -93,15 +93,20 @@ def test_frame_sample_reassembles(spark):
     assert {r.doc_id: r.total for r in sizes} == orig
 
 
-def test_decode_image_non_png_raises():
+def test_decode_image_format_routing():
     import pytest as _pytest
 
     from crypto_lakehouse_spark.operators import multimodal
 
+    # JPEG magic routes to the native baseline codec (round 10), so a
+    # malformed JPEG stream fails with the codec's ValueError, never a
+    # missing-library error.
+    with _pytest.raises(ValueError):
+        multimodal.decode_image(b"\xff\xd8\xff\xe0 not a real jpeg")
     if not multimodal._HAS_PIL:
-        # JPEG-shaped bytes still need a codec library; PNG does not.
+        # formats beyond PNG/JPEG (e.g. WebP) still need PIL
         with _pytest.raises(NotImplementedError):
-            multimodal.decode_image(b"\xff\xd8\xff\xe0 not a png")
+            multimodal.decode_image(b"RIFF....WEBPVP8 ")
 
 
 def test_png_codec_roundtrip_all_shapes():
