@@ -61,6 +61,16 @@ TIER = [
     "lsh_band_sweep_eval",
     "variance_ratio_daily",
     "pagerank_one_iter",
+    # round-10 close: everything >2 s in the clean round-10 BENCH_FULL
+    # that was not already ramped (flagged by dev_check's
+    # ramp_rule_violations — the rule is machine-checked now), incl.
+    # the two new >2 s round-10 operators
+    "bigram_lm_doc_score",
+    "ivf_pq_topk",
+    "ngram_singleton_decay",
+    "recursive_amortization",
+    "containment_topk",
+    "return_acf_daily",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
