@@ -1797,25 +1797,63 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # self-join on raw shingle strings — a green hash proves the prefix
 # filter lost no qualifying pair AND covers the xxhash64 collision
 # bit. Integer threshold (5*inter >= 3*n_in), no float compares.
-_CONTAIN_SPARK = f"""
+# Ranked-postings fixture for the containment family: the full
+# (doc_id, hashed shingle, set size, canonical position) relation —
+# one freqs-join + per-doc window sort per session, referenced on BOTH
+# sides of the candidate join (Spark inlines CTEs, so an inline
+# `ranked` would run the window twice; measured 8 s/call at sf1,
+# ~80 s at sf10 before this fixture existed).
+RANKED_VIEW = "shingle_ranked_persisted"
+_RANKED_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+_RANKED_SELECT = f"""
 WITH freqs AS (SELECT s, COUNT(*) AS df FROM {SHINGLE_VIEW} GROUP BY s),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM {SHINGLE_VIEW} GROUP BY doc_id),
-ranked AS (
-    SELECT sh.doc_id, sh.s, z.n,
-           ROW_NUMBER() OVER (
-               PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS pos
-    FROM {SHINGLE_VIEW} sh
-    JOIN freqs f ON f.s = sh.s
-    JOIN sizes z ON z.doc_id = sh.doc_id
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {SHINGLE_VIEW} GROUP BY doc_id)
+SELECT sh.doc_id, xxhash64(sh.s) AS sh, z.n,
+       ROW_NUMBER() OVER (
+           PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS pos
+FROM {SHINGLE_VIEW} sh
+JOIN freqs f ON f.s = sh.s
+JOIN sizes z ON z.doc_id = sh.doc_id
+"""
+
+
+def cached_ranked_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the canonically-ranked hashed posting relation once
+    per session; returns the view name."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _RANKED_MEMO:
+        for (sid, _), old in list(_RANKED_MEMO.items()):
+            if sid == skey:
+                _release_lineage(old)
+                del _RANKED_MEMO[(sid, _)]
+        cached_shingles(spark, sf_dir)
+        df = _truncate_lineage(spark.sql(_RANKED_SELECT), spark)
+        df.createOrReplaceTempView(RANKED_VIEW)
+        _RANKED_MEMO[key] = df
+    return RANKED_VIEW
+
+
+_CONTAIN_SPARK = f"""
+WITH pa AS (
+    SELECT doc_id, n, sh
+    FROM {RANKED_VIEW} WHERE pos <= n - (3 * n + 4) DIV 5 + 1
 ),
-pa AS (
-    SELECT doc_id, xxhash64(s) AS sh
-    FROM ranked WHERE pos <= n - (3 * n + 4) DIV 5 + 1
-),
-fb AS (SELECT doc_id, xxhash64(s) AS sh FROM {SHINGLE_VIEW}),
 cand AS (
+    -- TWO-SIDED prefix at a pair-dependent overlap threshold
+    -- t = ceil(3*n_a/5): the shared shingle with the smallest global
+    -- canonical rank lies within BOTH docs' (n - t + 1)-prefixes
+    -- (PPJoin lemma, overlap form), so requiring the b-side row to
+    -- satisfy n_b - pos_b + 1 >= t is lossless and prunes hot
+    -- shingles (high canonical pos) from the container side. The
+    -- size filter (overlap <= n_b) rides the same join. Integer
+    -- ceil arithmetic: x >= ceil(3n/5) <=> 5x >= 3n for integer x.
     SELECT pa.doc_id AS doc_in, fb.doc_id AS doc_of
-    FROM pa JOIN fb ON fb.sh = pa.sh AND fb.doc_id != pa.doc_id
+    FROM pa JOIN {RANKED_VIEW} fb
+      ON fb.sh = pa.sh AND fb.doc_id != pa.doc_id
+     AND 5 * fb.n >= 3 * pa.n
+     AND 5 * (fb.n - fb.pos + 1) >= 3 * pa.n
     GROUP BY pa.doc_id, fb.doc_id
 ),
 ver AS (
@@ -1881,8 +1919,17 @@ ORDER BY doc_in
 
 def _containment_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Prefix-filtered asymmetric containment (block comment above);
-    rides the persisted shingle + arrays fixtures."""
-    cached_shingles(spark, sf_dir)
+    rides the persisted ranked-postings + arrays fixtures.
+
+    SCALE POSTURE: this exact form is the family's anchor, not the
+    sf10 path — at sf10 the candidate set is 46M REAL pairs (measured;
+    volume scales linearly with the corpus but is intrinsically large
+    on a small-vocab corpus where every doc shares rare trigrams with
+    hundreds of others). The deployable scale path is
+    `containment_topk_capped` (stop-shingle policy, below), which
+    carries the sf10 ramp row; this query stays in the sf0.1 bench
+    and the sf1 tier (ratio 2.6)."""
+    cached_ranked_postings(spark, sf_dir)
     cached_shingle_arrays(spark, sf_dir)
     return spark.sql(_CONTAIN_SPARK)
 
@@ -1891,6 +1938,7 @@ query(
     "containment_topk",
     oracle=_CONTAIN_DUCK,
     tags=("dedup", "containment", "prefix-filter", "asymmetric"),
+    confs=WIDE_SHUFFLE,
 )(_containment_topk)
 
 
@@ -2046,3 +2094,79 @@ jpairs AS (
     + _SAVINGS_TAIL,
     tags=("dedup", "savings", "threshold", "planning"),
 )(_dedup_savings)
+
+
+# --- capped containment: the deployable scale path ---------------------------
+# The EXACT containment_topk above is the family's anchor; its
+# candidate volume on a small-vocabulary corpus is intrinsic (46M
+# pairs at sf10 — every doc shares rare-ish trigrams with hundreds of
+# others, and the one/two-sided prefix bounds cannot cut what is
+# genuinely similar). The deployable form applies the same
+# stop-shingle policy as ngram_jaccard_capped / the tf-idf family:
+# shingles in > 20 docs are excluded, giving containment over the
+# CAPPED shingle sets — candidate volume is bounded by cap * postings
+# (linear), the per-pair count from the join IS the exact capped
+# intersection (no verify pass needed), and the DuckDB oracle
+# computes the identical capped semantics.
+_CONTAIN_CAP = 20
+
+_CONTAIN_CAPPED_TAIL = f"""
+hot AS (
+    SELECT s FROM shingles0 GROUP BY s HAVING COUNT(*) > {_CONTAIN_CAP}
+),
+shingles AS (
+    SELECT doc_id, s FROM shingles0 sh
+    WHERE NOT EXISTS (SELECT 1 FROM hot WHERE hot.s = sh.s)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS inter
+    FROM shingles a JOIN shingles b
+      ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+dirc AS (
+    SELECT p.da AS doc_in, p.db AS doc_of, za.n AS n_in, p.inter
+    FROM pairs p JOIN sizes za ON za.doc_id = p.da
+    WHERE 5 * p.inter >= 3 * za.n
+    UNION ALL
+    SELECT p.db, p.da, zb.n, p.inter
+    FROM pairs p JOIN sizes zb ON zb.doc_id = p.db
+    WHERE 5 * p.inter >= 3 * zb.n
+),
+top1 AS (
+    SELECT doc_in, doc_of, n_in, inter,
+           ROW_NUMBER() OVER (
+               PARTITION BY doc_in ORDER BY inter DESC, doc_of) AS rn
+    FROM dirc
+)
+SELECT doc_in, doc_of,
+       CAST(n_in AS BIGINT) AS n_in,
+       CAST(inter AS BIGINT) AS shared,
+       ROUND(CAST(inter AS DOUBLE) / n_in, 9) AS containment
+FROM top1 WHERE rn = 1
+ORDER BY doc_in
+"""
+
+
+def _containment_topk_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stop-shingle-capped asymmetric containment (block comment
+    above) over the persisted shingle relation."""
+    cached_shingles(spark, sf_dir)
+    return spark.sql(
+        f"WITH shingles0 AS (SELECT doc_id, s FROM {SHINGLE_VIEW}),"
+        + _CONTAIN_CAPPED_TAIL
+    )
+
+
+query(
+    "containment_topk_capped",
+    oracle="WITH "
+    + _SH_DUCK.strip().lstrip("WITH").strip().replace(
+        "shingles AS (", "shingles0 AS ("
+    )
+    + ","
+    + _CONTAIN_CAPPED_TAIL,
+    tags=("dedup", "containment", "skew", "capped"),
+    confs=WIDE_SHUFFLE,
+)(_containment_topk_capped)

@@ -70,6 +70,7 @@ TIER = [
     "ngram_singleton_decay",
     "recursive_amortization",
     "containment_topk",
+    "containment_topk_capped",
     "return_acf_daily",
 ]
 

@@ -67,7 +67,12 @@ TIER = [
     # (BENCH_SF1.json) carry one decade further
     "bigram_lm_doc_score",
     "ngram_singleton_decay",
-    "containment_topk",
+    # containment_topk is the family's EXACT anchor (one/two-sided
+    # prefix bounds cannot cut genuinely-shared rare shingles on a
+    # small-vocab corpus: 46M real candidate pairs at sf10, measured);
+    # the deployable stop-shingle-capped twin carries the sf10 row,
+    # same policy as ngram_jaccard_capped.
+    "containment_topk_capped",
     "return_acf_daily",
     "ivf_pq_topk",
 ]
