@@ -1105,11 +1105,48 @@ ORDER BY n
 """
 
 
-_SINGLETON_SPARK = _singleton_sql(
-    "transform(sequence(1, size(ws) - {n} + 1), "
-    "i -> array_join(slice(ws, i, {n}), ' '))",
-    "size",
-).format(split="split", unn="explode(g)")
+# Spark side (round 10): the generic 5-leg UNION re-scans documents
+# five times (Spark inlines the toks CTE at every reference) and
+# shuffles raw gram STRINGS (~30 B/key, ~7 GB at sf10). This form
+# does ONE scan — the five per-n gram arrays are built in a single
+# projection, flattened, and exploded once — and counts by
+# (n, xxhash64(gram)) so the shuffle key is 8 bytes. The DuckDB
+# oracle keeps raw strings, so every green value hash doubles as a
+# proof that no 64-bit gram collision materialized (same accepted
+# 2^-64-per-pair tradeoff as the PPJoin/arrays family). sf10:
+# 89 -> ~35 s.
+_SINGLETON_LEGS_SPARK = ", ".join(
+    f"IF(size(ws) >= {n}, "
+    f"transform(sequence(1, size(ws) - {n} + 1), "
+    f"i -> named_struct('n', {n}, "
+    f"'gram', xxhash64(array_join(slice(ws, i, {n}), ' ')))), "
+    f"array())"
+    for n in range(1, 6)
+)
+
+_SINGLETON_SPARK = f"""
+WITH toks AS (
+    SELECT split(lower(text), ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+flat AS (
+    SELECT explode(flatten(array({_SINGLETON_LEGS_SPARK}))) AS s
+    FROM toks
+),
+counts AS (
+    SELECT s.n AS n, s.gram AS gram, COUNT(*) AS c
+    FROM flat GROUP BY s.n, s.gram
+)
+SELECT n,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+       CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_singletons,
+       ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 9) AS singleton_frac
+FROM counts
+GROUP BY n
+ORDER BY n
+"""
 
 _SINGLETON_DUCK = _singleton_sql(
     "list_transform(range(1, len(ws) - {n} + 2), "
