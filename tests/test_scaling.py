@@ -49,6 +49,9 @@ RAMP_QUERIES = [
     # pure-SQL hierarchical-assignment twin
     "semdedup_clustered",
     "semdedup_hierarchical",
+    # round-10: the capped containment scale path and CDC chunking
+    "containment_topk_capped",
+    "cdc_chunk_boundaries",
 ]
 
 RATIO_MAX = 30.0
