@@ -720,3 +720,191 @@ query(
     oracle=_TRIANGLE_SQL,
     tags=("graph", "triangles", "clustering"),
 )(_triangle_fn)
+
+
+# --- degree assortativity (out->in, over directed edges) --------------------
+# Pearson correlation of (outdeg(src), indeg(dst)) across the directed
+# supplier->customer edges — Newman's assortativity specialized to the
+# out-in form: positive r means prolific suppliers ship to popular
+# customers (hub-hub coupling, the skew-join danger signature);
+# negative r means hubs fan out to the periphery. Every sufficient
+# statistic (n, sx, sy, sxy, sxx, syy) is an INTEGER summed as
+# DECIMAL(38,0) (degree^2 x |E| would brush int64 at petabyte edge
+# counts); r is one fixed double expression at emission. Scale shape:
+# the two degree relations are groupBys with map-side combine, joined
+# back onto edges by their own keys — two equi-joins, no fan-out.
+
+
+def _assort_sql(concat_s: str, concat_c: str) -> str:
+    return f"""
+WITH edges AS (
+    SELECT DISTINCT {concat_s} AS src, {concat_c} AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+outd AS (SELECT src, COUNT(*) AS dx FROM edges GROUP BY src),
+ind AS (SELECT dst, COUNT(*) AS dy FROM edges GROUP BY dst),
+s AS (
+    SELECT COUNT(*) AS n,
+           SUM(CAST(dx AS DECIMAL(38, 0))) AS sx,
+           SUM(CAST(dy AS DECIMAL(38, 0))) AS sy,
+           SUM(CAST(dx AS DECIMAL(38, 0)) * dy) AS sxy,
+           SUM(CAST(dx AS DECIMAL(38, 0)) * dx) AS sxx,
+           SUM(CAST(dy AS DECIMAL(38, 0)) * dy) AS syy
+    FROM edges e
+    JOIN outd ON outd.src = e.src
+    JOIN ind ON ind.dst = e.dst
+)
+SELECT CAST(n AS BIGINT) AS n_edges,
+       ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / NULLIF(SQRT((n * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           * (n * CAST(syy AS DOUBLE)
+                              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 0),
+             9) AS assortativity
+FROM s
+"""
+
+
+_pair(
+    "degree_assortativity",
+    _assort_sql("concat('S', l.l_suppkey)", "concat('C', o.o_custkey)"),
+    _assort_sql(
+        "'S' || CAST(l.l_suppkey AS VARCHAR)",
+        "'C' || CAST(o.o_custkey AS VARCHAR)",
+    ),
+    tags=("graph", "assortativity", "degree", "statistics"),
+)
+
+
+# --- bounded k-core peeling (k=3, 6 rounds) ----------------------------------
+# Iterative 3-core peeling over the undirected supplier-customer
+# graph: each round drops every node with degree < 3 and all incident
+# edges; emitted is the (round, n_nodes, n_edges) shrink curve — the
+# density diagnostic run before committing to an expensive community/
+# motif pass (a curve that collapses to zero says the graph has no
+# dense core worth mining). Rounds are BOUNDED at 6 and the bound is
+# part of the operator contract: the Spark side runs the real
+# checkpointed driver loop (the production fixpoint form — identical
+# code with a convergence gate, cf. pagerank_converged), and the
+# DuckDB oracle unrolls the same 6 rounds as chained CTEs, so the
+# driver value-hashes every round of the loop, not just a final state.
+# All-integer statistics; no floats anywhere. Scale shape per round:
+# one symmetrized groupBy (degree), one semi-join of edges against the
+# surviving-node relation on each endpoint — the standard distributed
+# peeling round; lineage is cut per round exactly like the CC loop.
+
+_KCORE_K = 3
+_KCORE_ROUNDS = 6
+
+
+def _kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded 3-core peeling shrink curve (block comment above)."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir, ["lineitem", "orders"])
+    edges = truncate_lineage(
+        spark.sql(
+            """
+            SELECT DISTINCT concat('S', l.l_suppkey) AS a,
+                            concat('C', o.o_custkey) AS b
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            """
+        ),
+        spark,
+    )
+    stats = []
+
+    def _round_stats(rnd: int, e: DataFrame) -> DataFrame:
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        return deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias(
+                "n_edges"
+            ),
+        ).select(
+            F.lit(rnd).cast("int").alias("peel_round"), "n_nodes", "n_edges"
+        )
+
+    # Each round's 1-row stats frame is itself lineage-truncated
+    # (eager, tiny) BEFORE the round's edge frame is released —
+    # otherwise the final union would read checkpoint blocks the loop
+    # already freed.
+    stats.append(truncate_lineage(_round_stats(0, edges), spark))
+    prev = edges
+    for rnd in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            prev.select(F.col("a").alias("v"))
+            .unionAll(prev.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= _KCORE_K).select("v")
+        nxt = (
+            prev.join(keep.withColumnRenamed("v", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "leftsemi")
+            .select("a", "b")
+        )
+        nxt = truncate_lineage(nxt, spark)
+        stats.append(truncate_lineage(_round_stats(rnd, nxt), spark))
+        release_lineage(prev)
+        prev = nxt
+    release_lineage(prev)
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionAll(s)
+    return out.orderBy("peel_round")
+
+
+def _kcore_oracle() -> str:
+    head = """
+WITH e0 AS MATERIALIZED (
+    SELECT DISTINCT 'S' || CAST(l.l_suppkey AS VARCHAR) AS a,
+                    'C' || CAST(o.o_custkey AS VARCHAR) AS b
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)"""
+    parts = []
+    # d_i exists for every round 0..R; k_i / e_{i+1} only below R.
+    # Per-round stats come from the degree relation (each CTE is
+    # referenced a bounded number of times — a scalar-subquery form
+    # re-expanded the whole chain per output row and exhausted file
+    # handles in DuckDB).
+    for i in range(_KCORE_ROUNDS + 1):
+        parts.append(f"""
+d{i} AS MATERIALIZED (
+    SELECT v, COUNT(*) AS d FROM (
+        SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+    ) u GROUP BY v
+),
+stats{i} AS (
+    SELECT {i} AS peel_round,
+           COUNT(*) AS n_nodes,
+           COALESCE(SUM(d), 0) // 2 AS n_edges
+    FROM d{i}
+)""")
+        if i < _KCORE_ROUNDS:
+            parts.append(f"""
+k{i} AS (SELECT v FROM d{i} WHERE d >= {_KCORE_K}),
+e{i + 1} AS MATERIALIZED (
+    SELECT e.a, e.b FROM e{i} e
+    JOIN k{i} ka ON ka.v = e.a
+    JOIN k{i} kb ON kb.v = e.b
+)""")
+    rows = "\nUNION ALL ".join(
+        f"SELECT peel_round, CAST(n_nodes AS BIGINT) AS n_nodes, "
+        f"CAST(n_edges AS BIGINT) AS n_edges FROM stats{i}"
+        for i in range(_KCORE_ROUNDS + 1)
+    )
+    return head + "," + ",".join(parts) + "\n" + rows + "\nORDER BY peel_round"
+
+
+_kcore_peel.__name__ = "kcore3_peel_bounded"
+query(
+    "kcore3_peel_bounded",
+    oracle=_kcore_oracle(),
+    tags=("graph", "k-core", "iterative", "checkpointed"),
+)(_kcore_peel)

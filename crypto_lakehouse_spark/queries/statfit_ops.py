@@ -24,6 +24,13 @@ than to transform rows:
   model-monitoring drift number over NTILE-deterministic doc-length
   deciles, Laplace-smoothed, with conventional stable/moderate/
   shifted bands.
+- Pearson chi-square independence test + Cramer's V over the same
+  event_type x weekday contingency as the MI query (round 10): the
+  frequentist alarm number, in the empty-cell-free algebraic form
+  chi2 = n * sum(o^2/(rt*ct)) - n.
+- PMI bigram collocations (round 10): Church-Hanks pointwise mutual
+  information over adjacent word pairs with a min-count floor — the
+  multiword-expression detector a tokenizer pipeline runs.
 
 Cross-engine determinism: the house discipline throughout — integer
 sufficient statistics wherever possible, ROUND(...,12)-then-DECIMAL
@@ -596,4 +603,312 @@ _pair(
     _PSI_SQL,
     _PSI_SQL,
     tags=("statistics", "psi", "drift", "data-quality"),
+)
+
+
+# --- Pearson chi-square independence test (event_type x weekday) ---------------
+# The frequentist twin of mutual_information_type_weekday above: same
+# contingency table, but the test statistic a pipeline alarms on.
+# Algebraic form that needs NO empty-cell fan-out:
+#   chi2 = n * sum_observed(o^2 / (rt * ct)) - n
+#   row contribution (incl. that row's empty cells) = sum_row(term) - rt
+# where term = o^2 * n / (rt * ct) — derived from
+# sum (o-e)^2/e = sum o^2/e - 2n + n and sum_row e = rt. Integer
+# sufficient statistics throughout; each term is one double expression
+# ROUND(...,12)-then-DECIMAL(26,12) summed; Cramer's V and the final
+# subtraction happen once at emission. Weekday is epoch-day % 7
+# (convention-free across engines, same as the MI query).
+# Scale: one grouped count over the event scan, then joins against
+# the <=|types| and 7-row margin relations — broadcast-sized by
+# construction.
+_CHI2_TAIL = """
+cells AS (SELECT event_type, epoch_day % 7 AS wd, COUNT(*) AS c
+          FROM base GROUP BY event_type, epoch_day % 7),
+mt AS (SELECT event_type, SUM(c) AS c FROM cells GROUP BY event_type),
+mw AS (SELECT wd, SUM(c) AS c FROM cells GROUP BY wd),
+tot AS (SELECT SUM(c) AS n FROM cells),
+dims AS (
+    SELECT (SELECT COUNT(*) FROM mt) AS r, (SELECT COUNT(*) FROM mw) AS w
+),
+terms AS (
+    SELECT cl.event_type,
+           CAST(ROUND(
+               CAST(cl.c AS DOUBLE) * cl.c * t.n
+               / (CAST(mt.c AS DOUBLE) * mw.c),
+               12) AS DECIMAL(26, 12)) AS term
+    FROM cells cl
+    JOIN mt ON mt.event_type = cl.event_type
+    JOIN mw ON mw.wd = cl.wd
+    CROSS JOIN tot t
+),
+rowsums AS (
+    SELECT event_type, CAST(SUM(term) AS DOUBLE) AS s
+    FROM terms GROUP BY event_type
+),
+total AS (SELECT CAST(SUM(term) AS DOUBLE) AS s FROM terms)
+SELECT r.event_type,
+       CAST(mt.c AS BIGINT) AS n_events,
+       ROUND(r.s - mt.c, 9) AS chi2_row_contribution,
+       ROUND(tt.s - t.n, 9) AS chi2_total,
+       CAST((d.r - 1) * (d.w - 1) AS BIGINT) AS dof,
+       ROUND(SQRT((tt.s - t.n)
+                  / (t.n * CAST(LEAST(d.r - 1, d.w - 1) AS DOUBLE))),
+             9) AS cramers_v
+FROM rowsums r
+JOIN mt ON mt.event_type = r.event_type
+CROSS JOIN total tt
+CROSS JOIN tot t
+CROSS JOIN dims d
+ORDER BY r.event_type
+"""
+
+
+def _chi2_sql(epoch_day: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT event_type, {epoch_day} AS epoch_day FROM events
+),
+{_CHI2_TAIL.lstrip()}"""
+
+
+_pair(
+    "chi_square_type_weekday",
+    _chi2_sql("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)"),
+    _chi2_sql("CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"),
+    tags=("events", "chi-square", "statistics", "independence"),
+    tables=["events"],
+)
+
+
+# --- PMI bigram collocations ---------------------------------------------------
+# Pointwise mutual information over adjacent word pairs:
+#   pmi(w1,w2) = ln( (c_b / N) / ((c_w1 / U) * (c_w2 / U)) )
+# with N = total bigrams, U = total tokens — the standard collocation
+# detector (Church & Hanks 1990): high-PMI pairs are multiword
+# expressions a tokenizer/phrase-miner should treat as units. A
+# min-count floor (>= 5) removes the low-frequency PMI pathology
+# (hapax pairs otherwise saturate the top of the ranking). All counts
+# integer; pmi is ONE double expression over five integers, so both
+# engines feed identical doubles to ROUND; ranked on the rounded
+# value with the bigram string as tie-break. Words cannot contain the
+# split delimiter, so re-splitting the bigram to its margin words is
+# lossless.
+# Scale: two grouped counts over the token explode (bigram + unigram),
+# then a counts-sized self-join keyed on words — corpus-sized data is
+# touched exactly once; the margins relation is vocabulary-sized.
+_PMI_TAIL = """
+bc AS (SELECT b, COUNT(*) AS cb FROM bigrams GROUP BY b),
+nb AS (SELECT SUM(cb) AS n FROM bc),
+uc AS (SELECT t, COUNT(*) AS ct FROM toks GROUP BY t),
+ut AS (SELECT SUM(ct) AS u FROM uc),
+scored AS (
+    SELECT bc.b,
+           CAST(bc.cb AS BIGINT) AS pair_count,
+           ROUND(LN(CAST(bc.cb AS DOUBLE) * ut.u * ut.u
+                    / (CAST(nb.n AS DOUBLE) * u1.ct * u2.ct)),
+                 9) AS pmi
+    FROM bc
+    JOIN uc u1 ON u1.t = {w1}
+    JOIN uc u2 ON u2.t = {w2}
+    CROSS JOIN nb
+    CROSS JOIN ut
+    WHERE bc.cb >= 5
+)
+SELECT b AS bigram, pair_count, pmi
+FROM scored
+ORDER BY pmi DESC, b
+LIMIT 25
+"""
+
+
+def _pmi_sql(
+    split: str, bgexpr: str, size: str, tok: str, w1: str, w2: str
+) -> str:
+    return f"""
+WITH ws AS (
+    SELECT {split}(lower(text), ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+bigrams AS (
+    -- the >= 2 guard is load-bearing on the Spark side: sequence(1, 0)
+    -- generates a DESCENDING [1, 0], not an empty array
+    SELECT {bgexpr} AS b FROM ws WHERE {size}(ws) >= 2
+),
+toks AS (SELECT {tok} AS t FROM ws),
+{_PMI_TAIL.lstrip().format(w1=w1, w2=w2)}"""
+
+
+_pair(
+    "pmi_bigram_collocations",
+    _pmi_sql(
+        "split",
+        "explode(transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))))",
+        "size",
+        "explode(ws)",
+        "element_at(split(bc.b, ' '), 1)",
+        "element_at(split(bc.b, ' '), 2)",
+    ),
+    _pmi_sql(
+        "string_split",
+        "unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i + 1]))",
+        "len",
+        "unnest(ws)",
+        "string_split(bc.b, ' ')[1]",
+        "string_split(bc.b, ' ')[2]",
+    ),
+    tags=("text", "pmi", "collocation", "lm-data"),
+)
+
+
+# --- RFM user segmentation -------------------------------------------------------
+# Classic recency/frequency/monetary quartile segmentation over the
+# event stream — the first model a growth pipeline ships. "Now" is
+# the corpus max timestamp (deterministic, house rule); recency is
+# whole epoch-days since the user's last event; monetary sums event
+# values in exact DECIMAL. Quartiles are NTILE(4) over the fully
+# deterministic (metric, user_id) order, so bin membership is
+# engine-identical with no percentile-interpolation convention in
+# play (same device as the PSI deciles above). R is INVERTED
+# (5 - ntile) so that 4 = most recent, matching the F/M polarity
+# where 4 = most active / highest spend. Output is the 4x4x4 segment
+# grid with its population and value mass — bounded at 64 rows.
+# Scale: one grouped aggregate over the event scan (per-user
+# sufficient statistics), three NTILE windows over the USER relation
+# (users << events), one 64-cell reduce.
+_RFM_TAIL = """
+per_user AS (
+    SELECT user_id,
+           MAX(epoch_s) AS last_s,
+           COUNT(*) AS freq,
+           SUM(CAST(value AS DECIMAL(18, 6))) AS monetary
+    FROM base GROUP BY user_id
+),
+nowts AS (SELECT MAX(last_s) AS now_s FROM per_user),
+scored AS (
+    SELECT u.user_id,
+           -- FLOOR before the cast (Hill-k lesson above): DuckDB
+           -- ROUNDS double->bigint casts while Spark TRUNCATES.
+           CAST(FLOOR((t.now_s - u.last_s) / 86400.0) AS BIGINT)
+               AS recency_days,
+           u.freq, u.monetary
+    FROM per_user u CROSS JOIN nowts t
+),
+binned AS (
+    SELECT user_id, recency_days, freq, monetary,
+           5 - NTILE(4) OVER (ORDER BY recency_days, user_id) AS r_q,
+           NTILE(4) OVER (ORDER BY freq, user_id) AS f_q,
+           NTILE(4) OVER (ORDER BY monetary, user_id) AS m_q
+    FROM scored
+)
+SELECT CAST(r_q AS INT) AS r_quartile,
+       CAST(f_q AS INT) AS f_quartile,
+       CAST(m_q AS INT) AS m_quartile,
+       COUNT(*) AS n_users,
+       CAST(SUM(freq) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(monetary) AS DOUBLE), 6) AS total_value
+FROM binned
+GROUP BY r_q, f_q, m_q
+ORDER BY r_quartile, f_quartile, m_quartile
+"""
+
+
+def _rfm_sql(epoch_s: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT user_id, value, {epoch_s} AS epoch_s FROM events
+),
+{_RFM_TAIL.lstrip()}"""
+
+
+_pair(
+    "rfm_user_segments",
+    _rfm_sql("CAST(unix_timestamp(ts) AS BIGINT)"),
+    _rfm_sql("CAST(epoch(ts) AS BIGINT)"),
+    tags=("events", "rfm", "segmentation", "statistics"),
+    tables=["events"],
+)
+
+
+# --- Mann-Whitney U rank-sum test (doc lengths, source pairs) --------------------
+# Two-sample location test between every pair of ingest sources over
+# document lengths — the rank-based complement of the KS statistic
+# above (KS alarms on ANY shape difference; U targets a location
+# shift). Computed WITHOUT materializing ranks, from the value-count
+# grid identity:
+#   2*U_a = sum_v  c_a(v) * (2 * cum_b(<v) + c_b(v))
+# (each a-observation beats everything of b strictly below it and
+# half-ties at its own value — doubled to stay integer). The z-score
+# uses the tie-corrected variance
+#   var = n_a*n_b/12 * ((n+1) - sum_t(t^3 - t) / (n*(n-1))),
+# t = c_a(v)+c_b(v), uncorrected-for-continuity by documented
+# convention. EVERYTHING before z is integer arithmetic (DECIMAL(38,0)
+# sums — a single dominating value makes t^3 brush int64 at corpus
+# scale); z is one double expression. Scale shape: the corpus is
+# scanned ONCE into the per-(value, source) count grid; the pair
+# fan-out (each grid row lands in |sources|-1 pairs) and the
+# cumulative window run on the GRID, which is distinct-value sized,
+# not corpus sized.
+_MWU_SQL = """
+WITH sc AS (
+    SELECT source, n_chars AS v, COUNT(*) AS c
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY source, n_chars
+),
+srcs AS (SELECT DISTINCT source FROM sc),
+prs AS (
+    SELECT a.source AS sa, b.source AS sb
+    FROM srcs a JOIN srcs b ON a.source < b.source
+),
+pv AS (
+    -- two equi-joins + union, NOT a disjunctive join (which would
+    -- degrade to a nested-loop product against the grid)
+    SELECT sa, sb, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+        SELECT p.sa, p.sb, g.v, g.c AS ca, 0 AS cb
+        FROM prs p JOIN sc g ON g.source = p.sa
+        UNION ALL
+        SELECT p.sa, p.sb, g.v, 0 AS ca, g.c AS cb
+        FROM prs p JOIN sc g ON g.source = p.sb
+    ) u
+    GROUP BY sa, sb, v
+),
+cumed AS (
+    SELECT sa, sb, v, ca, cb,
+           COALESCE(SUM(cb) OVER (PARTITION BY sa, sb ORDER BY v
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                           AND 1 PRECEDING), 0) AS cub
+    FROM pv
+),
+s AS (
+    SELECT sa, sb,
+           SUM(CAST(ca AS DECIMAL(38, 0))) AS na,
+           SUM(CAST(cb AS DECIMAL(38, 0))) AS nb,
+           SUM(CAST(ca AS DECIMAL(38, 0)) * (2 * cub + cb)) AS u2,
+           SUM(CAST(ca + cb AS DECIMAL(38, 0)) * (ca + cb) * (ca + cb)
+               - (ca + cb)) AS t3
+    FROM cumed GROUP BY sa, sb
+)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(na AS BIGINT) AS n_a,
+       CAST(nb AS BIGINT) AS n_b,
+       CAST(u2 AS BIGINT) AS u2_a,
+       ROUND((CAST(u2 AS DOUBLE) - CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))
+             / NULLIF(2 * SQRT(
+                   CAST(na AS DOUBLE) * CAST(nb AS DOUBLE) / 12
+                   * ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) + 1)
+                      - CAST(t3 AS DOUBLE)
+                        / ((CAST(na AS DOUBLE) + CAST(nb AS DOUBLE))
+                           * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 1)))),
+                      0),
+             9) AS z_score
+FROM s
+ORDER BY source_a, source_b
+"""
+
+_pair(
+    "mann_whitney_u_doc_lengths",
+    _MWU_SQL,
+    _MWU_SQL,
+    tags=("statistics", "mann-whitney", "rank-sum", "data-quality"),
 )

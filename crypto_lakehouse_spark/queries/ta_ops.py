@@ -1,11 +1,13 @@
 """Technical-analysis indicators over the daily candle pipeline —
 the analytics a user of the reference's gold OHLCV tables computes
 next (reference dbt models stop at daily_metrics.sql; these extend
-the same candle relation). All three are window/aggregate-native:
+the same candle relation). Everything here is window/aggregate-native:
 one shuffle on (product_id) that the candle build already did, no
-UDFs, no self-joins — per-product ordered windows scale as long as
-one product's history fits a partition (true for per-asset daily
-series at any corpus size).
+UDFs — per-product ordered windows scale as long as one product's
+history fits a partition (true for per-asset daily series at any
+corpus size). The only joins are day-keyed pair/market joins whose
+short axis is the asset universe (correlation matrix, Spearman,
+market-model beta).
 
 Cross-engine determinism follows the house discipline: all rolling
 sums run over exact DECIMAL casts (order-free), double math happens
@@ -20,11 +22,46 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from crypto_lakehouse_spark.functions import fmt_date
+from crypto_lakehouse_spark.io import session_key
+from crypto_lakehouse_spark.operators.checkpointing import (
+    release_lineage,
+    truncate_lineage,
+)
 from crypto_lakehouse_spark.queries.reference_ops import _candles, _ORACLE_CANDLES
 from crypto_lakehouse_spark.operators.trades import ORACLE_TRADES_CTE
 from crypto_lakehouse_spark.queries.registry import query
 
 _DAILY_ORACLE = ORACLE_TRADES_CTE + "," + _ORACLE_CANDLES.format(bucket="day")
+
+# Daily-candle FIXTURE memo. Nine TA queries consume the same gold
+# daily-candle relation; without this each re-derives silver trades
+# (dedup window) + the candle windows/agg/join from raw parquet — at
+# 100 TB that is nine full bronze passes where the medallion design
+# materializes gold ONCE (the reference's dbt daily tables are exactly
+# this materialization). Same discipline as dedup_ops' shingle memo:
+# truncate_lineage (not bare persist — Spark 4.1 CTE-over-cached-view
+# CacheManager miss, see dedup_ops.py:59-72), keyed on
+# (io.session_key, sf_dir), superseded sf_dirs released eagerly.
+# The reference-core OHLCV queries (ohlcv_1m/1h, daily_metrics) keep
+# the raw plan: there the candle build IS the operator under test.
+_DAILY_CANDLES_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized gold daily-candle fixture for `sf_dir` (memo
+    comment above); rows identical to `_candles(spark, sf_dir,
+    "day")`, which the DuckDB oracles recompute inline."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _DAILY_CANDLES_MEMO:
+        for (sid, other), old in list(_DAILY_CANDLES_MEMO.items()):
+            if sid == skey:
+                release_lineage(old)
+                del _DAILY_CANDLES_MEMO[(sid, other)]
+        _DAILY_CANDLES_MEMO[key] = truncate_lineage(
+            _candles(spark, sf_dir, "day"), spark
+        )
+    return _DAILY_CANDLES_MEMO[key]
 
 
 # --- Garman-Klass realized volatility ---------------------------------------
@@ -65,7 +102,7 @@ def garman_klass_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block comment above). Positive-price guard is the defined
     contract: non-positive lows/opens are unestimable and excluded in
     both engines."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     h = F.col("high").cast("double")
     lo = F.col("low").cast("double")
     cl = F.col("close").cast("double")
@@ -138,7 +175,7 @@ def rsi_cutler_14(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cutler's RSI over trailing 14 daily deltas (block comment
     above): exact-decimal rolling gain/loss sums, one double division
     per emitted row, loss==0 => 100 by convention."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     ow = Window.partitionBy("product_id").orderBy("bucket")
     w = ow.rowsBetween(-13, 0)
     deltas = c.select(
@@ -218,7 +255,7 @@ def bollinger_pctb_20(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev reconstructed from exact-decimal rolling sums so the hash
     survives engine-internal summation differences; zero-width bands
     emit NULL %B via NULLIF."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     w = (
         Window.partitionBy("product_id")
         .orderBy("bucket")
@@ -293,7 +330,7 @@ ORDER BY product_id, date
 def drawdown_running_max(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative-peak drawdown series per product (block comment
     above)."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     w = (
         Window.partitionBy("product_id")
         .orderBy("bucket")
@@ -370,7 +407,7 @@ def returns_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise Pearson correlation of per-product daily returns
     (block comment above: day-keyed pair join, exact-decimal sums,
     one fixed double expression)."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     ow = Window.partitionBy("product_id").orderBy("bucket")
     prev = F.lag("close").over(ow).cast("double")
     rets = c.select(
@@ -469,7 +506,7 @@ ORDER BY product_id
 def updays_longest_streak(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Longest consecutive-up-day run per product via the
     row_number-difference islands trick (block comment above)."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     ow = Window.partitionBy("product_id").orderBy("bucket")
     flagged = c.select(
         "product_id",
@@ -708,7 +745,7 @@ ORDER BY product_id
 )
 def amihud_illiquidity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Amihud illiquidity proxy per product (block comment above)."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     op = F.col("open").cast("double")
     cl = F.col("close").cast("double")
     vol = F.col("volume").cast("double")
@@ -808,7 +845,7 @@ ORDER BY v1.product_id
 def variance_ratio_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lo-MacKinlay VR(5) per product over daily closes (block comment
     above: exact-decimal sums, single-double-expression statistics)."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     w = Window.partitionBy("product_id").orderBy("bucket")
     cl = F.col("close").cast("double")
     r_dbl = F.log(cl / F.lag(cl).over(w))
@@ -958,7 +995,7 @@ ORDER BY n.product_id, lag
 def return_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Daily-return ACF at lags 1..5 per product (block comment
     above)."""
-    c = _candles(spark, sf_dir, "day")
+    c = _daily_candles(spark, sf_dir)
     w = Window.partitionBy("product_id").orderBy("bucket")
     cl = F.col("close").cast("double")
     rets = (
@@ -1024,4 +1061,709 @@ def return_acf_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("acf"),
         )
         .orderBy("product_id", "lag")
+    )
+
+# --- stochastic oscillator (14, 3) -------------------------------------------
+# %K = 100 * (close - min(low,14)) / (max(high,14) - min(low,14)),
+# %D = 3-day SMA of %K — the classic range-position momentum pair.
+# Pure ROWS-frame windows on the candle relation (two frames, one
+# per-product shuffle). min/max run on exact DECIMAL candles; %K is
+# one double division ROUND(...,9)-stabilized; %D sums the rounded %K
+# as DECIMAL(15,9) (exact, order-free) with one division at emission.
+# Flat 14-day ranges (max == min) yield NULL %K by the NULLIF guard —
+# identical in both engines; %D requires 3 non-null %K in frame.
+
+
+@query(
+    "stochastic_oscillator_14",
+    oracle=_DAILY_ORACLE
+    + """,
+rolled AS (
+    SELECT product_id, bucket, close,
+           MIN(low) OVER w14 AS min_low,
+           MAX(high) OVER w14 AS max_high,
+           COUNT(*) OVER w14 AS n
+    FROM candles
+    WINDOW w14 AS (PARTITION BY product_id ORDER BY bucket
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+),
+k AS (
+    SELECT product_id, bucket, CAST(close AS DOUBLE) AS close,
+           ROUND(100 * (CAST(close AS DOUBLE) - CAST(min_low AS DOUBLE))
+                 / NULLIF(CAST(max_high AS DOUBLE)
+                          - CAST(min_low AS DOUBLE), 0), 9) AS pct_k
+    FROM rolled WHERE n >= 14
+),
+d AS (
+    SELECT product_id, bucket, close, pct_k,
+           SUM(CAST(pct_k AS DECIMAL(15, 9))) OVER w3 AS sk,
+           COUNT(pct_k) OVER w3 AS nk
+    FROM k
+    WINDOW w3 AS (PARTITION BY product_id ORDER BY bucket
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+)
+SELECT product_id, strftime(bucket, '%Y-%m-%d') AS date, close, pct_k,
+       ROUND(CAST(sk AS DOUBLE) / nk, 9) AS pct_d
+FROM d WHERE nk >= 3
+ORDER BY product_id, date
+""",
+    tags=("ta", "stochastic", "momentum", "window"),
+)
+def stochastic_oscillator_14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stochastic %K/%D over daily candles (block comment above)."""
+    c = _daily_candles(spark, sf_dir)
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    w14 = ow.rowsBetween(-13, 0)
+    w3 = ow.rowsBetween(-2, 0)
+    rolled = c.select(
+        "product_id",
+        "bucket",
+        "close",
+        F.min("low").over(w14).alias("min_low"),
+        F.max("high").over(w14).alias("max_high"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    ).where(F.col("n") >= 14)
+    cl = F.col("close").cast("double")
+    lo = F.col("min_low").cast("double")
+    hi = F.col("max_high").cast("double")
+    k = rolled.select(
+        "product_id",
+        "bucket",
+        cl.alias("close"),
+        F.round(100 * (cl - lo) / F.nullif(hi - lo, F.lit(0.0)), 9).alias(
+            "pct_k"
+        ),
+    )
+    d = k.select(
+        "product_id",
+        "bucket",
+        "close",
+        "pct_k",
+        F.sum(F.col("pct_k").cast("decimal(15,9)")).over(w3).alias("sk"),
+        F.count("pct_k").over(w3).alias("nk"),
+    ).where(F.col("nk") >= 3)
+    return d.select(
+        "product_id",
+        fmt_date("bucket").alias("date"),
+        "close",
+        "pct_k",
+        F.round(F.col("sk").cast("double") / F.col("nk"), 9).alias("pct_d"),
+    ).orderBy("product_id", "date")
+
+
+# --- market-model beta (OLS vs equal-weight market return) -------------------
+# beta_p = cov(r_p, r_m) / var(r_m), alpha_p = mean(r_p) - beta_p *
+# mean(r_m), with r_m the equal-weight cross-sectional mean of the
+# per-product daily returns (the product itself included — standard
+# index convention). Returns are ROUND(...,9)-stabilized doubles
+# first, then every sufficient statistic (sx, sm, sxm, smm) runs in
+# exact DECIMAL (the (15,9)x(15,9) product is exact at scale 18);
+# beta/alpha are single double expressions at emission. Scale shape:
+# the market relation is one row per DAY — broadcast-sized against
+# the day-keyed return join for any asset universe.
+
+
+@query(
+    "beta_vs_market",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           ROUND((CAST(close AS DOUBLE)
+                  - CAST(LAG(close) OVER w AS DOUBLE))
+                 / CAST(LAG(close) OVER w AS DOUBLE), 9) AS r
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+rets2 AS (SELECT product_id, bucket, CAST(r AS DECIMAL(15, 9)) AS r
+          FROM rets WHERE r IS NOT NULL),
+mkt AS (
+    SELECT bucket,
+           CAST(ROUND(CAST(SUM(r) AS DOUBLE) / COUNT(*), 9)
+                AS DECIMAL(15, 9)) AS rm
+    FROM rets2 GROUP BY bucket
+),
+s AS (
+    SELECT p.product_id, COUNT(*) AS n,
+           SUM(p.r) AS sx, SUM(m.rm) AS sm,
+           SUM(p.r * m.rm) AS sxm, SUM(m.rm * m.rm) AS smm
+    FROM rets2 p JOIN mkt m ON m.bucket = p.bucket
+    GROUP BY p.product_id
+)
+SELECT product_id, CAST(n AS BIGINT) AS n_days,
+       ROUND((n * CAST(sxm AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))
+             / NULLIF(n * CAST(smm AS DOUBLE)
+                      - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE), 0),
+             9) AS beta,
+       ROUND((CAST(sx AS DOUBLE)
+              - ((n * CAST(sxm AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sm AS DOUBLE))
+                 / NULLIF(n * CAST(smm AS DOUBLE)
+                          - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE), 0))
+                * CAST(sm AS DOUBLE)) / n,
+             9) AS alpha
+FROM s
+ORDER BY product_id
+""",
+    tags=("ta", "beta", "ols", "market-model"),
+)
+def beta_vs_market(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-product market-model beta/alpha vs the equal-weight market
+    return (block comment above)."""
+    c = _daily_candles(spark, sf_dir)
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    prev = F.lag("close").over(ow).cast("double")
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round((F.col("close").cast("double") - prev) / prev, 9)
+            .cast("decimal(15,9)")
+            .alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    mkt = rets.groupBy("bucket").agg(
+        F.round(F.sum("r").cast("double") / F.count(F.lit(1)), 9)
+        .cast("decimal(15,9)")
+        .alias("rm")
+    )
+    s = (
+        rets.join(mkt, "bucket")
+        .groupBy("product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("r").alias("sx"),
+            F.sum("rm").alias("sm"),
+            F.sum(F.col("r") * F.col("rm")).alias("sxm"),
+            F.sum(F.col("rm") * F.col("rm")).alias("smm"),
+        )
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    sm = F.col("sm").cast("double")
+    sxm = F.col("sxm").cast("double")
+    smm = F.col("smm").cast("double")
+    beta = (n * sxm - sx * sm) / F.nullif(n * smm - sm * sm, F.lit(0.0))
+    return s.select(
+        "product_id",
+        n.cast("bigint").alias("n_days"),
+        F.round(beta, 9).alias("beta"),
+        F.round((sx - beta * sm) / n, 9).alias("alpha"),
+    ).orderBy("product_id")
+
+
+# --- Spearman rank correlation of daily returns ------------------------------
+# rho = 1 - 6 * sum(d^2) / (n * (n^2 - 1)) over per-pair rank
+# differences — the robust (monotone, outlier-insensitive) twin of
+# returns_correlation_matrix above. Ranks are ROW_NUMBER over
+# (return, bucket) WITHIN each pair's joined day set, so ranks are a
+# permutation of 1..n and the no-ties closed form is EXACT for this
+# rank definition (the bucket tie-break replaces average-rank ties
+# with a deterministic order, identical in both engines). Every
+# sufficient statistic is an integer; one double expression emits rho.
+# Scale: day-keyed pair join (same shape note as the Pearson matrix),
+# then two rank windows per pair partition — fan-out is pairs x days,
+# linear in history for a fixed asset universe.
+
+
+@query(
+    "spearman_returns_corr",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           ROUND((CAST(close AS DOUBLE)
+                  - CAST(LAG(close) OVER w AS DOUBLE))
+                 / CAST(LAG(close) OVER w AS DOUBLE), 9) AS r
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+rets2 AS (SELECT product_id, bucket, r FROM rets WHERE r IS NOT NULL),
+pairs AS (
+    SELECT a.product_id AS product_a, b.product_id AS product_b,
+           a.bucket AS bucket, a.r AS x, b.r AS y
+    FROM rets2 a
+    JOIN rets2 b ON a.bucket = b.bucket AND a.product_id < b.product_id
+),
+ranked AS (
+    SELECT product_a, product_b,
+           ROW_NUMBER() OVER (PARTITION BY product_a, product_b
+                              ORDER BY x, bucket) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY product_a, product_b
+                              ORDER BY y, bucket) AS ry
+    FROM pairs
+),
+s AS (
+    SELECT product_a, product_b, COUNT(*) AS n,
+           SUM((rx - ry) * (rx - ry)) AS sd2
+    FROM ranked GROUP BY product_a, product_b
+)
+SELECT product_a, product_b, CAST(n AS BIGINT) AS n_days,
+       ROUND(1 - 6.0 * sd2
+             / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1)),
+             9) AS spearman_rho
+FROM s
+WHERE n >= 2
+ORDER BY product_a, product_b
+""",
+    tags=("ta", "correlation", "spearman", "rank"),
+)
+def spearman_returns_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Spearman rank correlation of per-product daily
+    returns (block comment above: deterministic bucket tie-break,
+    integer sufficient statistics, closed form)."""
+    c = _daily_candles(spark, sf_dir)
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    prev = F.lag("close").over(ow).cast("double")
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round((F.col("close").cast("double") - prev) / prev, 9).alias(
+                "r"
+            ),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    a = rets.select(
+        F.col("product_id").alias("product_a"),
+        "bucket",
+        F.col("r").alias("x"),
+    )
+    b = rets.select(
+        F.col("product_id").alias("product_b"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("r").alias("y"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("product_a") < F.col("product_b")),
+    )
+    wp = Window.partitionBy("product_a", "product_b")
+    ranked = pairs.select(
+        "product_a",
+        "product_b",
+        F.row_number().over(wp.orderBy("x", "bucket")).alias("rx"),
+        F.row_number().over(wp.orderBy("y", "bucket")).alias("ry"),
+    )
+    d = F.col("rx") - F.col("ry")
+    s = ranked.groupBy("product_a", "product_b").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(d * d).alias("sd2")
+    )
+    n = F.col("n")
+    nd = n.cast("double")
+    return (
+        s.where(n >= 2)
+        .select(
+            "product_a",
+            "product_b",
+            n.cast("bigint").alias("n_days"),
+            F.round(
+                1 - 6.0 * F.col("sd2") / (nd * (nd * n - 1)), 9
+            ).alias("spearman_rho"),
+        )
+        .orderBy("product_a", "product_b")
+    )
+
+
+# --- Theil-Sen robust trend (daily close) ------------------------------------
+# slope = median over all day pairs (i < j) of
+# (close_j - close_i) / (day_j - day_i) — the robust trend estimator
+# (Theil 1950 / Sen 1968): up to ~29% contamination moves it nowhere,
+# where OLS chases every outlier. The time axis is the REAL epoch-day
+# (integer, gap-aware), not the row index. "Median" is the LOWER
+# median at position floor((n+1)/2) of the (slope, day_i, day_j)
+# ordering — a deterministic convention both engines share (no
+# even-count interpolation). Slopes are ROUND(...,12) doubles computed
+# from exact decimal differences over an integer denominator, so both
+# engines rank identical values. Scale shape: the pair self-join is
+# QUADRATIC IN DAYS PER PRODUCT by design — bounded (~n_days^2/2 per
+# product, 11k pairs at 150 days) because the daily axis grows by 365
+# rows/year regardless of corpus bytes; the join is product-keyed so
+# pairs never cross products. For intraday axes use a windowed
+# subsample first.
+
+
+@query(
+    "theil_sen_trend_daily",
+    oracle=_DAILY_ORACLE
+    + """,
+px AS (
+    SELECT product_id,
+           CAST(floor(epoch(bucket) / 86400.0) AS BIGINT) AS d,
+           close
+    FROM candles
+),
+slopes AS (
+    SELECT a.product_id,
+           ROUND(CAST(b.close - a.close AS DOUBLE) / (b.d - a.d), 12)
+               AS slope,
+           a.d AS di, b.d AS dj
+    FROM px a
+    JOIN px b ON b.product_id = a.product_id AND b.d > a.d
+),
+ranked AS (
+    SELECT product_id, slope,
+           ROW_NUMBER() OVER (PARTITION BY product_id
+                              ORDER BY slope, di, dj) AS rn,
+           COUNT(*) OVER (PARTITION BY product_id) AS n
+    FROM slopes
+)
+SELECT product_id,
+       CAST(n AS BIGINT) AS n_pairs,
+       ROUND(slope, 9) AS theil_sen_slope
+FROM ranked
+WHERE rn = (n + 1) // 2
+ORDER BY product_id
+""",
+    tags=("ta", "theil-sen", "robust", "trend"),
+)
+def theil_sen_trend_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust daily trend per product (block comment
+    above: lower-median convention, epoch-day axis, bounded
+    product-keyed pair join)."""
+    c = _daily_candles(spark, sf_dir)
+    px = c.select(
+        "product_id",
+        F.floor(F.unix_timestamp("bucket") / 86400.0)
+        .cast("bigint")
+        .alias("d"),
+        "close",
+    )
+    a = px.select(
+        "product_id", F.col("d").alias("di"), F.col("close").alias("ca")
+    )
+    b = px.select(
+        F.col("product_id").alias("pb"),
+        F.col("d").alias("dj"),
+        F.col("close").alias("cb"),
+    )
+    slopes = a.join(
+        b, (F.col("product_id") == F.col("pb")) & (F.col("dj") > F.col("di"))
+    ).select(
+        "product_id",
+        F.round(
+            (F.col("cb") - F.col("ca")).cast("double")
+            / (F.col("dj") - F.col("di")),
+            12,
+        ).alias("slope"),
+        "di",
+        "dj",
+    )
+    wp = Window.partitionBy("product_id")
+    ranked = slopes.select(
+        "product_id",
+        "slope",
+        F.row_number().over(wp.orderBy("slope", "di", "dj")).alias("rn"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    return (
+        ranked.where(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .select(
+            "product_id",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.round("slope", 9).alias("theil_sen_slope"),
+        )
+        .orderBy("product_id")
+    )
+
+
+# --- Kendall tau-b of daily returns ------------------------------------------
+# tau_b = (C - D) / sqrt((n0 - tx) * (n0 - ty)) over all day pairs
+# (i < j) of each product pair's joined daily returns, where C/D are
+# concordant/discordant counts, n0 = n(n-1)/2 and tx/ty the tied-pair
+# counts per axis — the tie-corrected Kendall correlation. EVERY
+# sufficient statistic is an integer (sign comparisons of ROUND(9)
+# returns both engines computed identically), so the only float is
+# the final expression. Scale shape: quadratic in DAYS per product
+# pair by design (like theil_sen_trend_daily — the daily axis grows
+# 365 rows/year regardless of corpus bytes); the day-pair join is
+# keyed on the product pair so nothing crosses pairs.
+
+
+@query(
+    "kendall_tau_daily",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           ROUND((CAST(close AS DOUBLE)
+                  - CAST(LAG(close) OVER w AS DOUBLE))
+                 / CAST(LAG(close) OVER w AS DOUBLE), 9) AS r
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+rets2 AS (SELECT product_id, bucket, r FROM rets WHERE r IS NOT NULL),
+obs AS (
+    SELECT a.product_id AS pa, b.product_id AS pb,
+           a.bucket AS bucket, a.r AS x, b.r AS y
+    FROM rets2 a
+    JOIN rets2 b ON a.bucket = b.bucket AND a.product_id < b.product_id
+),
+daypairs AS (
+    SELECT o1.pa, o1.pb,
+           o1.x AS x1, o1.y AS y1, o2.x AS x2, o2.y AS y2
+    FROM obs o1
+    JOIN obs o2 ON o2.pa = o1.pa AND o2.pb = o1.pb
+              AND o2.bucket > o1.bucket
+),
+s AS (
+    SELECT pa, pb, COUNT(*) AS n0,
+           SUM(CASE WHEN (x2 > x1 AND y2 > y1) OR (x2 < x1 AND y2 < y1)
+                    THEN 1 ELSE 0 END) AS c,
+           SUM(CASE WHEN (x2 > x1 AND y2 < y1) OR (x2 < x1 AND y2 > y1)
+                    THEN 1 ELSE 0 END) AS d,
+           SUM(CASE WHEN x2 = x1 THEN 1 ELSE 0 END) AS tx,
+           SUM(CASE WHEN y2 = y1 THEN 1 ELSE 0 END) AS ty
+    FROM daypairs GROUP BY pa, pb
+)
+SELECT pa AS product_a, pb AS product_b,
+       CAST(n0 AS BIGINT) AS n_day_pairs,
+       CAST(c AS BIGINT) AS concordant,
+       CAST(d AS BIGINT) AS discordant,
+       ROUND((c - d) / NULLIF(SQRT(CAST(n0 - tx AS DOUBLE)
+                                   * CAST(n0 - ty AS DOUBLE)), 0),
+             9) AS kendall_tau_b
+FROM s
+ORDER BY product_a, product_b
+""",
+    tags=("ta", "correlation", "kendall", "rank"),
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Kendall tau-b per product pair over daily
+    returns (block comment above: integer sufficient statistics,
+    bounded day-pair join)."""
+    c = _daily_candles(spark, sf_dir)
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    prev = F.lag("close").over(ow).cast("double")
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round((F.col("close").cast("double") - prev) / prev, 9).alias(
+                "r"
+            ),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    a = rets.select(
+        F.col("product_id").alias("pa"), "bucket", F.col("r").alias("x")
+    )
+    b = rets.select(
+        F.col("product_id").alias("pb"),
+        F.col("bucket").alias("bucket_b"),
+        F.col("r").alias("y"),
+    )
+    obs = a.join(
+        b,
+        (F.col("bucket") == F.col("bucket_b"))
+        & (F.col("pa") < F.col("pb")),
+    ).select("pa", "pb", "bucket", "x", "y")
+    o2 = obs.select(
+        F.col("pa").alias("pa2"),
+        F.col("pb").alias("pb2"),
+        F.col("bucket").alias("bucket2"),
+        F.col("x").alias("x2"),
+        F.col("y").alias("y2"),
+    )
+    daypairs = obs.join(
+        o2,
+        (F.col("pa") == F.col("pa2"))
+        & (F.col("pb") == F.col("pb2"))
+        & (F.col("bucket2") > F.col("bucket")),
+    )
+    x1, y1, x2, y2 = (F.col(c_) for c_ in ("x", "y", "x2", "y2"))
+    conc = ((x2 > x1) & (y2 > y1)) | ((x2 < x1) & (y2 < y1))
+    disc = ((x2 > x1) & (y2 < y1)) | ((x2 < x1) & (y2 > y1))
+    s = daypairs.groupBy("pa", "pb").agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum(F.when(conc, 1).otherwise(0)).alias("c"),
+        F.sum(F.when(disc, 1).otherwise(0)).alias("d"),
+        F.sum(F.when(x2 == x1, 1).otherwise(0)).alias("tx"),
+        F.sum(F.when(y2 == y1, 1).otherwise(0)).alias("ty"),
+    )
+    denom = F.sqrt(
+        (F.col("n0") - F.col("tx")).cast("double")
+        * (F.col("n0") - F.col("ty")).cast("double")
+    )
+    return s.select(
+        F.col("pa").alias("product_a"),
+        F.col("pb").alias("product_b"),
+        F.col("n0").cast("bigint").alias("n_day_pairs"),
+        F.col("c").cast("bigint").alias("concordant"),
+        F.col("d").cast("bigint").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d")) / F.nullif(denom, F.lit(0.0)), 9
+        ).alias("kendall_tau_b"),
+    ).orderBy("product_a", "product_b")
+
+
+# --- CUSUM mean-shift detection over daily returns ----------------------------
+# Page's one-sided CUSUM pair via the prefix identity (no recursion):
+#   S+_t = C_t - min_{s<=t} C_s,   S-_t = max_{s<=t} C_s - C_t
+# with C the running sum of (r_t - k) [resp. (r_t + k)], slack
+# k = 0.5 * sigma and alarm threshold h = 4 * sigma (the conventional
+# chart tuning), sigma the per-product return stddev. The recursion
+# max(0, S_{t-1} + x_t) is EXACTLY the prefix-min identity, so the
+# whole chart is two cumulative windows — declarative and parallel
+# where the textbook form is a sequential fold. Returns and k are
+# ROUND(9)-stabilized then DECIMAL-summed (exact prefix sums); sigma
+# comes from exact decimal moment sums with one double sqrt. Alarms
+# count the days where the statistic exceeds h.
+# Scale: one per-product aggregate (sigma), one broadcast join back,
+# two ordered windows per product — the candle shuffle structure.
+
+
+@query(
+    "cusum_mean_shift_daily",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           CAST(ROUND((CAST(close AS DOUBLE)
+                       - CAST(LAG(close) OVER w AS DOUBLE))
+                      / CAST(LAG(close) OVER w AS DOUBLE), 9)
+                AS DECIMAL(15, 9)) AS r
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+rets2 AS (SELECT product_id, bucket, r FROM rets WHERE r IS NOT NULL),
+sig AS (
+    -- k = ROUND(sigma/2, 9) is materialized as its own DECIMAL column:
+    -- a raw sigma/2 inside the window sum would hit the engines'
+    -- DIFFERENT decimal-division scale rules (the PSI lesson).
+    SELECT product_id, COUNT(*) AS n,
+           CAST(ROUND(SQRT(GREATEST(
+               (CAST(SUM(r * r) AS DOUBLE)
+                - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1), 0)), 9) AS DECIMAL(15, 9)) AS sigma,
+           CAST(ROUND(SQRT(GREATEST(
+               (CAST(SUM(r * r) AS DOUBLE)
+                - CAST(SUM(r) AS DOUBLE) * CAST(SUM(r) AS DOUBLE) / COUNT(*))
+               / (COUNT(*) - 1), 0)) / 2, 9) AS DECIMAL(15, 9)) AS k
+    FROM rets2 GROUP BY product_id HAVING COUNT(*) > 1
+),
+cum AS (
+    SELECT r.product_id, r.bucket, s.sigma,
+           SUM(r.r - s.k) OVER wc AS cp,
+           SUM(r.r + s.k) OVER wc AS cm
+    FROM rets2 r JOIN sig s ON s.product_id = r.product_id
+    WINDOW wc AS (PARTITION BY r.product_id ORDER BY r.bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+    SELECT product_id, bucket, sigma,
+           cp - LEAST(MIN(cp) OVER wc, 0) AS s_plus,
+           GREATEST(MAX(cm) OVER wc, 0) - cm AS s_minus
+    FROM cum
+    WINDOW wc AS (PARTITION BY product_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT product_id,
+       COUNT(*) AS n_days,
+       CAST(SUM(CASE WHEN s_plus > 4 * sigma THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms_up,
+       CAST(SUM(CASE WHEN s_minus > 4 * sigma THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_alarms_down,
+       ROUND(CAST(MAX(s_plus) AS DOUBLE), 9) AS max_s_plus,
+       ROUND(CAST(MAX(s_minus) AS DOUBLE), 9) AS max_s_minus
+FROM stat
+GROUP BY product_id
+ORDER BY product_id
+""",
+    tags=("ta", "cusum", "drift", "window"),
+)
+def cusum_mean_shift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page CUSUM mean-shift chart per product via the prefix-min
+    identity (block comment above)."""
+    c = _daily_candles(spark, sf_dir)
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    prev = F.lag("close").over(ow).cast("double")
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round((F.col("close").cast("double") - prev) / prev, 9)
+            .cast("decimal(15,9)")
+            .alias("r"),
+        )
+        .where(F.col("r").isNotNull())
+    )
+    sr = F.sum("r").cast("double")
+    srr = F.sum(F.col("r") * F.col("r")).cast("double")
+    n = F.count(F.lit(1))
+    sig = (
+        rets.groupBy("product_id")
+        .agg(
+            n.alias("n"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (srr - sr * sr / n) / (n - 1), F.lit(0.0)
+                    )
+                ),
+                9,
+            )
+            .cast("decimal(15,9)")
+            .alias("sigma"),
+            F.round(
+                F.sqrt(
+                    F.greatest(
+                        (srr - sr * sr / n) / (n - 1), F.lit(0.0)
+                    )
+                )
+                / 2,
+                9,
+            )
+            .cast("decimal(15,9)")
+            .alias("k"),
+        )
+        .where(F.col("n") > 1)
+        .select("product_id", "sigma", "k")
+    )
+    wc = ow.rowsBetween(Window.unboundedPreceding, 0)
+    cum = rets.join(sig, "product_id").select(
+        "product_id",
+        "bucket",
+        "sigma",
+        F.sum(F.col("r") - F.col("k")).over(wc).alias("cp"),
+        F.sum(F.col("r") + F.col("k")).over(wc).alias("cm"),
+    )
+    stat = cum.select(
+        "product_id",
+        "bucket",
+        "sigma",
+        (
+            F.col("cp")
+            - F.least(F.min("cp").over(wc), F.lit(0).cast("decimal(15,9)"))
+        ).alias("s_plus"),
+        (
+            F.greatest(
+                F.max("cm").over(wc), F.lit(0).cast("decimal(15,9)")
+            )
+            - F.col("cm")
+        ).alias("s_minus"),
+    )
+    return (
+        stat.groupBy("product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(
+                F.when(F.col("s_plus") > 4 * F.col("sigma"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_alarms_up"),
+            F.sum(
+                F.when(F.col("s_minus") > 4 * F.col("sigma"), 1).otherwise(
+                    0
+                )
+            )
+            .cast("bigint")
+            .alias("n_alarms_down"),
+            F.round(F.max("s_plus").cast("double"), 9).alias("max_s_plus"),
+            F.round(F.max("s_minus").cast("double"), 9).alias("max_s_minus"),
+        )
+        .orderBy("product_id")
     )
