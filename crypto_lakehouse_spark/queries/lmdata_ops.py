@@ -66,7 +66,11 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.io import register_views, session_key
+from crypto_lakehouse_spark.operators.checkpointing import (
+    release_lineage,
+    truncate_lineage,
+)
 from crypto_lakehouse_spark.queries.registry import query
 
 
@@ -912,12 +916,30 @@ _pair(
 # modulo explode/sequence dialect — the recursion itself is checked
 # value-exactly, both the greedy CHOICES and the counts.
 
-def _wordpiece_sql(split: str, tok: str, lens: str, wordpos: str) -> str:
+def _wordpiece_sql(
+    split: str,
+    tok: str,
+    lens: str,
+    wordpos: str,
+    words_body: str | None = None,
+    wtf_body: str | None = None,
+) -> str:
+    # words_body/wtf_body let the Spark side read a MATERIALIZED
+    # word-frequency relation (one corpus explode instead of two —
+    # Spark inlines CTEs, so expressing words as a word_tf projection
+    # would otherwise recompute the explode per reference). DuckDB
+    # (the oracle) keeps the inline two-scan form: same rows.
+    words_sql = words_body or f"""SELECT DISTINCT {tok} AS w FROM (
+        SELECT {split}(text, ' ') AS ws FROM documents
+    )"""
+    wtf_sql = wtf_body or f"""SELECT w, COUNT(*) AS tf FROM (
+        SELECT {tok} AS w FROM (
+            SELECT {split}(text, ' ') AS ws FROM documents
+        )
+    ) GROUP BY w"""
     return f"""
 WITH RECURSIVE words AS (
-    SELECT DISTINCT {tok} AS w FROM (
-        SELECT {split}(text, ' ') AS ws FROM documents
-    )
+    {words_sql}
 ),
 wordpos AS (
     {wordpos}
@@ -957,11 +979,7 @@ walk(w, pos, piece) AS (
       ON b.w = wk.w AND b.pos = wk.pos + length(wk.piece)
 ),
 word_tf AS (
-    SELECT w, COUNT(*) AS tf FROM (
-        SELECT {tok} AS w FROM (
-            SELECT {split}(text, ' ') AS ws FROM documents
-        )
-    ) GROUP BY w
+    {wtf_sql}
 )
 SELECT wk.piece,
        CAST(length(wk.piece) AS INT) AS piece_len,
@@ -973,13 +991,119 @@ ORDER BY n_occurrences DESC, piece
 """
 
 
+_WORD_TF_VIEW = "word_tf_mat"
+_WORD_TF_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_word_tf(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the corpus word-frequency relation (w, tf) for
+    `sf_dir` — the vocabulary-sized aggregate several token-census
+    queries re-derive from a full corpus explode. Same memo
+    discipline as dedup_ops.cached_shingles."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _WORD_TF_MEMO:
+        for (sid, other), old in list(_WORD_TF_MEMO.items()):
+            if sid == skey:
+                release_lineage(old)
+                del _WORD_TF_MEMO[(sid, other)]
+        register_views(spark, sf_dir, ["documents"])
+        df = truncate_lineage(
+            spark.sql(
+                """
+                SELECT w, COUNT(*) AS tf FROM (
+                    SELECT explode(ws) AS w FROM (
+                        SELECT split(text, ' ') AS ws FROM documents
+                    )
+                ) GROUP BY w
+                """
+            ),
+            spark,
+        )
+        df.createOrReplaceTempView(_WORD_TF_VIEW)
+        _WORD_TF_MEMO[key] = df
+    return _WORD_TF_VIEW
+
+
+# Previous call's materialized `best` per session — released on the
+# NEXT call (the returned walk frame still references it, so eager
+# release inside the call would break collection).
+_WORDPIECE_BEST_PREV: dict[str, DataFrame] = {}
+
+
 def _wordpiece_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy longest-prefix wordpiece tokenization executed as an
     engine-side WITH RECURSIVE walk (unique successor per state, so
     UNION ALL recursion is safe) — see the block comment above for
-    the vocabulary derivation and scale framing."""
-    register_views(spark, sf_dir, ["documents"])
-    return spark.sql(_wordpiece_sql(*_WORDPIECE_SPARK_DIALECT))
+    the vocabulary derivation and scale framing. Reads the
+    materialized word-frequency fixture: ONE corpus explode serves
+    both the word inventory and the tf weights."""
+    view = cached_word_tf(spark, sf_dir)
+    # Materialize `best` before the recursion: Spark inlines CTEs
+    # into the recursive term, so the wordpos x pieces prefix join +
+    # window would otherwise re-run on EVERY recursion round (depth =
+    # max pieces per word). The relation is vocabulary-sized
+    # (positions x 1), checkpointed per call, released after the walk
+    # plan is built... the walk output frame still references it, so
+    # release is deferred to the next call via the per-call handle.
+    best = truncate_lineage(
+        spark.sql(f"""
+WITH words AS (SELECT w FROM {view}),
+wordpos AS (
+    SELECT w, i FROM words
+    LATERAL VIEW explode(sequence(1, length(w))) t_i AS i
+),
+subs AS (
+    SELECT substr(w, i, l) AS piece, COUNT(DISTINCT w) AS df
+    FROM wordpos
+    LATERAL VIEW explode(sequence(2, 4)) t_l AS l
+    WHERE i + l - 1 <= length(w)
+    GROUP BY substr(w, i, l)
+),
+vocab AS (
+    SELECT piece FROM subs ORDER BY df DESC, piece LIMIT 96
+),
+chars AS (
+    SELECT DISTINCT substr(w, i, 1) AS piece FROM wordpos
+),
+pieces AS (SELECT piece FROM vocab UNION SELECT piece FROM chars)
+SELECT w, pos, piece FROM (
+    SELECT wp.w, wp.i AS pos, p.piece,
+           ROW_NUMBER() OVER (
+               PARTITION BY wp.w, wp.i
+               ORDER BY length(p.piece) DESC, p.piece) AS rn
+    FROM wordpos wp
+    JOIN pieces p
+      ON substr(wp.w, wp.i, length(p.piece)) = p.piece
+) ranked WHERE rn = 1
+"""),
+        spark,
+    )
+    skey = session_key(spark)
+    prev_best = _WORDPIECE_BEST_PREV.get(skey)
+    if prev_best is not None:
+        release_lineage(prev_best)
+    _WORDPIECE_BEST_PREV[skey] = best
+    best.createOrReplaceTempView("wordpiece_best_mat")
+    return spark.sql(f"""
+WITH RECURSIVE walk(w, pos, piece) AS (
+    SELECT w, CAST(1 AS INT) AS pos, piece
+    FROM wordpiece_best_mat WHERE pos = 1
+    UNION ALL
+    SELECT b.w, CAST(wk.pos + length(wk.piece) AS INT) AS pos, b.piece
+    FROM walk wk
+    JOIN wordpiece_best_mat b
+      ON b.w = wk.w AND b.pos = wk.pos + length(wk.piece)
+),
+word_tf AS (SELECT w, tf FROM {view})
+SELECT wk.piece,
+       CAST(length(wk.piece) AS INT) AS piece_len,
+       CAST(SUM(word_tf.tf) AS BIGINT) AS n_occurrences,
+       CAST(COUNT(DISTINCT wk.w) AS BIGINT) AS n_distinct_words
+FROM walk wk JOIN word_tf ON word_tf.w = wk.w
+GROUP BY wk.piece
+ORDER BY n_occurrences DESC, piece
+""")
 
 
 # Position enumeration is per word, 1..length(w) — data-derived, so
