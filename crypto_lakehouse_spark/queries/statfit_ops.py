@@ -850,12 +850,13 @@ _pair(
 # fan-out (each grid row lands in |sources|-1 pairs) and the
 # cumulative window run on the GRID, which is distinct-value sized,
 # not corpus sized.
-_MWU_SQL = """
-WITH sc AS (
-    SELECT source, n_chars AS v, COUNT(*) AS c
-    FROM documents WHERE n_chars IS NOT NULL
-    GROUP BY source, n_chars
-),
+_MWU_GRID_SQL = """
+SELECT source, n_chars AS v, COUNT(*) AS c
+FROM documents WHERE n_chars IS NOT NULL
+GROUP BY source, n_chars
+"""
+
+_MWU_TAIL = """
 srcs AS (SELECT DISTINCT source FROM sc),
 prs AS (
     SELECT a.source AS sa, b.source AS sb
@@ -906,9 +907,39 @@ FROM s
 ORDER BY source_a, source_b
 """
 
-_pair(
+# The Spark side materializes the grid (one corpus scan — Spark
+# inlines CTEs, so the two union branches would otherwise each
+# re-scan documents); the DuckDB oracle marks it MATERIALIZED for the
+# same reason.
+_MWU_PREV: dict[str, DataFrame] = {}
+
+
+def mann_whitney_u_doc_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-dialect SQL over the materialized (value, source) count
+    grid (semantics in the module docstring)."""
+    from crypto_lakehouse_spark.io import session_key
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["documents"])
+    grid = truncate_lineage(spark.sql(_MWU_GRID_SQL), spark)
+    skey = session_key(spark)
+    prev = _MWU_PREV.get(skey)
+    if prev is not None:
+        release_lineage(prev)
+    _MWU_PREV[skey] = grid
+    grid.createOrReplaceTempView("mwu_grid_mat")
+    return spark.sql(
+        "WITH sc AS (SELECT source, v, c FROM mwu_grid_mat),\n" + _MWU_TAIL
+    )
+
+
+query(
     "mann_whitney_u_doc_lengths",
-    _MWU_SQL,
-    _MWU_SQL,
+    oracle=(
+        "WITH sc AS MATERIALIZED (" + _MWU_GRID_SQL + "),\n" + _MWU_TAIL
+    ),
     tags=("statistics", "mann-whitney", "rank-sum", "data-quality"),
-)
+)(mann_whitney_u_doc_lengths)

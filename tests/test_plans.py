@@ -743,3 +743,77 @@ def test_cdc_chunking_no_joins_before_stats(spark):
     joins = len(re.findall(r"\(\d+\) (?:SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)", plan))
     assert joins <= 1, f"CDC plan grew unexpected joins: {joins}"
     assert "CartesianProduct" not in plan
+
+
+# --- round-10 session additions ---------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "variance_ratio_daily",
+        "return_acf_daily",
+        "stochastic_oscillator_14",
+        "cusum_mean_shift_daily",
+    ],
+)
+def test_ta_queries_read_materialized_candles(spark, name):
+    """The daily-candle consumers must read the memoized gold fixture
+    (a LogicalRDD scan), NOT re-derive silver trades + the candle
+    build from raw parquet — nine queries re-deriving it is nine
+    bronze passes at 100 TB. The fixture shows up as 'Scan
+    ExistingRDD' and the trades parquet must be absent from the
+    query's own plan."""
+    plan = _plan(spark, name)
+    assert "ExistingRDD" in plan, f"{name} does not read the candle fixture"
+    assert "trades.parquet" not in plan, f"{name} re-derives candles"
+
+
+def test_mann_whitney_single_corpus_pass(spark):
+    """The U statistic is computed from the MATERIALIZED (value,
+    source) count grid: the corpus contributes no parquet scan to the
+    query's own plan (the grid is an ExistingRDD; the two pair-side
+    union branches would otherwise each re-scan documents), and the
+    pair fan-out + cumulative window run on the grid (distinct-value
+    sized)."""
+    plan = _plan(spark, "mann_whitney_u_doc_lengths")
+    assert "ExistingRDD" in plan, "grid not materialized"
+    assert "Scan parquet" not in plan, "corpus re-scanned past the grid"
+    assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["spearman_returns_corr", "kendall_tau_daily", "beta_vs_market"]
+)
+def test_pairwise_ta_no_blowup(spark, name):
+    """Pair correlations join on the DAY (equi) with product ordering
+    as a post-filter, and the market relation is day-keyed — never a
+    cartesian/nested-loop product over the return series."""
+    plan = _plan(spark, name)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize(
+    "name", ["degree_assortativity", "graph_degree_stats", "pagerank_one_iter"]
+)
+def test_graph_queries_read_edge_fixture(spark, name):
+    """Graph queries must read the materialized edge-list fixture —
+    re-deriving lineitem x orders + DISTINCT per query is the
+    module's dominant cost (and at 100 TB, a full fact-join per
+    algorithm)."""
+    plan = _plan(spark, name)
+    assert "ExistingRDD" in plan, f"{name} does not read the edge fixture"
+    assert "lineitem.parquet" not in plan, f"{name} re-derives the edge list"
+
+
+def test_assortativity_single_edge_join(spark):
+    """Edge-sum decomposition: four of six sufficient statistics come
+    straight from the degree relations; only the cross moment joins
+    the edge list. Pinned via the exchange count (the join-operator
+    census proved session-state-dependent under AQE): the decomposed
+    plan needs <= 9 data exchanges; the regressed two-full-join form
+    adds the second edge shuffle and its aggregate."""
+    plan = _plan(spark, "degree_assortativity")
+    assert "CartesianProduct" not in plan
+    assert _data_exchanges(plan) <= 9, plan
