@@ -428,3 +428,98 @@ def bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+# --- Hilbert-curve layout keys ------------------------------------------------
+# The locality-optimal companion to zorder_morton_cells above: the
+# Hilbert curve visits every cell of the 2^k x 2^k grid with NO long
+# jumps (adjacent d are always adjacent cells), so per-file min/max
+# extents under a Hilbert sort are tighter boxes than Morton's — the
+# layout Delta chose for OPTIMIZE's hilbert mode. Same 8-bit bucket
+# normalization as the Morton query (directly comparable output
+# shape). The xy2d walk (Wikipedia's canonical formulation: reflect
+# with n-1, then swap, per level) is unrolled over the 8 levels as
+# chained projections — pure integer CASE arithmetic, no
+# engine-specific bit operators, zero shuffles beyond the final
+# per-cell aggregate; both engines run the very same expressions.
+_HILBERT_N = 256
+
+
+def _hilbert_levels() -> str:
+    ctes = []
+    prev = "h_in"
+    lvl = 0
+    s = _HILBERT_N // 2
+    while s > 0:
+        ctes.append(f"""
+h{lvl} AS (
+    SELECT event_id,
+           CASE WHEN (y %%DIV%% {s}) % 2 = 0
+                THEN CASE WHEN (x %%DIV%% {s}) % 2 = 1
+                          THEN {_HILBERT_N - 1} - y ELSE y END
+                ELSE x END AS x,
+           CASE WHEN (y %%DIV%% {s}) % 2 = 0
+                THEN CASE WHEN (x %%DIV%% {s}) % 2 = 1
+                          THEN {_HILBERT_N - 1} - x ELSE x END
+                ELSE y END AS y,
+           d + {s * s} * (CASE WHEN (x %%DIV%% {s}) % 2 = 0
+                               THEN (y %%DIV%% {s}) % 2
+                               ELSE 3 - ((y %%DIV%% {s}) % 2) END) AS d
+    FROM {prev}
+)""")
+        prev = f"h{lvl}"
+        lvl += 1
+        s //= 2
+    return ",".join(ctes), prev
+
+
+_HILBERT_CTES, _HILBERT_LAST = _hilbert_levels()
+
+_HILBERT = f"""
+WITH bounds AS (
+    SELECT MIN(epoch_us(ts) // 60000000) AS t0,
+           MAX(epoch_us(ts) // 60000000) AS t1,
+           MIN(value) AS v0, MAX(value) AS v1
+    FROM events
+),
+h_in AS (
+    SELECT e.event_id,
+           CAST(FLOOR(((epoch_us(e.ts) // 60000000) - b.t0) * 256.0
+                / (b.t1 - b.t0 + 1)) AS BIGINT) AS x,
+           CAST(FLOOR((e.value - b.v0) * 255.999
+                / (b.v1 - b.v0)) AS BIGINT) AS y,
+           CAST(0 AS BIGINT) AS d
+    FROM events e CROSS JOIN bounds b
+),{_HILBERT_CTES}
+SELECT hilbert_cell,
+       COUNT(*) AS n_events,
+       MIN(x) AS x_min, MAX(x) AS x_max,
+       MIN(y) AS y_min, MAX(y) AS y_max
+FROM (
+    SELECT f.event_id, f.d %%DIV%% 1024 AS hilbert_cell,
+           i.x, i.y
+    FROM {_HILBERT_LAST} f JOIN h_in i USING (event_id)
+) m
+GROUP BY hilbert_cell
+ORDER BY hilbert_cell
+"""
+
+
+def _hilbert_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        _HILBERT.replace("epoch_us(", "unix_micros(")
+        .replace("//", "DIV")
+        .replace("%%DIV%%", "DIV")
+    )
+
+
+_hilbert_fn.__name__ = "hilbert_curve_cells"
+_hilbert_fn.__doc__ = (
+    "Hilbert-curve clustering keys with per-cell extents (see block "
+    "comment; companion to zorder_morton_cells)."
+)
+query(
+    "hilbert_curve_cells",
+    oracle=_HILBERT.replace("%%DIV%%", "//"),
+    tags=("scale", "data-layout", "hilbert", "zorder"),
+)(_hilbert_fn)

@@ -943,3 +943,89 @@ query(
     ),
     tags=("statistics", "mann-whitney", "rank-sum", "data-quality"),
 )(mann_whitney_u_doc_lengths)
+
+
+# --- Poisson-bootstrap confidence interval (mean doc length per source) ----------
+# The DISTRIBUTED bootstrap: instead of resampling n docs with
+# replacement (a global operation), each doc contributes an
+# independent Poisson(1) weight to each of B=100 replicas — the
+# standard large-n approximation whose replica totals converge to the
+# multinomial bootstrap (Chamandy et al., "Estimating Uncertainty for
+# Massive Data Streams", Google 2012). Weights are DETERMINISTIC:
+# a Knuth-style integer hash of (doc_id, replica) maps to a uniform
+# in [0,1) (exact integer arithmetic, identical in both engines),
+# inverted through the Poisson(1) CDF as a fixed CASE ladder
+# (P(k<=6) covers 0.9999997; the tail is clamped to 7). Replica
+# means are integer-sum ratios ROUND(...,9); the 95% interval is the
+# 3rd / 98th of the 100 ordered replica means ((floor(alpha*B)+1)-th
+# from each end — the deterministic order-statistic convention,
+# replica id as tie-break). Scale shape: one corpus scan exploded by
+# the CONSTANT B (the bootstrap's honest cost; the explode carries
+# only (source, n_chars)), two grouped integer aggregates, one
+# 100-row-per-source rank.
+_BOOT_SQL = """
+WITH reps AS (
+    SELECT CAST(r.r AS BIGINT) AS b FROM {range_src} r
+),
+weighted AS (
+    SELECT d.source, d.n_chars, reps.b,
+           CASE
+               WHEN u < 0.367879441 THEN 0
+               WHEN u < 0.735758882 THEN 1
+               WHEN u < 0.919698603 THEN 2
+               WHEN u < 0.981011843 THEN 3
+               WHEN u < 0.996340153 THEN 4
+               WHEN u < 0.999405815 THEN 5
+               WHEN u < 0.999916758 THEN 6
+               ELSE 7
+           END AS w
+    FROM (
+        SELECT source, n_chars, doc_id FROM documents
+        WHERE n_chars IS NOT NULL
+    ) d
+    CROSS JOIN reps
+    CROSS JOIN LATERAL (
+        SELECT ((d.doc_id * 2654435761 + reps.b * 40503) % 4294967296)
+               / 4294967296.0 AS u
+    ) h
+),
+rep_means AS (
+    SELECT source, b,
+           SUM(w) AS nw,
+           ROUND(CAST(SUM(CAST(w AS BIGINT) * n_chars) AS DOUBLE)
+                 / SUM(w), 9) AS m
+    FROM weighted
+    GROUP BY source, b
+    HAVING SUM(w) > 0
+),
+ranked AS (
+    SELECT source, m,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY m, b) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS nb
+    FROM rep_means
+),
+full_mean AS (
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 9) AS mean_len
+    FROM documents WHERE n_chars IS NOT NULL
+    GROUP BY source
+)
+SELECT f.source,
+       CAST(f.n_docs AS BIGINT) AS n_docs,
+       f.mean_len,
+       lo.m AS ci_lo,
+       hi.m AS ci_hi
+FROM full_mean f
+JOIN ranked lo ON lo.source = f.source AND lo.rn = 3
+JOIN ranked hi ON hi.source = f.source AND hi.rn = lo.nb - 2
+ORDER BY f.source
+"""
+
+_pair(
+    "poisson_bootstrap_ci_doclen",
+    _BOOT_SQL.format(
+        range_src="(SELECT explode(sequence(0, 99)) AS r)"
+    ),
+    _BOOT_SQL.format(range_src="(SELECT unnest(range(0, 100)) AS r)"),
+    tags=("statistics", "bootstrap", "confidence-interval", "data-quality"),
+)
