@@ -633,3 +633,91 @@ def codec_ahash_features(blobs: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return blobs.mapInPandas(batches, schema=CODEC_AHASH_SCHEMA)
+
+
+# --- pure-stdlib WAV (RIFF/PCM) codec roundtrip -------------------------------
+# The audio analog of the PNG/JPEG roundtrips: 16-bit mono PCM
+# synthesized deterministically from each document's md5 bytes is
+# WAV-ENCODED with the stdlib `wave` module (a real RIFF container
+# write: fmt chunk, block align, data chunk) and WAV-DECODED back
+# (header parse + PCM unpack); every emitted statistic comes from the
+# DECODED samples, and the differential oracle recomputes them from
+# the md5 hex digits — so the container roundtrip is value-proven.
+# Sample rate 8000 Hz is emitted from the DECODED header, pinning the
+# fmt-chunk parse, not the constant.
+# rms is NOT emitted by the UDF: Python round() is banker's rounding,
+# which disagrees with SQL ROUND at half-way points (found live at
+# sf0.001 doc 493); the query computes ROUND(SQRT(sum_sq/n), 9)
+# engine-side from the integer sum of squares instead.
+WAV_FEATURE_SCHEMA = (
+    "doc_id BIGINT, n_samples BIGINT, sample_rate INT, "
+    "sum_samples BIGINT, max_abs INT, n_zero_crossings BIGINT, "
+    "sum_sq BIGINT"
+)
+
+_WAV_RATE = 8000
+
+
+def wav_roundtrip_features(docs_md5: DataFrame) -> DataFrame:
+    """mapInPandas WAV encode->decode over (doc_id, h, n_chars) rows;
+    h is the md5 hex of the document text. Narrow map, no shuffle."""
+    import io
+    import struct
+    import wave
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, h, n_chars in zip(
+                pdf["doc_id"], pdf["h"], pdf["n_chars"]
+            ):
+                bs = bytes.fromhex(h)
+                n = int(n_chars) % 200 + 8
+                samples = [
+                    bs[i % 16] * 256 + bs[(i + 1) % 16] - 32768
+                    for i in range(n)
+                ]
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as wv:
+                    wv.setnchannels(1)
+                    wv.setsampwidth(2)
+                    wv.setframerate(_WAV_RATE)
+                    wv.writeframes(
+                        struct.pack(f"<{n}h", *samples)
+                    )
+                blob = buf.getvalue()
+                with wave.open(io.BytesIO(blob), "rb") as rd:
+                    rate = rd.getframerate()
+                    nf = rd.getnframes()
+                    dec = struct.unpack(f"<{nf}h", rd.readframes(nf))
+                sm = sum(dec)
+                zc = sum(
+                    1
+                    for i in range(len(dec) - 1)
+                    if dec[i] * dec[i + 1] < 0
+                )
+                out.append(
+                    (
+                        int(doc_id),
+                        len(dec),
+                        rate,
+                        sm,
+                        max(abs(x) for x in dec),
+                        zc,
+                        sum(x * x for x in dec),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_samples",
+                    "sample_rate",
+                    "sum_samples",
+                    "max_abs",
+                    "n_zero_crossings",
+                    "sum_sq",
+                ],
+            )
+
+    return docs_md5.mapInPandas(batches, WAV_FEATURE_SCHEMA)

@@ -769,3 +769,73 @@ def multimodal_codec_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return codec_ahash_features(attach_blobs(docs)).orderBy("doc_id")
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(n_chars % 200 + 8 AS INTEGER) AS n
+    FROM documents
+    WHERE text IS NOT NULL
+),
+pix AS (
+    SELECT doc_id, n,
+           list_transform(range(0, 16),
+               i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER)) AS bs
+    FROM hexes
+),
+ss AS (
+    SELECT doc_id, n,
+           list_transform(range(0, n),
+               i -> bs[1 + i % 16] * 256 + bs[1 + (i + 1) % 16] - 32768
+           ) AS s
+    FROM pix
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS n_samples,
+       8000 AS sample_rate,
+       CAST(list_sum(s) AS BIGINT) AS sum_samples,
+       CAST(list_max(list_transform(s, x -> abs(x))) AS INTEGER) AS max_abs,
+       CAST(COALESCE(list_sum(list_transform(range(1, n),
+                i -> CASE WHEN s[i] * s[i + 1] < 0 THEN 1 ELSE 0 END)), 0)
+            AS BIGINT) AS n_zero_crossings,
+       ROUND(SQRT(list_sum(list_transform(s,
+                x -> CAST(x AS BIGINT) * x)) / CAST(n AS DOUBLE)),
+             9) AS rms
+FROM ss
+ORDER BY doc_id
+""",
+    tags=("multimodal", "wav", "audio", "codec", "pandas-udf"),
+    bench=False,
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-stdlib WAV (RIFF/16-bit PCM) codec, value-checked end to
+    end: md5-derived samples are WAV-encoded and WAV-decoded inside
+    mapInPandas (operators/multimodal.py wav_roundtrip_features); all
+    statistics — including the sample rate — come from the DECODED
+    container, and the DuckDB oracle recomputes them from the hex
+    digits, extending the proven-codec surface from images (PNG,
+    baseline JPEG) to audio."""
+    from crypto_lakehouse_spark.operators.multimodal import (
+        wav_roundtrip_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("h"), "n_chars")
+    )
+    feats = wav_roundtrip_features(docs)
+    return feats.select(
+        "doc_id",
+        "n_samples",
+        "sample_rate",
+        "sum_samples",
+        "max_abs",
+        "n_zero_crossings",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples").cast("double")), 9
+        ).alias("rms"),
+    ).orderBy("doc_id")
