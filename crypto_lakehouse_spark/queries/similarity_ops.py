@@ -1535,3 +1535,128 @@ _pair(
     ),
     tags=("similarity", "drift", "centroid", "data-quality"),
 )
+
+
+# --- one NN-descent round (graph-ANN build primitive) --------------------------
+# The neighbor-of-neighbor expansion at the heart of NN-descent (Dong
+# et al., WWW 2011) and of every graph-ANN builder (HNSW/NSW layer
+# refinement): given a coarse kNN graph, a point's neighbors'
+# neighbors are better neighbor CANDIDATES than random points, so one
+# round of "rank my neighbors' neighbors exactly, keep top-k"
+# measurably lifts recall. Quantified here end-to-end on a 32-query
+# panel: the coarse graph is the same-LABEL top-5 (the IVF-style
+# blocking the engine already uses), truth is the exact panel x
+# corpus top-5, and the emitted numbers are recall@5 of the coarse
+# graph vs recall@5 after ONE descent round, plus the mean candidate
+# count (the round's cost knob). Cosines are ROUND(...,9) of the
+# shared sequential-fold dot product (identical IEEE sequence in both
+# engines); every ranking tie-breaks on vec_id. Scale shape: coarse
+# lists are computed ONLY for the panel and its <=160 distinct
+# neighbors (points x bucket joins, linear); the exact-truth leg is
+# panel x corpus (the same benched shape as embedding_cosine_topk);
+# nothing is all-pairs. At 100 TB the same round runs over the full
+# point set as one bucketed self-join per iteration, checkpointed
+# like the CC loop.
+def _nn_descent_sql(dot: str, dbl: str) -> str:
+    cos = (
+        "ROUND("
+        + dot.format(a="{x}.vec", b="{y}.vec")
+        + " / (SQRT("
+        + dot.format(a="{x}.vec", b="{x}.vec")
+        + ") * SQRT("
+        + dot.format(a="{y}.vec", b="{y}.vec")
+        + ")), 9)"
+    )
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, label, {dbl.format(e='embedding')} AS vec
+    FROM embeddings
+),
+panel AS (SELECT * FROM corpus WHERE vec_id < 32),
+-- coarse top-5 for the panel (same-label blocking)
+init_p AS (
+    SELECT vec_id, nbr FROM (
+        SELECT p.vec_id, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {cos.format(x='p', y='c')} DESC,
+                                           c.vec_id) AS rn
+        FROM panel p
+        JOIN corpus c ON c.label = p.label AND c.vec_id <> p.vec_id
+    ) r WHERE rn <= 5
+),
+nbr_pts AS (
+    SELECT DISTINCT c.vec_id, c.label, c.vec
+    FROM init_p i JOIN corpus c ON c.vec_id = i.nbr
+),
+-- coarse top-5 for those neighbors
+init_n AS (
+    SELECT vec_id, nbr FROM (
+        SELECT p.vec_id, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {cos.format(x='p', y='c')} DESC,
+                                           c.vec_id) AS rn
+        FROM nbr_pts p
+        JOIN corpus c ON c.label = p.label AND c.vec_id <> p.vec_id
+    ) r WHERE rn <= 5
+),
+cand AS (
+    SELECT DISTINCT vec_id, nbr FROM (
+        SELECT vec_id, nbr FROM init_p
+        UNION ALL
+        SELECT i.vec_id, n.nbr
+        FROM init_p i JOIN init_n n ON n.vec_id = i.nbr
+    ) u WHERE vec_id <> nbr
+),
+after AS (
+    SELECT vec_id, nbr FROM (
+        SELECT cd.vec_id, cd.nbr,
+               ROW_NUMBER() OVER (PARTITION BY cd.vec_id
+                                  ORDER BY {cos.format(x='p', y='c')} DESC,
+                                           cd.nbr) AS rn
+        FROM cand cd
+        JOIN panel p ON p.vec_id = cd.vec_id
+        JOIN corpus c ON c.vec_id = cd.nbr
+    ) r WHERE rn <= 5
+),
+truth AS (
+    SELECT vec_id, nbr FROM (
+        SELECT p.vec_id, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {cos.format(x='p', y='c')} DESC,
+                                           c.vec_id) AS rn
+        FROM panel p
+        JOIN corpus c ON c.vec_id <> p.vec_id
+    ) r WHERE rn <= 5
+),
+hits_before AS (
+    SELECT t.vec_id, COUNT(i.nbr) AS h
+    FROM truth t LEFT JOIN init_p i
+      ON i.vec_id = t.vec_id AND i.nbr = t.nbr
+    GROUP BY t.vec_id
+),
+hits_after AS (
+    SELECT t.vec_id, COUNT(a.nbr) AS h
+    FROM truth t LEFT JOIN after a
+      ON a.vec_id = t.vec_id AND a.nbr = t.nbr
+    GROUP BY t.vec_id
+),
+cand_sz AS (SELECT vec_id, COUNT(*) AS nc FROM cand GROUP BY vec_id)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_panel,
+       ROUND(CAST(SUM(hb.h) AS DOUBLE) / (5 * COUNT(*)), 9)
+           AS recall5_coarse,
+       ROUND(CAST(SUM(ha.h) AS DOUBLE) / (5 * COUNT(*)), 9)
+           AS recall5_after_round,
+       ROUND(CAST(SUM(cs.nc) AS DOUBLE) / COUNT(*), 9)
+           AS mean_candidates
+FROM hits_before hb
+JOIN hits_after ha ON ha.vec_id = hb.vec_id
+JOIN cand_sz cs ON cs.vec_id = hb.vec_id
+"""
+
+
+_pair(
+    "nn_descent_round_recall",
+    _nn_descent_sql(_DOT_SPARK, _D_SPARK),
+    _nn_descent_sql(_DOT_DUCK, _D_DUCK),
+    tags=("similarity", "ann", "nn-descent", "graph", "quality-eval"),
+)
