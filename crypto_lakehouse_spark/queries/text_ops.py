@@ -937,3 +937,46 @@ _pair(
     _burst_sql("unnest(ws)", "string_split"),
     tags=("text", "burstiness", "dispersion", "quality"),
 )
+
+
+# --- language-ID quality evaluation ------------------------------------------
+# The confusion matrix + accuracy the pipeline owner actually reads
+# before trusting doc_langid's routing decisions: per (labeled,
+# predicted) cell counts, each cell's share of its labeled row, and
+# the overall accuracy (repeated per row — the driver hash then pins
+# it). Same stopword scorer as doc_langid; all counts integer, two
+# divisions at emission. One corpus scan, two grouped aggregates.
+def _langid_conf_sql(size_fn: str, split_fn: str, filter_fn: str) -> str:
+    inner = _langid_sql(size_fn, split_fn, filter_fn).replace(
+        "ORDER BY doc_id", ""
+    )
+    return f"""
+WITH pred AS ({inner}),
+conf AS (
+    SELECT labeled_lang, predicted_lang, COUNT(*) AS c
+    FROM pred GROUP BY labeled_lang, predicted_lang
+),
+tot AS (SELECT labeled_lang, SUM(c) AS n FROM conf GROUP BY labeled_lang),
+acc AS (
+    SELECT SUM(CASE WHEN labeled_lang = predicted_lang THEN c ELSE 0 END)
+           AS hit, SUM(c) AS n
+    FROM conf
+)
+SELECT c.labeled_lang,
+       c.predicted_lang,
+       CAST(c.c AS BIGINT) AS n_docs,
+       ROUND(c.c / CAST(t.n AS DOUBLE), 9) AS fraction_of_label,
+       ROUND(a.hit / CAST(a.n AS DOUBLE), 9) AS overall_accuracy
+FROM conf c
+JOIN tot t ON t.labeled_lang = c.labeled_lang
+CROSS JOIN acc a
+ORDER BY c.labeled_lang, c.predicted_lang
+"""
+
+
+_pair(
+    "langid_confusion_eval",
+    _langid_conf_sql("size", "split", "filter"),
+    _langid_conf_sql("len", "string_split", "list_filter"),
+    tags=("text", "langid", "quality-eval", "confusion"),
+)
