@@ -72,6 +72,9 @@ TIER = [
     "containment_topk",
     "containment_topk_capped",
     "return_acf_daily",
+    # round-10 continuation: the new checkpointed peel loop measures
+    # ~4.6 s at sf0.1 (>2 s tier rule)
+    "kcore_peel_bounded",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -75,6 +75,9 @@ TIER = [
     "containment_topk_capped",
     "return_acf_daily",
     "ivf_pq_topk",
+    # round-10 continuation: >2 s at sf1 (BENCH_SF1.json), so the rule
+    # carries the new peel loop one decade further
+    "kcore_peel_bounded",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
