@@ -723,3 +723,108 @@ _pair(
     "WITH " + _SIGNALS_DUCK + _KAPPA_TAIL,
     tags=("text", "quality", "curation", "audit", "kappa"),
 )
+
+
+# --- b-bit MinHash estimator (Li & Konig 2010) ------------------------------
+# Storing only the low b bits of each minhash value cuts signature
+# memory 8x (b=4 vs 32-bit values) at the price of random collisions:
+# P(low-b match) = J + (1 - J)/2^b, so the unbiased estimate is
+# J_hat = (m - 1/2^b) / (1 - 1/2^b) over the match rate m. This query
+# measures that tradeoff END TO END on the same LSH candidate set as
+# minhash_estimate_error: exact Jaccard, the full-width estimate, the
+# raw b=4 match rate, the collision-corrected estimate, and both
+# absolute errors — the numbers that justify (or veto) the 8x memory
+# cut at 100 TB signature volume. All counts integer; divisions at
+# emission, ROUND(...,9). Same scale shape as the parent query
+# (banded candidates, never all-pairs; persisted shingle fixture).
+_B_BITS = 4
+_B_MOD = 1 << _B_BITS  # 16
+# The minhash values are md5 HEX STRINGS (dedup_ops._MINS), so the
+# low b=4 bits are exactly the LAST hex character — one substr
+# compare per hash, identical in both engines.
+_EST_MATCHES_B = " + ".join(
+    f"CASE WHEN substr(a.mh{i}, 32, 1) = substr(b.mh{i}, 32, 1) "
+    "THEN 1 ELSE 0 END"
+    for i in range(_K)
+)
+
+_BBIT_TAIL = f"""
+bands AS (
+    SELECT doc_id, CAST(floor(i / 4.0) AS INT) AS band,
+           {{bandkey}} AS band_key
+    FROM minhash
+    GROUP BY doc_id, CAST(floor(i / 4.0) AS INT)
+),
+candidates AS (
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a
+    JOIN bands b ON a.band = b.band AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+inter AS (
+    SELECT c.doc_a, c.doc_b, COUNT(*) AS inter
+    FROM candidates c
+    JOIN shingles sa ON sa.doc_id = c.doc_a
+    JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.s = sb.s
+    GROUP BY c.doc_a, c.doc_b
+),
+est AS (
+    SELECT c.doc_a, c.doc_b,
+           {_EST_MATCHES} AS n_match_full,
+           {_EST_MATCHES_B} AS n_match_b
+    FROM candidates c
+    JOIN minhash_wide a ON a.doc_id = c.doc_a
+    JOIN minhash_wide b ON b.doc_id = c.doc_b
+),
+scored AS (
+    SELECT e.doc_a, e.doc_b,
+           CAST(COALESCE(i.inter, 0) AS DOUBLE)
+               / (za.n + zb.n - COALESCE(i.inter, 0)) AS j_exact,
+           CAST(e.n_match_full AS DOUBLE) / {_K} AS j_full,
+           CAST(e.n_match_b AS DOUBLE) / {_K} AS m_b,
+           GREATEST((CAST(e.n_match_b AS DOUBLE) / {_K}
+                     - 1.0 / {_B_MOD})
+                    / (1 - 1.0 / {_B_MOD}), 0.0) AS j_b_corrected
+    FROM est e
+    LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+    JOIN sizes za ON za.doc_id = e.doc_a
+    JOIN sizes zb ON zb.doc_id = e.doc_b
+)
+SELECT doc_a, doc_b,
+       ROUND(j_exact, 9) AS jaccard_exact,
+       ROUND(j_full, 9) AS jaccard_est_full,
+       ROUND(m_b, 9) AS match_rate_b4,
+       ROUND(j_b_corrected, 9) AS jaccard_est_b4,
+       ROUND(ABS(j_full - j_exact), 9) AS abs_err_full,
+       ROUND(ABS(j_b_corrected - j_exact), 9) AS abs_err_b4
+FROM scored
+ORDER BY doc_a, doc_b
+"""
+
+
+@query(
+    "bbit_minhash_estimate_error",
+    oracle="WITH "
+    + _SH_DUCK
+    + ","
+    + _MINHASH_DUCK
+    + ","
+    + _BBIT_TAIL.format(bandkey=_BANDKEY_DUCK),
+    tags=("dedup", "minhash", "b-bit", "measure", "curation"),
+)
+def bbit_minhash_estimate_error(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """b=4-bit MinHash estimate vs full-width estimate vs exact
+    Jaccard over the LSH candidate set (block comment above). Reads
+    the persisted shingle relation."""
+    cached_shingles(spark, sf_dir)
+    return spark.sql(
+        "WITH "
+        + _SH_PERSISTED
+        + ","
+        + _MINHASH_SPARK
+        + ","
+        + _BBIT_TAIL.format(bandkey=_BANDKEY_SPARK)
+    )

@@ -1029,3 +1029,86 @@ _pair(
     _BOOT_SQL.format(range_src="(SELECT unnest(range(0, 100)) AS r)"),
     tags=("statistics", "bootstrap", "confidence-interval", "data-quality"),
 )
+
+
+# --- classifier calibration bins + Brier score -----------------------------------
+# Reliability diagram for the hashed linear quality classifier
+# (curation_ops.hashed_classifier_score): score mapped to a [0,1)
+# probability proxy p = (mean_w + 1) / 2, binned into 10 equal-width
+# cells; per cell the mean predicted p vs the observed positive rate
+# (label = English), plus the overall Brier score repeated per row
+# (hash-pinned). Both engines compute p from the SAME integer
+# (score_num, n_tok) pair, so the double and its bin are
+# bit-identical; per-row Brier terms are ROUND(...,12)-then-DECIMAL
+# summed. Scale: one corpus scan with a higher-order-fold score, one
+# 10-cell grouped aggregate.
+_CALIB_TAIL = """
+scored AS (
+    SELECT doc_id,
+           (CAST(score_num AS DOUBLE) / (2048.0 * n_tok) + 1) / 2 AS p,
+           CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+    FROM raw WHERE n_tok > 0
+),
+binned AS (
+    SELECT LEAST(CAST(floor(p * 10) AS INT), 9) AS bin, p, y,
+           CAST(ROUND((p - y) * (p - y), 12) AS DECIMAL(18, 12)) AS bt
+    FROM scored
+),
+cells AS (
+    SELECT bin, COUNT(*) AS n, SUM(y) AS pos,
+           CAST(ROUND(p, 12) AS DECIMAL(18, 12)) AS pr
+    FROM (SELECT bin, p, y FROM binned) b
+    GROUP BY bin, CAST(ROUND(p, 12) AS DECIMAL(18, 12))
+),
+agg AS (
+    SELECT bin, SUM(n) AS n, SUM(pos) AS pos,
+           SUM(pr * n) AS sp
+    FROM cells GROUP BY bin
+),
+brier AS (
+    SELECT CAST(SUM(bt) AS DOUBLE) / COUNT(*) AS b FROM binned
+)
+SELECT CAST(a.bin AS INT) AS bin,
+       CAST(a.n AS BIGINT) AS n_docs,
+       ROUND(CAST(a.sp AS DOUBLE) / a.n, 9) AS mean_predicted,
+       ROUND(CAST(a.pos AS DOUBLE) / a.n, 9) AS observed_positive_rate,
+       ROUND(br.b, 9) AS brier_score
+FROM agg a CROSS JOIN brier br
+ORDER BY bin
+"""
+
+
+def _calib_sql(size_fn: str, split_fn: str, agg_expr: str) -> str:
+    return f"""
+WITH raw AS (
+    SELECT doc_id, lang, {size_fn}(ws) AS n_tok,
+           {agg_expr} AS score_num
+    FROM (SELECT doc_id, lang, {split_fn}(text, ' ') AS ws
+          FROM documents WHERE text IS NOT NULL)
+),
+{_CALIB_TAIL.lstrip()}"""
+
+
+_W_SPARK_CAL = (
+    "(CAST(conv(substr(md5(t), 1, 4), 16, 10) AS BIGINT) % 1024) "
+    "* 2654435761 % 4096 - 2048"
+)
+_W_DUCK_CAL = (
+    "(CAST(('0x' || substr(md5(t), 1, 4)) AS BIGINT) % 1024) "
+    "* 2654435761 % 4096 - 2048"
+)
+
+_pair(
+    "score_calibration_bins",
+    _calib_sql(
+        "size",
+        "split",
+        f"aggregate(ws, 0L, (acc, t) -> acc + ({_W_SPARK_CAL}))",
+    ),
+    _calib_sql(
+        "len",
+        "string_split",
+        f"CAST(list_sum(list_transform(ws, t -> ({_W_DUCK_CAL}))) AS BIGINT)",
+    ),
+    tags=("statistics", "calibration", "brier", "quality-eval"),
+)

@@ -536,3 +536,91 @@ _pair(
     _cdc_sql("UNNEST(RANGE(1, GREATEST(L - 6, 1)))"),
     tags=("trainprep", "cdc", "chunking", "dedup"),
 )
+
+
+# --- purged temporal train/test split ------------------------------------------
+# Time-series discipline for train/eval boundaries (the finance
+# "purged split", Lopez de Prado 2018): train strictly before t1, an
+# EMBARGO gap of 3 days discarded, test strictly after — so no label
+# window that straddles the boundary can leak supervision across it.
+# t1 is the exact 70th-percentile event time under the deterministic
+# (ts, event_id) total order (position floor(0.7 * n) + 1 — no
+# interpolation convention in play). Emitted per split: row count,
+# distinct users, and the actual time extent (formatted strings), so
+# the driver hash pins the boundary arithmetic itself. Scale: one
+# global rank to find ONE row (at 100 TB: percentile_approx or a
+# bucketed two-phase rank — the boundary needs only second-level
+# precision), then a single partition-assign scan and a grouped
+# aggregate.
+_PURGED_SPARK = """
+WITH ranked AS (
+    SELECT ts, event_id, user_id,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM events
+),
+t1 AS (
+    SELECT unix_timestamp(ts) AS t1s FROM ranked
+    WHERE rn = CAST(floor(0.7 * n) AS BIGINT) + 1
+),
+assigned AS (
+    SELECT e.user_id, e.ts,
+           CASE WHEN unix_timestamp(e.ts) < t.t1s THEN 'train'
+                WHEN unix_timestamp(e.ts) < t.t1s + 259200 THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events e CROSS JOIN t1 t
+)
+SELECT split,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       date_format(MIN(ts), 'yyyy-MM-dd HH:mm:ss') AS first_ts,
+       date_format(MAX(ts), 'yyyy-MM-dd HH:mm:ss') AS last_ts
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+_PURGED_DUCK = """
+WITH ranked AS (
+    SELECT ts, event_id, user_id,
+           ROW_NUMBER() OVER (ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER () AS n
+    FROM events
+),
+t1 AS (
+    SELECT CAST(epoch(ts) AS BIGINT) AS t1s FROM ranked
+    WHERE rn = CAST(floor(0.7 * n) AS BIGINT) + 1
+),
+assigned AS (
+    SELECT e.user_id, e.ts,
+           CASE WHEN CAST(epoch(e.ts) AS BIGINT) < t.t1s THEN 'train'
+                WHEN CAST(epoch(e.ts) AS BIGINT) < t.t1s + 259200
+                THEN 'embargo'
+                ELSE 'test' END AS split
+    FROM events e CROSS JOIN t1 t
+)
+SELECT split,
+       COUNT(*) AS n_events,
+       COUNT(DISTINCT user_id) AS n_users,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS first_ts,
+       strftime(MAX(ts), '%Y-%m-%d %H:%M:%S') AS last_ts
+FROM assigned
+GROUP BY split
+ORDER BY split
+"""
+
+
+def _purged_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_PURGED_SPARK)
+
+
+_purged_fn.__name__ = "purged_time_split"
+_purged_fn.__doc__ = (
+    "Purged temporal train/embargo/test split (block comment above)."
+)
+query(
+    "purged_time_split",
+    oracle=_PURGED_DUCK,
+    tags=("trainprep", "split", "temporal", "leakage"),
+)(_purged_fn)
