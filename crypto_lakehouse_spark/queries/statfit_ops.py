@@ -1112,3 +1112,210 @@ _pair(
     ),
     tags=("statistics", "calibration", "brier", "quality-eval"),
 )
+
+
+# --- bigram conditional entropy per source ---------------------------------------
+# H(w2 | w1) = -sum_{w1,w2} p(w1,w2) * ln(p(w2|w1)) in bits — the
+# predictability-of-next-token number that sits next to the JS and MI
+# diagnostics: near-zero means templated text (every token determines
+# its successor), near the unigram entropy means token order carries
+# no signal. Integer bigram/left-margin counts; each term is one
+# double expression ROUND(...,12)-then-DECIMAL summed per source;
+# /ln(2) at emission. Scale: one bigram explode + two grouped counts,
+# then a counts-sized join keyed on (source, w1).
+_CONDENT_TAIL = """
+bc AS (SELECT source, w1, w2, COUNT(*) AS c FROM bigrams
+       GROUP BY source, w1, w2),
+lc AS (SELECT source, w1, SUM(c) AS cw FROM bc GROUP BY source, w1),
+nt AS (SELECT source, SUM(c) AS n FROM bc GROUP BY source),
+terms AS (
+    SELECT bc.source,
+           CAST(ROUND(
+               -(CAST(bc.c AS DOUBLE) / nt.n)
+               * LN(CAST(bc.c AS DOUBLE) / lc.cw),
+               12) AS DECIMAL(18, 12)) AS term
+    FROM bc
+    JOIN lc ON lc.source = bc.source AND lc.w1 = bc.w1
+    JOIN nt ON nt.source = bc.source
+)
+SELECT t.source,
+       CAST(n.n AS BIGINT) AS n_bigrams,
+       ROUND(CAST(SUM(t.term) AS DOUBLE) / LN(2), 9)
+           AS cond_entropy_bits
+FROM terms t JOIN nt n ON n.source = t.source
+GROUP BY t.source, n.n
+ORDER BY t.source
+"""
+
+
+def _condent_sql(split: str, bgexpr: str, size: str) -> str:
+    return f"""
+WITH ws AS (
+    SELECT source, {split}(lower(text), ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+bigrams AS (
+    SELECT source, {bgexpr} FROM ws WHERE {size}(ws) >= 2
+),
+{_CONDENT_TAIL.lstrip()}"""
+
+
+_pair(
+    "bigram_conditional_entropy",
+    _condent_sql(
+        "split",
+        "inline(transform(sequence(1, size(ws) - 1), "
+        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))",
+        "size",
+    ),
+    _condent_sql(
+        "string_split",
+        "unnest(list_transform(range(1, len(ws)), "
+        "i -> {'w1': ws[i], 'w2': ws[i + 1]}), recursive := true)",
+        "len",
+    ),
+    tags=("text", "entropy", "information", "data-quality"),
+)
+
+
+# --- daily event-volume MAD outliers ----------------------------------------------
+# Robust anomaly detection on the ops counter every pipeline watches:
+# daily event counts per type, scored by the modified z-score
+# 0.6745 * (x - median) / MAD (Iglewicz-Hoaglin), flagged at
+# |z| > 3.5 — the same estimator family as embedding_norm_mad_outliers
+# but over the TIME axis, where a spike means an ingest incident.
+# Median and MAD use the deterministic lower-median convention
+# (position (n+1) DIV 2 under a (value, day) total order — no
+# interpolation); counts are integers; one double expression per
+# emitted row. Scale: one grouped count, two ranks over the
+# days-per-type relation (365 rows/year per type).
+_MAD_EVENTS_SQL = """
+WITH daily AS (
+    SELECT event_type,
+           CAST(floor({epoch} / 86400.0) AS BIGINT) AS d,
+           COUNT(*) AS c
+    FROM events GROUP BY event_type, CAST(floor({epoch} / 86400.0) AS BIGINT)
+),
+med AS (
+    SELECT event_type, c AS median_c FROM (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM daily
+    ) r WHERE rn = (n + 1) {intdiv} 2
+),
+dev AS (
+    SELECT dl.event_type, dl.d, dl.c, m.median_c,
+           ABS(dl.c - m.median_c) AS ad
+    FROM daily dl JOIN med m ON m.event_type = dl.event_type
+),
+mad AS (
+    SELECT event_type, ad AS mad_c FROM (
+        SELECT event_type, ad,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY ad, d) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM dev
+    ) r WHERE rn = (n + 1) {intdiv} 2
+),
+scored AS (
+    SELECT d.event_type, d.d, d.c, d.median_c,
+           -- explicit DOUBLE: a bare 0.6745 literal is DECIMAL in
+           -- both engines with DIFFERENT division scale rules
+           CAST(0.6745 AS DOUBLE) * (d.c - d.median_c)
+               / NULLIF(m.mad_c, 0) AS z
+    FROM dev d JOIN mad m ON m.event_type = d.event_type
+    WHERE m.mad_c > 0
+)
+-- top-3 |z| days per type are ALWAYS emitted (a small fixture has no
+-- 3.5-sigma day and a 0-row result is a weak oracle); the flag keeps
+-- the alarm threshold in the hashed output.
+SELECT event_type,
+       CAST(d AS BIGINT) AS epoch_day,
+       CAST(c AS BIGINT) AS n_events,
+       CAST(median_c AS BIGINT) AS median_daily,
+       ROUND(z, 9) AS modified_z,
+       CASE WHEN ABS(z) > 3.5 THEN 1 ELSE 0 END AS is_outlier
+FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                 ORDER BY ABS(z) DESC, d) AS rn
+    FROM scored
+) r WHERE rn <= 3
+ORDER BY event_type, epoch_day
+"""
+
+_pair(
+    "event_volume_mad_outliers",
+    _MAD_EVENTS_SQL.format(
+        epoch="unix_timestamp(ts)", intdiv="DIV"
+    ),
+    _MAD_EVENTS_SQL.format(epoch="epoch(ts)", intdiv="//"),
+    tags=("events", "anomaly", "mad", "robust"),
+    tables=["events"],
+)
+
+
+# --- bigram overlap precision per source (self-BLEU-style diversity) -------------
+# For each source: modified bigram precision of its token stream
+# against the REST of the corpus as reference —
+# P_s = sum_b min(c_s(b), c_rest(b)) / sum_b c_s(b) — the self-BLEU
+# idea specialized to order-2. High P_s means the source repeats
+# corpus phrasing (template flood / mirror of another feed); low P_s
+# means it contributes novel continuations. distinct_ratio (types /
+# tokens over bigrams) rides along as the within-source diversity
+# number. All-integer counts; two double divisions at emission.
+# Scale: one bigram explode, one grouped count, one counts-sized join
+# keyed on the bigram (rest counts derived as total - own, so the
+# corpus grid is built once).
+_SELF_BLEU_TAIL = """
+bc AS (SELECT source, b, COUNT(*) AS c FROM bigrams GROUP BY source, b),
+tb AS (SELECT b, SUM(c) AS ctot FROM bc GROUP BY b),
+s AS (
+    SELECT bc.source,
+           SUM(bc.c) AS n_bigrams,
+           COUNT(*) AS n_distinct,
+           SUM(LEAST(bc.c, tb.ctot - bc.c)) AS n_matched
+    FROM bc JOIN tb ON tb.b = bc.b
+    GROUP BY bc.source
+)
+SELECT source,
+       CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       CAST(n_distinct AS BIGINT) AS n_distinct_bigrams,
+       ROUND(CAST(n_matched AS DOUBLE) / n_bigrams, 9)
+           AS overlap_precision,
+       ROUND(CAST(n_distinct AS DOUBLE) / n_bigrams, 9)
+           AS distinct_ratio
+FROM s
+ORDER BY source
+"""
+
+
+def _self_bleu_sql(split: str, bgexpr: str, size: str) -> str:
+    return f"""
+WITH ws AS (
+    SELECT source, {split}(lower(text), ' ') AS ws
+    FROM documents WHERE text IS NOT NULL
+),
+bigrams AS (
+    SELECT source, {bgexpr} AS b FROM ws WHERE {size}(ws) >= 2
+),
+{_SELF_BLEU_TAIL.lstrip()}"""
+
+
+_pair(
+    "bigram_overlap_precision_by_source",
+    _self_bleu_sql(
+        "split",
+        "explode(transform(sequence(1, size(ws) - 1), "
+        "i -> concat_ws(' ', element_at(ws, i), element_at(ws, i + 1))))",
+        "size",
+    ),
+    _self_bleu_sql(
+        "string_split",
+        "unnest(list_transform(range(1, len(ws)), "
+        "i -> ws[i] || ' ' || ws[i + 1]))",
+        "len",
+    ),
+    tags=("text", "self-bleu", "diversity", "data-quality"),
+)
