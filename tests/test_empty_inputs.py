@@ -145,3 +145,46 @@ def test_versioned_table_empty_snapshot_reads_typed(spark, tmp_path):
     back = t2.read()
     assert back.count() == 0
     assert set(back.columns) == {"k", "v"}
+
+
+# Round-10-continuation additions: all 24 new operators probed green
+# against the zero-row fixture on landing; pinned here so the property
+# cannot regress. kcore_peel_bounded legally emits its full
+# (rounds+1)-row shrink curve of zeros (the curve IS the result shape,
+# like a global aggregate); the 1-row global aggregates
+# (degree_assortativity, nn_descent_round_recall) emit their all-NULL/
+# zero summary row.
+ROUND10B_EMPTY_SAFE = [
+    ("stochastic_oscillator_14", 0),
+    ("beta_vs_market", 0),
+    ("spearman_returns_corr", 0),
+    ("chi_square_type_weekday", 0),
+    ("pmi_bigram_collocations", 0),
+    ("degree_assortativity", 1),
+    ("kcore_peel_bounded", 7),
+    ("theil_sen_trend_daily", 0),
+    ("kendall_tau_daily", 0),
+    ("cusum_mean_shift_daily", 0),
+    ("rfm_user_segments", 0),
+    ("mann_whitney_u_doc_lengths", 0),
+    ("hilbert_curve_cells", 0),
+    ("poisson_bootstrap_ci_doclen", 0),
+    ("multimodal_wav_roundtrip", 0),
+    ("nn_descent_round_recall", 1),
+    ("langid_confusion_eval", 0),
+    ("bbit_minhash_estimate_error", 0),
+    ("purged_time_split", 0),
+    ("score_calibration_bins", 0),
+    ("bigram_conditional_entropy", 0),
+    ("event_volume_mad_outliers", 0),
+    ("bigram_overlap_precision_by_source", 0),
+    ("curve_locality_eval", 0),
+]
+
+
+@pytest.mark.parametrize("name,max_rows", ROUND10B_EMPTY_SAFE)
+def test_round10b_query_degrades_on_empty_input(
+    spark, empty_sf_dir, name, max_rows
+):
+    rows = REGISTRY[name].spark_fn(spark, empty_sf_dir).collect()
+    assert len(rows) <= max_rows
