@@ -76,8 +76,10 @@ TIER = [
     "return_acf_daily",
     "ivf_pq_topk",
     # round-10 continuation: >2 s at sf1 (BENCH_SF1.json), so the rule
-    # carries the new peel loop one decade further
+    # carries the new peel loop and the curve-locality eval one decade
+    # further
     "kcore_peel_bounded",
+    "curve_locality_eval",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

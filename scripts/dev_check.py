@@ -69,6 +69,11 @@ def ramp_rule_violations() -> list[str]:
     import json
     import os
 
+    # An importing caller may not have run load_all() yet; an empty
+    # REGISTRY would silently pass every name's membership check (a
+    # false-clean this function once produced live).
+    qmod.load_all()
+
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     try:
         with open(os.path.join(repo, "BENCH_FULL.json")) as f:
