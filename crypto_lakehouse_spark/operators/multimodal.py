@@ -721,3 +721,98 @@ def wav_roundtrip_features(docs_md5: DataFrame) -> DataFrame:
             )
 
     return docs_md5.mapInPandas(batches, WAV_FEATURE_SCHEMA)
+
+
+# --- pure-stdlib Y4M (YUV4MPEG2) video-container roundtrip --------------------
+# Completes the proven-codec triad (PNG/JPEG images, WAV audio, now
+# video): three monochrome frames synthesized from each document's
+# md5 bytes are written as a real YUV4MPEG2 stream (parameterized
+# header line + per-frame FRAME markers, the format every ffmpeg
+# pipeline speaks) and parsed back — header fields and frame payloads
+# both come from the DECODED stream, and the differential oracle
+# recomputes the per-frame statistics from the hex digits. Cmono
+# color space (Y plane only): the container mechanics (header parse,
+# frame framing, plane sizing) are what is under test, not chroma
+# subsampling math.
+_Y4M_FRAMES = 3
+
+Y4M_FEATURE_SCHEMA = (
+    "doc_id BIGINT, frame_idx INT, width INT, height INT, "
+    "n_pixels BIGINT, sum_pixels BIGINT, max_pixel INT, "
+    "pix_checksum BIGINT"
+)
+
+
+def y4m_roundtrip_features(docs_md5: DataFrame) -> DataFrame:
+    """mapInPandas Y4M encode->parse over (doc_id, h, n_chars) rows;
+    one output row per decoded frame. Narrow map, no shuffle."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = []
+            for doc_id, h, n_chars in zip(
+                pdf["doc_id"], pdf["h"], pdf["n_chars"]
+            ):
+                bs = bytes.fromhex(h)
+                w = int(n_chars) % 16 + 2
+                hh = int(n_chars) % 12 + 2
+                frames = [
+                    bytes(
+                        bs[(f * 7 + i) % 16] for i in range(w * hh)
+                    )
+                    for f in range(_Y4M_FRAMES)
+                ]
+                stream = (
+                    f"YUV4MPEG2 W{w} H{hh} F25:1 Ip A1:1 Cmono\n".encode()
+                    + b"".join(b"FRAME\n" + fr for fr in frames)
+                )
+                # parse back: header line, then framed planes
+                nl = stream.index(b"\n")
+                fields = stream[:nl].split(b" ")
+                assert fields[0] == b"YUV4MPEG2"
+                pw = ph = None
+                for fld in fields[1:]:
+                    if fld[:1] == b"W":
+                        pw = int(fld[1:])
+                    elif fld[:1] == b"H":
+                        ph = int(fld[1:])
+                assert pw is not None and ph is not None
+                body = stream[nl + 1 :]
+                fsz = pw * ph
+                idx = 0
+                fi = 0
+                while idx < len(body):
+                    assert body[idx : idx + 6] == b"FRAME\n"
+                    plane = body[idx + 6 : idx + 6 + fsz]
+                    out.append(
+                        (
+                            int(doc_id),
+                            fi,
+                            pw,
+                            ph,
+                            len(plane),
+                            sum(plane),
+                            max(plane),
+                            sum(
+                                b * (1 + i % 7)
+                                for i, b in enumerate(plane)
+                            ),
+                        )
+                    )
+                    idx += 6 + fsz
+                    fi += 1
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "frame_idx",
+                    "width",
+                    "height",
+                    "n_pixels",
+                    "sum_pixels",
+                    "max_pixel",
+                    "pix_checksum",
+                ],
+            )
+
+    return docs_md5.mapInPandas(batches, Y4M_FEATURE_SCHEMA)

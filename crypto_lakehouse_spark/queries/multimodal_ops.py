@@ -839,3 +839,70 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq") / F.col("n_samples").cast("double")), 9
         ).alias("rms"),
     ).orderBy("doc_id")
+
+
+@query(
+    "multimodal_y4m_roundtrip",
+    oracle="""
+WITH hexes AS (
+    SELECT doc_id, md5(text) AS h,
+           CAST(n_chars % 16 + 2 AS INTEGER) AS w,
+           CAST(n_chars % 12 + 2 AS INTEGER) AS hp
+    FROM documents
+    WHERE text IS NOT NULL
+),
+pix AS (
+    SELECT doc_id, w, hp,
+           list_transform(range(0, 16),
+               i -> CAST(('0x' || substr(h, i * 2 + 1, 2)) AS INTEGER)) AS bs
+    FROM hexes
+),
+frames AS (
+    SELECT doc_id, w, hp, f.f AS frame_idx
+    FROM pix, (SELECT unnest(range(0, 3)) AS f) f
+),
+stats AS (
+    SELECT fr.doc_id, fr.frame_idx, fr.w, fr.hp,
+           fr.w * fr.hp AS n,
+           list_sum(list_transform(range(0, fr.w * fr.hp),
+               i -> CAST(p.bs[1 + (fr.frame_idx * 7 + i) % 16]
+                         AS BIGINT))) AS s,
+           list_max(list_transform(range(0, fr.w * fr.hp),
+               i -> p.bs[1 + (fr.frame_idx * 7 + i) % 16])) AS mx,
+           list_sum(list_transform(range(0, fr.w * fr.hp),
+               i -> CAST(p.bs[1 + (fr.frame_idx * 7 + i) % 16]
+                         * (1 + i % 7) AS BIGINT))) AS cks
+    FROM frames fr JOIN pix p ON p.doc_id = fr.doc_id
+)
+SELECT doc_id,
+       CAST(frame_idx AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(hp AS INTEGER) AS height,
+       CAST(n AS BIGINT) AS n_pixels,
+       CAST(s AS BIGINT) AS sum_pixels,
+       CAST(mx AS INTEGER) AS max_pixel,
+       CAST(cks AS BIGINT) AS pix_checksum
+FROM stats
+ORDER BY doc_id, frame_idx
+""",
+    tags=("multimodal", "y4m", "video", "codec", "pandas-udf"),
+    bench=False,
+)
+def multimodal_y4m_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real YUV4MPEG2 container roundtrip, value-checked end to end
+    (operators/multimodal.py y4m_roundtrip_features): three md5-
+    derived monochrome frames are Y4M-encoded and PARSED back —
+    width/height come from the decoded header, the per-frame
+    statistics from the decoded planes, and the DuckDB oracle
+    recomputes them from the hex digits. Completes the proven-codec
+    triad: images (PNG, baseline JPEG), audio (WAV), video (Y4M)."""
+    from crypto_lakehouse_spark.operators.multimodal import (
+        y4m_roundtrip_features,
+    )
+
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select("doc_id", F.md5("text").alias("h"), "n_chars")
+    )
+    return y4m_roundtrip_features(docs).orderBy("doc_id", "frame_idx")
