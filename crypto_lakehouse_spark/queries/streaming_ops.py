@@ -503,3 +503,56 @@ def streaming_ohlcv_1m(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     configure_session(spark)
     return run_streaming_ohlcv_1m(spark, sf_dir)
+
+
+@query(
+    "streaming_cusum_alarms",
+    oracle="""
+WITH v AS (
+    SELECT event_type, ts, event_id,
+           CAST(FLOOR(value * 1000000 + 0.5) AS BIGINT) AS vi
+    FROM events
+),
+cum AS (
+    SELECT event_type, ts, event_id,
+           SUM(vi - 500000) OVER w AS cp,
+           SUM(vi + 500000) OVER w AS cm
+    FROM v
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+),
+stat AS (
+    SELECT event_type,
+           cp - LEAST(MIN(cp) OVER w, 0) AS sp,
+           GREATEST(MAX(cm) OVER w, 0) - cm AS sm
+    FROM cum
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CASE WHEN sp > 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms_up,
+       CAST(SUM(CASE WHEN sm > 5000000 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_alarms_down,
+       ROUND(MAX(sp) / 1000000.0, 9) AS max_s_plus,
+       ROUND(MAX(sm) / 1000000.0, 9) AS max_s_minus
+FROM stat
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("streaming", "stateful", "cusum", "drift"),
+    bench=False,
+)
+def streaming_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page CUSUM drift alarms as a REAL stateful streaming operator
+    (applyInPandasWithState, state carried across 4 event-time-ordered
+    micro-batches) — integer micro-unit arithmetic end to end, so the
+    streaming fold value-hashes against the batch prefix-identity
+    oracle (streaming/stateful_cusum.py module docstring)."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.stateful_cusum import (
+        run_streaming_cusum,
+    )
+
+    return run_streaming_cusum(spark, sf_dir)
