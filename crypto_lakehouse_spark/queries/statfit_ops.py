@@ -1319,3 +1319,72 @@ _pair(
     ),
     tags=("text", "self-bleu", "diversity", "data-quality"),
 )
+
+
+# --- one-way ANOVA F (event value by weekday) ------------------------------------
+# The continuous-response companion to chi_square_type_weekday:
+# F = (SSB / (k-1)) / (SSW / (n-k)) over event values grouped by
+# epoch-day weekday, computed from per-group sufficient statistics
+# only — SSB = sum_g n_g*(m_g - m)^2 and SSW = sum_g (ss_g - n_g*m_g^2)
+# need just (n_g, sum_g, sumsq_g), so the corpus is scanned ONCE and
+# everything after is a 7-row reduce. Values are ROUND(9)-stabilized
+# DECIMAL(15,9) first; sums and sums of squares are exact decimal
+# (the (15,9)x(15,9) product is exact at scale 18); F and eta^2 are
+# single double expressions at emission.
+_ANOVA_TAIL = """
+g AS (
+    SELECT wd, COUNT(*) AS n,
+           SUM(v) AS s,
+           SUM(v * v) AS ss
+    FROM base GROUP BY wd
+),
+tot AS (
+    SELECT SUM(n) AS n, SUM(s) AS s, SUM(ss) AS ss, COUNT(*) AS k
+    FROM g
+),
+terms AS (
+    -- ROUND(...,12)-then-DECIMAL per group BEFORE the 7-term sum:
+    -- a raw double SUM's accumulation order is engine-specific and
+    -- moved the 9th decimal (found live at sf0.001).
+    SELECT CAST(ROUND(CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n, 12)
+                AS DECIMAL(28, 12)) AS gsq
+    FROM g
+),
+parts AS (
+    SELECT t.k, t.n,
+           CAST(tm.gs AS DOUBLE)
+               - CAST(t.s AS DOUBLE) * CAST(t.s AS DOUBLE) / t.n AS ssb,
+           CAST(t.ss AS DOUBLE) - CAST(tm.gs AS DOUBLE) AS ssw
+    FROM (SELECT SUM(gsq) AS gs FROM terms) tm CROSS JOIN tot t
+)
+SELECT CAST(k AS INT) AS n_groups,
+       CAST(n AS BIGINT) AS n_events,
+       -- ROUND(...,6), not 9: the sums carry ~14 significant digits,
+       -- where the engines' decimal->double conversions can differ by
+       -- an ulp that a 9-decimal round still exposes at this
+       -- magnitude (found live at sf0.001).
+       ROUND(ssb, 6) AS ss_between,
+       ROUND(ssw, 6) AS ss_within,
+       ROUND((ssb / (k - 1)) / NULLIF(ssw / (n - k), 0), 9) AS f_stat,
+       ROUND(ssb / NULLIF(ssb + ssw, 0), 9) AS eta_squared
+FROM parts
+"""
+
+
+def _anova_sql(epoch: str) -> str:
+    return f"""
+WITH base AS (
+    SELECT CAST(floor({epoch} / 86400.0) AS BIGINT) % 7 AS wd,
+           CAST(ROUND(value, 9) AS DECIMAL(15, 9)) AS v
+    FROM events WHERE value IS NOT NULL
+),
+{_ANOVA_TAIL.lstrip()}"""
+
+
+_pair(
+    "anova_value_by_weekday",
+    _anova_sql("unix_timestamp(ts)"),
+    _anova_sql("epoch(ts)"),
+    tags=("events", "anova", "statistics", "seasonality"),
+    tables=["events"],
+)

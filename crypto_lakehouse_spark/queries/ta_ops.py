@@ -1767,3 +1767,126 @@ def cusum_mean_shift_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("product_id")
     )
+
+
+# --- Wald-Wolfowitz runs test on daily return signs ---------------------------
+# Tests return-sign randomness per product: R = number of sign runs,
+# z = (R - mu) / sigma with mu = 2*n1*n2/n + 1 and
+# sigma^2 = (mu-1)(mu-2)/(n-1) — too few runs means momentum
+# (signs cluster), too many means mean-reversion (signs alternate).
+# Zero returns are excluded by the standard convention. The run count
+# is a gaps-and-islands integer (sign != lag(sign)); n1/n2/n are
+# integers; mu/sigma/z are one fixed double expression each at
+# emission. One ordered window per product + one aggregate.
+
+
+@query(
+    "runs_test_daily_returns",
+    oracle=_DAILY_ORACLE
+    + """,
+rets AS (
+    SELECT product_id, bucket,
+           CAST(ROUND((CAST(close AS DOUBLE)
+                       - CAST(LAG(close) OVER w AS DOUBLE))
+                      / CAST(LAG(close) OVER w AS DOUBLE), 9)
+                AS DECIMAL(15, 9)) AS r
+    FROM candles
+    WINDOW w AS (PARTITION BY product_id ORDER BY bucket)
+),
+signs AS (
+    SELECT product_id, bucket,
+           CASE WHEN r > 0 THEN 1 ELSE 0 END AS s
+    FROM rets WHERE r IS NOT NULL AND r <> 0
+),
+marked AS (
+    SELECT product_id, s,
+           CASE WHEN LAG(s) OVER (PARTITION BY product_id
+                                  ORDER BY bucket) IS NULL THEN 1
+                WHEN s <> LAG(s) OVER (PARTITION BY product_id
+                                       ORDER BY bucket) THEN 1
+                ELSE 0 END AS new_run
+    FROM signs
+),
+rt_agg AS (
+    SELECT product_id,
+           COUNT(*) AS n,
+           SUM(s) AS n_up,
+           COUNT(*) - SUM(s) AS n_down,
+           SUM(new_run) AS runs
+    FROM marked GROUP BY product_id
+    HAVING SUM(s) > 0 AND COUNT(*) - SUM(s) > 0 AND COUNT(*) > 1
+)
+SELECT product_id,
+       CAST(n AS BIGINT) AS n_days,
+       CAST(n_up AS BIGINT) AS n_up,
+       CAST(n_down AS BIGINT) AS n_down,
+       CAST(runs AS BIGINT) AS n_runs,
+       ROUND((runs - (2.0 * n_up * n_down / n + 1))
+             / NULLIF(SQRT((2.0 * n_up * n_down / n + 1 - 1)
+                           * (2.0 * n_up * n_down / n + 1 - 2)
+                           / (n - 1)), 0),
+             9) AS z_score
+FROM rt_agg
+ORDER BY product_id
+""",
+    tags=("ta", "runs-test", "randomness", "statistics"),
+)
+def runs_test_daily_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily return signs per product
+    (block comment above)."""
+    c = _daily_candles(spark, sf_dir)
+    ow = Window.partitionBy("product_id").orderBy("bucket")
+    prev = F.lag("close").over(ow).cast("double")
+    rets = (
+        c.select(
+            "product_id",
+            "bucket",
+            F.round((F.col("close").cast("double") - prev) / prev, 9)
+            .cast("decimal(15,9)")
+            .alias("r"),
+        )
+        .where(F.col("r").isNotNull() & (F.col("r") != 0))
+    )
+    signs = rets.select(
+        "product_id",
+        "bucket",
+        F.when(F.col("r") > 0, 1).otherwise(0).alias("s"),
+    )
+    lag_s = F.lag("s").over(ow)
+    marked = signs.select(
+        "product_id",
+        "s",
+        F.when(lag_s.isNull(), 1)
+        .when(F.col("s") != lag_s, 1)
+        .otherwise(0)
+        .alias("new_run"),
+    )
+    agg = (
+        marked.groupBy("product_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("s").alias("n_up"),
+            (F.count(F.lit(1)) - F.sum("s")).alias("n_down"),
+            F.sum("new_run").alias("runs"),
+        )
+        .where((F.col("n_up") > 0) & (F.col("n_down") > 0) & (F.col("n") > 1))
+    )
+    n, n1, n2, runs = (
+        F.col("n"),
+        F.col("n_up"),
+        F.col("n_down"),
+        F.col("runs"),
+    )
+    mu = 2.0 * n1 * n2 / n + 1
+    return agg.select(
+        "product_id",
+        n.cast("bigint").alias("n_days"),
+        n1.cast("bigint").alias("n_up"),
+        n2.cast("bigint").alias("n_down"),
+        runs.cast("bigint").alias("n_runs"),
+        F.round(
+            (runs - mu)
+            / F.nullif(F.sqrt((mu - 1) * (mu - 2) / (n - 1)), F.lit(0.0)),
+            9,
+        ).alias("z_score"),
+    ).orderBy("product_id")
