@@ -916,35 +916,13 @@ _pair(
 # modulo explode/sequence dialect — the recursion itself is checked
 # value-exactly, both the greedy CHOICES and the counts.
 
-def _wordpiece_sql(
-    split: str,
-    tok: str,
-    lens: str,
-    wordpos: str,
-    words_body: str | None = None,
-    wtf_body: str | None = None,
-) -> str:
-    # words_body/wtf_body let the Spark side read a MATERIALIZED
-    # word-frequency relation (one corpus explode instead of two —
-    # Spark inlines CTEs, so expressing words as a word_tf projection
-    # would otherwise recompute the explode per reference). DuckDB
-    # (the oracle) keeps the inline two-scan form: same rows.
-    words_sql = words_body or f"""SELECT DISTINCT {tok} AS w FROM (
-        SELECT {split}(text, ' ') AS ws FROM documents
-    )"""
-    wtf_sql = wtf_body or f"""SELECT w, COUNT(*) AS tf FROM (
-        SELECT {tok} AS w FROM (
-            SELECT {split}(text, ' ') AS ws FROM documents
-        )
-    ) GROUP BY w"""
-    return f"""
-WITH RECURSIVE words AS (
-    {words_sql}
-),
-wordpos AS (
-    {wordpos}
-),
-subs AS (
+# The greedy-choice ("best") relation's CTE chain, shared VERBATIM by
+# the DuckDB oracle statement and the Spark-side materialization —
+# the vocab LIMIT, piece lengths, and longest-match tie-break are
+# single-sourced so the two plans cannot silently desync (review
+# finding: the first cut kept a hand-copied second literal).
+def _wordpiece_best_ctes(lens: str) -> str:
+    return f"""subs AS (
     SELECT substr(w, i, l) AS piece, COUNT(DISTINCT w) AS df
     FROM wordpos
     {lens}
@@ -969,7 +947,30 @@ best AS (
         JOIN pieces p
           ON substr(wp.w, wp.i, length(p.piece)) = p.piece
     ) ranked WHERE rn = 1
+)"""
+
+
+def _wordpiece_sql(split: str, tok: str, lens: str, wordpos: str) -> str:
+    # DuckDB oracle: inline two-scan form (words + word_tf each explode
+    # the corpus; DuckDB materializes CTEs, and the oracle's runtime
+    # does not matter). The Spark side reads the memoized word_tf
+    # fixture instead — see _wordpiece_recursive.
+    words_sql = f"""SELECT DISTINCT {tok} AS w FROM (
+        SELECT {split}(text, ' ') AS ws FROM documents
+    )"""
+    wtf_sql = f"""SELECT w, COUNT(*) AS tf FROM (
+        SELECT {tok} AS w FROM (
+            SELECT {split}(text, ' ') AS ws FROM documents
+        )
+    ) GROUP BY w"""
+    return f"""
+WITH RECURSIVE words AS (
+    {words_sql}
 ),
+wordpos AS (
+    {wordpos}
+),
+{_wordpiece_best_ctes(lens)},
 walk(w, pos, piece) AS (
     SELECT w, CAST(1 AS INT) AS pos, piece FROM best WHERE pos = 1
     UNION ALL
@@ -1053,29 +1054,8 @@ wordpos AS (
     SELECT w, i FROM words
     LATERAL VIEW explode(sequence(1, length(w))) t_i AS i
 ),
-subs AS (
-    SELECT substr(w, i, l) AS piece, COUNT(DISTINCT w) AS df
-    FROM wordpos
-    LATERAL VIEW explode(sequence(2, 4)) t_l AS l
-    WHERE i + l - 1 <= length(w)
-    GROUP BY substr(w, i, l)
-),
-vocab AS (
-    SELECT piece FROM subs ORDER BY df DESC, piece LIMIT 96
-),
-chars AS (
-    SELECT DISTINCT substr(w, i, 1) AS piece FROM wordpos
-),
-pieces AS (SELECT piece FROM vocab UNION SELECT piece FROM chars)
-SELECT w, pos, piece FROM (
-    SELECT wp.w, wp.i AS pos, p.piece,
-           ROW_NUMBER() OVER (
-               PARTITION BY wp.w, wp.i
-               ORDER BY length(p.piece) DESC, p.piece) AS rn
-    FROM wordpos wp
-    JOIN pieces p
-      ON substr(wp.w, wp.i, length(p.piece)) = p.piece
-) ranked WHERE rn = 1
+{_wordpiece_best_ctes(_WORDPIECE_SPARK_DIALECT[2])}
+SELECT w, pos, piece FROM best
 """),
         spark,
     )

@@ -253,8 +253,14 @@ bucketed AS (
     SELECT e.event_id,
            CAST(FLOOR(((epoch_us(e.ts) // 60000000) - b.t0) * 256.0
                 / (b.t1 - b.t0 + 1)) AS BIGINT) AS tb,
+           -- degenerate-range guard (shared with the Hilbert pair):
+           -- all-equal values otherwise divide by zero, where Spark's
+           -- non-ANSI NaN->BIGINT cast (0) diverges from DuckDB's
+           -- conversion error
            CAST(FLOOR((e.value - b.v0) * 255.999
-                / (b.v1 - b.v0)) AS BIGINT) AS vb
+                / (b.v1 - b.v0
+                   + CASE WHEN b.v1 = b.v0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS vb
     FROM events e CROSS JOIN bounds b
 )
 SELECT morton_cell,
@@ -445,6 +451,10 @@ _HILBERT_N = 256
 
 
 def _hilbert_levels() -> str:
+    # Each level CTE carries the ORIGINAL bucket coordinates (x0, y0)
+    # through the walk so the final projection needs no join back onto
+    # h_in — under Spark CTE inlining that join re-executed the whole
+    # chain + events scan a second time (review finding).
     ctes = []
     prev = "h_in"
     lvl = 0
@@ -452,7 +462,7 @@ def _hilbert_levels() -> str:
     while s > 0:
         ctes.append(f"""
 h{lvl} AS (
-    SELECT event_id,
+    SELECT event_id, x0, y0,
            CASE WHEN (y %%DIV%% {s}) % 2 = 0
                 THEN CASE WHEN (x %%DIV%% {s}) % 2 = 1
                           THEN {_HILBERT_N - 1} - y ELSE y END
@@ -474,7 +484,13 @@ h{lvl} AS (
 
 _HILBERT_CTES, _HILBERT_LAST = _hilbert_levels()
 
-_HILBERT = f"""
+# The shared chain statement: events -> normalized buckets -> 8 walk
+# levels -> (event_id, x0, y0, d). The value-axis normalization guards
+# the degenerate all-equal range the same way the time axis does (the
+# Morton query above shares the fix): without it a constant-valued
+# input divides by zero, and Spark's non-ANSI NaN->BIGINT cast (0)
+# diverges from DuckDB's conversion error.
+_HILBERT_KEYS = f"""
 WITH bounds AS (
     SELECT MIN(epoch_us(ts) // 60000000) AS t0,
            MAX(epoch_us(ts) // 60000000) AS t1,
@@ -486,105 +502,125 @@ h_in AS (
            CAST(FLOOR(((epoch_us(e.ts) // 60000000) - b.t0) * 256.0
                 / (b.t1 - b.t0 + 1)) AS BIGINT) AS x,
            CAST(FLOOR((e.value - b.v0) * 255.999
-                / (b.v1 - b.v0)) AS BIGINT) AS y,
+                / (b.v1 - b.v0
+                   + CASE WHEN b.v1 = b.v0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS y,
+           CAST(FLOOR(((epoch_us(e.ts) // 60000000) - b.t0) * 256.0
+                / (b.t1 - b.t0 + 1)) AS BIGINT) AS x0,
+           CAST(FLOOR((e.value - b.v0) * 255.999
+                / (b.v1 - b.v0
+                   + CASE WHEN b.v1 = b.v0 THEN 1 ELSE 0 END))
+                AS BIGINT) AS y0,
            CAST(0 AS BIGINT) AS d
     FROM events e CROSS JOIN bounds b
 ),{_HILBERT_CTES}
+SELECT event_id, x0 AS x, y0 AS y, d FROM {_HILBERT_LAST}
+"""
+
+# Hilbert-key fixture memo: BOTH consumers (the cell-extent query and
+# the locality eval) run the identical chain; under Spark CTE inlining
+# each downstream reference would re-execute it (the locality eval's
+# first cut re-ran the events scan 4-5x). Same discipline as every
+# other fixture memo in this repo.
+_HK_VIEW = "hilbert_keys_mat"
+_HK_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cached_hilbert_keys(spark: SparkSession, sf_dir: str) -> str:
+    from crypto_lakehouse_spark.io import session_key
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _HK_MEMO:
+        for (sid, other), old in list(_HK_MEMO.items()):
+            if sid == skey:
+                release_lineage(old)
+                del _HK_MEMO[(sid, other)]
+        register_views(spark, sf_dir, ["events"])
+        df = truncate_lineage(
+            spark.sql(
+                _HILBERT_KEYS.replace("epoch_us(", "unix_micros(")
+                .replace("//", "DIV")
+                .replace("%%DIV%%", "DIV")
+            ),
+            spark,
+        )
+        df.createOrReplaceTempView(_HK_VIEW)
+        _HK_MEMO[key] = df
+    return _HK_VIEW
+
+
+_HILBERT_CELLS_TAIL = """
 SELECT hilbert_cell,
        COUNT(*) AS n_events,
        MIN(x) AS x_min, MAX(x) AS x_max,
        MIN(y) AS y_min, MAX(y) AS y_max
-FROM (
-    SELECT f.event_id, f.d %%DIV%% 1024 AS hilbert_cell,
-           i.x, i.y
-    FROM {_HILBERT_LAST} f JOIN h_in i USING (event_id)
-) m
+FROM (SELECT x, y, d %%DIV%% 1024 AS hilbert_cell FROM {src}) m
 GROUP BY hilbert_cell
 ORDER BY hilbert_cell
 """
 
 
 def _hilbert_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ["events"])
+    view = _cached_hilbert_keys(spark, sf_dir)
     return spark.sql(
-        _HILBERT.replace("epoch_us(", "unix_micros(")
-        .replace("//", "DIV")
-        .replace("%%DIV%%", "DIV")
+        _HILBERT_CELLS_TAIL.format(src=view).replace("%%DIV%%", "DIV")
     )
 
 
 _hilbert_fn.__name__ = "hilbert_curve_cells"
 _hilbert_fn.__doc__ = (
     "Hilbert-curve clustering keys with per-cell extents (see block "
-    "comment; companion to zorder_morton_cells)."
+    "comment; companion to zorder_morton_cells). Reads the memoized "
+    "key fixture shared with curve_locality_eval."
 )
 query(
     "hilbert_curve_cells",
-    oracle=_HILBERT.replace("%%DIV%%", "//"),
+    oracle=(
+        "WITH hk AS MATERIALIZED ("
+        + _HILBERT_KEYS.replace("%%DIV%%", "//")
+        + ")\n"
+        + _HILBERT_CELLS_TAIL.format(src="hk").replace("%%DIV%%", "//")
+    ),
     tags=("scale", "data-layout", "hilbert", "zorder"),
 )(_hilbert_fn)
 
 
 # --- Morton vs Hilbert locality, measured --------------------------------------
-# The quantified version of the Hilbert query's locality claim: for
-# each scheme, bucket events into 64 curve cells (d DIV 1024) and
-# measure each cell's bounding box in normalized (time, value) space.
-# Hilbert's mean box area is smaller than Morton's on any data whose
-# density is not axis-degenerate — THE reason Delta's OPTIMIZE grew a
-# hilbert mode — and this query emits both means so the advantage is
-# a hashed number, not a docstring assertion. Pure integer cell
-# arithmetic (both walks reuse the queries above verbatim); one
-# double division per scheme at emission.
-_LOCALITY = f"""
-WITH bounds AS (
-    SELECT MIN(epoch_us(ts) // 60000000) AS t0,
-           MAX(epoch_us(ts) // 60000000) AS t1,
-           MIN(value) AS v0, MAX(value) AS v1
-    FROM events
-),
-h_in AS (
-    SELECT e.event_id,
-           CAST(FLOOR(((epoch_us(e.ts) // 60000000) - b.t0) * 256.0
-                / (b.t1 - b.t0 + 1)) AS BIGINT) AS x,
-           CAST(FLOOR((e.value - b.v0) * 255.999
-                / (b.v1 - b.v0)) AS BIGINT) AS y,
-           CAST(0 AS BIGINT) AS d
-    FROM events e CROSS JOIN bounds b
-),{_HILBERT_CTES},
-keys AS (
-    SELECT i.event_id, i.x, i.y,
-           f.d %%DIV%% 1024 AS hilbert_cell,
-           ({_morton_expr('i.x', 'i.y')}) %%DIV%% 1024 AS morton_cell
-    FROM {_HILBERT_LAST} f JOIN h_in i USING (event_id)
-),
-cells AS (
-    SELECT 'hilbert' AS scheme, hilbert_cell AS cell,
-           COUNT(*) AS n,
-           (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
-    FROM keys GROUP BY hilbert_cell
-    UNION ALL
-    SELECT 'morton' AS scheme, morton_cell AS cell,
-           COUNT(*) AS n,
-           (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
-    FROM keys GROUP BY morton_cell
-),
--- On dense data every cell of EITHER curve tiles its footprint, so
--- box areas converge (measured: identical at sf0.1) — the metric
--- that separates the curves is the SPATIAL STEP PER KEY STEP: scan
--- the occupied buckets in key order and measure how far the
--- (time, value) position moves between consecutive keys. Hilbert's
--- defining property is that key-adjacent cells are grid-adjacent
--- (step = 1 on a full grid; only occupancy gaps raise it), while
--- Morton's key order teleports across the plane at every power-of-
--- two boundary (the "Z" diagonal) — which is exactly what fattens
--- per-file min/max stats when data is written in key order.
-grid AS (
+# The quantified version of the Hilbert query's locality claim, on the
+# shared key fixture. On dense data every cell of EITHER curve tiles
+# its footprint, so box areas converge (measured: identical at sf0.1)
+# — the metric that separates the curves is the SPATIAL STEP PER KEY
+# STEP: scan the occupied buckets in key order and measure how far
+# the (time, value) position moves between consecutive keys.
+# Hilbert's defining property is that key-adjacent cells are
+# grid-adjacent (step = 1 on a full grid; only occupancy gaps raise
+# it), while Morton's key order teleports across the plane at every
+# power-of-two boundary — which is exactly what fattens per-file
+# min/max stats when data is written in key order. Pure integer cell
+# arithmetic; one double division per scheme at emission.
+_LOCALITY_TAIL = f"""
+WITH grid AS (
     SELECT x, y,
            MIN(d) AS hd,
            MIN({_morton_expr('x', 'y')}) AS md
-    FROM (SELECT k.x, k.y, f2.d
-          FROM keys k JOIN {_HILBERT_LAST} f2 USING (event_id)) g
+    FROM {{src}}
     GROUP BY x, y
+),
+cells AS (
+    SELECT 'hilbert' AS scheme, d3 %%DIV%% 1024 AS cell, x, y FROM (
+        SELECT hd AS d3, x, y FROM grid) a
+    UNION ALL
+    SELECT 'morton' AS scheme, md %%DIV%% 1024 AS cell, x, y FROM grid
+),
+cstats AS (
+    SELECT scheme, cell, COUNT(*) AS n,
+           (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS box_area
+    FROM cells GROUP BY scheme, cell
 ),
 steps AS (
     SELECT 'hilbert' AS scheme,
@@ -603,13 +639,13 @@ jstats AS (
 )
 SELECT c.scheme,
        COUNT(*) AS n_cells,
-       CAST(SUM(c.n) AS BIGINT) AS n_events,
+       CAST(SUM(c.n) AS BIGINT) AS n_occupied_buckets,
        ROUND(CAST(SUM(c.box_area) AS DOUBLE) / COUNT(*), 9)
            AS mean_cell_box_area,
        ROUND(CAST(MAX(js.sj) AS DOUBLE) / MAX(js.n_adj), 9)
            AS mean_spatial_step_per_key,
        CAST(MAX(js.mj) AS BIGINT) AS max_spatial_step_per_key
-FROM cells c
+FROM cstats c
 JOIN jstats js ON js.scheme = c.scheme
 GROUP BY c.scheme
 ORDER BY c.scheme
@@ -617,9 +653,9 @@ ORDER BY c.scheme
 
 
 def _locality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir, ["events"])
+    view = _cached_hilbert_keys(spark, sf_dir)
     return spark.sql(
-        _LOCALITY.replace("epoch_us(", "unix_micros(")
+        _LOCALITY_TAIL.format(src=view)
         .replace("//", "DIV")
         .replace("%%DIV%%", "DIV")
     )
@@ -627,11 +663,18 @@ def _locality_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _locality_fn.__name__ = "curve_locality_eval"
 _locality_fn.__doc__ = (
-    "Morton vs Hilbert per-cell bounding-box locality, measured on "
-    "the same bucket grid (see block comment)."
+    "Morton vs Hilbert per-cell extents and spatial step per key "
+    "step, measured on the same bucket grid (see block comment)."
 )
 query(
     "curve_locality_eval",
-    oracle=_LOCALITY.replace("%%DIV%%", "//"),
+    oracle=(
+        "WITH hk AS MATERIALIZED ("
+        + _HILBERT_KEYS.replace("%%DIV%%", "//")
+        + "), dummy AS (SELECT 1)\n"
+        + _LOCALITY_TAIL.format(src="hk")
+        .replace("WITH grid AS", ", grid AS")
+        .replace("%%DIV%%", "//")
+    ),
     tags=("scale", "data-layout", "hilbert", "zorder", "quality-eval"),
 )(_locality_fn)

@@ -1641,16 +1641,22 @@ hits_after AS (
     GROUP BY t.vec_id
 ),
 cand_sz AS (SELECT vec_id, COUNT(*) AS nc FROM cand GROUP BY vec_id)
+-- LEFT join to cand_sz with a zero fill: a panel point whose label is
+-- unique has NO coarse neighbors and therefore no candidates — it must
+-- still count in n_panel and both recall denominators (contributing 0
+-- hits), otherwise the reported recall is biased upward (review
+-- finding). hits_before/hits_after are truth-driven, so they always
+-- carry every panel point.
 SELECT CAST(COUNT(*) AS BIGINT) AS n_panel,
        ROUND(CAST(SUM(hb.h) AS DOUBLE) / (5 * COUNT(*)), 9)
            AS recall5_coarse,
        ROUND(CAST(SUM(ha.h) AS DOUBLE) / (5 * COUNT(*)), 9)
            AS recall5_after_round,
-       ROUND(CAST(SUM(cs.nc) AS DOUBLE) / COUNT(*), 9)
+       ROUND(CAST(SUM(COALESCE(cs.nc, 0)) AS DOUBLE) / COUNT(*), 9)
            AS mean_candidates
 FROM hits_before hb
 JOIN hits_after ha ON ha.vec_id = hb.vec_id
-JOIN cand_sz cs ON cs.vec_id = hb.vec_id
+LEFT JOIN cand_sz cs ON cs.vec_id = hb.vec_id
 """
 
 

@@ -825,7 +825,7 @@ WITH base AS (
 _pair(
     "rfm_user_segments",
     _rfm_sql("CAST(unix_timestamp(ts) AS BIGINT)"),
-    _rfm_sql("CAST(epoch(ts) AS BIGINT)"),
+    _rfm_sql("CAST(floor(epoch(ts)) AS BIGINT)"),
     tags=("events", "rfm", "segmentation", "statistics"),
     tables=["events"],
 )

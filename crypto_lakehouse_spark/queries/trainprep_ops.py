@@ -588,13 +588,17 @@ WITH ranked AS (
     FROM events
 ),
 t1 AS (
-    SELECT CAST(epoch(ts) AS BIGINT) AS t1s FROM ranked
+    -- floor(epoch(...)): DuckDB epoch() is DOUBLE and a bare BIGINT
+    -- cast ROUNDS fractional seconds where Spark's unix_timestamp
+    -- truncates (review finding; ~half the fixture's events carry
+    -- fraction >= 0.5s)
+    SELECT CAST(floor(epoch(ts)) AS BIGINT) AS t1s FROM ranked
     WHERE rn = CAST(floor(0.7 * n) AS BIGINT) + 1
 ),
 assigned AS (
     SELECT e.user_id, e.ts,
-           CASE WHEN CAST(epoch(e.ts) AS BIGINT) < t.t1s THEN 'train'
-                WHEN CAST(epoch(e.ts) AS BIGINT) < t.t1s + 259200
+           CASE WHEN CAST(floor(epoch(e.ts)) AS BIGINT) < t.t1s THEN 'train'
+                WHEN CAST(floor(epoch(e.ts)) AS BIGINT) < t.t1s + 259200
                 THEN 'embargo'
                 ELSE 'test' END AS split
     FROM events e CROSS JOIN t1 t

@@ -39,7 +39,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.window import Window
 
-from crypto_lakehouse_spark.io import load_table
 
 # Micro-unit slack and alarm threshold (0.5 and 5.0 value units).
 K_MICRO = 500_000
@@ -99,42 +98,24 @@ def _stage_typed_chunks(
     spark: SparkSession, sf_dir: str, n_chunks: int = 4
 ) -> str:
     """Time-ordered replay chunks carrying (event_type, integer
-    micro-value) — same protocol as stateful_sessions'
-    stage_time_ordered_chunks."""
-    import os
+    micro-value) — the shared staging protocol of
+    stateful_sessions.stage_time_ordered_chunks with the CUSUM
+    projection."""
+    from crypto_lakehouse_spark.streaming.stateful_sessions import (
+        stage_time_ordered_chunks,
+    )
 
-    stage = tempfile.mkdtemp(prefix="cusum_chunks_")
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_micros("ts").alias("ts_us"),
-        "event_type",
-        F.floor(F.col("value") * 1_000_000 + 0.5)
-        .cast("bigint")
-        .alias("vi"),
+    return stage_time_ordered_chunks(
+        spark,
+        sf_dir,
+        n_chunks,
+        extra_cols=[
+            F.col("event_type"),
+            F.floor(F.col("value") * 1_000_000 + 0.5)
+            .cast("bigint")
+            .alias("vi"),
+        ],
     )
-    bounds = ev.approxQuantile(
-        "ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.0
-    )
-    lo = None
-    for i in range(n_chunks):
-        hi = bounds[i] if i < len(bounds) else None
-        chunk = ev
-        if lo is not None:
-            chunk = chunk.filter(F.col("ts_us") > lo)
-        if hi is not None:
-            chunk = chunk.filter(F.col("ts_us") <= hi)
-        chunk.coalesce(1).write.mode("overwrite").parquet(
-            f"{stage}/chunk_{i:03d}"
-        )
-        lo = hi
-    final = tempfile.mkdtemp(prefix="cusum_feed_")
-    for i in range(n_chunks):
-        d = f"{stage}/chunk_{i:03d}"
-        part = next(
-            p for p in sorted(os.listdir(d)) if p.endswith(".parquet")
-        )
-        os.rename(os.path.join(d, part), os.path.join(final, f"{i:03d}.parquet"))
-    return final
 
 
 def run_streaming_cusum(

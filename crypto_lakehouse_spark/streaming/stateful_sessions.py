@@ -88,13 +88,25 @@ def _sessionize_group(
     )
 
 
-def stage_time_ordered_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+def stage_time_ordered_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    n_chunks: int = 4,
+    extra_cols: list | None = None,
+) -> str:
     """Split events into N contiguous time ranges, one parquet file
     each, named in replay order (file source processes them in
-    lexicographic order with maxFilesPerTrigger=1)."""
-    stage = tempfile.mkdtemp(prefix="session_chunks_")
+    lexicographic order with maxFilesPerTrigger=1).
+
+    `extra_cols` selects the payload columns carried alongside
+    (event_id, ts_us) — defaults to the sessionizer's (user_id,
+    value); the stateful CUSUM passes its own projection instead of
+    duplicating this staging protocol (review finding)."""
+    stage = tempfile.mkdtemp(prefix="replay_chunks_")
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id", F.unix_micros("ts").alias("ts_us"), "user_id", "value"
+        "event_id",
+        F.unix_micros("ts").alias("ts_us"),
+        *(extra_cols if extra_cols is not None else ["user_id", "value"]),
     )
     bounds = ev.approxQuantile("ts_us", [i / n_chunks for i in range(1, n_chunks)], 0.0)
     lo = None
@@ -108,11 +120,15 @@ def stage_time_ordered_chunks(spark: SparkSession, sf_dir: str, n_chunks: int = 
         chunk.coalesce(1).write.mode("overwrite").parquet(f"{stage}/chunk_{i:03d}")
         lo = hi
     # flatten: move part files up so the source dir lists plain files
-    final = tempfile.mkdtemp(prefix="session_feed_")
+    final = tempfile.mkdtemp(prefix="replay_feed_")
     for i in range(n_chunks):
         d = f"{stage}/chunk_{i:03d}"
-        part = next(p for p in sorted(os.listdir(d)) if p.endswith(".parquet"))
-        os.rename(os.path.join(d, part), os.path.join(final, f"{i:03d}.parquet"))
+        parts = [p for p in sorted(os.listdir(d)) if p.endswith(".parquet")]
+        if not parts:  # loud, not StopIteration: a 0-part chunk write
+            raise RuntimeError(f"chunk {d} produced no parquet part file")
+        os.rename(
+            os.path.join(d, parts[0]), os.path.join(final, f"{i:03d}.parquet")
+        )
     return final
 
 

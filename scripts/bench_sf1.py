@@ -116,7 +116,11 @@ def main() -> int:
             out = {
                 k: v
                 for k, v in json.load(f).get("queries", {}).items()
-                if k in TIER
+                # keep TIER members AND any live-registry ad-hoc
+                # measurement (the argv force path) — the old
+                # TIER-only filter silently erased those on the next
+                # resume; renamed/retired queries still age out.
+                if k in TIER or k in REGISTRY
             }
     todo = [n for n in TIER if n not in out] + (
         sys.argv[1:] if len(sys.argv) > 1 else []

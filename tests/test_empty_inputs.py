@@ -147,7 +147,7 @@ def test_versioned_table_empty_snapshot_reads_typed(spark, tmp_path):
     assert set(back.columns) == {"k", "v"}
 
 
-# Round-10-continuation additions: all 24 new operators probed green
+# Round-10-continuation additions: all 28 new operators probed green
 # against the zero-row fixture on landing; pinned here so the property
 # cannot regress. kcore_peel_bounded legally emits its full
 # (rounds+1)-row shrink curve of zeros (the curve IS the result shape,
@@ -179,6 +179,10 @@ ROUND10B_EMPTY_SAFE = [
     ("event_volume_mad_outliers", 0),
     ("bigram_overlap_precision_by_source", 0),
     ("curve_locality_eval", 0),
+    ("runs_test_daily_returns", 0),
+    ("anova_value_by_weekday", 1),
+    ("multimodal_y4m_roundtrip", 0),
+    ("streaming_cusum_alarms", 0),
 ]
 
 
