@@ -7,10 +7,12 @@ first 50 queries in registration order each round. `load_all()`
 therefore reorders the registry after import so that queries WITHOUT a
 driver-green row in any past `CORRECTNESS_r*.json` come first (in a
 curated family-coverage order — at least one flagship per operator
-family in the window), and already-verified queries rotate to the
-back. Every registered query earns a driver-green row within
-ceil(unverified/50) rounds, with zero manual bookkeeping: drop a new
-round's CORRECTNESS file in the repo root and the next load reorders.
+family in the window), and already-verified queries follow ordered
+OLDEST-green-round first. Every registered query earns a driver-green
+row within ceil(unverified/50) rounds, and thereafter is RE-verified
+every ~ceil(total/50) rounds as its green row ages to the front of the
+tail — with zero manual bookkeeping: drop a new round's CORRECTNESS
+file in the repo root and the next load reorders.
 """
 
 from __future__ import annotations
@@ -96,37 +98,24 @@ _PRIORITY = [
     "doc_quality_score_pandas",
 ]
 
-# Verified-in-a-past-round queries that still deserve a fresh driver
-# row THIS round, ahead of the long verified tail: the set broken (or
-# last checked before) the round-3 testdata regeneration — their old
-# green rows predate the current physical encoding (VERDICT r3 §8).
-_RECHECK = [
-    "twap_hourly",
-    "zorder_morton_cells",
-    "streaming_window_counts",
-    "streaming_watermarked_counts",
-    "streaming_stream_stream_join",
-    "streaming_dedup_counts",
-    "streaming_dedup_within_watermark",
-    "stream_ingest_bronze",
-    "price_latest",
-    "incremental_lookback",
-    "collect_order_statuses",
-    "date_funcs_orders",
-]
-
 _REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _driver_verified() -> set[str]:
-    """Names with a green row in any past driver CORRECTNESS file.
+def driver_green_age() -> dict[str, int]:
+    """Most recent driver-green round per query name.
 
     Green = rows+schema matched and the value hash (when checked) did
-    not fail. Files are the driver's per-round records at the repo
-    root; unreadable files are ignored.
+    not fail, in a driver `CORRECTNESS_r{N}.json` at the repo root.
+    Returns name -> max N with a green row; names that have never been
+    driver-green are absent. Unreadable files are ignored.
     """
-    verified: set[str] = set()
+    latest: dict[str, int] = {}
     for path in sorted(glob.glob(os.path.join(_REPO_ROOT, "CORRECTNESS_r*.json"))):
+        base = os.path.basename(path)
+        try:
+            rnd = int(base[len("CORRECTNESS_r") : -len(".json")])
+        except ValueError:
+            continue
         try:
             with open(path) as f:
                 data = json.load(f)
@@ -143,23 +132,33 @@ def _driver_verified() -> set[str]:
                 and rec.get("schema_match") is not False
                 and rec.get("hash_match") is not False
             )
-            if ok:
-                verified.add(name)
-    return verified
+            if ok and rnd > latest.get(name, 0):
+                latest[name] = rnd
+    return latest
+
+
+def _driver_verified() -> set[str]:
+    """Names with a green row in any past driver CORRECTNESS file."""
+    return set(driver_green_age())
 
 
 def _reorder() -> None:
-    """Rebuild REGISTRY insertion order: unverified first (curated
-    priority, then original order), then the regeneration re-check
-    tier, then the verified tail (original order)."""
-    verified = _driver_verified()
+    """Rebuild REGISTRY insertion order: never-driver-verified queries
+    first (curated family-coverage priority, then original order), then
+    the verified tail ordered OLDEST green round first (VERDICT r10
+    item 1): the driver's 50-query sample thereby re-verifies the ~50
+    stalest greens every round, so each of the ~300 registered queries
+    is re-driver-verified roughly every 6 rounds with zero manual
+    bookkeeping — drop a new round's CORRECTNESS file in the repo root
+    and the next load reorders."""
+    age = driver_green_age()
     original = list(REGISTRY)
     rank = {n: i for i, n in enumerate(_PRIORITY)}
-    unverified = [n for n in original if n not in verified]
+    unverified = [n for n in original if n not in age]
     unverified.sort(key=lambda n: (rank.get(n, len(_PRIORITY)), original.index(n)))
-    recheck = [n for n in _RECHECK if n in verified and n in REGISTRY]
-    tail = [n for n in original if n in verified and n not in recheck]
-    ordered = unverified + recheck + tail
+    tail = [n for n in original if n in age]
+    tail.sort(key=lambda n: (age[n], original.index(n)))
+    ordered = unverified + tail
     snapshot = dict(REGISTRY)
     REGISTRY.clear()
     for n in ordered:
