@@ -320,6 +320,221 @@ _pair(
 )
 
 
+# --- k-means iterated to convergence (Lloyd fixpoint) ------------------------
+# The production shape of `kmeans_one_step` (VERDICT r10 item 2): the
+# same Lloyd step in a convergence-gated driver loop, the pattern
+# `pagerank_converged` established — per-round lineage truncation, one
+# bounded integer scalar per round as the gate. The gate is the
+# ASSIGNMENT fixpoint (count of vectors that changed cluster), an
+# integer compare, not an epsilon on doubles: assignments are
+# bit-reproducible across engines because every double on the path is
+# — seeds are raw casts, per-(cluster, dim) means are sequential folds
+# over members ordered by vec_id divided by exact counts, distances
+# are sequential folds over dims in index order, and ties break on
+# cid. The DuckDB oracle unrolls the identical recurrence as a
+# recursive CTE with data-dependent depth (17 rounds at sf0.01),
+# emitting a new iteration only while >=1 assignment changed, capped
+# at the same _KM_MAX_ROUNDS on both sides; n_rounds is value-pinned
+# in the output. Scale shape per round: the |corpus| x k assignment
+# broadcast-joins k centroid rows onto an embarrassingly-parallel
+# corpus scan (no shuffle), the centroid recompute is ONE shuffle of
+# 64 x |corpus| exploded dims into k x 64 groups, and the change gate
+# is a co-partitioned count — the same per-round cost Lloyd has on any
+# engine, times a data-dependent round count.
+_KM_MAX_ROUNDS = 25
+
+_KM_ASSIGN_SQL = """
+SELECT vec_id, cid FROM (
+    SELECT v.vec_id, c.cid,
+           ROW_NUMBER() OVER (
+               PARTITION BY v.vec_id
+               ORDER BY aggregate(zip_with(v.v, c.c,
+                            (x, y) -> (x - y) * (x - y)),
+                        CAST(0 AS DOUBLE), (a, b) -> a + b),
+                        c.cid) AS rn
+    FROM km_vecs v CROSS JOIN km_cents c
+) r WHERE rn = 1
+"""
+
+_KM_CENTROIDS_SQL = """
+SELECT cid,
+       transform(array_sort(collect_list(struct(dim, mean_d))),
+                 s -> s.mean_d) AS c
+FROM (
+    SELECT cid, dim,
+           aggregate(transform(array_sort(collect_list(struct(vec_id, val))),
+                     s -> s.val), CAST(0 AS DOUBLE), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM (
+        SELECT a.cid, d.dim, a.vec_id, element_at(v.v, d.dim) AS val
+        FROM km_assigned a
+        JOIN km_vecs v ON v.vec_id = a.vec_id
+        CROSS JOIN (SELECT explode(sequence(1, 64)) AS dim) d
+    ) dv GROUP BY cid, dim
+) m GROUP BY cid
+"""
+
+
+def _kmeans_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lloyd's algorithm to the assignment fixpoint (block comment)."""
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["embeddings"])
+    vecs = spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL"
+    ).persist()
+    vecs.createOrReplaceTempView("km_vecs")
+
+    # Seed centroids = vec_id < 4, identically to kmeans_one_step.
+    spark.sql(
+        "SELECT vec_id AS cid, v AS c FROM km_vecs WHERE vec_id < 4"
+    ).createOrReplaceTempView("km_cents")
+    assigned = truncate_lineage(spark.sql(_KM_ASSIGN_SQL), spark)
+    rounds = 0
+    while rounds < _KM_MAX_ROUNDS:
+        assigned.createOrReplaceTempView("km_assigned")
+        spark.sql(_KM_CENTROIDS_SQL).createOrReplaceTempView("km_cents")
+        new_assigned = truncate_lineage(spark.sql(_KM_ASSIGN_SQL), spark)
+        changed = (
+            new_assigned.withColumnRenamed("cid", "nc")
+            .join(assigned, "vec_id")
+            .filter(F.col("nc") != F.col("cid"))
+            .count()
+        )
+        if changed == 0:
+            release_lineage(new_assigned)
+            break
+        release_lineage(assigned)
+        assigned = new_assigned
+        rounds += 1
+    assigned.createOrReplaceTempView("km_assigned")
+    out = spark.sql(
+        f"""
+WITH dimmeans AS (
+    SELECT cid, dim,
+           aggregate(transform(array_sort(collect_list(struct(vec_id, val))),
+                     s -> s.val), CAST(0 AS DOUBLE), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM (
+        SELECT a.cid, d.dim, a.vec_id, element_at(v.v, d.dim) AS val
+        FROM km_assigned a
+        JOIN km_vecs v ON v.vec_id = a.vec_id
+        CROSS JOIN (SELECT explode(sequence(1, 64)) AS dim) d
+    ) dv GROUP BY cid, dim
+)
+SELECT d.cid AS cluster_id,
+       m.n_members, m.min_vec_id, m.max_vec_id,
+       ROUND(SQRT(aggregate(
+           transform(array_sort(collect_list(struct(d.dim, d.mean_d))),
+                     s -> s.mean_d * s.mean_d),
+           CAST(0 AS DOUBLE), (a, b) -> a + b)), 9) AS centroid_l2,
+       CAST({rounds} AS BIGINT) AS n_rounds
+FROM dimmeans d
+JOIN (SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+             MAX(vec_id) AS max_vec_id
+      FROM km_assigned GROUP BY cid) m ON d.cid = m.cid
+GROUP BY d.cid, m.n_members, m.min_vec_id, m.max_vec_id
+ORDER BY cluster_id
+"""
+    )
+    vecs.unpersist()
+    return out
+
+
+_KM_CONV_DIST_DUCK = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (vecs.v[i] - cm.c[i]) * (vecs.v[i] - cm.c[i])), "
+    "(a, b) -> a + b)"
+)
+
+_KM_CONV_DUCK = f"""
+WITH RECURSIVE
+vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+it(iter, vec_id, cid) AS (
+    SELECT 0, vec_id, cid FROM (
+        SELECT vecs.vec_id, cm.cid,
+               ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                                  ORDER BY {_KM_CONV_DIST_DUCK}, cm.cid) AS rn
+        FROM vecs CROSS JOIN
+             (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4) cm
+    ) x WHERE rn = 1
+    UNION ALL
+    SELECT prev_iter + 1, vec_id, cid FROM (
+        WITH cents AS (
+            SELECT cid, list(mean_d ORDER BY dim) AS c FROM (
+                SELECT t.cid, d.dim,
+                       list_reduce(list(vecs.v[d.dim] ORDER BY t.vec_id),
+                                   (a, b) -> a + b) / COUNT(*) AS mean_d
+                FROM it t JOIN vecs ON vecs.vec_id = t.vec_id
+                CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+                GROUP BY t.cid, d.dim
+            ) m GROUP BY cid
+        ),
+        reassigned AS (
+            SELECT vec_id, cid FROM (
+                SELECT vecs.vec_id, cm.cid,
+                       ROW_NUMBER() OVER (PARTITION BY vecs.vec_id
+                                          ORDER BY {_KM_CONV_DIST_DUCK},
+                                                   cm.cid) AS rn
+                FROM vecs CROSS JOIN cents cm
+            ) r WHERE rn = 1
+        )
+        SELECT n.vec_id, n.cid,
+               (SELECT MAX(iter) FROM it) AS prev_iter
+        FROM reassigned n
+        CROSS JOIN (SELECT COUNT(*) AS nch
+                    FROM reassigned r JOIN it p ON p.vec_id = r.vec_id
+                    WHERE r.cid <> p.cid) g
+        WHERE g.nch > 0 AND (SELECT MAX(iter) FROM it) < {_KM_MAX_ROUNDS}
+    ) z
+),
+final AS (
+    SELECT vec_id, cid FROM it WHERE iter = (SELECT MAX(iter) FROM it)
+),
+nr AS (SELECT MAX(iter) AS n_rounds FROM it),
+dimmeans AS (
+    SELECT f.cid, d.dim,
+           list_reduce(list(vecs.v[d.dim] ORDER BY f.vec_id),
+                       (a, b) -> a + b) / COUNT(*) AS mean_d
+    FROM final f JOIN vecs ON vecs.vec_id = f.vec_id
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim) d
+    GROUP BY f.cid, d.dim
+)
+SELECT d.cid AS cluster_id, m.n_members, m.min_vec_id, m.max_vec_id,
+       ROUND(SQRT(list_reduce(list(d.mean_d * d.mean_d ORDER BY d.dim),
+                              (a, b) -> a + b)), 9) AS centroid_l2,
+       CAST(nr.n_rounds AS BIGINT) AS n_rounds
+FROM dimmeans d
+JOIN (SELECT cid, COUNT(*) AS n_members, MIN(vec_id) AS min_vec_id,
+             MAX(vec_id) AS max_vec_id
+      FROM final GROUP BY cid) m ON d.cid = m.cid
+CROSS JOIN nr
+GROUP BY d.cid, m.n_members, m.min_vec_id, m.max_vec_id, nr.n_rounds
+ORDER BY cluster_id
+"""
+
+_kmeans_converged.__name__ = "kmeans_converged"
+query(
+    "kmeans_converged",
+    oracle=_KM_CONV_DUCK,
+    tags=("similarity", "clustering", "embedding", "iterative",
+          "convergence-gated"),
+    # Data-dependent depth (~17 rounds at sf0.01): correctness-gated
+    # but kept out of the bench suite — kmeans_one_step is the benched
+    # fixed-depth representative of the identical per-round plan.
+    bench=False,
+)(_kmeans_converged)
+
+
 # --- int8 scalar quantization + reconstruction error ------------------------
 # The vector-compression pass an embedding store runs before ANN:
 # per-dimension min/max over the corpus (order-free aggregates),
@@ -1666,3 +1881,209 @@ _pair(
     _nn_descent_sql(_DOT_DUCK, _D_DUCK),
     tags=("similarity", "ann", "nn-descent", "graph", "quality-eval"),
 )
+
+
+# --- NN-descent iterated to the graph fixpoint -------------------------------
+# The production form of `nn_descent_round_recall` (VERDICT r10 item
+# 2): iterate the neighbor-of-neighbor expansion over the FULL point
+# set until the kNN graph stops changing, the convergence-gated
+# driver-loop pattern of `pagerank_converged`/`kmeans_converged`.
+# Init graph = per-point same-label top-5 (the IVF-style blocking the
+# engine already uses); each round ranks candidates = current
+# neighbors UNION neighbors-of-neighbors by exact cosine and keeps
+# top-5. The gate is an INTEGER one-way set difference (new edges not
+# in the old graph): per point the candidate pool contains its current
+# neighbors, so the new per-point list can only stay or grow toward
+# the within-blocking exact top-5 — new == old iff (new MINUS old) is
+# empty. Cosines are ROUND(.., 9) of the shared sequential-fold dot
+# product (bit-identical IEEE sequence in both engines), ties break on
+# nbr vec_id, so the graph trajectory and the round count are
+# deterministic; n_rounds is value-pinned in the single output row,
+# alongside recall@5 of the CONVERGED graph against the exact global
+# top-5 truth on the 32-point panel (labels block cross-label edges,
+# so converged recall < 1 by construction — it measures what the
+# blocking gives up). The DuckDB oracle unrolls the identical
+# recurrence as a recursive CTE with data-dependent depth. Scale
+# shape per round: candidate generation is a self-equi-join of the
+# k-regular edge relation (|V| x k^2 rows, never all-pairs), scoring
+# joins the corpus on both endpoints (two shuffles on vec_id), and
+# the top-5 is a windowed rank — the canonical distributed NN-descent
+# round, checkpointed like the CC loop.
+_NND_MAX_ROUNDS = 10
+
+_NND_COS_SPARK = (
+    "ROUND(" + _DOT_SPARK.format(a="p.vec", b="c.vec") + " / (SQRT("
+    + _DOT_SPARK.format(a="p.vec", b="p.vec") + ") * SQRT("
+    + _DOT_SPARK.format(a="c.vec", b="c.vec") + ")), 9)"
+)
+_NND_COS_DUCK = (
+    "ROUND(" + _DOT_DUCK.format(a="p.vec", b="c.vec") + " / (SQRT("
+    + _DOT_DUCK.format(a="p.vec", b="p.vec") + ") * SQRT("
+    + _DOT_DUCK.format(a="c.vec", b="c.vec") + ")), 9)"
+)
+
+
+def _nnd_summary_sql(cos: str, n_rounds_expr: str) -> str:
+    """Shared final-summary SQL over views/CTEs `nnd_corpus` (vec_id,
+    label, vec) and `nnd_final` (vec_id, nbr)."""
+    return f"""
+WITH truth AS (
+    SELECT vec_id, nbr FROM (
+        SELECT p.vec_id, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM nnd_corpus p
+        JOIN nnd_corpus c ON c.vec_id <> p.vec_id
+        WHERE p.vec_id < 32
+    ) r WHERE rn <= 5
+),
+hits AS (
+    SELECT t.vec_id, COUNT(f.nbr) AS h
+    FROM truth t LEFT JOIN nnd_final f
+      ON f.vec_id = t.vec_id AND f.nbr = t.nbr
+    GROUP BY t.vec_id
+)
+SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nnd_corpus) AS n_points,
+       {n_rounds_expr} AS n_rounds,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM nnd_final) AS n_edges,
+       ROUND(CAST(SUM(h) AS DOUBLE) / (5 * COUNT(*)), 9)
+           AS recall5_converged
+FROM hits
+"""
+
+
+def _nn_descent_converged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NN-descent to the kNN-graph fixpoint (see block comment)."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["embeddings"])
+    corpus = spark.sql(
+        "SELECT vec_id, label, "
+        + _D_SPARK.format(e="embedding")
+        + " AS vec FROM embeddings WHERE embedding IS NOT NULL"
+    ).persist()
+    corpus.createOrReplaceTempView("nnd_corpus")
+
+    g = truncate_lineage(
+        spark.sql(
+            f"""
+SELECT vec_id, nbr FROM (
+    SELECT p.vec_id, c.vec_id AS nbr,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                              ORDER BY {_NND_COS_SPARK} DESC,
+                                       c.vec_id) AS rn
+    FROM nnd_corpus p
+    JOIN nnd_corpus c ON c.label = p.label AND c.vec_id <> p.vec_id
+) r WHERE rn <= 5
+"""
+        ),
+        spark,
+    )
+    rounds = 0
+    while rounds < _NND_MAX_ROUNDS:
+        g.createOrReplaceTempView("nnd_g")
+        new_g = truncate_lineage(
+            spark.sql(
+                f"""
+WITH cand AS (
+    SELECT DISTINCT vec_id, nbr FROM (
+        SELECT vec_id, nbr FROM nnd_g
+        UNION ALL
+        SELECT a.vec_id, b.nbr FROM nnd_g a JOIN nnd_g b ON b.vec_id = a.nbr
+    ) u WHERE vec_id <> nbr
+)
+SELECT vec_id, nbr FROM (
+    SELECT cd.vec_id, cd.nbr,
+           ROW_NUMBER() OVER (PARTITION BY cd.vec_id
+                              ORDER BY {_NND_COS_SPARK} DESC,
+                                       cd.nbr) AS rn
+    FROM cand cd
+    JOIN nnd_corpus p ON p.vec_id = cd.vec_id
+    JOIN nnd_corpus c ON c.vec_id = cd.nbr
+) r WHERE rn <= 5
+"""
+            ),
+            spark,
+        )
+        grown = new_g.join(g, ["vec_id", "nbr"], "left_anti").count()
+        if grown == 0:
+            release_lineage(new_g)
+            break
+        release_lineage(g)
+        g = new_g
+        rounds += 1
+    g.createOrReplaceTempView("nnd_final")
+    out = spark.sql(
+        _nnd_summary_sql(_NND_COS_SPARK, f"CAST({rounds} AS BIGINT)")
+    )
+    corpus.unpersist()
+    return out
+
+
+_NND_CONV_DUCK = f"""
+WITH RECURSIVE
+nnd_corpus AS (
+    SELECT vec_id, label, {_D_DUCK.format(e="embedding")} AS vec
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+it(iter, vec_id, nbr) AS (
+    SELECT 0, vec_id, nbr FROM (
+        SELECT p.vec_id, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {_NND_COS_DUCK} DESC,
+                                           c.vec_id) AS rn
+        FROM nnd_corpus p
+        JOIN nnd_corpus c ON c.label = p.label AND c.vec_id <> p.vec_id
+    ) r WHERE rn <= 5
+    UNION ALL
+    SELECT prev_iter + 1, vec_id, nbr FROM (
+        WITH cand AS (
+            SELECT DISTINCT vec_id, nbr FROM (
+                SELECT vec_id, nbr FROM it
+                UNION ALL
+                SELECT a.vec_id, b.nbr FROM it a JOIN it b ON b.vec_id = a.nbr
+            ) u WHERE vec_id <> nbr
+        ),
+        newg AS (
+            SELECT vec_id, nbr FROM (
+                SELECT cd.vec_id, cd.nbr,
+                       ROW_NUMBER() OVER (PARTITION BY cd.vec_id
+                                          ORDER BY {_NND_COS_DUCK} DESC,
+                                                   cd.nbr) AS rn
+                FROM cand cd
+                JOIN nnd_corpus p ON p.vec_id = cd.vec_id
+                JOIN nnd_corpus c ON c.vec_id = cd.nbr
+            ) r WHERE rn <= 5
+        )
+        SELECT n.vec_id, n.nbr,
+               (SELECT MAX(iter) FROM it) AS prev_iter
+        FROM newg n
+        CROSS JOIN (SELECT COUNT(*) AS d
+                    FROM newg x LEFT JOIN it p
+                      ON p.vec_id = x.vec_id AND p.nbr = x.nbr
+                    WHERE p.nbr IS NULL) g
+        WHERE g.d > 0 AND (SELECT MAX(iter) FROM it) < {_NND_MAX_ROUNDS}
+    ) z
+),
+nnd_final AS (
+    SELECT vec_id, nbr FROM it WHERE iter = (SELECT MAX(iter) FROM it)
+),
+summary AS ({_nnd_summary_sql(_NND_COS_DUCK,
+                              "(SELECT CAST(MAX(iter) AS BIGINT) FROM it)")})
+SELECT * FROM summary
+"""
+
+_nn_descent_converged.__name__ = "nn_descent_converged"
+query(
+    "nn_descent_converged",
+    oracle=_NND_CONV_DUCK,
+    tags=("similarity", "ann", "nn-descent", "graph", "iterative",
+          "convergence-gated"),
+    # Data-dependent depth: correctness-gated but kept out of the
+    # bench suite — nn_descent_round_recall is the benched fixed-depth
+    # representative of the same per-round plan.
+    bench=False,
+)(_nn_descent_converged)
