@@ -843,6 +843,157 @@ _pair(
 )
 
 
+# --- full BPE training loop (merge -> re-segment, iterated) -----------------
+# The production form of `bpe_top_merges` (VERDICT r10 item 3): real
+# tokenizer training iterates census -> argmax merge -> re-segment
+# (Sennrich et al. 2016, learn_bpe), so this runs the loop for a fixed
+# small merge budget and emits the learned MERGE TABLE — the actual
+# artifact BPE training produces — with per-step pair counts
+# value-pinned. State is the word-TYPE relation (segmentation, count):
+# segmentations are bracket-delimited symbol strings ('[p][a][r]'),
+# and applying merge (x, y) is `replace(syms, '[x][y]', '[xy]')` —
+# both engines' replace() scans left-to-right and resumes AFTER the
+# inserted replacement, which IS BPE's greedy non-overlapping merge
+# order ('[a][a][a][a]' -> '[aa][aa]'); the bracket wrapping keeps
+# adjacent matches from sharing boundary characters (the corpus is
+# restricted to ^[a-z]+$ word types, so brackets cannot collide with
+# content). Ties in the argmax break on (count DESC, x, y) — ASCII
+# compares identical across engines; all counts are exact integers.
+# The DuckDB oracle unrolls the identical recurrence as a recursive
+# CTE over the word-type relation and re-derives each step's argmax
+# from the step census. Scale shape per round: ONE groupBy(pair) with
+# map-side combine over exploded adjacent positions (corpus-linear in
+# word-type volume — word types, not corpus tokens, which is why real
+# BPE trainers run on the type census), a 1-row argmax collect, and a
+# narrow map to re-segment; the loop is merge-budget-bounded, and at
+# a production budget (30k merges) the same plan amortizes the census
+# over an incremental pair-delta — documented, not implemented, since
+# the oracle-checkable unit is the exact recurrence.
+_BPE_MAX_MERGES = 8
+
+_BPE_STATE_SQL = """
+SELECT array_join(transform(sequence(1, length(w)),
+                  i -> concat('[', substring(w, i, 1), ']')), '') AS syms,
+       cnt
+FROM (
+    SELECT w, COUNT(*) AS cnt FROM (
+        SELECT explode(split(lower(text), ' ')) AS w
+        FROM documents WHERE length(text) > 0
+    ) u WHERE w RLIKE '^[a-z]+$' AND length(w) >= 2
+    GROUP BY w
+) words
+"""
+
+_BPE_CENSUS_SQL = r"""
+SELECT x, y, CAST(SUM(cnt) AS BIGINT) AS n FROM (
+    SELECT element_at(t, i) AS x, element_at(t, i + 1) AS y, cnt
+    FROM (
+        SELECT t, cnt, explode(sequence(1, size(t) - 1)) AS i
+        FROM (SELECT regexp_extract_all(syms, '\\[([^\\]]*)\\]', 1) AS t,
+                     cnt FROM bpe_state) toks
+        WHERE size(t) >= 2
+    ) pos
+) pairs GROUP BY x, y ORDER BY n DESC, x, y LIMIT 1
+"""
+
+
+def _bpe_train_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterated BPE merge learning (see block comment)."""
+    register_views(spark, sf_dir, ["documents"])
+    # Checkpoint ONCE after the corpus-wide type census; per-round
+    # re-segmentation is a NARROW map (replace) over the tiny
+    # word-type relation, so the loop accumulates at most
+    # _BPE_MAX_MERGES narrow stages on top of the checkpoint instead
+    # of paying a materialization job per merge — each round is then a
+    # single census job. (At a production 30k-merge budget the chain
+    # would be re-truncated every ~32 merges, same as the CC loop.)
+    base = truncate_lineage(spark.sql(_BPE_STATE_SQL), spark)
+    state = base
+    merges: list[tuple] = []
+    while len(merges) < _BPE_MAX_MERGES:
+        state.createOrReplaceTempView("bpe_state")
+        top = spark.sql(_BPE_CENSUS_SQL).collect()
+        if not top:
+            break
+        x, y, n = top[0]["x"], top[0]["y"], top[0]["n"]
+        merges.append((len(merges) + 1, x, y, x + y, n))
+        state = state.selectExpr(
+            f"replace(syms, '[{x}][{y}]', '[{x}{y}]') AS syms", "cnt"
+        )
+    release_lineage(base)
+    return spark.createDataFrame(
+        merges,
+        "step bigint, left_sym string, right_sym string, merged string, "
+        "pair_count bigint",
+    )
+
+
+_BPE_TRAIN_DUCK = r"""
+WITH RECURSIVE
+words AS (
+    SELECT w, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(lower(text), ' ')) AS w
+        FROM documents WHERE length(text) > 0
+    ) u WHERE regexp_matches(w, '^[a-z]+$') AND len(w) >= 2
+    GROUP BY w
+),
+it(step, syms, cnt) AS (
+    SELECT 0,
+           array_to_string(list_transform(range(1, len(w) + 1),
+                           i -> '[' || substr(w, i, 1) || ']'), ''),
+           cnt
+    FROM words
+    UNION ALL
+    SELECT step + 1,
+           replace(syms, '[' || b.x || '][' || b.y || ']',
+                   '[' || b.x || b.y || ']'),
+           cnt
+    FROM it
+    CROSS JOIN (
+        SELECT x, y FROM (
+            SELECT t[i] AS x, t[i + 1] AS y, SUM(cnt) AS n
+            FROM (
+                SELECT regexp_extract_all(syms, '\[([^\]]*)\]', 1) AS t,
+                       cnt,
+                       unnest(range(1, len(regexp_extract_all(syms,
+                           '\[([^\]]*)\]', 1)))) AS i
+                FROM it
+            ) p GROUP BY t[i], t[i + 1]
+        ) c ORDER BY n DESC, x, y LIMIT 1
+    ) b
+    WHERE step < %(budget)d
+),
+census_all AS (
+    SELECT step, t[i] AS x, t[i + 1] AS y, SUM(cnt) AS n
+    FROM (
+        SELECT step, regexp_extract_all(syms, '\[([^\]]*)\]', 1) AS t,
+               cnt,
+               unnest(range(1, len(regexp_extract_all(syms,
+                   '\[([^\]]*)\]', 1)))) AS i
+        FROM it
+    ) p GROUP BY step, t[i], t[i + 1]
+),
+ranked AS (
+    SELECT step, x, y, n,
+           ROW_NUMBER() OVER (PARTITION BY step ORDER BY n DESC, x, y) AS rn
+    FROM census_all
+)
+SELECT CAST(step + 1 AS BIGINT) AS step,
+       x AS left_sym, y AS right_sym, x || y AS merged,
+       CAST(n AS BIGINT) AS pair_count
+FROM ranked
+WHERE rn = 1 AND step < (SELECT MAX(step) FROM it)
+ORDER BY step
+""" % {"budget": _BPE_MAX_MERGES}
+
+_bpe_train_iterated.__name__ = "bpe_train_iterated"
+query(
+    "bpe_train_iterated",
+    oracle=_BPE_TRAIN_DUCK,
+    tags=("lmdata", "tokenizer", "bpe", "iterative"),
+)(_bpe_train_iterated)
+
+
 # --- cross-lingual vocabulary overlap matrix -------------------------------
 # The cross-lingual leakage diagnostic: Jaccard overlap of distinct
 # token vocabularies between every language pair. High en/xx overlap

@@ -80,6 +80,9 @@ TIER = [
     # crept over 2 s in the final continuation bench (1.24 -> 2.12 s,
     # within the regression gate; the ramp rule keys off the record)
     "dsir_importance_resample",
+    # round-11: the full BPE training loop measures ~3 s at sf0.1
+    # (8 census rounds; corpus-linear type census per round)
+    "bpe_train_iterated",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -817,3 +817,44 @@ def test_assortativity_single_edge_join(spark):
     plan = _plan(spark, "degree_assortativity")
     assert "CartesianProduct" not in plan
     assert _data_exchanges(plan) <= 9, plan
+
+
+def test_bpe_train_census_single_aggregation_no_join(spark):
+    """The BPE training round's cost is ONE groupBy(pair) census with
+    map-side combine over the word-type relation, argmax'd by a
+    TakeOrdered (never a global sort), and the re-segmentation is a
+    narrow map — no join anywhere in the loop. Pin the census plan and
+    the type-census scan's column pruning (only `text` is read)."""
+    from crypto_lakehouse_spark.io import register_views
+    from crypto_lakehouse_spark.queries.lmdata_ops import (
+        _BPE_CENSUS_SQL,
+        _BPE_STATE_SQL,
+    )
+
+    register_views(spark, SF, ["documents"])
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted"
+    )
+
+    state = spark.sql(_BPE_STATE_SQL)
+    state_plan = state._jdf.queryExecution().explainString(mode)
+    assert "Join" not in state_plan
+    read_schema = [
+        line for line in state_plan.splitlines() if "ReadSchema" in line
+    ]
+    assert read_schema and "text" in read_schema[0]
+    assert "doc_id" not in read_schema[0], "type census reads pruned columns"
+
+    state.createOrReplaceTempView("bpe_state")
+    census_plan = (
+        spark.sql(_BPE_CENSUS_SQL)
+        ._jdf.queryExecution()
+        .explainString(mode)
+    )
+    assert "Join" not in census_plan
+    assert "TakeOrderedAndProject" in census_plan, (
+        "argmax must be a TakeOrdered, not a global Sort+Limit"
+    )
+    partials = census_plan.count("HashAggregate")
+    assert partials >= 2, "pair census lost its map-side combine"
