@@ -828,3 +828,179 @@ def bbit_minhash_estimate_error(
         + ","
         + _BBIT_TAIL.format(bandkey=_BANDKEY_SPARK)
     )
+
+
+# --- URL/host canonicalization dedup family ---------------------------------
+# The standard corpus-prep pass a web-crawl pipeline runs before
+# content dedup (VERDICT r10 item 4): canonicalize each record's URL
+# (RFC 3986 normalization + tracker stripping) and collapse records
+# that differ only in URL noise. The testdata carries no URL column,
+# so the fixture DERIVES a messy-but-deterministic URL per document
+# in-SQL, identically in both engines, from md5(doc_id) bits: scheme
+# case (http/HTTP/https/HTTPS), optional www./WWW. prefix, host case,
+# explicit default port (:80/:443 matching the scheme), trailing
+# slash, kept params (id, sort) in shuffled order, tracking params
+# (utm_source, ref) and a #fragment. Docs within a source share
+# canonical pages via doc_id % 50, so canonicalization exposes real
+# duplicate groups.
+#
+# Canonicalization rules (each exercised by a fixture bit):
+#   lowercase scheme+host | strip www. | strip default port |
+#   strip fragment | drop utm_*/ref= params | sort kept params |
+#   strip trailing slash. The canonical key deliberately folds the
+#   SCHEME away (http/https duplicates are one resource for dedup
+#   purposes); raw-variant counts keep the information auditable.
+# Scale shape: both queries are ONE hash groupBy over a map-side
+# derived key — no joins, corpus-linear, the same shape as
+# doc_exact_dedup.
+
+_URL_FIXTURE_SQL = """
+SELECT doc_id, source, url,
+       CASE WHEN url LIKE '%utm_%' OR url LIKE '%ref=%'
+            THEN 1 ELSE 0 END AS has_tracking
+FROM (
+    SELECT doc_id, source,
+        (CASE WHEN substr(h, 1, 1) < '4' THEN 'http'
+              WHEN substr(h, 1, 1) < '8' THEN 'HTTP'
+              WHEN substr(h, 1, 1) < 'c' THEN 'https'
+              ELSE 'HTTPS' END)
+        || '://'
+        || (CASE WHEN substr(h, 2, 1) < '6' THEN 'www.'
+                 WHEN substr(h, 2, 1) < '9' THEN 'WWW.' ELSE '' END)
+        || (CASE WHEN substr(h, 3, 1) < '8' THEN source
+                 ELSE upper(source) END)
+        || '.example.com'
+        || (CASE WHEN substr(h, 4, 1) < '4'
+                 THEN (CASE WHEN substr(h, 1, 1) < '8'
+                            THEN ':80' ELSE ':443' END)
+                 ELSE '' END)
+        || '/articles/' || CAST(page AS STRING)
+        || (CASE WHEN substr(h, 5, 1) < '8' THEN '/' ELSE '' END)
+        || (CASE WHEN qs <> '' THEN '?' || qs ELSE '' END)
+        || (CASE WHEN substr(h, 11, 1) < '4' THEN '#top' ELSE '' END)
+        AS url
+    FROM (
+        SELECT doc_id, source, h, page,
+               CASE WHEN substr(h, 10, 1) < '8'
+                    THEN concat_ws('&', pid, psort, putm, pref)
+                    ELSE concat_ws('&', putm, pref, psort, pid)
+               END AS qs
+        FROM (
+            SELECT doc_id, source, h, page,
+                   CASE WHEN substr(h, 6, 1) < 'c'
+                        THEN 'id=' || CAST(page % 7 AS STRING) END AS pid,
+                   CASE WHEN substr(h, 7, 1) < '6'
+                        THEN 'sort=asc' END AS psort,
+                   CASE WHEN substr(h, 8, 1) < '8'
+                        THEN 'utm_source=feed' END AS putm,
+                   CASE WHEN substr(h, 9, 1) < '4'
+                        THEN 'ref=tw' END AS pref
+            FROM (
+                SELECT doc_id, source,
+                       md5(CAST(doc_id AS STRING)) AS h,
+                       doc_id % 50 AS page
+                FROM documents
+                WHERE doc_id IS NOT NULL AND source IS NOT NULL
+            ) seed
+        ) params
+    ) assembled
+) final
+"""
+
+
+def _url_canon_sql(nofrag: str, keep_params: str) -> str:
+    """Canonical-key derivation over the `urls` CTE. `nofrag` strips
+    the #fragment from column `url`; `keep_params` filters+sorts+joins
+    the query string `q` (dialect-split list ops)."""
+    return f"""
+canon AS (
+    SELECT doc_id, url, has_tracking,
+           host || path
+           || (CASE WHEN kept <> '' THEN '?' || kept ELSE '' END)
+               AS canonical_url,
+           host
+    FROM (
+        SELECT doc_id, url, has_tracking,
+               regexp_replace(regexp_replace(
+                   lower(regexp_extract(nf, '^[a-zA-Z]+://([^/?#]*)', 1)),
+                   '^www[.]', ''), ':(80|443)$', '') AS host,
+               regexp_replace(
+                   regexp_extract(nf, '^[a-zA-Z]+://[^/?#]*([^?#]*)', 1),
+                   '/$', '') AS path,
+               {keep_params} AS kept
+        FROM (
+            -- regex literals stay backslash-free ([?], [.]) so the
+            -- same pattern text survives BOTH engines' string-literal
+            -- escaping rules (Spark unescapes backslashes in '...',
+            -- DuckDB does not).
+            SELECT doc_id, url, has_tracking, {nofrag} AS nf,
+                   regexp_extract({nofrag}, '[?](.*)$', 1) AS q
+            FROM urls
+        ) parts
+    ) pieces
+)
+"""
+
+
+_URL_KEEP_SPARK = (
+    "array_join(array_sort(filter(split(q, '&'), "
+    "p -> p <> '' AND substr(p, 1, 4) <> 'utm_' "
+    "AND substr(p, 1, 4) <> 'ref=')), '&')"
+)
+_URL_KEEP_DUCK = (
+    "array_to_string(list_sort(list_filter(string_split(q, '&'), "
+    "p -> p <> '' AND substr(p, 1, 4) <> 'utm_' "
+    "AND substr(p, 1, 4) <> 'ref=')), '&')"
+)
+_URL_NOFRAG_SPARK = "element_at(split(url, '#'), 1)"
+_URL_NOFRAG_DUCK = "string_split(url, '#')[1]"
+
+
+def _url_dedup_sql(nofrag: str, keep: str) -> str:
+    return (
+        "WITH urls AS (" + _URL_FIXTURE_SQL + "),\n"
+        + _url_canon_sql(nofrag, keep)
+        + """
+SELECT canonical_url,
+       CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+       MIN(doc_id) AS survivor_doc_id,
+       CAST(COUNT(DISTINCT url) AS BIGINT) AS n_raw_variants
+FROM canon
+GROUP BY canonical_url
+HAVING COUNT(*) > 1
+ORDER BY canonical_url
+"""
+    )
+
+
+def _host_census_sql(nofrag: str, keep: str) -> str:
+    return (
+        "WITH urls AS (" + _URL_FIXTURE_SQL + "),\n"
+        + _url_canon_sql(nofrag, keep)
+        + """
+SELECT host,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT canonical_url) AS BIGINT) AS n_canonical,
+       ROUND(1.0 - CAST(COUNT(DISTINCT canonical_url) AS DOUBLE)
+                 / COUNT(*), 9) AS dup_rate,
+       CAST(SUM(has_tracking) AS BIGINT) AS n_tracking_urls
+FROM canon
+GROUP BY host
+ORDER BY host
+"""
+    )
+
+
+_pair(
+    "url_canonical_dedup",
+    _url_dedup_sql(_URL_NOFRAG_SPARK, _URL_KEEP_SPARK),
+    _url_dedup_sql(_URL_NOFRAG_DUCK, _URL_KEEP_DUCK),
+    tags=("curation", "dedup", "url", "canonicalization"),
+)
+
+_pair(
+    "host_dup_census",
+    _host_census_sql(_URL_NOFRAG_SPARK, _URL_KEEP_SPARK),
+    _host_census_sql(_URL_NOFRAG_DUCK, _URL_KEEP_DUCK),
+    tags=("curation", "dedup", "url", "host-census"),
+)
