@@ -139,6 +139,7 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         txn: tuple[str, int] | None = None,
         conflict: dict | None = None,
+        column_mapping: dict[str, str] | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -176,7 +177,14 @@ class VersionedTable:
         while True:
             try:
                 return self._publish(
-                    files, op, base, added_columns, constraints, txn, conflict
+                    files,
+                    op,
+                    base,
+                    added_columns,
+                    constraints,
+                    txn,
+                    conflict,
+                    column_mapping,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -216,6 +224,7 @@ class VersionedTable:
         constraints: dict[str, str] | None = None,
         txn: tuple[str, int] | None = None,
         conflict: dict | None = None,
+        column_mapping: dict[str, str] | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -262,6 +271,16 @@ class VersionedTable:
                 if added_columns is not None
                 else prev.get("added_columns", {})
             ),
+            # RENAME COLUMN metadata (Delta columnMapping name-mode
+            # analog): logical name -> stable physical name. Files
+            # always store physical names; reads rename physical ->
+            # logical per the manifest of the version being read, so
+            # old files stay readable and time travel crosses renames.
+            "column_mapping": (
+                column_mapping
+                if column_mapping is not None
+                else prev.get("column_mapping", {})
+            ),
             # CHECK constraints and per-app transaction watermarks ride
             # the manifest chain the same way.
             "constraints": (
@@ -301,12 +320,110 @@ class VersionedTable:
             os.remove(tmp)
         return version
 
+    # -- column mapping (RENAME COLUMN) -------------------------------------
+    def _column_mapping(self, version: int | None = None) -> dict[str, str]:
+        """logical -> physical name map recorded at `version` (default:
+        current); {} for unevolved tables and pre-mapping manifests."""
+        cur = self.current_version()
+        if cur is None:
+            return {}
+        return self._load(cur if version is None else version).get(
+            "column_mapping", {}
+        )
+
+    @staticmethod
+    def _apply_column_mapping(df: DataFrame, mapping: dict[str, str]) -> DataFrame:
+        """Physical -> logical renames on a scanned frame. Safe as a
+        plain rename sequence: rename_column() rejects any logical name
+        that collides with another column's physical name, so no
+        intermediate state can hold duplicate column names."""
+        for logical, physical in mapping.items():
+            if physical in df.columns and logical != physical:
+                df = df.withColumnRenamed(physical, logical)
+        return df
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN (Delta columnMapping name-mode
+        analog): a METADATA-ONLY commit — no data file is touched.
+        Every column keeps a stable PHYSICAL name (the name it was
+        first written under); this commit records logical->physical in
+        the manifest's `column_mapping`, writes after the rename keep
+        storing the physical name, and reads rename physical->logical
+        using the manifest of the version being read — so pre-rename
+        files stay readable and time travel across the rename returns
+        each version's own column names.
+
+        Restrictions (fail fast, same spirit as Delta's):
+        - partition columns cannot be renamed (their physical names
+          are baked into `col=value` directory layout);
+        - the new name may not collide with another column's physical
+          name (a later write would then hold duplicate physical
+          columns — Delta avoids this with UUID physical names; this
+          implementation keeps human-readable physical names and
+          rejects the collision instead);
+        - CHECK constraints referencing the old name must be dropped
+          first (their exprs are SQL text over logical names)."""
+        import re
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"{self.path}: no committed version to evolve")
+        cols = self.read().columns
+        if old not in cols:
+            raise ValueError(f"{self.path}: no column {old!r} to rename")
+        if new in cols:
+            raise ValueError(f"{self.path}: column {new!r} already exists")
+        if old in self.partition_by:
+            raise ValueError(
+                f"{self.path}: cannot rename partition column {old!r}: "
+                "its physical name is baked into the col=value directory "
+                "layout; rewrite the table to re-partition instead"
+            )
+        m = self._load(cur)
+        for cname, expr in m.get("constraints", {}).items():
+            if re.search(rf"\b{re.escape(old)}\b", expr):
+                raise ValueError(
+                    f"{self.path}: constraint {cname!r} ({expr}) references "
+                    f"{old!r}; drop it before renaming and re-add against "
+                    "the new name"
+                )
+        mapping = dict(m.get("column_mapping", {}))
+        physical = mapping.pop(old, old)
+        phys_names = set(mapping.values())
+        schema = m.get("table_schema")
+        if schema:
+            phys_names |= {f["name"] for f in schema.get("fields", [])}
+        if new in phys_names and new != physical:
+            raise ValueError(
+                f"{self.path}: cannot rename {old!r} to {new!r}: {new!r} is "
+                "another column's physical storage name; a write after the "
+                "rename would hold duplicate physical columns"
+            )
+        if new != physical:
+            mapping[new] = physical
+        added = dict(m.get("added_columns", {}))
+        if old in added:
+            added[new] = added.pop(old)
+        return self._commit(
+            m["files"],
+            f"rename_column({old}->{new})",
+            base=cur,
+            added_columns=added,
+            column_mapping=mapping,
+        )
+
     # -- writes ------------------------------------------------------------
     def _write_files(self, df: DataFrame) -> list[str]:
         """Write `df` as immutable part files inside the table layout;
         return their table-relative paths. Files land in standard
         `col=value` partition dirs so partition discovery/pruning work,
-        under a commit-unique name prefix so they never collide."""
+        under a commit-unique name prefix so they never collide.
+        Logical columns are renamed back to their stable PHYSICAL
+        names first (column mapping), so file schemas stay uniform
+        across renames."""
+        for logical, physical in self._column_mapping().items():
+            if logical in df.columns and logical != physical:
+                df = df.withColumnRenamed(logical, physical)
         staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
         w = df.write.mode("overwrite")
         if self.partition_by:
@@ -550,6 +667,12 @@ class VersionedTable:
         existing = self.read().columns
         if name in existing:
             raise ValueError(f"{self.path}: column {name!r} already exists")
+        if name in set(m.get("column_mapping", {}).values()):
+            raise ValueError(
+                f"{self.path}: column name {name!r} is a renamed column's "
+                "physical storage name; adding it would collide in files "
+                "written after the rename"
+            )
         added = dict(m.get("added_columns", {}))
         added[name] = {"type": dtype, "default": default}
         return self._commit(
@@ -592,6 +715,14 @@ class VersionedTable:
                     f"MERGE source has column(s) {new_cols} the target "
                     "lacks; pass merge_schema=True to evolve the schema "
                     "(Delta schema.autoMerge)"
+                )
+            phys = set(self._load(cur).get("column_mapping", {}).values())
+            clash = [c for c in new_cols if c in phys]
+            if clash:
+                raise ValueError(
+                    f"{self.path}: MERGE source column(s) {clash} collide "
+                    "with renamed columns' physical storage names; rename "
+                    "them in the source before merging"
                 )
             added_columns = dict(self._load(cur).get("added_columns", {}))
             for c in new_cols:
@@ -714,6 +845,15 @@ class VersionedTable:
         files, stats = m["files"], m.get("stats", {})
         if not between and not point:
             return files, len(files)
+        # Callers bound LOGICAL column names; footer stats and Bloom
+        # indexes are keyed by the PHYSICAL names files are written
+        # under — translate through the version's column mapping.
+        mapping = m.get("column_mapping", {})
+        if mapping:
+            between = {
+                mapping.get(c, c): b for c, b in (between or {}).items()
+            } or None
+            point = {mapping.get(c, c): v for c, v in (point or {}).items()} or None
         selected = []
         for f in files:
             fs = dict(stats.get(f, {}))
@@ -806,11 +946,13 @@ class VersionedTable:
         mixing pre- and post-evolution files can neither take a stale
         schema from an old file nor drop an evolved column's values."""
         cur = self.current_version()
-        added = self._load(cur).get("added_columns", {}) if cur is not None else {}
+        snap = self._load(cur) if cur is not None else {}
+        added = snap.get("added_columns", {})
         reader = self.spark.read.option("basePath", self.path)
         if added:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*(os.path.join(self.path, f) for f in sorted(files)))
+        df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         return self._apply_added_columns(df, added)
 
     def _apply_added_columns(self, df: DataFrame, added: dict) -> DataFrame:
@@ -960,6 +1102,9 @@ class VersionedTable:
             if stored is None:
                 raise ValueError(f"{self.path}: empty snapshot")
             df = self.spark.createDataFrame([], StructType.fromJson(stored))
+            df = self._apply_column_mapping(
+                df, snap0.get("column_mapping", {})
+            )
             return self._apply_added_columns(
                 df, snap0.get("added_columns", {})
             )
@@ -967,9 +1112,8 @@ class VersionedTable:
             df = self.read(version=version, merge_schema=merge_schema)
             return df.limit(0)
         cur = self.current_version()
-        added = self._load(cur if version is None else version).get(
-            "added_columns", {}
-        )
+        snap = self._load(cur if version is None else version)
+        added = snap.get("added_columns", {})
         reader = self.spark.read.option("basePath", self.path)
         if merge_schema or added:
             # Declared added columns imply mixed file schemas: union
@@ -978,6 +1122,9 @@ class VersionedTable:
         df = reader.parquet(*(os.path.join(self.path, f) for f in files))
         from pyspark.sql import functions as F
 
+        # Physical -> logical renames FIRST (files store physical
+        # names), then added-column backfill (declared on logical).
+        df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         df = self._apply_added_columns(df, added)
         for col, (lo, hi) in (between or {}).items():
             df = df.where(F.col(col).between(lo, hi))
@@ -1272,6 +1419,7 @@ class VersionedTable:
                 f"restore(v{version})",
                 base=self.current_version(),
                 added_columns=snap.get("added_columns", {}),
+                column_mapping=snap.get("column_mapping", {}),
             )
         finally:
             self._last_write_stats = {}

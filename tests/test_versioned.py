@@ -1025,3 +1025,115 @@ def test_occ_threaded_appends_all_land(spark, table):
     assert got == {0, 100, 101, 200, 201, 300, 301}
     # One version per commit, no gaps, no lost writes.
     assert table.versions() == list(range(7))
+
+
+# -- RENAME COLUMN / column mapping (VERDICT r10 item 5) ---------------------
+
+
+def test_rename_column_metadata_only_old_files_readable(spark, table):
+    table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]))
+    files_before = set(table._load(0)["files"])
+    v = table.rename_column("v", "amount")
+    assert v == 1
+    assert set(table._load(1)["files"]) == files_before, "data files touched"
+    got = {(r.k, r.amount) for r in table.read().collect()}
+    assert got == {(1, 10), (2, 20)}
+    assert "v" not in table.read().columns
+
+
+def test_rename_then_merge_then_time_travel(spark, table):
+    # The full chain the verdict asks for: rename -> merge (writes
+    # post-rename files under the stable physical name) -> time travel
+    # back across the rename.
+    table.append(_df(spark, [(1, "a", 10), (2, "a", 20), (3, "b", 30)]))
+    table.rename_column("v", "amount")
+    src = spark.createDataFrame([(2, "a", 99), (4, "a", 40)],
+                                ["k", "day", "amount"])
+    table.merge(src, keys=["k"])
+    got = {(r.k, r.amount) for r in table.read().collect()}
+    assert got == {(1, 10), (2, 99), (3, 30), (4, 40)}
+    # Post-rename files still store the PHYSICAL name: mixed-vintage
+    # reads need no mergeSchema union beyond the usual path.
+    import pyarrow.parquet as pq
+
+    newest = sorted(
+        set(table._load(2)["files"]) - set(table._load(0)["files"])
+    )
+    for f in newest:
+        names = pq.ParquetFile(os.path.join(table.path, f)).schema_arrow.names
+        assert "v" in names and "amount" not in names
+    # Time travel: v0 predates the rename and shows the old name.
+    old = table.read(version=0)
+    assert "v" in old.columns and "amount" not in old.columns
+    assert {(r.k, r.v) for r in old.collect()} == {(1, 10), (2, 20), (3, 30)}
+    # v1 (the rename commit itself) shows the new name over old files.
+    assert "amount" in table.read(version=1).columns
+
+
+def test_rename_column_roundtrip_and_stats_skipping(spark, tmp_path):
+    # File skipping must translate logical bounds through the mapping:
+    # stats are keyed by the physical name.
+    t = VersionedTable(spark, str(tmp_path / "t2"))
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(100)],
+                                   ["k", "v"]).coalesce(1))
+    t.append(spark.createDataFrame([(i, i * 10) for i in range(100, 200)],
+                                   ["k", "v"]).coalesce(1))
+    t.rename_column("v", "amount")
+    sel, total = t.files_for_scan(between={"amount": (0, 500)})
+    assert total == 2 and len(sel) == 1, "logical bound did not skip files"
+    rows = t.read(between={"amount": (0, 500)}).collect()
+    assert {r.amount for r in rows} == {i * 10 for i in range(51)}
+    # Rename back: mapping entry collapses (new == physical).
+    t.rename_column("amount", "v")
+    assert t._column_mapping() == {}
+    assert {r.v for r in t.read(between={"v": (0, 20)}).collect()} == {0, 10, 20}
+
+
+def test_rename_column_guards(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    with pytest.raises(ValueError, match="no column"):
+        table.rename_column("nope", "x")
+    with pytest.raises(ValueError, match="already exists"):
+        table.rename_column("v", "k")
+    with pytest.raises(ValueError, match="partition column"):
+        table.rename_column("day", "dt")
+    table.rename_column("v", "val")
+    # Adding a column under the physical storage name is rejected.
+    with pytest.raises(ValueError, match="physical storage name"):
+        table.add_column("v", "bigint")
+    # And renaming another column ONTO a physical name is rejected.
+    with pytest.raises(ValueError, match="physical storage name"):
+        table.rename_column("k", "v")
+
+
+def test_rename_column_constraint_reference_blocks(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.add_constraint("v_positive", "v > 0")
+    with pytest.raises(ValueError, match="constraint"):
+        table.rename_column("v", "amount")
+    table.drop_constraint("v_positive")
+    table.rename_column("v", "amount")
+    assert "amount" in table.read().columns
+
+
+def test_rename_column_add_column_interplay(spark, table):
+    # Renaming a metadata-only added column moves its added_columns
+    # spec, and the default still backfills under the new name.
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.add_column("score", "double", default=1.5)
+    table.rename_column("score", "quality")
+    row = table.read().collect()[0]
+    assert row.quality == 1.5
+    assert "score" not in table.read().columns
+
+
+def test_rename_survives_restore(spark, table):
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.rename_column("v", "amount")
+    table.append(spark.createDataFrame([(2, "b", 20)], ["k", "day", "amount"]))
+    table.restore(1)  # restore to the rename commit's snapshot
+    df = table.read()
+    assert "amount" in df.columns and df.count() == 1
+    table.restore(0)  # restore to BEFORE the rename: old logical name
+    df0 = table.read()
+    assert "v" in df0.columns and "amount" not in df0.columns
