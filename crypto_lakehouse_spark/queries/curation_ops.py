@@ -1004,3 +1004,144 @@ _pair(
     _host_census_sql(_URL_NOFRAG_DUCK, _URL_KEEP_DUCK),
     tags=("curation", "dedup", "url", "host-census"),
 )
+
+
+# --- PII detection census + redaction pass -----------------------------------
+# The pre-training privacy pass every public corpus pipeline runs
+# (Dolma's PII tagger, CCNet/RefinedWeb variants): regex-detect
+# emails / phone numbers / IPv4s / long account-number digit runs,
+# census them per source, and REDACT them with class tokens. The
+# synthetic corpus has no organic PII, so — like the URL family — a
+# deterministic fixture derives it in-SQL identically in both engines:
+# md5(doc_id) bits decide which classes are appended to each doc's
+# text, with the spans themselves built from doc_id arithmetic.
+# Patterns are backslash-free ([0-9] classes, [.] literals) so ONE
+# pattern text survives both engines' string-literal escaping, and
+# conservative enough to behave identically under Java regex and RE2.
+# Scale shape: both queries are a single map-side projection + one
+# groupBy(source) with map-side combine — corpus-linear, no joins.
+# The redaction twin also value-pins residual_matches = 0 per class,
+# i.e. the oracle PROVES the redaction chain removed everything the
+# census found (chain order email -> phone -> ip -> idnum, identical
+# in both engines).
+
+_PII_FIXTURE_SQL = """
+SELECT doc_id, source,
+    text
+    || CASE WHEN substr(h, 1, 1) < '8'
+            THEN ' contact user' || CAST(doc_id AS STRING) || '@mail'
+                 || CAST(doc_id % 7 AS STRING) || '.example.org'
+            ELSE '' END
+    || CASE WHEN substr(h, 2, 1) < '4'
+            THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')
+                 || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+            ELSE '' END
+    || CASE WHEN substr(h, 3, 1) < '4'
+            THEN ' ip 10.' || CAST(doc_id % 256 AS STRING) || '.'
+                 || CAST((doc_id * 7) % 256 AS STRING) || '.'
+                 || CAST((doc_id * 13) % 256 AS STRING)
+            ELSE '' END
+    || CASE WHEN substr(h, 4, 1) < '2'
+            THEN ' acct ' || lpad(CAST(doc_id AS STRING), 16, '4')
+            ELSE '' END
+    AS text
+FROM (
+    SELECT doc_id, source, text, md5(CAST(doc_id AS STRING)) AS h
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+) seed
+"""
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+[.][a-zA-Z]{2,}"
+_PII_PHONE = "[0-9]{3}[-][0-9]{3}[-][0-9]{4}"
+_PII_IPV4 = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_IDNUM = "[0-9]{12,19}"
+
+
+def _pii_census_sql(nmatch: str) -> str:
+    """`nmatch` formats (expr, pattern) -> match count (dialect)."""
+    counts = {
+        "email": _PII_EMAIL,
+        "phone": _PII_PHONE,
+        "ip": _PII_IPV4,
+        "idnum": _PII_IDNUM,
+    }
+    cols = ",\n           ".join(
+        f"{nmatch.format(e='text', p=p)} AS n_{k}" for k, p in counts.items()
+    )
+    agg = ",\n       ".join(
+        f"CAST(SUM(CASE WHEN n_{k} > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS docs_with_{k},\n       CAST(SUM(n_{k}) AS BIGINT) AS total_{k}"
+        for k in counts
+    )
+    return f"""
+WITH docs AS ({_PII_FIXTURE_SQL}),
+per_doc AS (
+    SELECT source,
+           {cols}
+    FROM docs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       {agg}
+FROM per_doc
+GROUP BY source
+ORDER BY source
+"""
+
+
+def _pii_redact_sql(nmatch: str, sub: str) -> str:
+    """`sub` formats (expr, pattern, replacement) -> global regex
+    substitution (dialect: DuckDB needs the 'g' flag)."""
+    red = sub.format(
+        e=sub.format(
+            e=sub.format(
+                e=sub.format(e="text", p=_PII_EMAIL, r="<EMAIL>"),
+                p=_PII_PHONE,
+                r="<PHONE>",
+            ),
+            p=_PII_IPV4,
+            r="<IP>",
+        ),
+        p=_PII_IDNUM,
+        r="<ID>",
+    )
+    residual = " + ".join(
+        nmatch.format(e="red", p=p)
+        for p in (_PII_EMAIL, _PII_PHONE, _PII_IPV4, _PII_IDNUM)
+    )
+    return f"""
+WITH docs AS ({_PII_FIXTURE_SQL}),
+redacted AS (
+    SELECT source, text, {red} AS red
+    FROM docs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN red <> text THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_docs_redacted,
+       CAST(SUM(length(text) - length(red)) AS BIGINT) AS chars_removed,
+       CAST(SUM({residual}) AS BIGINT) AS residual_matches
+FROM redacted
+GROUP BY source
+ORDER BY source
+"""
+
+
+_PII_NMATCH_SPARK = "size(regexp_extract_all({e}, '{p}', 0))"
+_PII_NMATCH_DUCK = "len(regexp_extract_all({e}, '{p}'))"
+_PII_SUB_SPARK = "regexp_replace({e}, '{p}', '{r}')"
+_PII_SUB_DUCK = "regexp_replace({e}, '{p}', '{r}', 'g')"
+
+_pair(
+    "pii_regex_census",
+    _pii_census_sql(_PII_NMATCH_SPARK),
+    _pii_census_sql(_PII_NMATCH_DUCK),
+    tags=("curation", "pii", "privacy", "data-quality"),
+)
+
+_pair(
+    "pii_redact_stats",
+    _pii_redact_sql(_PII_NMATCH_SPARK, _PII_SUB_SPARK),
+    _pii_redact_sql(_PII_NMATCH_DUCK, _PII_SUB_DUCK),
+    tags=("curation", "pii", "privacy", "redaction"),
+)
