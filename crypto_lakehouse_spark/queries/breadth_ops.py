@@ -820,3 +820,81 @@ ORDER BY band
 """,
     tags=("relational", "sql-udf", "spark4"),
 )(_sql_udf_price_bands)
+
+
+# --- Count-Min sketch with measured overestimate ----------------------------
+# The mergeable frequency sketch (Cormode & Muthukrishnan 2005) that
+# backs heavy-hitter counting when the vocabulary no longer fits an
+# exact census: d=4 hash rows x w=64 buckets (w deliberately << vocabulary so the one-sided error is actually exercised), cell[r][b] = total
+# count of tokens hashing to b under row r's hash, estimate(t) =
+# MIN_r cell[r][hash_r(t)] — ALWAYS >= the true count (one-sided
+# error), which the output pins per token as `overestimate`. Unlike
+# the HLL/percentile sketch twins, CMS needs no exactness gate: given
+# fixed hash functions (md5(r || ':' || token) -> first 8 hex digits
+# mod w, identical text in both engines) every cell and every MIN is
+# an exact integer, so the whole report value-hashes. Here the sketch
+# is built FROM the exact token census (the census is needed for the
+# error column anyway, and aggregating counts into cells is
+# associative — identical cells to streaming the raw tokens); a
+# production ingest skips the census and groupBy's the raw stream
+# straight into d x w cells with map-side combine: constant state,
+# corpus-linear, mergeable across shards/days by cell-wise addition.
+_CMS_D = 4
+_CMS_W = 64
+
+
+def _cms_sql(unnest_toks: str, hexint: str) -> str:
+    bucket = hexint.format(
+        h="substr(md5(CAST(r AS STRING) || ':' || token), 1, 8)"
+    )
+    return f"""
+WITH toks AS ({unnest_toks}),
+counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
+rws AS ({{rows}}),
+cells AS (
+    SELECT r, {bucket} % {_CMS_W} AS b, SUM(c) AS cell
+    FROM counts CROSS JOIN rws
+    GROUP BY r, {bucket} % {_CMS_W}
+),
+top20 AS (
+    SELECT token, c, rank FROM (
+        SELECT token, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, token) AS rank
+        FROM counts
+    ) x WHERE rank <= 20
+),
+est AS (
+    SELECT t.token, t.c, t.rank, MIN(cl.cell) AS estimate
+    FROM top20 t
+    CROSS JOIN rws
+    JOIN cells cl ON cl.r = rws.r
+     AND cl.b = {bucket.replace("token", "t.token").replace("CAST(r AS", "CAST(rws.r AS")} % {_CMS_W}
+    GROUP BY t.token, t.c, t.rank
+)
+SELECT token,
+       CAST(c AS BIGINT) AS exact_count,
+       CAST(estimate AS BIGINT) AS cms_estimate,
+       CAST(estimate - c AS BIGINT) AS overestimate,
+       CAST(rank AS BIGINT) AS rank
+FROM est
+ORDER BY rank
+"""
+
+
+_CMS_SPARK = _cms_sql(
+    "SELECT explode(split(text, ' ')) AS token FROM documents",
+    "CAST(conv({h}, 16, 10) AS BIGINT)",
+).format(rows=f"SELECT explode(sequence(0, {_CMS_D - 1})) AS r")
+
+_CMS_DUCK = _cms_sql(
+    "SELECT unnest(string_split(text, ' ')) AS token FROM documents",
+    "CAST(('0x' || {h}) AS BIGINT)",
+).format(rows=f"SELECT unnest(range(0, {_CMS_D})) AS r")
+
+_pair(
+    "countmin_sketch_error",
+    _CMS_SPARK,
+    _CMS_DUCK,
+    tables=["documents"],
+    tags=("lmdata", "sketch", "countmin", "heavy-hitters"),
+)
