@@ -2087,3 +2087,85 @@ query(
     # representative of the same per-round plan.
     bench=False,
 )(_nn_descent_converged)
+
+
+# --- Johnson-Lindenstrauss projection distortion census ---------------------
+# The dimensionality-reduction pre-pass embedding stores run before
+# clustering/ANN at scale (random signed projection, Achlioptas 2003):
+# project 64-d vectors to 16-d with a deterministic +-1 matrix
+# (sign(k, i) from md5('k:i'), the same derivation as the LSH
+# hyperplanes) scaled by 1/sqrt(16), and CENSUS the pairwise-distance
+# distortion the JL lemma promises on a 24-point panel (276 pairs):
+# per pair, original L2, projected L2, and their ratio. Every double
+# on the path is a sequential fold in a defined order (dims by index,
+# projection components by k), so both engines produce bit-identical
+# values and the rounded report value-hashes — the measured answer to
+# "how much does 4x compression distort MY distances", not a lemma
+# citation. Scale shape: the projection is a narrow per-row map
+# (64 x 16 multiply-adds inside codegen; at 100 TB it runs in the
+# ingest scan); only the 276-pair panel census joins, and the panel
+# is a constant.
+_JL_OUT = 16
+
+_JL_SIGN_SPARK = (
+    "CASE WHEN substr(md5(CAST({k} AS STRING) || ':' || CAST({i} AS STRING)),"
+    " 1, 1) IN ('8','9','a','b','c','d','e','f')"
+    " THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
+_JL_SIGN_DUCK = _JL_SIGN_SPARK  # same text: md5/substr/CASE are shared
+
+_JL_PROJ_SPARK = (
+    f"transform(sequence(0, {_JL_OUT - 1}), k -> "
+    "aggregate(zip_with(v, sequence(0, 63), (x, i) -> x * "
+    + _JL_SIGN_SPARK.format(k="k", i="i")
+    + f"), CAST(0.0 AS DOUBLE), (a, b) -> a + b) / SQRT({_JL_OUT}.0))"
+)
+_JL_PROJ_DUCK = (
+    f"list_transform(range(0, {_JL_OUT}), k -> "
+    "list_reduce(list_transform(range(1, 65), i -> v[i] * "
+    + _JL_SIGN_DUCK.format(k="k", i="i - 1")
+    + f"), (a, b) -> a + b) / SQRT({_JL_OUT}.0))"
+)
+
+
+def _jl_sql(dbl: str, proj: str, d2_dims: str, d2_proj: str) -> str:
+    return f"""
+WITH panel AS (
+    SELECT vec_id, {dbl.format(e='embedding')} AS v
+    FROM embeddings WHERE vec_id < 24
+),
+proj AS (
+    SELECT vec_id, v, {proj} AS p FROM panel
+)
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND(SQRT({d2_dims}), 9) AS dist_orig,
+       ROUND(SQRT({d2_proj}), 9) AS dist_proj,
+       ROUND(SQRT({d2_proj}) / SQRT({d2_dims}), 9) AS distortion
+FROM proj a JOIN proj b ON a.vec_id < b.vec_id
+ORDER BY vec_a, vec_b
+"""
+
+
+_JL_D2_DIMS_SPARK = (
+    "aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (s, t) -> s + t)"
+)
+_JL_D2_PROJ_SPARK = (
+    "aggregate(zip_with(a.p, b.p, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (s, t) -> s + t)"
+)
+_JL_D2_DIMS_DUCK = (
+    "list_reduce(list_transform(range(1, 65), "
+    "i -> (a.v[i] - b.v[i]) * (a.v[i] - b.v[i])), (s, t) -> s + t)"
+)
+_JL_D2_PROJ_DUCK = (
+    f"list_reduce(list_transform(range(1, {_JL_OUT + 1}), "
+    "i -> (a.p[i] - b.p[i]) * (a.p[i] - b.p[i])), (s, t) -> s + t)"
+)
+
+_pair(
+    "jl_projection_distortion",
+    _jl_sql(_D_SPARK, _JL_PROJ_SPARK, _JL_D2_DIMS_SPARK, _JL_D2_PROJ_SPARK),
+    _jl_sql(_D_DUCK, _JL_PROJ_DUCK, _JL_D2_DIMS_DUCK, _JL_D2_PROJ_DUCK),
+    tags=("similarity", "embedding", "projection", "jl-lemma"),
+)
