@@ -183,6 +183,16 @@ ROUND10B_EMPTY_SAFE = [
     ("anova_value_by_weekday", 1),
     ("multimodal_y4m_roundtrip", 0),
     ("streaming_cusum_alarms", 0),
+    # round-11 additions (swept green before listing, same protocol)
+    ("kmeans_converged", 0),
+    ("nn_descent_converged", 1),
+    ("bpe_train_iterated", 0),
+    ("url_canonical_dedup", 0),
+    ("host_dup_census", 0),
+    ("pii_regex_census", 0),
+    ("pii_redact_stats", 0),
+    ("countmin_sketch_error", 0),
+    ("jl_projection_distortion", 0),
 ]
 
 

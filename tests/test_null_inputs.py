@@ -47,6 +47,19 @@ NULL_SAFE_QUERIES = [
     "multimodal_ahash_near_dup",
     "embedding_cosine_topk",
     "doc_token_stats",
+    # round-11 additions — all nine also HASH-MATCH their oracles on
+    # the null fixture (differentially swept before listing; e.g.
+    # kmeans_converged drops the NULLed seed and converges to 3
+    # clusters identically in both engines)
+    "kmeans_converged",
+    "nn_descent_converged",
+    "bpe_train_iterated",
+    "url_canonical_dedup",
+    "host_dup_census",
+    "pii_regex_census",
+    "pii_redact_stats",
+    "countmin_sketch_error",
+    "jl_projection_distortion",
 ]
 
 
