@@ -858,3 +858,38 @@ def test_bpe_train_census_single_aggregation_no_join(spark):
     )
     partials = census_plan.count("HashAggregate")
     assert partials >= 2, "pair census lost its map-side combine"
+
+
+@pytest.mark.parametrize("name", ["url_canonical_dedup", "host_dup_census"])
+def test_url_family_single_agg_prunes_text(spark, name):
+    """The URL fixture derives everything from doc_id+source: the scan
+    must NOT read `text` (the wide column), and the census is joinless
+    map-side keyed aggregation."""
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0], (
+        "URL census reads the text column it never uses"
+    )
+
+
+@pytest.mark.parametrize("name", ["pii_regex_census", "pii_redact_stats"])
+def test_pii_family_joinless_map_side(spark, name):
+    plan = _plan(spark, name)
+    assert "Join" not in plan
+    partials = plan.count("HashAggregate")
+    assert partials >= 2, "PII census lost its map-side combine"
+
+
+def test_countmin_no_cartesian_and_pruned_scan(spark):
+    plan = _plan(spark, "countmin_sketch_error")
+    assert "CartesianProduct" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" in read_schema[0]
+    assert "doc_id" not in read_schema[0], "token census reads pruned columns"
+
+
+def test_jl_panel_filter_pushed(spark):
+    plan = _plan(spark, "jl_projection_distortion")
+    assert "PushedFilters" in plan
+    assert "LessThan(vec_id,24" in plan, "panel bound not pushed to scan"
