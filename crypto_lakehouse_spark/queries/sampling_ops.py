@@ -433,3 +433,48 @@ _pair(
     tables=["documents"],
     tags=("sampling", "weighted", "aes", "pipeline"),
 )
+
+
+# --- stratified k-fold assignment -------------------------------------------
+# The cross-validation prep `deterministic_split` does not cover:
+# hash-threshold splits give only EXPECTED proportions, while k-fold
+# CV needs folds of exactly-equal size within every stratum. Rank
+# docs within each lang stratum by a cryptographic hash (deterministic
+# pseudo-random order, no RNG state — same device as
+# stratified_sample_docs) and assign fold = (rank - 1) % k: every
+# stratum's folds differ in size by at most one BY CONSTRUCTION, a
+# property hash-bucketing cannot give. Census output is per
+# (stratum, fold) with doc_id bounds pinned. One window sort per
+# stratum (parallel across strata) + one aggregation; at 100 TB the
+# per-stratum sort is the same shape the engine already ramps for
+# stratified_sample_docs. Note the trade vs deterministic_split: a
+# row's fold CAN change when the stratum grows (rank shifts), so this
+# is the frozen-snapshot CV op, not the incremental-corpus split —
+# both belong in the toolbox and the docstrings say which to reach
+# for.
+_KFOLD = """
+WITH ranked AS (
+    SELECT lang, doc_id,
+           ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS STRING)), doc_id) AS rk
+    FROM documents
+    WHERE lang IS NOT NULL AND doc_id IS NOT NULL
+)
+SELECT lang,
+       CAST((rk - 1) % 5 AS BIGINT) AS fold,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM ranked
+GROUP BY lang, (rk - 1) % 5
+ORDER BY lang, fold
+"""
+
+_pair(
+    "stratified_kfold_assignment",
+    _KFOLD,
+    _KFOLD,
+    tables=["documents"],
+    tags=("sampling", "cross-validation", "trainprep"),
+)
