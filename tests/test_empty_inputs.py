@@ -193,6 +193,7 @@ ROUND10B_EMPTY_SAFE = [
     ("pii_redact_stats", 0),
     ("countmin_sketch_error", 0),
     ("jl_projection_distortion", 0),
+    ("stratified_kfold_assignment", 0),
 ]
 
 

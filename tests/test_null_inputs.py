@@ -60,6 +60,7 @@ NULL_SAFE_QUERIES = [
     "pii_redact_stats",
     "countmin_sketch_error",
     "jl_projection_distortion",
+    "stratified_kfold_assignment",
 ]
 
 
