@@ -47,13 +47,18 @@ def make_machine(spark, tmpdir):
                 spark, f"{tmpdir}/t-{uuid.uuid4().hex[:8]}"
             )
             self.model: dict[int, int] = {}
-            self.snapshots: list[dict[int, int]] = []
+            # Logical name of the value column — rename_column flips it
+            # between 'v' and 'w' mid-sequence, so every other rule
+            # (merge source schema, update SET, reads) must keep
+            # working through the column mapping.
+            self.vcol = "v"
+            self.snapshots: list[tuple[dict[int, int], str]] = []
 
         def _df(self, rows):
-            return spark.createDataFrame(rows, "k BIGINT, v BIGINT")
+            return spark.createDataFrame(rows, f"k BIGINT, {self.vcol} BIGINT")
 
         def _record(self):
-            self.snapshots.append(dict(self.model))
+            self.snapshots.append((dict(self.model), self.vcol))
 
         @initialize(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=4))
         def init_table(self, rows):
@@ -67,6 +72,16 @@ def make_machine(spark, tmpdir):
             self.model.update(rows)
             self._record()
 
+        @rule()
+        def rename_value_column(self):
+            # v -> w records a mapping (physical name stays 'v');
+            # w -> v collapses it. Either way it's a metadata-only
+            # commit that every later write/read must translate.
+            new = "w" if self.vcol == "v" else "v"
+            self.t.rename_column(self.vcol, new)
+            self.vcol = new
+            self._record()
+
         @rule(k=KEYS)
         def delete_key(self, k):
             stats = self.t.delete(f"k = {k}")
@@ -78,7 +93,9 @@ def make_machine(spark, tmpdir):
 
         @rule(k=KEYS, dv=st.integers(min_value=1, max_value=5))
         def update_key(self, k, dv):
-            stats = self.t.update(f"k = {k}", set={"v": f"v + {dv}"})
+            stats = self.t.update(
+                f"k = {k}", set={self.vcol: f"{self.vcol} + {dv}"}
+            )
             existed = k in self.model
             if existed:
                 self.model[k] += dv
@@ -93,7 +110,10 @@ def make_machine(spark, tmpdir):
                 st.integers(0, len(self.snapshots) - 1), label="version"
             )
             self.t.restore(idx)
-            self.model = dict(self.snapshots[idx])
+            self.model, self.vcol = (
+                dict(self.snapshots[idx][0]),
+                self.snapshots[idx][1],
+            )
             self._record()
 
         @rule()
@@ -105,7 +125,9 @@ def make_machine(spark, tmpdir):
         def table_matches_model(self):
             if self.t.current_version() is None:
                 return
-            got = {r.k: r.v for r in self.t.read().collect()}
+            got = {
+                r["k"]: r[self.vcol] for r in self.t.read().collect()
+            }
             assert got == self.model
 
         @invariant()
@@ -114,8 +136,11 @@ def make_machine(spark, tmpdir):
             if not self.snapshots:
                 return
             i = len(self.snapshots) // 2
-            got = {r.k: r.v for r in self.t.read(version=i).collect()}
-            assert got == self.snapshots[i]
+            rows, vcol = self.snapshots[i]
+            got = {
+                r["k"]: r[vcol] for r in self.t.read(version=i).collect()
+            }
+            assert got == rows
 
     return VersionedTableMachine
 
