@@ -2169,3 +2169,84 @@ _pair(
     _jl_sql(_D_DUCK, _JL_PROJ_DUCK, _JL_D2_DIMS_DUCK, _JL_D2_PROJ_DUCK),
     tags=("similarity", "embedding", "projection", "jl-lemma"),
 )
+
+
+# --- contrastive negative mining ---------------------------------------------
+# The training-pair construction step of every embedding/contrastive
+# pipeline (SimCSE/DPR-style): for each anchor in a query panel, mine
+# (a) the HARD negative — the most-similar corpus vector with a
+# DIFFERENT label (the informative near-miss gradient), and (b) k=3
+# RANDOM negatives — different-label vectors ranked by a
+# cryptographic hash of (anchor, candidate), i.e. deterministic
+# pseudo-random sampling with no RNG state (the same device as
+# stratified_sample_docs). Cosines are ROUND(..,9) of the shared
+# sequential-fold dot product; all ranking ties break on vec_id. One
+# output row per (anchor, negative) with the kind tagged, so the
+# result is the actual pair table a trainer would consume. Scale
+# shape: both legs are panel x corpus scans (the benched
+# embedding_cosine_topk shape — anchor side broadcasts, corpus scan
+# embarrassingly parallel, per-anchor top-k is a windowed rank); the
+# hash leg needs no similarity at all, so at 100 TB it degrades to a
+# pure map + per-anchor TakeOrdered.
+def _contrastive_sql(dot: str, dbl: str) -> str:
+    cos = (
+        "ROUND("
+        + dot.format(a="p.vec", b="c.vec")
+        + " / (SQRT("
+        + dot.format(a="p.vec", b="p.vec")
+        + ") * SQRT("
+        + dot.format(a="c.vec", b="c.vec")
+        + ")), 9)"
+    )
+    return f"""
+WITH corpus AS (
+    SELECT vec_id, label, {dbl.format(e='embedding')} AS vec
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+panel AS (SELECT * FROM corpus WHERE vec_id < 32),
+hard AS (
+    SELECT anchor_id, neg_id, cosine FROM (
+        SELECT p.vec_id AS anchor_id, c.vec_id AS neg_id,
+               {cos} AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {cos} DESC, c.vec_id) AS rn
+        FROM panel p
+        JOIN corpus c ON c.label <> p.label
+    ) h WHERE rn = 1
+),
+rand_ids AS (
+    -- rank by hash FIRST over ids only; cosine is computed below for
+    -- just the 3 selected pairs per anchor — the hash leg itself
+    -- touches no vectors (the claimed 100 TB shape).
+    SELECT anchor_id, neg_id FROM (
+        SELECT p.vec_id AS anchor_id, c.vec_id AS neg_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.vec_id
+                   ORDER BY md5(CAST(p.vec_id AS STRING) || ':'
+                                || CAST(c.vec_id AS STRING)),
+                            c.vec_id) AS rn
+        FROM panel p
+        JOIN corpus c ON c.label <> p.label
+    ) r WHERE rn <= 3
+),
+rand AS (
+    SELECT ri.anchor_id, ri.neg_id, {cos} AS cosine
+    FROM rand_ids ri
+    JOIN panel p ON p.vec_id = ri.anchor_id
+    JOIN corpus c ON c.vec_id = ri.neg_id
+)
+SELECT anchor_id, kind, neg_id, cosine FROM (
+    SELECT anchor_id, 'hard' AS kind, neg_id, cosine FROM hard
+    UNION ALL
+    SELECT anchor_id, 'random', neg_id, cosine FROM rand
+) u
+ORDER BY anchor_id, kind, neg_id
+"""
+
+
+_pair(
+    "contrastive_negatives_mine",
+    _contrastive_sql(_DOT_SPARK, _D_SPARK),
+    _contrastive_sql(_DOT_DUCK, _D_DUCK),
+    tags=("similarity", "trainprep", "contrastive", "negative-mining"),
+)

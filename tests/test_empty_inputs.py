@@ -194,6 +194,7 @@ ROUND10B_EMPTY_SAFE = [
     ("countmin_sketch_error", 0),
     ("jl_projection_distortion", 0),
     ("stratified_kfold_assignment", 0),
+    ("contrastive_negatives_mine", 0),
 ]
 
 

@@ -61,6 +61,7 @@ NULL_SAFE_QUERIES = [
     "countmin_sketch_error",
     "jl_projection_distortion",
     "stratified_kfold_assignment",
+    "contrastive_negatives_mine",
 ]
 
 
