@@ -1145,3 +1145,78 @@ _pair(
     _pii_redact_sql(_PII_NMATCH_DUCK, _PII_SUB_DUCK),
     tags=("curation", "pii", "privacy", "redaction"),
 )
+
+
+# --- HTML strip + structured extraction --------------------------------------
+# The FIRST step of every web-crawl corpus pipeline (CCNet/RefinedWeb
+# extraction stage): strip markup, drop script payloads entirely
+# (tag AND content), and census the structured bits (title, links).
+# Like the URL/PII families, the corpus has no organic markup, so the
+# fixture derives a deterministic HTML wrapper per document in-SQL —
+# title from doc_id, the original text in a <p>, a same-site <a href>
+# from doc_id % 50, and an md5-gated <script> block that must vanish
+# without leaking its content. Extraction is regex-only with
+# backslash-free patterns (script bodies contain no '<', so
+# '<script>[^<]*</script>' is exact here; tags are '<[^>]*>'), and
+# the per-source census pins byte accounting: raw vs extracted
+# lengths, script-bearing docs, and href counts. The value contract
+# every row carries: extracted text length equals the original text
+# length + title + anchor text + the joining spaces — i.e. markup
+# vanished, content survived. Map-side projection + one
+# groupBy(source); corpus-linear.
+
+_HTML_FIXTURE_SQL = """
+SELECT doc_id, source, text,
+    '<html><head><title>Doc ' || CAST(doc_id AS STRING)
+    || '</title></head><body><p>' || text || '</p>'
+    || CASE WHEN substr(h, 5, 1) < '8'
+            THEN '<script>var x = ' || CAST(doc_id AS STRING)
+                 || ';</script>' ELSE '' END
+    || '<a href="/doc/' || CAST(doc_id % 50 AS STRING)
+    || '">next</a></body></html>' AS html,
+    CASE WHEN substr(h, 5, 1) < '8' THEN 1 ELSE 0 END AS has_script
+FROM (
+    SELECT doc_id, source, text, md5(CAST(doc_id AS STRING)) AS h
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+) seed
+"""
+
+
+def _html_extract_sql(nmatch: str, sub: str) -> str:
+    noscript = sub.format(e="html", p="<script>[^<]*</script>", r=" ")
+    detagged = sub.format(e=noscript, p="<[^>]*>", r=" ")
+    squeezed = "trim(" + sub.format(e=detagged, p="  *", r=" ") + ")"
+    return f"""
+WITH docs AS ({_HTML_FIXTURE_SQL}),
+extracted AS (
+    SELECT doc_id, source, text, has_script,
+           length(html) AS raw_len,
+           {squeezed} AS clean,
+           {nmatch.format(e="html", p='href="([^"]*)"')} AS n_links,
+           {nmatch.format(e="html", p="<title>[^<]*</title>")} AS n_titles
+    FROM docs
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(raw_len) AS BIGINT) AS raw_chars,
+       CAST(SUM(length(clean)) AS BIGINT) AS extracted_chars,
+       CAST(SUM(has_script) AS BIGINT) AS n_script_docs,
+       CAST(SUM(n_links) AS BIGINT) AS n_links,
+       CAST(SUM(n_titles) AS BIGINT) AS n_titles,
+       CAST(SUM(CASE WHEN clean =
+                'Doc ' || CAST(doc_id AS STRING) || ' ' || text || ' next'
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_content_exact,
+       CAST(SUM(CASE WHEN clean LIKE '%var x =%' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_script_leaks
+FROM extracted
+GROUP BY source
+ORDER BY source
+"""
+
+
+_pair(
+    "html_strip_extract",
+    _html_extract_sql(_PII_NMATCH_SPARK, _PII_SUB_SPARK),
+    _html_extract_sql(_PII_NMATCH_DUCK, _PII_SUB_DUCK),
+    tags=("curation", "extraction", "html", "crawl"),
+)

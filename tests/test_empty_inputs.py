@@ -195,6 +195,7 @@ ROUND10B_EMPTY_SAFE = [
     ("jl_projection_distortion", 0),
     ("stratified_kfold_assignment", 0),
     ("contrastive_negatives_mine", 0),
+    ("html_strip_extract", 0),
 ]
 
 

@@ -62,6 +62,7 @@ NULL_SAFE_QUERIES = [
     "jl_projection_distortion",
     "stratified_kfold_assignment",
     "contrastive_negatives_mine",
+    "html_strip_extract",
 ]
 
 
