@@ -893,3 +893,20 @@ def test_jl_panel_filter_pushed(spark):
     plan = _plan(spark, "jl_projection_distortion")
     assert "PushedFilters" in plan
     assert "LessThan(vec_id,24" in plan, "panel bound not pushed to scan"
+
+
+def test_contrastive_mining_no_cartesian_panel_pushed(spark):
+    """Both negative-mining legs are panel x corpus joins: the panel
+    bound must push to the scan and the label-inequality join must
+    plan as a broadcast nested-loop over the 32-row panel, never a
+    full cartesian product."""
+    plan = _plan(spark, "contrastive_negatives_mine")
+    assert "CartesianProduct" not in plan
+    assert "PushedFilters" in plan
+    assert "LessThan(vec_id,32" in plan, "panel bound not pushed to scan"
+
+
+def test_html_extract_joinless_map_side(spark):
+    plan = _plan(spark, "html_strip_extract")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "census lost map-side combine"
