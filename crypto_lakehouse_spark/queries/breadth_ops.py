@@ -843,10 +843,19 @@ _CMS_D = 4
 _CMS_W = 64
 
 
-def _cms_sql(unnest_toks: str, hexint: str) -> str:
-    bucket = hexint.format(
-        h="substr(md5(CAST(r AS STRING) || ':' || token), 1, 8)"
+def _cms_bucket(hexint: str, tok: str, row: str) -> str:
+    """Row-r hash bucket for token expr `tok` — built from explicit
+    column expressions rather than textual .replace surgery, so a
+    dialect whose hexint template happens to contain the substring
+    'token' or 'CAST(r AS' can never silently corrupt the join key."""
+    return hexint.format(
+        h=f"substr(md5(CAST({row} AS STRING) || ':' || {tok}), 1, 8)"
     )
+
+
+def _cms_sql(unnest_toks: str, hexint: str) -> str:
+    bucket = _cms_bucket(hexint, "token", "r")
+    est_bucket = _cms_bucket(hexint, "t.token", "rws.r")
     return f"""
 WITH toks AS ({unnest_toks}),
 counts AS (SELECT token, COUNT(*) AS c FROM toks GROUP BY token),
@@ -868,7 +877,7 @@ est AS (
     FROM top20 t
     CROSS JOIN rws
     JOIN cells cl ON cl.r = rws.r
-     AND cl.b = {bucket.replace("token", "t.token").replace("CAST(r AS", "CAST(rws.r AS")} % {_CMS_W}
+     AND cl.b = {est_bucket} % {_CMS_W}
     GROUP BY t.token, t.c, t.rank
 )
 SELECT token,

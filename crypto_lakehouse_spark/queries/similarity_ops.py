@@ -443,8 +443,15 @@ GROUP BY d.cid, m.n_members, m.min_vec_id, m.max_vec_id
 ORDER BY cluster_id
 """
     )
+    # The summary is <= k rows: materialize it eagerly so the final
+    # checkpointed assignment frame can be released NOW — otherwise
+    # repeated invocations in a long-lived session accumulate
+    # localCheckpoint blocks (the returned plan would still reference
+    # `assigned` through the km_assigned view).
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release_lineage(assigned)
     vecs.unpersist()
-    return out
+    return result
 
 
 _KM_CONV_DIST_DUCK = (
@@ -2019,8 +2026,13 @@ SELECT vec_id, nbr FROM (
     out = spark.sql(
         _nnd_summary_sql(_NND_COS_SPARK, f"CAST({rounds} AS BIGINT)")
     )
+    # Single-row summary: materialize eagerly, then release the final
+    # checkpointed neighbor frame (see _kmeans_converged — prevents
+    # localCheckpoint block accumulation across repeated invocations).
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release_lineage(g)
     corpus.unpersist()
-    return out
+    return result
 
 
 _NND_CONV_DUCK = f"""
