@@ -855,11 +855,11 @@ def bbit_minhash_estimate_error(
 # doc_exact_dedup.
 
 _URL_FIXTURE_SQL = """
-SELECT doc_id, source, url,
+SELECT doc_id, source, n_chars, url,
        CASE WHEN url LIKE '%utm_%' OR url LIKE '%ref=%'
             THEN 1 ELSE 0 END AS has_tracking
 FROM (
-    SELECT doc_id, source,
+    SELECT doc_id, source, n_chars,
         (CASE WHEN substr(h, 1, 1) < '4' THEN 'http'
               WHEN substr(h, 1, 1) < '8' THEN 'HTTP'
               WHEN substr(h, 1, 1) < 'c' THEN 'https'
@@ -880,13 +880,13 @@ FROM (
         || (CASE WHEN substr(h, 11, 1) < '4' THEN '#top' ELSE '' END)
         AS url
     FROM (
-        SELECT doc_id, source, h, page,
+        SELECT doc_id, source, n_chars, h, page,
                CASE WHEN substr(h, 10, 1) < '8'
                     THEN concat_ws('&', pid, psort, putm, pref)
                     ELSE concat_ws('&', putm, pref, psort, pid)
                END AS qs
         FROM (
-            SELECT doc_id, source, h, page,
+            SELECT doc_id, source, n_chars, h, page,
                    CASE WHEN substr(h, 6, 1) < 'c'
                         THEN 'id=' || CAST(page % 7 AS STRING) END AS pid,
                    CASE WHEN substr(h, 7, 1) < '6'
@@ -896,7 +896,7 @@ FROM (
                    CASE WHEN substr(h, 9, 1) < '4'
                         THEN 'ref=tw' END AS pref
             FROM (
-                SELECT doc_id, source,
+                SELECT doc_id, source, n_chars,
                        md5(CAST(doc_id AS STRING)) AS h,
                        doc_id % 50 AS page
                 FROM documents
@@ -1219,4 +1219,69 @@ _pair(
     _html_extract_sql(_PII_NMATCH_SPARK, _PII_SUB_SPARK),
     _html_extract_sql(_PII_NMATCH_DUCK, _PII_SUB_DUCK),
     tags=("curation", "extraction", "html", "crawl"),
+)
+
+
+# --- robots/license gating census (compliance pass) --------------------------
+# The pre-training compliance pass a crawl pipeline runs before any
+# quality work (VERDICT r11 item 4): join the corpus against a
+# per-host policy relation (the materialized robots.txt / license
+# audit table) and grade how much of each source's character mass is
+# crawl-allowed, crawl-disallowed, or unknown, and how it is licensed.
+# The synthetic corpus has no policy table, so — like the PII and URL
+# fixtures — one derives deterministically in-SQL from md5(host) over
+# the DISTINCT canonical hosts of the url_canonical_dedup fixture
+# (hosts are canonicalized the same way: lowercase, www-stripped,
+# default-port-stripped). A real deployment swaps the `policy` CTE
+# for its fetched robots/license table with the identical plan.
+#
+# Scale shape (100 TB framing): the corpus side is ONE map-side
+# projection (url -> host, no text read); `policy` is DISTINCT hosts
+# — bounded by the web's host count, millions at worst — explicitly
+# broadcast on the Spark side, so the gating join is shuffle-free;
+# the census is one groupBy(source, policy) with map-side combine.
+# The scalar total-mass CTE is a 1-row broadcast nested loop.
+
+_GATE_HOST = (
+    "regexp_replace(regexp_replace("
+    "lower(regexp_extract(nf, '^[a-zA-Z]+://([^/?#]*)', 1)), "
+    "'^www[.]', ''), ':(80|443)$', '')"
+)
+
+
+def _robots_gating_sql(nofrag: str, hint: str) -> str:
+    return f"""
+WITH urls AS ({_URL_FIXTURE_SQL}),
+hosts AS (
+    SELECT doc_id, source, n_chars, {_GATE_HOST} AS host
+    FROM (SELECT doc_id, source, n_chars, {nofrag} AS nf FROM urls) x
+),
+policy AS (
+    SELECT host,
+           CASE WHEN substr(md5(host), 1, 1) < '6' THEN 'allow'
+                WHEN substr(md5(host), 1, 1) < 'a' THEN 'disallow'
+                ELSE 'unknown' END AS crawl_policy,
+           CASE WHEN substr(md5(host), 2, 1) < '4' THEN 'permissive'
+                WHEN substr(md5(host), 2, 1) < '8' THEN 'restrictive'
+                ELSE 'unlabeled' END AS license_class
+    FROM (SELECT DISTINCT host FROM hosts) h
+)
+SELECT {hint}d.source, p.crawl_policy, p.license_class,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT d.host) AS BIGINT) AS n_hosts,
+       CAST(SUM(d.n_chars) AS BIGINT) AS char_mass,
+       ROUND(CAST(SUM(d.n_chars) AS DOUBLE) / tot.m, 9) AS mass_share
+FROM hosts d
+JOIN policy p ON d.host = p.host
+CROSS JOIN (SELECT SUM(n_chars) AS m FROM hosts) tot
+GROUP BY d.source, p.crawl_policy, p.license_class, tot.m
+ORDER BY d.source, p.crawl_policy, p.license_class
+"""
+
+
+_pair(
+    "robots_license_gating",
+    _robots_gating_sql(_URL_NOFRAG_SPARK, "/*+ BROADCAST(p) */ "),
+    _robots_gating_sql(_URL_NOFRAG_DUCK, ""),
+    tags=("curation", "compliance", "robots", "license", "url"),
 )

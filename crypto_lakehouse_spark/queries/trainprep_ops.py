@@ -721,3 +721,111 @@ query(
     oracle=_PURGED_DUCK,
     tags=("trainprep", "split", "temporal", "leakage"),
 )(_purged_fn)
+
+
+# --- DoReMi one-step mixture reweighting -------------------------------------
+# The iterated unit of the production data-mixing loop (Xie et al.
+# 2023, "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+# Pretraining"), completing the mixing ladder the way kmeans_one_step
+# did for clustering: domain_mixture_resample applies STATIC weights,
+# dsir importance-samples against a target — this computes one
+# Group-DRO weight UPDATE from measured per-domain excess loss.
+#
+# Stand-ins for the two models (deterministic, self-contained):
+# reference model = corpus-wide unigram LM; proxy model = per-domain
+# unigram LM (both add-one smoothed over the shared corpus vocab V).
+# excess(i) = max(0, loss_ref(i) - loss_domain(i)) in bits/token —
+# how much worse the corpus-generic model codes domain i than its own
+# model, i.e. the domain's unexploited distinctiveness; DoReMi's
+# update then up-weights it: u_i = w_i * exp(eta * excess_i) with
+# eta = 1 and baseline w_i = the domain's token share, normalized to
+# alpha_i = u_i / sum(u) and smoothed alpha* = (1-c)*alpha + c/k with
+# c = 0.01 (the paper's uniform-smoothing step). One step, exact:
+# the production loop re-trains the proxy and iterates.
+#
+# Scale shape (100 TB framing): one token explode, one
+# groupBy(source, token) with map-side combine; the corpus model
+# re-aggregates THAT relation (never a second pass over tokens); the
+# per-token join is token-keyed (corpus-linear, AQE-splittable); the
+# k-domain update is scalar work over k rows with two 1-row broadcast
+# scalars. Determinism: per-token nll terms ROUND(12) -> DECIMAL
+# exact sums; the exp boost rounds its argument AND its result to 12
+# before the exact-decimal normalization (EXP itself already
+# oracle-matches: see statfit_ops power-law intercept). The uniform-
+# smoothing step runs in exact DECIMAL on the PUBLISHED 9-decimal
+# weight — the double-path ROUND landed a 1-ulp boundary flip between
+# engines in differential testing.
+
+
+def _doremi_sql(unnest_toks: str) -> str:
+    return f"""
+WITH toks AS ({unnest_toks}),
+st AS (
+    SELECT source, tok, COUNT(*) AS c
+    FROM toks GROUP BY source, tok
+),
+ct AS (SELECT tok, SUM(c) AS cf FROM st GROUP BY tok),
+tot AS (SELECT SUM(cf) AS n, COUNT(*) AS v FROM ct),
+stot AS (SELECT source, SUM(c) AS ns FROM st GROUP BY source),
+terms AS (
+    SELECT s.source, s.c,
+           CAST(ROUND(-s.c * LN(CAST(ct.cf + 1 AS DOUBLE) / (t.n + t.v))
+                      / LN(2), 12) AS DECIMAL(28, 12)) AS ref_bits,
+           CAST(ROUND(-s.c * LN(CAST(s.c + 1 AS DOUBLE) / (so.ns + t.v))
+                      / LN(2), 12) AS DECIMAL(28, 12)) AS dom_bits
+    FROM st s
+    JOIN ct ON ct.tok = s.tok
+    JOIN stot so ON so.source = s.source
+    CROSS JOIN tot t
+),
+dom AS (
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           SUM(ref_bits) AS rb, SUM(dom_bits) AS db
+    FROM terms GROUP BY source
+),
+upd AS (
+    SELECT source, n_tokens, rb, db,
+           ROUND(GREATEST(CAST(rb - db AS DOUBLE) / n_tokens,
+                          CAST(0 AS DOUBLE)), 9) AS excess_bits
+    FROM dom
+),
+boosted AS (
+    SELECT source, n_tokens, rb, db, excess_bits,
+           n_tokens * CAST(ROUND(EXP(excess_bits), 12) AS DECIMAL(24, 12))
+               AS u
+    FROM upd
+)
+SELECT b.source,
+       b.n_tokens,
+       ROUND(CAST(b.rb AS DOUBLE) / b.n_tokens, 9) AS ref_bits_per_token,
+       ROUND(CAST(b.db AS DOUBLE) / b.n_tokens, 9) AS domain_bits_per_token,
+       b.excess_bits,
+       ROUND(CAST(b.n_tokens AS DOUBLE) / z.nt, 9) AS base_share,
+       ROUND(CAST(b.u AS DOUBLE) / CAST(z.su AS DOUBLE), 9) AS doremi_weight,
+       CAST(ROUND(
+           CAST(0.99 AS DECIMAL(3, 2))
+           * CAST(ROUND(CAST(b.u AS DOUBLE) / CAST(z.su AS DOUBLE), 9)
+                  AS DECIMAL(12, 9))
+           + CAST(ROUND(0.01 / z.k, 12) AS DECIMAL(14, 12)),
+           9) AS DOUBLE) AS smoothed_weight
+FROM boosted b
+CROSS JOIN (
+    SELECT SUM(u) AS su, SUM(n_tokens) AS nt, COUNT(*) AS k FROM boosted
+) z
+ORDER BY b.source
+"""
+
+
+_pair(
+    "doremi_one_step",
+    _doremi_sql(
+        "SELECT source, explode(split(lower(text), ' ')) AS tok "
+        "FROM documents WHERE length(text) > 0 AND source IS NOT NULL"
+    ),
+    _doremi_sql(
+        "SELECT source, unnest(string_split(lower(text), ' ')) AS tok "
+        "FROM documents WHERE length(text) > 0 AND source IS NOT NULL"
+    ),
+    tags=("trainprep", "mixture", "doremi", "sampling"),
+)

@@ -47,7 +47,7 @@ NULL_SAFE_QUERIES = [
     "multimodal_ahash_near_dup",
     "embedding_cosine_topk",
     "doc_token_stats",
-    # round-11 additions — all nine also HASH-MATCH their oracles on
+    # round-11 additions — all twelve also HASH-MATCH their oracles on
     # the null fixture (differentially swept before listing; e.g.
     # kmeans_converged drops the NULLed seed and converges to 3
     # clusters identically in both engines)
@@ -63,6 +63,13 @@ NULL_SAFE_QUERIES = [
     "stratified_kfold_assignment",
     "contrastive_negatives_mine",
     "html_strip_extract",
+    # round-12 additions — all three also HASH-MATCH their oracles on
+    # the null fixture (differentially swept before listing): NULL
+    # text drops at the length filter (bpb, doremi); NULL n_chars
+    # flows through SUM/share identically in both engines (gating)
+    "compression_bpb_census",
+    "robots_license_gating",
+    "doremi_one_step",
 ]
 
 

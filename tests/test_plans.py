@@ -910,3 +910,43 @@ def test_html_extract_joinless_map_side(spark):
     plan = _plan(spark, "html_strip_extract")
     assert "Join" not in plan
     assert plan.count("HashAggregate") >= 2, "census lost map-side combine"
+
+
+def test_compression_bpb_joinless_pruned(spark):
+    """The bpb census is JOINLESS: position explode, two doc-keyed
+    aggregations with a co-partitioned window between them, one
+    source census. The scan must not read `lang`/`n_chars` (unused)."""
+    plan = _plan(spark, "compression_bpb_census")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "census lost map-side combine"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" in read_schema[0]
+    assert "lang" not in read_schema[0], "bpb census reads pruned columns"
+
+
+def test_robots_gating_policy_broadcast_no_text(spark):
+    """The per-host policy relation (DISTINCT hosts) must broadcast —
+    the gating join is shuffle-free at corpus scale — and the corpus
+    side derives everything from doc_id/source/n_chars: `text` must
+    not reach the scan. The scalar total-mass join may plan as a
+    1-row broadcast nested loop, never a cartesian product."""
+    plan = _plan(spark, "robots_license_gating")
+    assert "BroadcastHashJoin" in plan, "policy join not broadcast"
+    assert "CartesianProduct" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0], (
+        "gating census reads the text column it never uses"
+    )
+
+
+def test_doremi_no_cartesian_map_side_combine(spark):
+    """DoReMi's token census keys on (source, token) with map-side
+    combine; the corpus model re-aggregates that relation (no second
+    token pass); scalar totals ride 1-row broadcast joins — no
+    cartesian product anywhere."""
+    plan = _plan(spark, "doremi_one_step")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, "token census lost combiners"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" in read_schema[0]
+    assert "doc_id" not in read_schema[0], "doremi reads pruned columns"
