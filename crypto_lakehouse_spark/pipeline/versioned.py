@@ -140,6 +140,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         conflict: dict | None = None,
         column_mapping: dict[str, str] | None = None,
+        deletion_vectors: dict[str, list[str]] | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -185,6 +186,7 @@ class VersionedTable:
                     txn,
                     conflict,
                     column_mapping,
+                    deletion_vectors,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -225,6 +227,7 @@ class VersionedTable:
         txn: tuple[str, int] | None = None,
         conflict: dict | None = None,
         column_mapping: dict[str, str] | None = None,
+        deletion_vectors: dict[str, list[str]] | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -291,6 +294,21 @@ class VersionedTable:
             "txns": {
                 **prev.get("txns", {}),
                 **({txn[0]: txn[1]} if txn else {}),
+            },
+            # Deletion vectors (Delta DV analog): data file ->
+            # positional sidecar file(s) under _dv/. Carried forward
+            # like other metadata, but FILTERED to files still in this
+            # manifest — a commit that rewrites or drops a data file
+            # takes its DV with it (the rewrite read the reconciled
+            # rows, so the deletions are baked into the new file).
+            "deletion_vectors": {
+                f: sorted(v)
+                for f, v in (
+                    deletion_vectors
+                    if deletion_vectors is not None
+                    else prev.get("deletion_vectors", {})
+                ).items()
+                if v and f in set(files)
             },
             # This commit's own conflict class, so LATER losers can
             # classify it when deciding whether to rebase over it.
@@ -922,15 +940,32 @@ class VersionedTable:
         job UUID + task id across partition dirs). `input_file_name()`
         may percent-encode special characters; match both the raw and
         the unquoted form so Hive-escaped partition values (`%3A` etc.,
-        which unquoting would double-decode) still resolve."""
+        which unquoting would double-decode) still resolve.
+
+        Scans the RAW files (no deletion-vector reconciliation):
+        `input_file_name()` requires a single source, and the DV-aware
+        scan is a union. A row that is DV-dead can therefore mark its
+        file as touched spuriously — harmless: COW delete's rewrite
+        reads the reconciled subset, and delete_dv's position diff
+        skips already-dead rows (and no-ops on an empty diff)."""
         from urllib.parse import unquote
 
         from pyspark.sql import functions as F
 
+        cur = self.current_version()
+        snap = self._load(cur) if cur is not None else {}
+        added = snap.get("added_columns", {})
+        reader = self.spark.read.option("basePath", self.path)
+        if added:
+            reader = reader.option("mergeSchema", "true")
+        raw = reader.parquet(
+            *(os.path.join(self.path, f) for f in sorted(files))
+        )
+        raw = self._apply_column_mapping(raw, snap.get("column_mapping", {}))
+        raw = self._apply_added_columns(raw, added)
         uris = {
             r.f
-            for r in self.read()
-            .filter(F.expr(condition))
+            for r in raw.filter(F.expr(condition))
             .select(F.input_file_name().alias("f"))
             .distinct()
             .collect()
@@ -948,10 +983,9 @@ class VersionedTable:
         cur = self.current_version()
         snap = self._load(cur) if cur is not None else {}
         added = snap.get("added_columns", {})
-        reader = self.spark.read.option("basePath", self.path)
-        if added:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*(os.path.join(self.path, f) for f in sorted(files)))
+        # DV-aware subset scan: a COW rewrite of a DV'd file must not
+        # resurrect its deleted rows.
+        df = self._scan_files(sorted(files), snap, bool(added))
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         return self._apply_added_columns(df, added)
 
@@ -1070,6 +1104,167 @@ class VersionedTable:
             "files_carried": len(carried),
         }
 
+    # -- deletion vectors (Delta DV analog) ----------------------------------
+    def _scan_files(
+        self, files: list[str], snap: dict, merge_schema: bool
+    ) -> DataFrame:
+        """Scan `files` with deletion-vector reconciliation: files
+        without a DV read as one multi-path scan; each DV'd file reads
+        individually with the parquet `_metadata.row_index` column and
+        anti-joins its recorded positions (broadcast — a DV is bounded
+        by one file's row count, the same budget as Delta's in-memory
+        roaring bitmaps). This mirrors Delta's physical model, where
+        each scan task applies its own file's bitmap; the per-file
+        plan fan-out is bounded by the number of DV'd files, which
+        OPTIMIZE keeps near zero (it rewrites DV'd files first)."""
+        from pyspark.sql import functions as F
+
+        reader = self.spark.read.option("basePath", self.path)
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        dv_map = snap.get("deletion_vectors", {})
+        clean = [f for f in files if not dv_map.get(f)]
+        dved = [f for f in files if dv_map.get(f)]
+        frames: list[DataFrame] = []
+        if clean:
+            frames.append(
+                reader.parquet(*(os.path.join(self.path, f) for f in clean))
+            )
+        for f in dved:
+            pos = self.spark.read.parquet(
+                *(os.path.join(self.path, r) for r in dv_map[f])
+            )
+            pos = pos.filter(pos["file"] == f).select("pos")
+            d = reader.parquet(os.path.join(self.path, f)).withColumn(
+                "__dv_idx", F.col("_metadata.row_index")
+            )
+            d = d.join(
+                F.broadcast(pos),
+                d["__dv_idx"] == pos["pos"],
+                "left_anti",
+            ).drop("__dv_idx")
+            frames.append(d)
+        df = frames[0]
+        for extra in frames[1:]:
+            df = df.unionByName(extra, allowMissingColumns=merge_schema)
+        return df
+
+    def delete_dv(self, condition: str) -> dict:
+        """Row-level DELETE via deletion vectors (Delta DV-enabled
+        `DELETE` analog): instead of the COW rewrite `delete()` does,
+        record the POSITIONS of matching rows in a positional sidecar
+        parquet under `_dv/` and publish a metadata commit mapping
+        each touched data file to its sidecar(s). Data files are
+        untouched — a delete of k rows from a 1 GB file writes
+        kilobytes, the whole point at 100 TB — and every read path
+        (`read`, time travel, MERGE's target scan, CDF snapshot diffs)
+        reconciles through `_scan_files`. `optimize()` compacts DVs
+        away by rewriting DV'd files; until then reads pay one
+        broadcast anti-join per DV'd file.
+
+        The positions scan reads only the touched files (found with
+        the same predicate-pushed `input_file_name` pass as COW
+        delete), evaluates the condition on the LOGICAL schema (column
+        mapping + added-column backfill applied), and excludes rows
+        already dead under existing DVs, so re-running the same delete
+        is a no-op and `n_deleted` counts only newly dead rows."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        snap = self._load(cur)
+        files = snap["files"]
+        touched = self._touched_files(condition, files)
+        if not touched:
+            return {"skipped": True, "reason": "no matching rows"}
+        dv_map = {
+            f: list(v) for f, v in snap.get("deletion_vectors", {}).items()
+        }
+        added = snap.get("added_columns", {})
+        reader = self.spark.read.option("basePath", self.path)
+        if added:
+            reader = reader.option("mergeSchema", "true")
+        per_file = []
+        for f in sorted(touched):
+            # row_index is captured DIRECTLY on the scan (metadata
+            # columns are only guaranteed resolvable there), THEN the
+            # logical-schema pipeline and the existing-DV exclusion
+            # run on top of the materialized position column.
+            d = reader.parquet(os.path.join(self.path, f)).withColumn(
+                "__dv_idx", F.col("_metadata.row_index")
+            )
+            if dv_map.get(f):
+                pos0 = self.spark.read.parquet(
+                    *(os.path.join(self.path, r) for r in dv_map[f])
+                )
+                pos0 = pos0.filter(pos0["file"] == f).select("pos")
+                d = d.join(
+                    F.broadcast(pos0),
+                    d["__dv_idx"] == pos0["pos"],
+                    "left_anti",
+                )
+            d = self._apply_column_mapping(
+                d, snap.get("column_mapping", {})
+            )
+            d = self._apply_added_columns(d, added)
+            per_file.append(
+                d.filter(F.coalesce(F.expr(condition), F.lit(False))).select(
+                    F.lit(f).alias("file"), F.col("__dv_idx").alias("pos")
+                )
+            )
+        all_pos = reduce(lambda a, b: a.unionByName(b), per_file)
+        counts = {
+            r["file"]: r["n"]
+            for r in all_pos.groupBy("file").agg(
+                F.count("*").alias("n")
+            ).collect()
+        }
+        n_deleted = sum(counts.values())
+        if n_deleted == 0:
+            return {"skipped": True, "reason": "rows already deleted"}
+        rel = self._write_dv(all_pos)
+        for f in counts:
+            dv_map[f] = dv_map.get(f, []) + [rel]
+        version = self._commit(
+            list(files),
+            f"delete_dv({condition})",
+            base=cur,
+            deletion_vectors=dv_map,
+        )
+        return {
+            "skipped": False,
+            "version": version,
+            "n_deleted": int(n_deleted),
+            "files_touched": len(counts),
+            "dv_file": rel,
+        }
+
+    def _write_dv(self, positions: DataFrame) -> str:
+        """Write a (file STRING, pos BIGINT) positions frame as one
+        immutable sidecar parquet under `_dv/`; return its
+        table-relative path. Single-file by design: a DV commit's
+        position set is bounded by the touched files' row counts, and
+        one sidecar per commit keeps the manifest map small (Delta
+        similarly packs multiple files' DVs into shared sidecars)."""
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        positions.coalesce(1).write.mode("overwrite").parquet(staging)
+        rel = os.path.join("_dv", f"dv-{uuid.uuid4().hex}.parquet")
+        final = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        moved = False
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(staging, name), final)
+                moved = True
+                break
+        shutil.rmtree(staging, ignore_errors=True)
+        if not moved:
+            raise RuntimeError(f"{self.path}: DV write produced no file")
+        return rel
+
     def read(
         self,
         version: int | None = None,
@@ -1114,12 +1309,10 @@ class VersionedTable:
         cur = self.current_version()
         snap = self._load(cur if version is None else version)
         added = snap.get("added_columns", {})
-        reader = self.spark.read.option("basePath", self.path)
-        if merge_schema or added:
-            # Declared added columns imply mixed file schemas: union
-            # them so pre-evolution files still scan.
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*(os.path.join(self.path, f) for f in files))
+        # Declared added columns imply mixed file schemas: union them
+        # so pre-evolution files still scan. _scan_files also applies
+        # this snapshot's deletion vectors.
+        df = self._scan_files(files, snap, merge_schema or bool(added))
         from pyspark.sql import functions as F
 
         # Physical -> logical renames FIRST (files store physical
@@ -1264,7 +1457,8 @@ class VersionedTable:
         cur = self.current_version()
         if cur is None:
             return {"skipped": True, "reason": "empty table"}
-        files = self._load(cur)["files"]
+        snap = self._load(cur)
+        files = snap["files"]
         sizes = [os.path.getsize(os.path.join(self.path, f)) for f in files]
         total = sum(sizes)
         target = target_file_mb * 1024 * 1024
@@ -1274,6 +1468,27 @@ class VersionedTable:
             nparts = 1
         per_part = max(1, math.ceil(total / nparts / target))
         if len(files) <= per_part * nparts:
+            dv_map = snap.get("deletion_vectors", {})
+            dv_files = sorted(f for f in files if dv_map.get(f))
+            if dv_files:
+                # Layout is fine but deletion vectors are outstanding:
+                # OPTIMIZE's second job is compacting DVs away —
+                # rewrite ONLY the DV'd files (reconciled rows, so the
+                # deletions bake in) and drop their sidecar mappings.
+                rows = self._read_file_subset(dv_files)
+                new_files = self._write_files(rows)
+                carried = [f for f in files if f not in set(dv_files)]
+                version = self._commit(
+                    carried + new_files, "optimize(purge-dv)", base=cur
+                )
+                return {
+                    "skipped": False,
+                    "version": version,
+                    "files_before": len(files),
+                    "files_after": len(carried) + len(new_files),
+                    "dv_files_purged": len(dv_files),
+                    "bytes_total": total,
+                }
             return {
                 "skipped": True,
                 "reason": "layout within target",
@@ -1420,6 +1635,11 @@ class VersionedTable:
                 base=self.current_version(),
                 added_columns=snap.get("added_columns", {}),
                 column_mapping=snap.get("column_mapping", {}),
+                # Constraints travel with the snapshot too: keeping the
+                # HEAD's constraint set while restoring a pre-rename
+                # schema can leave a CHECK over a column that no longer
+                # resolves, failing every later append/merge.
+                constraints=snap.get("constraints", {}),
             )
         finally:
             self._last_write_stats = {}
@@ -1493,6 +1713,7 @@ class VersionedTable:
             "partition_columns": list(self.partition_by),
             "constraints": dict(m.get("constraints", {})),
             "added_columns": dict(m.get("added_columns", {})),
+            "num_dv_files": len(m.get("deletion_vectors", {})),
             "last_op": m["op"],
         }
 
@@ -1529,7 +1750,13 @@ class VersionedTable:
         live: set[str] = set()
         retained = [v for v in self.versions() if v not in expired] if dry_run else self.versions()
         for v in retained:
-            live.update(self._load(v)["files"])
+            m = self._load(v)
+            live.update(m["files"])
+            # DV sidecars referenced by retained manifests are live
+            # too — they are .parquet files under _dv/ and would
+            # otherwise be swept as orphans.
+            for rels in m.get("deletion_vectors", {}).values():
+                live.update(rels)
         removed = 0
         cutoff = time.time() - orphan_retention_s
 

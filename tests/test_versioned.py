@@ -1137,3 +1137,19 @@ def test_rename_survives_restore(spark, table):
     table.restore(0)  # restore to BEFORE the rename: old logical name
     df0 = table.read()
     assert "v" in df0.columns and "amount" not in df0.columns
+
+
+def test_restore_restores_constraints_with_schema(spark, table):
+    """ADVICE r11: restore() must take the target snapshot's
+    CONSTRAINTS along with its column_mapping — keeping the head's
+    constraint over a post-rename name while restoring the pre-rename
+    schema would fail every later append with an unresolved column."""
+    table.append(_df(spark, [(1, "a", 10)]))  # v0
+    table.rename_column("v", "val")  # v1
+    table.add_constraint("val_pos", "val >= 0")  # v2
+    table.restore(0)  # pre-rename, pre-constraint
+    assert table.detail()["constraints"] == {}
+    # Appends against the restored schema must work again.
+    table.append(_df(spark, [(2, "b", 20)]))
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {(1, 10), (2, 20)}
