@@ -185,10 +185,18 @@ def _prune_stale_entries(prefix: str, keep: str) -> None:
     """Drop cache entries for the same SOURCE (name + path hash) whose
     mtime+size key no longer matches — regenerations otherwise
     accumulate dead copies unboundedly. Scoped by source-path hash so
-    two live tables that merely share a name never evict each other."""
+    two live tables that merely share a name never evict each other.
+
+    Entries that share the LIVE mtime+size key but differ only in the
+    -p{parallelism} suffix are kept: sessions with different core
+    counts cache side-by-side, and pruning a sibling here yanked
+    part files out from under a concurrent session's in-flight scan
+    (round-12 incident: a local[8] probe evicted the local[32]
+    sweep's entry mid-read)."""
+    stem = os.path.basename(keep).rsplit("-p", 1)[0]  # {prefix}-{mtime}-{size}
     try:
         for d in glob.glob(os.path.join(_CACHE_ROOT, f"{prefix}-*")):
-            if os.path.basename(d) != os.path.basename(keep):
+            if not os.path.basename(d).startswith(f"{stem}-p"):
                 shutil.rmtree(d, ignore_errors=True)
     except OSError:
         pass

@@ -103,6 +103,27 @@ def test_stale_cache_entries_pruned(spark, tmp_path):
     shutil.rmtree(second, ignore_errors=True)
 
 
+def test_live_sibling_parallelism_not_pruned(spark, tmp_path):
+    """Two sessions with different core counts cache side-by-side for
+    the SAME live source: compacting at one parallelism must never
+    evict the other's entry (round-12 incident — a local[8] probe
+    pruned the local[32] sweep's entry out from under an in-flight
+    scan). Only a different mtime+size key is stale."""
+    if not io_mod._trusted_cache_root():
+        pytest.skip("cache root not writable")
+    tbl = pq.read_table(f"{SRC}/events.parquet")
+    dest = str(tmp_path / "events.parquet")
+    pq.write_table(tbl, dest, row_group_size=1_000_000_000)
+
+    a = io_mod._compacted_path(spark, dest, "events", 8)
+    b = io_mod._compacted_path(spark, dest, "events", 32)
+    assert a and b and a != b
+    assert os.path.isdir(a), "sibling-parallelism entry was evicted"
+    assert os.path.isdir(b)
+    for d in (a, b):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_unparseable_string_timestamps_fail_loudly(spark, tmp_path):
     """With ANSI off, to_timestamp silently NULLs unparseable text; the
     normalizer must refuse that degradation instead (ADVICE r4)."""
