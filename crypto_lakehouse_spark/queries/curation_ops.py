@@ -1285,3 +1285,82 @@ _pair(
     _robots_gating_sql(_URL_NOFRAG_DUCK, ""),
     tags=("curation", "compliance", "robots", "license", "url"),
 )
+
+
+# --- encoding-hygiene (mojibake/control-char) census --------------------------
+# The byte-level hygiene pass a crawl pipeline runs BEFORE any
+# tokenization (Dolma/CCNet strip control characters; U+FFFD
+# REPLACEMENT CHARACTER is the canonical mojibake tell from a bad
+# charset transcode; bare CR means unnormalized line endings; NBSP is
+# the classic HTML-extraction residue). The synthetic corpus is clean
+# ASCII, so — like the PII family — a deterministic fixture injects
+# each artifact class from md5(doc_id) bits, with the artifact chars
+# built via chr(N) (identical semantics in both engines for N < 256;
+# U+FFFD rides as a UTF-8 literal in the query text itself).
+# Occurrences are counted with length-delta over single-char
+# replace() — no regex, so no cross-engine escaping hazard at all.
+# Scale shape: JOINLESS — one map-side projection + one
+# groupBy(source) with map-side combine, corpus-linear.
+
+_ENC_FIXTURE_SQL = """
+SELECT doc_id, source,
+    text
+    || CASE WHEN substr(h, 1, 1) < '4'
+            THEN ' bell' || chr(7) || 'ctl' || chr(8) ELSE '' END
+    || CASE WHEN substr(h, 2, 1) < '4' THEN ' mis�code�' ELSE '' END
+    || CASE WHEN substr(h, 3, 1) < '6' THEN chr(13) || 'cr line'
+            ELSE '' END
+    || CASE WHEN substr(h, 4, 1) < '4' THEN chr(160) || 'nbsp'
+            ELSE '' END
+    AS text
+FROM (
+    SELECT doc_id, source, text,
+           md5(CAST(doc_id AS STRING)) AS h
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+) seed
+"""
+
+_N_CHAR = "(length(text) - length(replace(text, {c}, '')))"
+
+
+def _enc_census_sql() -> str:
+    ctl = f"({_N_CHAR.format(c='chr(7)')} + {_N_CHAR.format(c='chr(8)')})"
+    rep = _N_CHAR.format(c="'�'")
+    cr = _N_CHAR.format(c="chr(13)")
+    nbsp = _N_CHAR.format(c="chr(160)")
+    return f"""
+WITH corpus AS ({_ENC_FIXTURE_SQL}),
+flagged AS (
+    SELECT source,
+           {ctl} AS n_ctl, {rep} AS n_rep, {cr} AS n_cr, {nbsp} AS n_nbsp
+    FROM corpus
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_ctl > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ctl_docs,
+       CAST(SUM(n_ctl) AS BIGINT) AS n_ctl_chars,
+       CAST(SUM(CASE WHEN n_rep > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_mojibake_docs,
+       CAST(SUM(n_rep) AS BIGINT) AS n_replacement_chars,
+       CAST(SUM(CASE WHEN n_cr > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bare_cr_docs,
+       CAST(SUM(CASE WHEN n_nbsp > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_nbsp_docs,
+       CAST(SUM(CASE WHEN n_ctl + n_rep + n_cr + n_nbsp = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_clean_docs,
+       ROUND(CAST(SUM(CASE WHEN n_ctl + n_rep + n_cr + n_nbsp = 0
+                           THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 9)
+           AS clean_frac
+FROM flagged
+GROUP BY source
+ORDER BY source
+"""
+
+
+_pair(
+    "encoding_hygiene_census",
+    _enc_census_sql(),
+    _enc_census_sql(),
+    tags=("curation", "encoding", "mojibake", "data-quality"),
+)

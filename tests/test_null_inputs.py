@@ -70,6 +70,7 @@ NULL_SAFE_QUERIES = [
     "compression_bpb_census",
     "robots_license_gating",
     "doremi_one_step",
+    "encoding_hygiene_census",  # NULL text drops at the seed filter
 ]
 
 

@@ -950,3 +950,13 @@ def test_doremi_no_cartesian_map_side_combine(spark):
     read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
     assert read_schema and "text" in read_schema[0]
     assert "doc_id" not in read_schema[0], "doremi reads pruned columns"
+
+
+def test_encoding_hygiene_joinless_map_side(spark):
+    plan = _plan(spark, "encoding_hygiene_census")
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 2, "census lost map-side combine"
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "lang" not in read_schema[0], (
+        "hygiene census reads pruned columns"
+    )
