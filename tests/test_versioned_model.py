@@ -91,6 +91,27 @@ def make_machine(spark, tmpdir):
             if not stats["skipped"]:
                 self._record()
 
+        @rule(k=KEYS)
+        def delete_key_dv(self, k):
+            # Deletion-vector delete must be model-indistinguishable
+            # from COW delete: same visibility, same skip contract
+            # (a key that is only DV-dead re-deletes as a no-op).
+            stats = self.t.delete_dv(f"k = {k}")
+            existed = k in self.model
+            self.model.pop(k, None)
+            assert stats["skipped"] == (not existed)
+            if not stats["skipped"]:
+                self._record()
+
+        @rule()
+        def optimize(self):
+            # Purges outstanding DVs (rewriting only DV'd files) or
+            # bin-packs; contents never change. Records only when a
+            # version was actually minted (skip = no commit).
+            res = self.t.optimize()
+            if not res["skipped"]:
+                self._record()
+
         @rule(k=KEYS, dv=st.integers(min_value=1, max_value=5))
         def update_key(self, k, dv):
             stats = self.t.update(
