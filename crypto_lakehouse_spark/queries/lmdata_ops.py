@@ -928,7 +928,9 @@ def _bpe_train_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_BPE_TRAIN_DUCK = r"""
+# Shared DuckDB recursion: word-type census + budget-bounded merge
+# loop (used by both the trainer oracle and the fertility oracle).
+_BPE_IT_DUCK = r"""
 WITH RECURSIVE
 words AS (
     SELECT w, COUNT(*) AS cnt FROM (
@@ -962,7 +964,9 @@ it(step, syms, cnt) AS (
         ) c ORDER BY n DESC, x, y LIMIT 1
     ) b
     WHERE step < %(budget)d
-),
+)""" % {"budget": _BPE_MAX_MERGES}
+
+_BPE_TRAIN_DUCK = _BPE_IT_DUCK + r""",
 census_all AS (
     SELECT step, t[i] AS x, t[i + 1] AS y, SUM(cnt) AS n
     FROM (
@@ -984,7 +988,7 @@ SELECT CAST(step + 1 AS BIGINT) AS step,
 FROM ranked
 WHERE rn = 1 AND step < (SELECT MAX(step) FROM it)
 ORDER BY step
-""" % {"budget": _BPE_MAX_MERGES}
+"""
 
 _bpe_train_iterated.__name__ = "bpe_train_iterated"
 query(
@@ -1502,3 +1506,100 @@ _pair(
     _bpb_sql("unnest(range(1, length(text)))"),
     tags=("lmdata", "quality", "compression", "entropy"),
 )
+
+
+# --- BPE fertility census (apply the learned vocab) ---------------------------
+# The deployment half of the tokenizer story: bpe_train_iterated
+# learns the merge sequence; this APPLIES the resulting vocab
+# corpus-wide and reports per-source FERTILITY (subwords per word) and
+# chars-per-subword — the number multilingual pipeline teams actually
+# track (high-fertility sources tokenize expensively and train
+# poorly). Words outside the trainer's domain ([a-z]{2,}) pass through
+# as single tokens and are counted separately.
+#
+# Spark side: the identical checkpoint-once / narrow-replace-per-merge
+# loop as bpe_train_iterated (8 census jobs), then ONE type-keyed
+# equi-join of word instances to the final segmentation (word types,
+# not corpus tokens — combiner-absorbed, AQE-splittable) and one
+# groupBy(source). The DuckDB oracle re-derives the final segmentation
+# with the same recursive CTE and re-aggregates identically, so the
+# green hash proves train AND apply end-to-end.
+
+
+def _bpe_fertility_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source subword fertility under the learned BPE vocab."""
+    register_views(spark, sf_dir, ["documents"])
+    base = truncate_lineage(spark.sql(_BPE_STATE_SQL), spark)
+    state = base
+    rounds = 0
+    while rounds < _BPE_MAX_MERGES:
+        state.createOrReplaceTempView("bpe_state")
+        top = spark.sql(_BPE_CENSUS_SQL).collect()
+        if not top:
+            break
+        x, y = top[0]["x"], top[0]["y"]
+        state = state.selectExpr(
+            f"replace(syms, '[{x}][{y}]', '[{x}{y}]') AS syms", "cnt"
+        )
+        rounds += 1
+    state.createOrReplaceTempView("bpe_final")
+    out = spark.sql(
+        """
+WITH types AS (
+    SELECT replace(replace(syms, '[', ''), ']', '') AS w,
+           length(syms) - length(replace(syms, '[', '')) AS n_sub
+    FROM bpe_final
+),
+inst AS (
+    SELECT source, explode(split(lower(text), ' ')) AS w
+    FROM documents WHERE length(text) > 0 AND source IS NOT NULL
+)
+SELECT i.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(t.n_sub, 1)) AS BIGINT) AS n_subwords,
+       CAST(SUM(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_passthrough,
+       ROUND(CAST(SUM(COALESCE(t.n_sub, 1)) AS DOUBLE) / COUNT(*), 9)
+           AS fertility,
+       ROUND(CAST(SUM(length(i.w)) AS DOUBLE)
+             / SUM(COALESCE(t.n_sub, 1)), 9) AS chars_per_subword
+FROM inst i LEFT JOIN types t ON i.w = t.w
+GROUP BY i.source
+ORDER BY i.source
+"""
+    )
+    result = spark.createDataFrame(out.collect(), out.schema)
+    release_lineage(base)
+    return result
+
+
+_BPE_FERTILITY_DUCK = _BPE_IT_DUCK + r""",
+types AS (
+    SELECT replace(replace(syms, '[', ''), ']', '') AS w,
+           len(syms) - len(replace(syms, '[', '')) AS n_sub
+    FROM it WHERE step = (SELECT MAX(step) FROM it)
+),
+inst AS (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents WHERE len(text) > 0 AND source IS NOT NULL
+)
+SELECT i.source,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(COALESCE(t.n_sub, 1)) AS BIGINT) AS n_subwords,
+       CAST(SUM(CASE WHEN t.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_passthrough,
+       ROUND(CAST(SUM(COALESCE(t.n_sub, 1)) AS DOUBLE) / COUNT(*), 9)
+           AS fertility,
+       ROUND(CAST(SUM(len(i.w)) AS DOUBLE)
+             / SUM(COALESCE(t.n_sub, 1)), 9) AS chars_per_subword
+FROM inst i LEFT JOIN types t ON i.w = t.w
+GROUP BY i.source
+ORDER BY i.source
+"""
+
+_bpe_fertility_census.__name__ = "bpe_fertility_census"
+query(
+    "bpe_fertility_census",
+    oracle=_BPE_FERTILITY_DUCK,
+    tags=("lmdata", "tokenizer", "bpe", "fertility"),
+)(_bpe_fertility_census)

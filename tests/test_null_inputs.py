@@ -71,6 +71,7 @@ NULL_SAFE_QUERIES = [
     "robots_license_gating",
     "doremi_one_step",
     "encoding_hygiene_census",  # NULL text drops at the seed filter
+    "bpe_fertility_census",  # NULL text drops at the length filter
 ]
 
 
