@@ -1183,38 +1183,12 @@ class VersionedTable:
         dv_map = {
             f: list(v) for f, v in snap.get("deletion_vectors", {}).items()
         }
-        added = snap.get("added_columns", {})
-        reader = self.spark.read.option("basePath", self.path)
-        if added:
-            reader = reader.option("mergeSchema", "true")
-        per_file = []
-        for f in sorted(touched):
-            # row_index is captured DIRECTLY on the scan (metadata
-            # columns are only guaranteed resolvable there), THEN the
-            # logical-schema pipeline and the existing-DV exclusion
-            # run on top of the materialized position column.
-            d = reader.parquet(os.path.join(self.path, f)).withColumn(
-                "__dv_idx", F.col("_metadata.row_index")
+        per_file = [
+            d.filter(F.coalesce(F.expr(condition), F.lit(False))).select(
+                F.lit(f).alias("file"), F.col("__dv_idx").alias("pos")
             )
-            if dv_map.get(f):
-                pos0 = self.spark.read.parquet(
-                    *(os.path.join(self.path, r) for r in dv_map[f])
-                )
-                pos0 = pos0.filter(pos0["file"] == f).select("pos")
-                d = d.join(
-                    F.broadcast(pos0),
-                    d["__dv_idx"] == pos0["pos"],
-                    "left_anti",
-                )
-            d = self._apply_column_mapping(
-                d, snap.get("column_mapping", {})
-            )
-            d = self._apply_added_columns(d, added)
-            per_file.append(
-                d.filter(F.coalesce(F.expr(condition), F.lit(False))).select(
-                    F.lit(f).alias("file"), F.col("__dv_idx").alias("pos")
-                )
-            )
+            for f, d in self._live_frames_with_pos(sorted(touched), snap)
+        ]
         all_pos = reduce(lambda a, b: a.unionByName(b), per_file)
         counts = {
             r["file"]: r["n"]
@@ -1241,6 +1215,154 @@ class VersionedTable:
             "files_touched": len(counts),
             "dv_file": rel,
         }
+
+    def _live_frames_with_pos(self, files: list[str], snap: dict):
+        """Yield (rel_path, frame) per file: the file's LIVE logical
+        rows — existing DVs excluded, column mapping and added-column
+        backfill applied — with `__dv_idx` = the parquet row position.
+        row_index is captured DIRECTLY on the scan (metadata columns
+        are only guaranteed resolvable there); everything else runs on
+        top of the materialized position column."""
+        from pyspark.sql import functions as F
+
+        dv_map = snap.get("deletion_vectors", {})
+        added = snap.get("added_columns", {})
+        reader = self.spark.read.option("basePath", self.path)
+        if added:
+            reader = reader.option("mergeSchema", "true")
+        for f in files:
+            d = reader.parquet(os.path.join(self.path, f)).withColumn(
+                "__dv_idx", F.col("_metadata.row_index")
+            )
+            if dv_map.get(f):
+                pos0 = self.spark.read.parquet(
+                    *(os.path.join(self.path, r) for r in dv_map[f])
+                )
+                pos0 = pos0.filter(pos0["file"] == f).select("pos")
+                d = d.join(
+                    F.broadcast(pos0),
+                    d["__dv_idx"] == pos0["pos"],
+                    "left_anti",
+                )
+            d = self._apply_column_mapping(d, snap.get("column_mapping", {}))
+            d = self._apply_added_columns(d, added)
+            yield f, d
+
+    def merge_dv(self, source: DataFrame, keys: list[str]) -> int:
+        """Deletion-vector MERGE (Delta DV-enabled MERGE analog; same
+        WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED INSERT * contract
+        as `merge`): matched target rows are marked dead in a DV
+        sidecar and the source appends as NEW files — no partition
+        rewrite, so the write cost tracks the SOURCE size, not the
+        touched-partition size (a 10-row upsert into a 1 GB partition
+        writes the 10 rows plus kilobytes of positions). Read paths
+        reconcile exactly as for `delete_dv`; `optimize()` later folds
+        the DVs away. Output-equivalent to `merge()` — pinned in
+        tests/test_versioned_dv.py — and, because nothing rewrites,
+        there is no partition-move hazard (the COW merge's
+        stale-duplicate check is structurally unnecessary here).
+        Schema evolution is not supported on this path; use
+        `merge(merge_schema=True)`."""
+        from functools import reduce
+
+        from pyspark.sql import functions as F
+
+        dup = (
+            source.groupBy(*keys).count().filter(F.col("count") > 1)
+            .limit(1).count()
+        )
+        if dup:
+            raise ValueError(
+                f"MERGE source is not unique on keys {keys} "
+                "(same contract as Delta: multiple source matches are "
+                "an error)"
+            )
+        self._check_constraints(source)
+        cur = self.current_version()
+        if cur is None:
+            return self._commit(
+                self._write_files(source), "merge_dv", base=cur
+            )
+        target = self.read()
+        new_cols = [c for c in source.columns if c not in target.columns]
+        if new_cols:
+            raise ValueError(
+                f"merge_dv source has column(s) {new_cols} the target "
+                "lacks; schema evolution requires the COW path "
+                "(merge(merge_schema=True))"
+            )
+        snap = self._load(cur)
+        files = snap["files"]
+        # Existing files are untouched, so the SOURCE aligns to the
+        # TARGET schema (COW merge aligns the other way).
+        tgt_types = {fld.name: fld.dataType for fld in target.schema.fields}
+        aligned = source.select(
+            *[
+                (
+                    F.col(c).cast(tgt_types[c])
+                    if c in source.columns
+                    else F.lit(None).cast(tgt_types[c])
+                ).alias(c)
+                for c in target.columns
+            ]
+        )
+        skeys = source.select(*keys).distinct()
+        # Touched-file discovery: one raw multi-path scan semi-joined
+        # to the source keys (same suffix-resolution as
+        # _touched_files; DV-dead matches over-mark harmlessly — the
+        # position diff below excludes them).
+        from urllib.parse import unquote
+
+        added = snap.get("added_columns", {})
+        reader = self.spark.read.option("basePath", self.path)
+        if added:
+            reader = reader.option("mergeSchema", "true")
+        raw = reader.parquet(
+            *(os.path.join(self.path, f) for f in sorted(files))
+        )
+        raw = self._apply_column_mapping(raw, snap.get("column_mapping", {}))
+        raw = self._apply_added_columns(raw, added)
+        uris = {
+            r.f
+            for r in raw.join(F.broadcast(skeys), keys, "left_semi")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .collect()
+        }
+        cands = uris | {unquote(u) for u in uris}
+        touched = [
+            f for f in files if any(u.endswith("/" + f) for u in cands)
+        ]
+        dv_map = {
+            f: list(v) for f, v in snap.get("deletion_vectors", {}).items()
+        }
+        n_dead = 0
+        if touched:
+            per_file = [
+                d.join(F.broadcast(skeys), keys, "left_semi").select(
+                    F.lit(f).alias("file"), F.col("__dv_idx").alias("pos")
+                )
+                for f, d in self._live_frames_with_pos(sorted(touched), snap)
+            ]
+            all_pos = reduce(lambda a, b: a.unionByName(b), per_file)
+            counts = {
+                r["file"]: r["n"]
+                for r in all_pos.groupBy("file")
+                .agg(F.count("*").alias("n"))
+                .collect()
+            }
+            n_dead = sum(counts.values())
+            if n_dead:
+                rel = self._write_dv(all_pos)
+                for f in counts:
+                    dv_map[f] = dv_map.get(f, []) + [rel]
+        new_files = self._write_files(aligned)
+        return self._commit(
+            files + new_files,
+            "merge_dv",
+            base=cur,
+            deletion_vectors=dv_map,
+        )
 
     def _write_dv(self, positions: DataFrame) -> str:
         """Write a (file STRING, pos BIGINT) positions frame as one

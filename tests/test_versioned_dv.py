@@ -154,3 +154,82 @@ def test_dv_stats_skipping_still_sound(spark, table):
     # file but the DV must still filter the row.
     got = {r.k for r in table.read(between={"k": (3, 5)}).collect()}
     assert got == {3, 5}
+
+
+def test_merge_dv_matches_cow_merge(spark, tmp_path):
+    cow = VersionedTable(spark, str(tmp_path / "mc"), partition_by=["day"])
+    dv = VersionedTable(spark, str(tmp_path / "md"), partition_by=["day"])
+    for t in (cow, dv):
+        t.append(_df(spark, ROWS))
+    src = _df(spark, [(2, "a", 99), (6, "c", 60)])
+    cow.merge(src, keys=["k"])
+    dv.merge_dv(src, keys=["k"])
+    a = {tuple(r) for r in cow.read().select("k", "day", "v").collect()}
+    b = {tuple(r) for r in dv.read().select("k", "day", "v").collect()}
+    assert a == b
+    assert (2, "a", 99) in b and (6, "c", 60) in b and (2, "a", 20) not in b
+
+
+def test_merge_dv_carries_all_files_and_write_tracks_source(spark, table):
+    table.append(_df(spark, ROWS))
+    before = set(table._load(0)["files"])
+    table.merge_dv(_df(spark, [(1, "a", 11)]), keys=["k"])
+    head = table._load(table.current_version())
+    # Every pre-existing file carried byte-identical; only source-sized
+    # new files appended.
+    assert before <= set(head["files"])
+    assert head["deletion_vectors"], "matched row not marked dead"
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {(1, 11), (2, 20), (3, 30), (4, 40), (5, 50)}
+
+
+def test_merge_dv_pure_insert_writes_no_dv(spark, table):
+    table.append(_df(spark, ROWS))
+    table.merge_dv(_df(spark, [(9, "c", 90)]), keys=["k"])
+    head = table._load(table.current_version())
+    assert head.get("deletion_vectors", {}) == {}
+    assert table.read().count() == 6
+
+
+def test_merge_dv_then_optimize_purges(spark, table):
+    table.append(_df(spark, ROWS))
+    table.compact(1)
+    table.merge_dv(_df(spark, [(4, "b", 44)]), keys=["k"])
+    # The appended source file pushes the layout over target, so
+    # optimize may purge via the full bin-pack rather than the
+    # DV-only branch — either way the head must come out DV-free.
+    res = table.optimize()
+    assert not res["skipped"]
+    assert table._load(table.current_version()).get(
+        "deletion_vectors", {}
+    ) == {}
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 44), (5, 50)}
+
+
+def test_merge_dv_after_delete_dv_does_not_resurrect(spark, table):
+    table.append(_df(spark, ROWS))
+    table.delete_dv("k = 5")
+    # k=5 is DV-dead: the merge source row for k=5 is an INSERT, and
+    # the dead row must stay dead (position diff excludes it).
+    table.merge_dv(_df(spark, [(5, "b", 55)]), keys=["k"])
+    got = {(r.k, r.v) for r in table.read().collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40), (5, 55)}
+
+
+def test_merge_dv_rejects_duplicate_keys_and_new_columns(spark, table):
+    table.append(_df(spark, ROWS))
+    with pytest.raises(ValueError, match="not unique"):
+        table.merge_dv(
+            _df(spark, [(1, "a", 1), (1, "a", 2)]), keys=["k"]
+        )
+    wide = spark.createDataFrame([(1, "a", 1, 9)], "k long, day string, v long, extra long")
+    with pytest.raises(ValueError, match="schema evolution"):
+        table.merge_dv(wide, keys=["k"])
+
+
+def test_merge_dv_time_travel(spark, table):
+    table.append(_df(spark, ROWS))
+    table.merge_dv(_df(spark, [(1, "a", 111)]), keys=["k"])
+    assert {r.v for r in table.read(version=0).filter("k = 1").collect()} == {10}
+    assert {r.v for r in table.read().filter("k = 1").collect()} == {111}

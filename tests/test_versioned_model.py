@@ -91,6 +91,13 @@ def make_machine(spark, tmpdir):
             if not stats["skipped"]:
                 self._record()
 
+        @rule(rows=st.dictionaries(KEYS, VALS, min_size=1, max_size=3))
+        def merge_dv(self, rows):
+            # DV merge must be model-indistinguishable from COW merge.
+            self.t.merge_dv(self._df(list(rows.items())), keys=["k"])
+            self.model.update(rows)
+            self._record()
+
         @rule(k=KEYS)
         def delete_key_dv(self, k):
             # Deletion-vector delete must be model-indistinguishable
