@@ -2262,3 +2262,149 @@ _pair(
     _contrastive_sql(_DOT_DUCK, _D_DUCK),
     tags=("similarity", "trainprep", "contrastive", "negative-mining"),
 )
+
+
+# --- k-center greedy coreset selection ----------------------------------------
+# The standard coreset/data-pruning baseline (Gonzalez 1985 greedy
+# 2-approximation; the selection rule behind active-learning "core-set"
+# sampling, Sener & Savarese 2018): seed with the min vec_id, then k-1
+# times add the point FARTHEST from its nearest already-chosen center.
+# Complements semdedup (which prunes redundancy) — k-center picks the
+# maximally COVERING subset, and final_coverage_sq is the certified
+# covering radius (squared L2).
+#
+# Both engines run the IDENTICAL unrolled recurrence (k=8 chained
+# CTEs): c_i = argmax of the maintained min-distance, d_i = LEAST of
+# the running distance and the distance to the new center — each step
+# is one corpus map + one TakeOrdered(1), never an all-pairs product.
+# Scale shape: k sequential passes, each corpus-linear with a bounded
+# top-1 reduction; driver/plan state is k rows. Distances are
+# dim-ordered float folds (bit-identical across engines, same
+# discipline as the k-means family); ROUND(9) only on output.
+
+_KC_K = 8
+
+_KC_L2_SPARK = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+_KC_L2_DUCK = (
+    "list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+    "list_transform(range(1, 65), "
+    "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), (acc, v) -> acc + v)"
+)
+
+
+def _kcenter_sql(vecs_sql: str, l2: str) -> str:
+    parts = [
+        f"WITH vecs AS ({vecs_sql}),",
+        "c1 AS (SELECT vec_id, v, CAST(0 AS DOUBLE) AS dist FROM vecs "
+        "WHERE vec_id = (SELECT MIN(vec_id) FROM vecs)),",
+        f"d1 AS (SELECT d.vec_id, d.v, {l2.format(a='d.v', b='c.v')} AS dist"
+        " FROM vecs d CROSS JOIN c1 c WHERE d.vec_id <> c.vec_id),",
+    ]
+    for i in range(2, _KC_K + 1):
+        parts.append(
+            f"c{i} AS (SELECT vec_id, v, dist FROM d{i - 1} "
+            "ORDER BY dist DESC, vec_id LIMIT 1),"
+        )
+        parts.append(
+            f"d{i} AS (SELECT d.vec_id, d.v, "
+            f"LEAST(d.dist, {l2.format(a='d.v', b='c.v')}) AS dist "
+            f"FROM d{i - 1} d CROSS JOIN c{i} c WHERE d.vec_id <> c.vec_id),"
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS step, vec_id, dist FROM c{i}"
+        for i in range(1, _KC_K + 1)
+    )
+    parts.append(f"sel AS (\n    {union}\n)")
+    parts.append(
+        f"""
+SELECT CAST(s.step AS BIGINT) AS step,
+       s.vec_id AS center_vec_id,
+       ROUND(s.dist, 9) AS sel_dist_sq,
+       ROUND(z.cov, 9) AS final_coverage_sq
+FROM sel s
+CROSS JOIN (SELECT MAX(dist) AS cov FROM d{_KC_K}) z
+ORDER BY step
+"""
+    )
+    return "\n".join(parts)
+
+
+def _coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center greedy, driver-loop form (see block comment). Spark
+    has no CTE materialization, so the unrolled-CTE shape the DuckDB
+    oracle runs would re-evaluate the whole distance chain per step
+    (exponential plan growth — measured 31 s at sf0.001); instead each
+    round's min-distance relation is lineage-truncated once and the
+    argmax is a 1-row TakeOrdered collect, the same discipline as
+    kmeans_converged."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["embeddings"])
+    spark.sql(
+        "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
+        "FROM embeddings WHERE embedding IS NOT NULL"
+    ).createOrReplaceTempView("kc_vecs")
+    seed = spark.sql(
+        "SELECT MIN(vec_id) AS vec_id FROM kc_vecs"
+    ).collect()[0]["vec_id"]
+    l2 = _KC_L2_SPARK.format(a="d.v", b="c.v")
+    # The 1-row center side MUST broadcast explicitly: it derives from
+    # a checkpointed LogicalRDD whose size statistics are unknown, so
+    # without the hint the CROSS JOIN plans as a CartesianProduct whose
+    # partition count MULTIPLIES each round (32 -> 1024 -> 1,048,576
+    # tasks by round 3 — observed live before the hint).
+    d = truncate_lineage(
+        spark.sql(
+            f"""SELECT /*+ BROADCAST(c) */ d.vec_id, d.v, {l2} AS dist
+FROM kc_vecs d CROSS JOIN (SELECT v FROM kc_vecs WHERE vec_id = {seed}) c
+WHERE d.vec_id <> {seed}"""
+        ),
+        spark,
+    )
+    centers = [(1, int(seed), 0.0)]
+    for i in range(2, _KC_K + 1):
+        d.createOrReplaceTempView("kc_d")
+        top = spark.sql(
+            "SELECT vec_id, ROUND(dist, 9) AS dist_r FROM kc_d "
+            "ORDER BY dist DESC, vec_id LIMIT 1"
+        ).collect()[0]
+        centers.append((i, int(top["vec_id"]), float(top["dist_r"])))
+        new_d = truncate_lineage(
+            spark.sql(
+                f"""SELECT /*+ BROADCAST(c) */ d.vec_id, d.v,
+       LEAST(d.dist, {l2}) AS dist
+FROM kc_d d CROSS JOIN (SELECT v FROM kc_d WHERE vec_id = {top["vec_id"]}) c
+WHERE d.vec_id <> {top["vec_id"]}"""
+            ),
+            spark,
+        )
+        release_lineage(d)
+        d = new_d
+    d.createOrReplaceTempView("kc_d")
+    cov = spark.sql(
+        "SELECT ROUND(MAX(dist), 9) AS cov FROM kc_d"
+    ).collect()[0]["cov"]
+    release_lineage(d)
+    return spark.createDataFrame(
+        [(s, c, sd, float(cov)) for s, c, sd in centers],
+        "step bigint, center_vec_id bigint, sel_dist_sq double, "
+        "final_coverage_sq double",
+    )
+
+
+_coreset_kcenter_greedy.__name__ = "coreset_kcenter_greedy"
+query(
+    "coreset_kcenter_greedy",
+    oracle=_kcenter_sql(
+        "SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))"
+        " AS v FROM embeddings WHERE embedding IS NOT NULL",
+        _KC_L2_DUCK,
+    ),
+    tags=("similarity", "coreset", "sampling", "data-pruning"),
+)(_coreset_kcenter_greedy)

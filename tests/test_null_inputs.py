@@ -72,6 +72,7 @@ NULL_SAFE_QUERIES = [
     "doremi_one_step",
     "encoding_hygiene_census",  # NULL text drops at the seed filter
     "bpe_fertility_census",  # NULL text drops at the length filter
+    "coreset_kcenter_greedy",  # NULL embedding excluded at the scan
 ]
 
 

@@ -233,3 +233,16 @@ def test_merge_dv_time_travel(spark, table):
     table.merge_dv(_df(spark, [(1, "a", 111)]), keys=["k"])
     assert {r.v for r in table.read(version=0).filter("k = 1").collect()} == {10}
     assert {r.v for r in table.read().filter("k = 1").collect()} == {111}
+
+
+def test_table_changes_sees_dv_delete(spark, table):
+    """CDF across a DV commit: the snapshot-diff formulation reads
+    both versions through DV reconciliation, so a delete_dv commit
+    must surface as plain delete rows."""
+    table.append(_df(spark, ROWS))
+    table.delete_dv("k = 2")
+    changes = {
+        (r["k"], r["_change_type"])
+        for r in table.table_changes(["k"], 0, 1).collect()
+    }
+    assert changes == {(2, "delete")}
