@@ -2408,3 +2408,154 @@ query(
     ),
     tags=("similarity", "coreset", "sampling", "data-pruning"),
 )(_coreset_kcenter_greedy)
+
+
+# --- simplified silhouette (clustering quality diagnostic) --------------------
+# The linear-time clustering diagnostic (Hruschka et al.'s simplified
+# silhouette; what sklearn users approximate when N^2 pairwise is off
+# the table): after one Lloyd step from the kmeans_one_step seeds,
+# score every vector s = (b - a) / max(a, b) with a = distance to its
+# OWN updated centroid and b = the nearest OTHER centroid — per
+# cluster: member count, mean/min silhouette, and the misfit count
+# (s < 0 means the vector sits closer to another centroid: the
+# re-assignment pressure k-means' next round would act on). Exactly
+# the "is k right / did clustering converge well" report a curation
+# run publishes next to semdedup yields.
+#
+# Scale shape: the N x k distance matrix is the SAME broadcast-join
+# cost as one Lloyd assignment (no pairwise N^2 anywhere); centroid
+# arrays fold dim-ordered, member sums fold vec_id-ordered, ROUND(12)
+# -> DECIMAL before the per-cluster mean — the family's bit-exactness
+# discipline throughout.
+
+_SIL_SPARK = """
+WITH vecs AS (
+    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
+assigned AS (
+    SELECT vec_id, cid, v FROM (
+        SELECT vecs.vec_id, cents.cid, vecs.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vecs.vec_id
+                   ORDER BY aggregate(zip_with(vecs.v, cents.c,
+                                (x, y) -> (x - y) * (x - y)),
+                            CAST(0 AS DOUBLE), (a, b) -> a + b),
+                            cents.cid) AS rn
+        FROM vecs CROSS JOIN cents
+    ) WHERE rn = 1
+),
+dimvals AS (
+    SELECT cid, dim, vec_id, element_at(v, dim) AS val
+    FROM assigned
+    CROSS JOIN (SELECT explode(sequence(1, 64)) AS dim)
+),
+dimmeans AS (
+    SELECT cid, dim,
+           aggregate(transform(array_sort(collect_list(struct(vec_id, val))),
+                     s -> s.val), CAST(0 AS DOUBLE), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM dimvals GROUP BY cid, dim
+),
+cents2 AS (
+    SELECT cid,
+           transform(array_sort(collect_list(struct(dim, mean_d))),
+                     s -> s.mean_d) AS c
+    FROM dimmeans GROUP BY cid
+),
+dists AS (
+    SELECT /*+ BROADCAST(c) */ a.vec_id, a.cid AS own, c.cid,
+           SQRT(aggregate(zip_with(a.v, c.c, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (p, q) -> p + q)) AS dist
+    FROM assigned a CROSS JOIN cents2 c
+),
+sil AS (
+    SELECT vec_id, own,
+           MAX(CASE WHEN cid = own THEN dist END) AS a_d,
+           MIN(CASE WHEN cid <> own THEN dist END) AS b_d
+    FROM dists GROUP BY vec_id, own
+),
+scored AS (
+    SELECT own AS cid,
+           CAST(ROUND(CASE WHEN GREATEST(a_d, b_d) = 0 THEN 0
+                           ELSE (b_d - a_d) / GREATEST(a_d, b_d) END, 12)
+                AS DECIMAL(16, 12)) AS s
+    FROM sil
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 9) AS mean_silhouette,
+       ROUND(CAST(MIN(s) AS DOUBLE), 9) AS min_silhouette,
+       CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+FROM scored GROUP BY cid ORDER BY cluster_id
+"""
+
+_SIL_DUCK = """
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
+assigned AS (
+    SELECT vec_id, cid, v FROM (
+        SELECT vecs.vec_id, cents.cid, vecs.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vecs.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, 65),
+                                i -> (vecs.v[i] - cents.c[i])
+                                     * (vecs.v[i] - cents.c[i])),
+                            (a, b) -> a + b),
+                            cents.cid) AS rn
+        FROM vecs CROSS JOIN cents
+    ) WHERE rn = 1
+),
+dimvals AS (
+    SELECT cid, dim, vec_id, v[dim] AS val
+    FROM assigned
+    CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+),
+dimmeans AS (
+    SELECT cid, dim,
+           list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM dimvals GROUP BY cid, dim
+),
+cents2 AS (
+    SELECT cid, list(mean_d ORDER BY dim) AS c
+    FROM dimmeans GROUP BY cid
+),
+dists AS (
+    SELECT a.vec_id, a.cid AS own, c.cid,
+           SQRT(list_reduce(list_transform(range(1, 65),
+                i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])),
+                (p, q) -> p + q)) AS dist
+    FROM assigned a CROSS JOIN cents2 c
+),
+sil AS (
+    SELECT vec_id, own,
+           MAX(CASE WHEN cid = own THEN dist END) AS a_d,
+           MIN(CASE WHEN cid <> own THEN dist END) AS b_d
+    FROM dists GROUP BY vec_id, own
+),
+scored AS (
+    SELECT own AS cid,
+           CAST(ROUND(CASE WHEN GREATEST(a_d, b_d) = 0 THEN 0
+                           ELSE (b_d - a_d) / GREATEST(a_d, b_d) END, 12)
+                AS DECIMAL(16, 12)) AS s
+    FROM sil
+)
+SELECT cid AS cluster_id,
+       CAST(COUNT(*) AS BIGINT) AS n_members,
+       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 9) AS mean_silhouette,
+       ROUND(CAST(MIN(s) AS DOUBLE), 9) AS min_silhouette,
+       CAST(SUM(CASE WHEN s < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_misfit
+FROM scored GROUP BY cid ORDER BY cluster_id
+"""
+
+_pair(
+    "kmeans_simplified_silhouette",
+    _SIL_SPARK,
+    _SIL_DUCK,
+    tags=("similarity", "clustering", "diagnostics", "silhouette"),
+)

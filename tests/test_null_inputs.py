@@ -73,6 +73,8 @@ NULL_SAFE_QUERIES = [
     "encoding_hygiene_census",  # NULL text drops at the seed filter
     "bpe_fertility_census",  # NULL text drops at the length filter
     "coreset_kcenter_greedy",  # NULL embedding excluded at the scan
+    "kmeans_simplified_silhouette",  # NULL embedding excluded; NULLed
+    # seed drops to 3 clusters identically in both engines
 ]
 
 

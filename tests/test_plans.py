@@ -960,3 +960,13 @@ def test_encoding_hygiene_joinless_map_side(spark):
     assert read_schema and "lang" not in read_schema[0], (
         "hygiene census reads pruned columns"
     )
+
+
+def test_silhouette_centroids_broadcast_no_blowup(spark):
+    """The N x k distance matrix must come from a broadcast of the
+    aggregated centroid arrays — a checkpoint/aggregate-derived 1-side
+    without the hint planned as a CartesianProduct whose partition
+    count multiplies (the k-center incident)."""
+    plan = _plan(spark, "kmeans_simplified_silhouette")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
