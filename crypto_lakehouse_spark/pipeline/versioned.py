@@ -952,6 +952,8 @@ class VersionedTable:
 
         from pyspark.sql import functions as F
 
+        if not files:  # zero-file snapshot: nothing can match
+            return set()
         cur = self.current_version()
         snap = self._load(cur) if cur is not None else {}
         added = snap.get("added_columns", {})
@@ -1313,26 +1315,30 @@ class VersionedTable:
         # position diff below excludes them).
         from urllib.parse import unquote
 
-        added = snap.get("added_columns", {})
-        reader = self.spark.read.option("basePath", self.path)
-        if added:
-            reader = reader.option("mergeSchema", "true")
-        raw = reader.parquet(
-            *(os.path.join(self.path, f) for f in sorted(files))
-        )
-        raw = self._apply_column_mapping(raw, snap.get("column_mapping", {}))
-        raw = self._apply_added_columns(raw, added)
-        uris = {
-            r.f
-            for r in raw.join(F.broadcast(skeys), keys, "left_semi")
-            .select(F.input_file_name().alias("f"))
-            .distinct()
-            .collect()
-        }
-        cands = uris | {unquote(u) for u in uris}
-        touched = [
-            f for f in files if any(u.endswith("/" + f) for u in cands)
-        ]
+        touched: list[str] = []
+        if files:  # zero-file snapshot: every source row is an insert
+            added = snap.get("added_columns", {})
+            reader = self.spark.read.option("basePath", self.path)
+            if added:
+                reader = reader.option("mergeSchema", "true")
+            raw = reader.parquet(
+                *(os.path.join(self.path, f) for f in sorted(files))
+            )
+            raw = self._apply_column_mapping(
+                raw, snap.get("column_mapping", {})
+            )
+            raw = self._apply_added_columns(raw, added)
+            uris = {
+                r.f
+                for r in raw.join(F.broadcast(skeys), keys, "left_semi")
+                .select(F.input_file_name().alias("f"))
+                .distinct()
+                .collect()
+            }
+            cands = uris | {unquote(u) for u in uris}
+            touched = [
+                f for f in files if any(u.endswith("/" + f) for u in cands)
+            ]
         dv_map = {
             f: list(v) for f, v in snap.get("deletion_vectors", {}).items()
         }

@@ -246,3 +246,17 @@ def test_table_changes_sees_dv_delete(spark, table):
         for r in table.table_changes(["k"], 0, 1).collect()
     }
     assert changes == {(2, "delete")}
+
+
+def test_dml_on_zero_file_snapshot(spark, table):
+    """Regression (round 12): _touched_files/merge_dv scan raw files
+    directly now — a zero-file snapshot (every row deleted) must
+    no-op deletes and treat every merge_dv source row as an insert
+    instead of raising on an empty reader path list."""
+    table.append(_df(spark, [(1, "a", 10)]))
+    table.delete("k = 1")  # rewrites to a zero-file snapshot
+    assert table.read().count() == 0
+    assert table.delete("k = 1")["skipped"]
+    assert table.delete_dv("k = 1")["skipped"]
+    table.merge_dv(_df(spark, [(2, "b", 20)]), keys=["k"])
+    assert {(r.k, r.v) for r in table.read().collect()} == {(2, 20)}
