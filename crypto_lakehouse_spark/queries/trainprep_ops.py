@@ -829,3 +829,96 @@ _pair(
     ),
     tags=("trainprep", "mixture", "doremi", "sampling"),
 )
+
+
+# --- doc-level excess-loss selection (RHO-loss / learnability unit) -----------
+# The document-granular companion of doremi_one_step, the selection
+# rule behind reducible-holdout-loss sampling (RHO-1, Mindermann et
+# al.'s learnability scoring): score each document by its EXCESS loss
+# — nll under the corpus-generic reference model minus nll under the
+# domain model — and keep the top quarter per source (high excess =
+# the domain model explains it much better than the generic one:
+# informative, unmemorized, worth training on; near-zero = generic
+# boilerplate). One exact step: the production loop re-trains and
+# re-scores.
+#
+# Scale shape: one token explode, doc-keyed and source-keyed censuses
+# (each a re-agg of the former, never a second corpus pass), the
+# per-token join is token-keyed corpus-linear, selection is one
+# window per source. Determinism: per-token nll ROUND(12)->DECIMAL
+# sums per doc; the per-doc score is rounded BEFORE ranking so the
+# rank ties break identically in both engines; group means are
+# decimal sums of the rounded scores.
+
+
+def _rho_sql(unnest_toks: str) -> str:
+    return f"""
+WITH toks AS ({unnest_toks}),
+dt AS (
+    SELECT doc_id, source, tok, COUNT(*) AS c
+    FROM toks GROUP BY doc_id, source, tok
+),
+st AS (SELECT source, tok, SUM(c) AS cs FROM dt GROUP BY source, tok),
+ct AS (SELECT tok, SUM(cs) AS cf FROM st GROUP BY tok),
+tot AS (SELECT SUM(cf) AS n, COUNT(*) AS v FROM ct),
+stot AS (SELECT source, SUM(cs) AS ns FROM st GROUP BY source),
+terms AS (
+    SELECT d.doc_id, d.source, d.c,
+           CAST(ROUND(-d.c * LN(CAST(ct.cf + 1 AS DOUBLE) / (t.n + t.v))
+                      / LN(2), 12) AS DECIMAL(28, 12)) AS ref_bits,
+           CAST(ROUND(-d.c * LN(CAST(s.cs + 1 AS DOUBLE) / (so.ns + t.v))
+                      / LN(2), 12) AS DECIMAL(28, 12)) AS dom_bits
+    FROM dt d
+    JOIN ct ON ct.tok = d.tok
+    JOIN st s ON s.source = d.source AND s.tok = d.tok
+    JOIN stot so ON so.source = d.source
+    CROSS JOIN tot t
+),
+docscore AS (
+    SELECT doc_id, source,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(ref_bits) - SUM(dom_bits) AS DOUBLE) / SUM(c), 9)
+               AS excess_bpt
+    FROM terms GROUP BY doc_id, source
+),
+ranked AS (
+    SELECT doc_id, source, n_tokens, excess_bpt,
+           ROW_NUMBER() OVER (PARTITION BY source
+                              ORDER BY excess_bpt DESC, doc_id) AS rn,
+           COUNT(*) OVER (PARTITION BY source) AS n_docs
+    FROM docscore
+),
+labeled AS (
+    SELECT source, n_docs, n_tokens, excess_bpt,
+           CASE WHEN rn <= (n_docs + 3) %%DIV%% 4 THEN 1 ELSE 0 END AS sel
+    FROM ranked
+)
+SELECT source,
+       CAST(MIN(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(sel) AS BIGINT) AS n_selected,
+       CAST(SUM(CASE WHEN sel = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+           AS selected_token_mass,
+       ROUND(CAST(SUM(CASE WHEN sel = 1
+                           THEN CAST(excess_bpt AS DECIMAL(16, 9)) END)
+                  AS DOUBLE) / SUM(sel), 9) AS mean_excess_selected,
+       ROUND(CAST(SUM(CASE WHEN sel = 0
+                           THEN CAST(excess_bpt AS DECIMAL(16, 9)) END)
+                  AS DOUBLE) / SUM(1 - sel), 9) AS mean_excess_rejected
+FROM labeled
+GROUP BY source
+ORDER BY source
+"""
+
+
+_pair(
+    "rho_excess_loss_selection",
+    _rho_sql(
+        "SELECT doc_id, source, explode(split(lower(text), ' ')) AS tok "
+        "FROM documents WHERE length(text) > 0 AND source IS NOT NULL"
+    ),
+    _rho_sql(
+        "SELECT doc_id, source, unnest(string_split(lower(text), ' ')) AS tok"
+        " FROM documents WHERE length(text) > 0 AND source IS NOT NULL"
+    ),
+    tags=("trainprep", "selection", "rho-loss", "learnability"),
+)

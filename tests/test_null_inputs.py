@@ -75,6 +75,7 @@ NULL_SAFE_QUERIES = [
     "coreset_kcenter_greedy",  # NULL embedding excluded at the scan
     "kmeans_simplified_silhouette",  # NULL embedding excluded; NULLed
     # seed drops to 3 clusters identically in both engines
+    "rho_excess_loss_selection",  # NULL text drops at the length filter
 ]
 
 

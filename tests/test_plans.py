@@ -970,3 +970,9 @@ def test_silhouette_centroids_broadcast_no_blowup(spark):
     plan = _plan(spark, "kmeans_simplified_silhouette")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_rho_selection_no_cartesian_combiners(spark):
+    plan = _plan(spark, "rho_excess_loss_selection")
+    assert "CartesianProduct" not in plan
+    assert plan.count("HashAggregate") >= 4, "token censuses lost combiners"
