@@ -83,6 +83,10 @@ TIER = [
     # round-11: the full BPE training loop measures ~3 s at sf0.1
     # (8 census rounds; corpus-linear type census per round)
     "bpe_train_iterated",
+    # round-12: hovers at the 2 s boundary across runs (1.76 / 1.80 /
+    # 2.21 s on identical code) — ramped so boundary jitter can never
+    # trip the machine-checked rule again
+    "nn_descent_round_recall",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
