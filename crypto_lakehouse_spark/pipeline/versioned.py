@@ -141,6 +141,7 @@ class VersionedTable:
         conflict: dict | None = None,
         column_mapping: dict[str, str] | None = None,
         deletion_vectors: dict[str, list[str]] | None = None,
+        dropped_columns: dict[str, str] | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -187,6 +188,7 @@ class VersionedTable:
                     conflict,
                     column_mapping,
                     deletion_vectors,
+                    dropped_columns,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -228,6 +230,7 @@ class VersionedTable:
         conflict: dict | None = None,
         column_mapping: dict[str, str] | None = None,
         deletion_vectors: dict[str, list[str]] | None = None,
+        dropped_columns: dict[str, str] | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -295,6 +298,15 @@ class VersionedTable:
                 **prev.get("txns", {}),
                 **({txn[0]: txn[1]} if txn else {}),
             },
+            # DROP COLUMN metadata: logical name -> the physical name
+            # it occupied at drop time. Carried verbatim — reads of
+            # THIS version exclude both names; pre-drop versions read
+            # their own manifests and still see the column.
+            "dropped_columns": (
+                dropped_columns
+                if dropped_columns is not None
+                else prev.get("dropped_columns", {})
+            ),
             # Deletion vectors (Delta DV analog): data file ->
             # positional sidecar file(s) under _dv/. Carried forward
             # like other metadata, but FILTERED to files still in this
@@ -408,6 +420,10 @@ class VersionedTable:
         mapping = dict(m.get("column_mapping", {}))
         physical = mapping.pop(old, old)
         phys_names = set(mapping.values())
+        # Dropped columns' names (logical and physical) stay reserved:
+        # renaming onto one would resurrect the stale data on read.
+        phys_names |= set(m.get("dropped_columns", {}))
+        phys_names |= set(m.get("dropped_columns", {}).values())
         schema = m.get("table_schema")
         if schema:
             phys_names |= {f["name"] for f in schema.get("fields", [])}
@@ -691,11 +707,90 @@ class VersionedTable:
                 "physical storage name; adding it would collide in files "
                 "written after the rename"
             )
+        if name in m.get("dropped_columns", {}).values() or name in m.get(
+            "dropped_columns", {}
+        ):
+            raise ValueError(
+                f"{self.path}: column name {name!r} was DROPPED and its "
+                "physical data still lives in pre-drop files; re-adding "
+                "the same name would resurrect old values on read. "
+                "Rewrite the table (overwrite/compact) first, or use a "
+                "different name"
+            )
         added = dict(m.get("added_columns", {}))
         added[name] = {"type": dtype, "default": default}
         return self._commit(
             m["files"], "add_column", base=cur, added_columns=added
         )
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN (Delta columnMapping drop analog):
+        a METADATA-ONLY commit — no data file is touched. The column's
+        physical data stays in existing files but every read of this
+        and later versions excludes it (`_apply_dropped_columns`);
+        time travel to a pre-drop version reads that version's own
+        manifest and still sees the column; any later COW rewrite
+        (delete/update/merge/compact/OPTIMIZE) writes files WITHOUT
+        the column, physically purging it file by file.
+
+        Restrictions (fail fast): partition columns cannot drop (their
+        names are baked into the directory layout); CHECK constraints
+        referencing the column must be dropped first; re-adding the
+        same name later is rejected until a rewrite (the stale
+        physical data would resurrect — Delta avoids this with UUID
+        physical names, this implementation keeps human-readable names
+        and rejects instead)."""
+        import re
+
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(f"{self.path}: no committed version to evolve")
+        cols = self.read().columns
+        if name not in cols:
+            raise ValueError(f"{self.path}: no column {name!r} to drop")
+        if name in self.partition_by:
+            raise ValueError(
+                f"{self.path}: cannot drop partition column {name!r}"
+            )
+        if len(cols) == 1:
+            raise ValueError(
+                f"{self.path}: cannot drop the only column {name!r}"
+            )
+        m = self._load(cur)
+        for cname, expr in m.get("constraints", {}).items():
+            if re.search(rf"\b{re.escape(name)}\b", expr):
+                raise ValueError(
+                    f"{self.path}: constraint {cname!r} ({expr}) references "
+                    f"{name!r}; drop it before dropping the column"
+                )
+        mapping = dict(m.get("column_mapping", {}))
+        physical = mapping.pop(name, name)
+        added = dict(m.get("added_columns", {}))
+        added.pop(name, None)
+        dropped = dict(m.get("dropped_columns", {}))
+        dropped[name] = physical
+        return self._commit(
+            m["files"],
+            f"drop_column({name})",
+            base=cur,
+            added_columns=added,
+            column_mapping=mapping,
+            dropped_columns=dropped,
+        )
+
+    @staticmethod
+    def _apply_dropped_columns(df: DataFrame, snap: dict) -> DataFrame:
+        """Exclude dropped columns from a scanned frame: both the
+        logical name and the physical name it occupied at drop time
+        (pre-drop files still store the physical; add/rename guards
+        keep either name from being reused, so the exclusion can
+        never hit a live column)."""
+        dropped = snap.get("dropped_columns", {})
+        if not dropped:
+            return df
+        names = set(dropped) | set(dropped.values())
+        present = [c for c in df.columns if c in names]
+        return df.drop(*present) if present else df
 
     def merge(
         self, source: DataFrame, keys: list[str], merge_schema: bool = False
@@ -965,6 +1060,7 @@ class VersionedTable:
         )
         raw = self._apply_column_mapping(raw, snap.get("column_mapping", {}))
         raw = self._apply_added_columns(raw, added)
+        raw = self._apply_dropped_columns(raw, snap)
         uris = {
             r.f
             for r in raw.filter(F.expr(condition))
@@ -989,7 +1085,9 @@ class VersionedTable:
         # resurrect its deleted rows.
         df = self._scan_files(sorted(files), snap, bool(added))
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
-        return self._apply_added_columns(df, added)
+        return self._apply_dropped_columns(
+            self._apply_added_columns(df, added), snap
+        )
 
     def _apply_added_columns(self, df: DataFrame, added: dict) -> DataFrame:
         """Surface manifest-declared added columns on a scanned frame:
@@ -1148,7 +1246,12 @@ class VersionedTable:
             frames.append(d)
         df = frames[0]
         for extra in frames[1:]:
-            df = df.unionByName(extra, allowMissingColumns=merge_schema)
+            # allowMissingColumns unconditionally: a DROP COLUMN
+            # followed by a partial rewrite leaves files with and
+            # without the dropped physical column even when no
+            # added-column evolution is declared; NULLs for the
+            # missing side are exactly what mergeSchema produces.
+            df = df.unionByName(extra, allowMissingColumns=True)
         return df
 
     def delete_dv(self, condition: str) -> dict:
@@ -1248,6 +1351,7 @@ class VersionedTable:
                 )
             d = self._apply_column_mapping(d, snap.get("column_mapping", {}))
             d = self._apply_added_columns(d, added)
+            d = self._apply_dropped_columns(d, snap)
             yield f, d
 
     def merge_dv(self, source: DataFrame, keys: list[str]) -> int:
@@ -1328,6 +1432,7 @@ class VersionedTable:
                 raw, snap.get("column_mapping", {})
             )
             raw = self._apply_added_columns(raw, added)
+            raw = self._apply_dropped_columns(raw, snap)
             uris = {
                 r.f
                 for r in raw.join(F.broadcast(skeys), keys, "left_semi")
@@ -1428,8 +1533,11 @@ class VersionedTable:
             df = self._apply_column_mapping(
                 df, snap0.get("column_mapping", {})
             )
-            return self._apply_added_columns(
-                df, snap0.get("added_columns", {})
+            return self._apply_dropped_columns(
+                self._apply_added_columns(
+                    df, snap0.get("added_columns", {})
+                ),
+                snap0,
             )
         if not files:  # every file skipped: empty frame, right schema
             df = self.read(version=version, merge_schema=merge_schema)
@@ -1447,6 +1555,7 @@ class VersionedTable:
         # names), then added-column backfill (declared on logical).
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         df = self._apply_added_columns(df, added)
+        df = self._apply_dropped_columns(df, snap)
         for col, (lo, hi) in (between or {}).items():
             df = df.where(F.col(col).between(lo, hi))
         for col, v in (point or {}).items():
