@@ -2350,9 +2350,15 @@ def _coreset_kcenter_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v "
         "FROM embeddings WHERE embedding IS NOT NULL"
     ).createOrReplaceTempView("kc_vecs")
+    _KC_SCHEMA = (
+        "step bigint, center_vec_id bigint, sel_dist_sq double, "
+        "final_coverage_sq double"
+    )
     seed = spark.sql(
         "SELECT MIN(vec_id) AS vec_id FROM kc_vecs"
     ).collect()[0]["vec_id"]
+    if seed is None:  # empty corpus: no centers to pick
+        return spark.createDataFrame([], _KC_SCHEMA)
     l2 = _KC_L2_SPARK.format(a="d.v", b="c.v")
     # The 1-row center side MUST broadcast explicitly: it derives from
     # a checkpointed LogicalRDD whose size statistics are unknown, so
@@ -2370,10 +2376,13 @@ WHERE d.vec_id <> {seed}"""
     centers = [(1, int(seed), 0.0)]
     for i in range(2, _KC_K + 1):
         d.createOrReplaceTempView("kc_d")
-        top = spark.sql(
+        top_rows = spark.sql(
             "SELECT vec_id, ROUND(dist, 9) AS dist_r FROM kc_d "
             "ORDER BY dist DESC, vec_id LIMIT 1"
-        ).collect()[0]
+        ).collect()
+        if not top_rows:  # corpus smaller than k: all points chosen
+            break
+        top = top_rows[0]
         centers.append((i, int(top["vec_id"]), float(top["dist_r"])))
         new_d = truncate_lineage(
             spark.sql(
@@ -2391,10 +2400,9 @@ WHERE d.vec_id <> {top["vec_id"]}"""
         "SELECT ROUND(MAX(dist), 9) AS cov FROM kc_d"
     ).collect()[0]["cov"]
     release_lineage(d)
-    return spark.createDataFrame(
-        [(s, c, sd, float(cov)) for s, c, sd in centers],
-        "step bigint, center_vec_id bigint, sel_dist_sq double, "
-        "final_coverage_sq double",
+    cov = None if cov is None else float(cov)  # <= k points: no
+    return spark.createDataFrame(  # remainder, NULL coverage (oracle
+        [(s, c, sd, cov) for s, c, sd in centers], _KC_SCHEMA  # too)
     )
 
 

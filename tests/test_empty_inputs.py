@@ -72,6 +72,18 @@ EMPTY_SAFE_QUERIES = [
     "streaming_session_window",
     "streaming_stream_stream_left_join",
     "cdf_incremental_view_maintenance",
+    # round-12 additions — swept before listing; coreset_kcenter_greedy
+    # originally CRASHED here (empty corpus -> None seed interpolated
+    # into SQL) and now early-returns an empty typed frame, matching
+    # the oracle's empty result
+    "compression_bpb_census",
+    "robots_license_gating",
+    "doremi_one_step",
+    "encoding_hygiene_census",
+    "bpe_fertility_census",
+    "coreset_kcenter_greedy",
+    "kmeans_simplified_silhouette",
+    "rho_excess_loss_selection",
 ]
 
 
