@@ -922,3 +922,76 @@ _pair(
     ),
     tags=("trainprep", "selection", "rho-loss", "learnability"),
 )
+
+
+# --- temperature-scaled mixture weights ---------------------------------------
+# The third rung of the mixing ladder (static md5 rates ->
+# doremi_one_step -> this): the temperature-sampling scheme
+# multilingual pretraining actually deploys (mT5/PaLM's p_i ~
+# share_i^(1/T)): for a tau = 1/T grid (1.0 = natural, 0.7, 0.5, 0.3
+# ~ T=3.3 near-uniform), report each source's sampled share and the
+# effective EPOCHS it would repeat at a one-natural-pass token budget
+# — with the epochs > 4 repeat-limit flag (the Muennighoff et al.
+# diminishing-returns threshold a data planner checks before
+# committing a mixture).
+#
+# Scale shape: ONE map-side token census per source, then k x tau
+# rows of scalar math — corpus-linear scan, everything after is
+# constant-size. Determinism: POWER output rounds to 12 -> DECIMAL
+# before the exact normalization sum (same discipline as doremi's
+# EXP boost); epoch flags compare the ROUNDED double.
+
+
+def _temperature_sql(tok_expr: str, grid: str) -> str:
+    # Scalars come from WINDOWS over the k-row census, NOT from
+    # tot/z CTE self-joins: Spark inlines CTEs, so the join form
+    # re-ran the corpus tokenization scan 8x (measured in the plan);
+    # this form scans documents exactly once.
+    return f"""
+WITH census AS (
+    SELECT source, SUM({tok_expr}) AS n
+    FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+    GROUP BY source
+),
+c2 AS (SELECT source, n, SUM(n) OVER () AS nt FROM census),
+grid AS ({grid}),
+w AS (
+    SELECT c.source, g.tau, c.n, c.nt,
+           CAST(ROUND(POWER(CAST(c.n AS DOUBLE) / c.nt, g.tau), 12)
+                AS DECIMAL(16, 12)) AS wr
+    FROM c2 c CROSS JOIN grid g
+),
+scored AS (
+    SELECT source, tau, n, nt, wr,
+           SUM(wr) OVER (PARTITION BY tau) AS sw
+    FROM w
+)
+SELECT source, tau,
+       CAST(n AS BIGINT) AS n_tokens,
+       ROUND(CAST(n AS DOUBLE) / nt, 9) AS natural_share,
+       ROUND(CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE), 9)
+           AS sampled_share,
+       ROUND(CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE)
+             * nt / n, 9) AS epochs_at_one_pass,
+       CASE WHEN ROUND(CAST(wr AS DOUBLE) / CAST(sw AS DOUBLE)
+                       * nt / n, 9) > 4.0
+            THEN 1 ELSE 0 END AS over_repeat_limit
+FROM scored
+ORDER BY tau DESC, source
+"""
+
+
+_pair(
+    "temperature_mixture_weights",
+    _temperature_sql(
+        "size(split(text, ' '))",
+        "SELECT explode(array(CAST(1.0 AS DOUBLE), CAST(0.7 AS DOUBLE), "
+        "CAST(0.5 AS DOUBLE), CAST(0.3 AS DOUBLE))) AS tau",
+    ),
+    _temperature_sql(
+        "len(string_split(text, ' '))",
+        "SELECT unnest([CAST(1.0 AS DOUBLE), CAST(0.7 AS DOUBLE), "
+        "CAST(0.5 AS DOUBLE), CAST(0.3 AS DOUBLE)]) AS tau",
+    ),
+    tags=("trainprep", "mixture", "temperature", "sampling"),
+)

@@ -84,6 +84,7 @@ EMPTY_SAFE_QUERIES = [
     "coreset_kcenter_greedy",
     "kmeans_simplified_silhouette",
     "rho_excess_loss_selection",
+    "temperature_mixture_weights",
 ]
 
 

@@ -76,6 +76,7 @@ NULL_SAFE_QUERIES = [
     "kmeans_simplified_silhouette",  # NULL embedding excluded; NULLed
     # seed drops to 3 clusters identically in both engines
     "rho_excess_loss_selection",  # NULL text drops at the length filter
+    "temperature_mixture_weights",  # NULL text drops at the seed filter
 ]
 
 

@@ -976,3 +976,12 @@ def test_rho_selection_no_cartesian_combiners(spark):
     plan = _plan(spark, "rho_excess_loss_selection")
     assert "CartesianProduct" not in plan
     assert plan.count("HashAggregate") >= 4, "token censuses lost combiners"
+
+
+def test_temperature_mixture_single_census(spark):
+    """One map-side token census feeds the whole tau grid: no
+    cartesian product, no text re-scan per temperature (exactly one
+    parquet scan of documents)."""
+    plan = _plan(spark, "temperature_mixture_weights")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Scan parquet") <= 2, "census re-scans per tau"
