@@ -87,6 +87,12 @@ TIER = [
     # 2.21 s on identical code) — ramped so boundary jitter can never
     # trip the machine-checked rule again
     "nn_descent_round_recall",
+    # round-12: the BPE train+apply loop also straddles the boundary
+    # (1.69 / 2.05 s on identical code) — same treatment
+    "bpe_fertility_census",
+    # round-12: crept to the boundary across rounds (1.54 / 1.93 /
+    # 2.24 s) — same treatment
+    "bbit_minhash_estimate_error",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
