@@ -829,13 +829,28 @@ class VersionedTable:
                     "lacks; pass merge_schema=True to evolve the schema "
                     "(Delta schema.autoMerge)"
                 )
-            phys = set(self._load(cur).get("column_mapping", {}).values())
+            m_cur = self._load(cur)
+            phys = set(m_cur.get("column_mapping", {}).values())
             clash = [c for c in new_cols if c in phys]
             if clash:
                 raise ValueError(
                     f"{self.path}: MERGE source column(s) {clash} collide "
                     "with renamed columns' physical storage names; rename "
                     "them in the source before merging"
+                )
+            # Same reservation add_column enforces (ADVICE r12): a new
+            # column named like a DROPped column (logical name or its
+            # physical storage name) would be written to new files but
+            # silently excluded from every read by
+            # _apply_dropped_columns — reject it up front.
+            dropped = m_cur.get("dropped_columns", {})
+            reserved = set(dropped) | set(dropped.values())
+            clash = [c for c in new_cols if c in reserved]
+            if clash:
+                raise ValueError(
+                    f"{self.path}: MERGE source column(s) {clash} collide "
+                    "with DROPped columns' reserved names; rename them in "
+                    "the source before merging"
                 )
             added_columns = dict(self._load(cur).get("added_columns", {}))
             for c in new_cols:
@@ -1877,6 +1892,18 @@ class VersionedTable:
                 # schema can leave a CHECK over a column that no longer
                 # resolves, failing every later append/merge.
                 constraints=snap.get("constraints", {}),
+                # Deletion vectors and dropped columns are metadata-only
+                # (file list unchanged), so _commit's inherit-from-HEAD
+                # default would silently keep HEAD's state: restoring to
+                # a pre-delete version would keep rows deleted, and
+                # restoring to a DV'd version from a DV-free HEAD would
+                # resurrect them (ADVICE r12). Pin both to the target
+                # snapshot explicitly.
+                deletion_vectors={
+                    f: list(v)
+                    for f, v in snap.get("deletion_vectors", {}).items()
+                },
+                dropped_columns=dict(snap.get("dropped_columns", {})),
             )
         finally:
             self._last_write_stats = {}
@@ -1894,7 +1921,15 @@ class VersionedTable:
         snap = self._load(cur)
         dest = VersionedTable(self.spark, dest_path, partition_by=self.partition_by)
         os.makedirs(dest_path, exist_ok=True)
-        for rel in snap["files"]:
+        dv_map = {
+            f: list(v) for f, v in snap.get("deletion_vectors", {}).items()
+        }
+        # Hard-link the DV sidecars alongside the data files: a clone
+        # that carries the DV map but not the _dv/ parquet it points at
+        # would fail every read; a clone that carries neither silently
+        # resurrects DV-deleted rows (ADVICE r12).
+        dv_rels = sorted({rel for rels in dv_map.values() for rel in rels})
+        for rel in list(snap["files"]) + dv_rels:
             src = os.path.join(self.path, rel)
             dst = os.path.join(dest_path, rel)
             os.makedirs(os.path.dirname(dst), exist_ok=True)
@@ -1907,6 +1942,13 @@ class VersionedTable:
                 f"clone({self.path}@v{cur})",
                 base=None,
                 added_columns=snap.get("added_columns", {}),
+                # The full schema-evolution + governance state travels
+                # with the clone, exactly as Delta shallow CLONE copies
+                # the source's metadata: renames, drops, DVs, CHECKs.
+                column_mapping=snap.get("column_mapping", {}),
+                constraints=snap.get("constraints", {}),
+                deletion_vectors=dv_map,
+                dropped_columns=dict(snap.get("dropped_columns", {})),
             )
         finally:
             dest._last_write_stats = {}

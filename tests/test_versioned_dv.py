@@ -260,3 +260,89 @@ def test_dml_on_zero_file_snapshot(spark, table):
     assert table.delete_dv("k = 1")["skipped"]
     table.merge_dv(_df(spark, [(2, "b", 20)]), keys=["k"])
     assert {(r.k, r.v) for r in table.read().collect()} == {(2, 20)}
+
+
+def test_restore_across_delete_dv(spark, table):
+    """ADVICE r12: restore() must pin the TARGET snapshot's DV map.
+    delete_dv is metadata-only (file list unchanged), so inheriting
+    the DV map from HEAD would make restore-to-pre-delete keep the
+    rows dead — and the reverse restore resurrect them."""
+    table.append(_df(spark, ROWS))          # v0: 5 rows, no DVs
+    table.delete_dv("k <= 2")               # v1: DV kills k=1,2
+    assert table.read().count() == 3
+    v2 = table.restore(0)                   # back before the delete
+    assert table.read().count() == 5
+    assert table._load(v2).get("deletion_vectors", {}) == {}
+    v3 = table.restore(1)                   # forward to the DV'd state
+    assert {r.k for r in table.read().collect()} == {3, 4, 5}
+    assert table._load(v3)["deletion_vectors"]
+
+
+def test_restore_across_drop_column(spark, table):
+    """Restore must also pin dropped_columns: restoring to the
+    pre-drop version brings the column back, and restoring to the
+    post-drop version from a drop-free HEAD re-hides it."""
+    table.append(_df(spark, ROWS))          # v0
+    table.drop_column("v")                  # v1
+    assert "v" not in table.read().columns
+    table.restore(0)                        # v2: column back
+    assert "v" in table.read().columns
+    assert {r.v for r in table.read().collect()} == {10, 20, 30, 40, 50}
+    table.restore(1)                        # v3: hidden again
+    assert "v" not in table.read().columns
+
+
+def test_clone_carries_dvs_and_sidecars(spark, table, tmp_path):
+    """ADVICE r12: shallow clone of a table with outstanding DVs must
+    carry the DV map AND hard-link the _dv/ sidecars — otherwise the
+    clone resurrects deleted rows (or can't read at all)."""
+    table.append(_df(spark, ROWS))
+    table.delete_dv("day = 'b'")
+    assert table.read().count() == 2
+    dest = table.clone_to(str(tmp_path / "c"))
+    assert {(r.k, r.v) for r in dest.read().collect()} == {(1, 10), (2, 20)}
+    m = dest._load(0)
+    assert m["deletion_vectors"]
+    for rels in m["deletion_vectors"].values():
+        for rel in rels:
+            assert os.path.exists(os.path.join(dest.path, rel))
+    # Independence: deleting more in the source doesn't touch the clone.
+    table.delete_dv("k = 1")
+    assert dest.read().count() == 2
+
+
+def test_clone_carries_drop_rename_constraints(spark, tmp_path):
+    """Clone must carry dropped_columns, column_mapping and CHECK
+    constraints — a clone missing them resurrects dropped columns and
+    silently drops governance."""
+    src = VersionedTable(spark, str(tmp_path / "s"), partition_by=["day"])
+    src.append(
+        spark.createDataFrame(
+            [(1, "a", 10, "x"), (2, "b", 20, "y")], ["k", "day", "v", "note"]
+        )
+    )
+    src.rename_column("v", "val")
+    src.add_constraint("v_pos", "val > 0")
+    src.drop_column("note")
+    dest = src.clone_to(str(tmp_path / "d"))
+    assert set(dest.read().columns) == {"k", "day", "val"}
+    m = dest._load(0)
+    assert "note" in m["dropped_columns"]
+    assert m["column_mapping"].get("val") == "v"
+    assert "v_pos" in m["constraints"]
+    with pytest.raises(ValueError, match="v_pos"):
+        dest.append(
+            spark.createDataFrame([(3, "a", -1)], ["k", "day", "val"])
+        )
+
+
+def test_merge_schema_rejects_dropped_name(spark, table):
+    """ADVICE r12: merge(merge_schema=True) evolving in a column named
+    like a DROPped column must be rejected (mirrors add_column) — the
+    data would land in new files but every read would exclude it."""
+    table.append(_df(spark, ROWS))
+    table.drop_column("v")
+    with pytest.raises(ValueError, match="reserved"):
+        table.merge(
+            _df(spark, [(1, "a", 99)]), keys=["k", "day"], merge_schema=True
+        )
