@@ -93,6 +93,19 @@ TIER = [
     # round-12: crept to the boundary across rounds (1.54 / 1.93 /
     # 2.24 s) — same treatment
     "bbit_minhash_estimate_error",
+    # round-13: four more 2 s-boundary hoverers observed straddling
+    # the line across quiet runs on identical code (event_funnel
+    # 1.35/1.85/2.08, ngram_lm_doc_score 1.12/1.99, ngram_jaccard_capped
+    # 1.63/2.69, coreset_kcenter_greedy 1.56/2.03) — ramped so jitter
+    # can never trip the machine-checked rule (same r12 treatment)
+    "event_funnel",
+    "ngram_lm_doc_score",
+    "ngram_jaccard_capped",
+    "coreset_kcenter_greedy",
+    # round-13: the unigram-LM EM step is a genuinely multi-round
+    # operator (census + 3 materialized DP rounds + recursive walk);
+    # ~4.3 s at sf0.1 — ramp evidence required by the >2 s rule
+    "unigram_lm_em_step",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
