@@ -725,6 +725,150 @@ _pair(
 )
 
 
+# --- classifier calibration census (reliability / ECE / Brier) -------------
+# The standard audit BEFORE a quality classifier ships as a corpus
+# gate: is its score a calibrated probability? Per source:
+# reliability-diagram binning (10 bins), Expected Calibration Error,
+# Brier score, and the Murphy decomposition (reliability - resolution
+# + uncertainty, over binned forecasts). Reference label = the Gopher
+# rules (the independent heuristic gate); predicted probability = the
+# hashed classifier's mean weight mapped affinely from [-1,1) to
+# [0,1) (the deployed map would be a fitted logistic; the affine map
+# keeps the audit exactly reproducible).
+#
+# Cross-engine exactness: the probability is QUANTIZED ONCE per row
+# to integer milli-units pm = floor((score_num + 2048*n)*500 /
+# (2048*n)) in [0, 999] — pure integer arithmetic — so
+#   ECE   = SUM_b |1000*pos_b - sum_pm_b| / (1000*N)
+#   Brier = SUM_rows (pm - 1000*y)^2 / (1e6*N)
+# are INTEGER sums with one double division at emission. Only the
+# <=10 per-bin decomposition terms are doubles, folded in pinned bin
+# order (the module's order-pinned-fold discipline). Zero joins: one
+# corpus scan computes every per-row signal (higher-order functions,
+# whole-stage codegen), one groupBy(source, bin), windows for the
+# per-source totals the resolution term needs — at 100 TB this is a
+# single map-side scan plus a 10-bins-per-source aggregate.
+
+def _calib_cte(split: str, size: str, filt: str, alpha_pred: str,
+               len_sum: str, score_sum: str, intdiv: str) -> str:
+    return f"""
+rows AS (
+    SELECT source,
+           CAST((score_num + 2048 * n_tok) * 500 {intdiv} (2048 * n_tok)
+                AS INT) AS pm,
+           CASE WHEN n_tok BETWEEN 20 AND 100000
+                 AND CAST(len_sum AS DOUBLE) / n_tok BETWEEN 2.0 AND 10.0
+                 AND CAST(n_alpha AS DOUBLE) / n_tok >= 0.8
+                 AND n_stop_d >= 2 THEN 1 ELSE 0 END AS y
+    FROM (
+        SELECT source,
+               {size}(ws) AS n_tok,
+               {size}({filt}(ws, w -> {alpha_pred})) AS n_alpha,
+               {size}({filt}(ws, w -> w IN {_GOPHER_STOP})) AS n_stop_d,
+               {len_sum} AS len_sum,
+               {score_sum} AS score_num
+        FROM (SELECT source, {split}(text, ' ') AS ws FROM documents
+              WHERE text IS NOT NULL)
+    ) sig
+),
+bins AS (
+    SELECT source, bin,
+           COUNT(*) AS n_b,
+           SUM(pm) AS sum_pm,
+           SUM(y) AS pos_b,
+           SUM((pm - 1000 * y) * (pm - 1000 * y)) AS ssq_b
+    FROM (SELECT source, LEAST(pm {intdiv} 100, 9) AS bin, pm, y FROM rows) q
+    GROUP BY source, bin
+),
+terms AS (
+    SELECT source, bin, n_b, sum_pm, pos_b, ssq_b,
+           POW(CAST(sum_pm - 1000 * pos_b AS DOUBLE), 2)
+               / (1000000.0 * n_b) AS term_rel,
+           n_b * POW(CAST(pos_b AS DOUBLE) / n_b
+                     - CAST(SUM(pos_b) OVER (PARTITION BY source) AS DOUBLE)
+                       / SUM(n_b) OVER (PARTITION BY source), 2) AS term_res
+    FROM bins
+)"""
+
+
+_CALIB_TAIL = """
+SELECT source,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_pos AS BIGINT) AS n_pos,
+       ROUND(CAST(ece_num AS DOUBLE) / (1000.0 * n_docs), 9) AS ece,
+       ROUND(CAST(ssq AS DOUBLE) / (1000000.0 * n_docs), 9) AS brier,
+       ROUND({fold_rel} / n_docs, 9) AS reliability,
+       ROUND({fold_res} / n_docs, 9) AS resolution,
+       ROUND((CAST(n_pos AS DOUBLE) / n_docs)
+             * (1.0 - CAST(n_pos AS DOUBLE) / n_docs), 9) AS uncertainty
+FROM (
+    SELECT source,
+           SUM(n_b) AS n_docs,
+           SUM(pos_b) AS n_pos,
+           SUM(ssq_b) AS ssq,
+           SUM(ABS(1000 * pos_b - sum_pm)) AS ece_num,
+           {agg_rel} AS rel_terms,
+           {agg_res} AS res_terms
+    FROM terms
+    GROUP BY source
+) s
+ORDER BY source
+"""
+
+_CALIB_SPARK = (
+    "WITH "
+    + _calib_cte(
+        "split", "size", "filter",
+        "w RLIKE '[a-z]'",
+        "aggregate(ws, 0L, (acc, w) -> acc + length(w))",
+        f"aggregate(ws, 0L, (acc, t) -> acc + ({_W_SPARK}))",
+        "DIV",
+    )
+    + _CALIB_TAIL.format(
+        agg_rel="collect_list(struct(bin, term_rel))",
+        agg_res="collect_list(struct(bin, term_res))",
+        fold_rel=(
+            "aggregate(array_sort(rel_terms), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x.term_rel)"
+        ),
+        fold_res=(
+            "aggregate(array_sort(res_terms), CAST(0.0 AS DOUBLE), "
+            "(acc, x) -> acc + x.term_res)"
+        ),
+    )
+)
+
+_CALIB_DUCK = (
+    "WITH "
+    + _calib_cte(
+        "string_split", "len", "list_filter",
+        "regexp_matches(w, '[a-z]')",
+        "CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT)",
+        f"CAST(list_sum(list_transform(ws, t -> ({_W_DUCK}))) AS BIGINT)",
+        "//",
+    )
+    + _CALIB_TAIL.format(
+        agg_rel="list(term_rel ORDER BY bin)",
+        agg_res="list(term_res ORDER BY bin)",
+        fold_rel=(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), rel_terms), "
+            "(acc, x) -> acc + x)"
+        ),
+        fold_res=(
+            "list_reduce(list_prepend(CAST(0 AS DOUBLE), res_terms), "
+            "(acc, x) -> acc + x)"
+        ),
+    )
+)
+
+_pair(
+    "classifier_calibration_census",
+    _CALIB_SPARK,
+    _CALIB_DUCK,
+    tags=("text", "classifier", "curation", "calibration"),
+)
+
+
 # --- b-bit MinHash estimator (Li & Konig 2010) ------------------------------
 # Storing only the low b bits of each minhash value cuts signature
 # memory 8x (b=4 vs 32-bit values) at the price of random collisions:

@@ -327,6 +327,93 @@ _pair(
 )
 
 
+# --- MAXIMAL duplicated spans (gaps-and-islands merge) ----------------------
+# `substring_span_dedup` reports fixed 30-char/stride-10 windows; real
+# exact-substring dedup pipelines (Lee et al. 2022, arXiv:2107.06499)
+# report MAXIMAL duplicated spans. Adjacent duplicated windows (starts
+# 10 apart within a doc) merge into one maximal span via
+# gaps-and-islands over the window-start arithmetic: island key =
+# start - 10 * ROW_NUMBER(), so a run of stride-adjacent starts shares
+# one key and MIN/MAX recover the merged boundaries
+# (span_len = last_start - first_start + 30).
+#
+# Scale shape stays corpus-linear: the window explode is the same
+# narrow map-side fan-out (~len/10 rows per doc), shared-hash
+# detection is ONE groupBy(h) with partial aggregation, the dup join
+# hits the (small) shared set, and the islands window partitions by
+# doc_id — per-doc state only, no cross-doc shuffle beyond the hash
+# groupBy. No suffix array needed at window granularity.
+
+_SPAN_MAX_SPARK = """
+WITH spans AS (
+    SELECT doc_id, start, md5(substr(text, start, 30)) AS h
+    FROM (
+        SELECT doc_id, text,
+               explode(sequence(1, length(text) - 29, 10)) AS start
+        FROM documents WHERE length(text) >= 30
+    ) e
+),
+shared AS (
+    SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+islands AS (
+    SELECT doc_id, start,
+           start - 10 * ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY start) AS isl
+    FROM (SELECT d.doc_id, d.start FROM spans d JOIN shared s ON d.h = s.h) dup
+),
+merged AS (
+    SELECT doc_id, MIN(start) AS span_start,
+           MAX(start) - MIN(start) + 30 AS span_len,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, isl
+)
+SELECT doc_id,
+       CAST(span_start AS INT) AS span_start,
+       CAST(span_len AS INT) AS span_len,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM merged
+ORDER BY doc_id, span_start
+"""
+
+_SPAN_MAX_DUCK = """
+WITH spans AS (
+    SELECT doc_id, start, md5(substr(text, CAST(start AS INT), 30)) AS h
+    FROM documents,
+         unnest(range(1, length(text) - 28, 10)) t(start)
+    WHERE length(text) >= 30
+),
+shared AS (
+    SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+),
+islands AS (
+    SELECT doc_id, start,
+           start - 10 * ROW_NUMBER() OVER (
+               PARTITION BY doc_id ORDER BY start) AS isl
+    FROM (SELECT d.doc_id, d.start FROM spans d JOIN shared s ON d.h = s.h) dup
+),
+merged AS (
+    SELECT doc_id, MIN(start) AS span_start,
+           MAX(start) - MIN(start) + 30 AS span_len,
+           COUNT(*) AS n_windows
+    FROM islands GROUP BY doc_id, isl
+)
+SELECT doc_id,
+       CAST(span_start AS INT) AS span_start,
+       CAST(span_len AS INT) AS span_len,
+       CAST(n_windows AS BIGINT) AS n_windows
+FROM merged
+ORDER BY doc_id, span_start
+"""
+
+_pair(
+    "substring_span_maximal",
+    _SPAN_MAX_SPARK,
+    _SPAN_MAX_DUCK,
+    tags=("lmdata", "dedup", "substring", "gaps-and-islands"),
+)
+
+
 # --- Bloom-prefiltered decontamination -------------------------------------
 # Same benchmark split as contamination_4gram (every 17th doc), per-DOC
 # output (the contaminated docs with matched-shingle counts — the list a
@@ -1263,6 +1350,289 @@ query(
     oracle=_wordpiece_sql(*_WORDPIECE_DUCK_DIALECT),
     tags=("lmdata", "tokenizer", "recursive-cte", "spark4"),
 )(_wordpiece_recursive)
+
+
+# --- unigram-LM (SentencePiece-style) EM step -------------------------------
+# The third member of the tokenizer-training ladder (BPE iterated,
+# wordpiece greedy, and now unigram-LM — Kudo 2018, "Subword
+# Regularization", arXiv:1804.10959). One EM iteration:
+#
+#   E-step: Viterbi-segment every distinct word under a seed unigram
+#   model (all substrings of length 1-4, occurrence-frequency seed
+#   probabilities, top-96 multi-char pieces + every single char so any
+#   word stays segmentable).
+#   M-step: re-estimate piece probabilities from the tf-weighted piece
+#   counts of the Viterbi segmentations.
+#
+# Cross-engine bit-exactness: Viterbi is a DISCRETE argmin — a 1-ulp
+# libm difference in log() could flip a segmentation, so costs are
+# QUANTIZED to half-bits computed in pure integer arithmetic:
+#   qlog2(x) = floor(2*log2 x) = length(bin(x*x)) - 1
+# (bin() = exact binary-digit string in both engines; inputs saturate
+# at 2^31-1 so the square stays in BIGINT — deployment at 100 TB would
+# drop the quantization and use double costs, no oracle to match).
+# cost(piece) = qlog2(N) - qlog2(cf) >= 0, N = total seed mass.
+#
+# The DP runs as interval min-plus DOUBLING, not a driver loop: d0 =
+# single-piece spans (<=4 chars), each round unions "span + span @
+# shared midpoint" and takes the group-min, so 3 unrolled CTE rounds
+# cover words up to 32 chars (4*2^3) — longer words are excluded up
+# front, the standard tokenizer-training prefilter (URLs/noise). Path
+# recovery needs SUFFIX costs (best cost of segmenting w[i..end]):
+# from position i, any piece p with qcost(p) + S(i+len(p)) = S(i) is
+# on an optimal path (prefix-cost recovery has no such guarantee);
+# ROW_NUMBER over (piece_len DESC, piece) makes the choice unique and
+# the walk a unique-successor recursion — the same recursive-CTE
+# machinery as wordpiece.
+#
+# Scale shape: ONE corpus pass (the memoized word_tf fixture, shared
+# with wordpiece) — everything downstream is VOCABULARY-sized, which
+# Heaps' law keeps sublinear in corpus bytes. Per-word DP cost is
+# O(L^3) with L<=32 via the doubling joins; the upgrade path at
+# extreme word lengths is 4x4 min-plus transfer-matrix doubling
+# (O(L) rows, log L rounds), not needed at this cap.
+
+_UNIGRAM_VOCAB_K = 96
+_UNIGRAM_MAX_WORD = 32
+_UNIGRAM_SAT = 2147483647  # saturate before squaring: x*x stays in BIGINT
+
+
+def _unigram_census_ctes(words: str, wordpos: str, lens: str) -> str:
+    """CTE chain words -> edges (dialect-parameterized): the seed
+    vocabulary census, quantized piece costs, and the single-piece
+    span edges the DP starts from."""
+    ql = (
+        "(length(bin(CAST(least({x}, " + str(_UNIGRAM_SAT) + ") AS BIGINT) * "
+        "CAST(least({x}, " + str(_UNIGRAM_SAT) + ") AS BIGINT))) - 1)"
+    )
+    qn, qcf = ql.format(x="t.n"), ql.format(x="v.cf")
+    return f"""words AS (
+    SELECT w, tf FROM ({words}) w0
+    WHERE length(w) BETWEEN 1 AND {_UNIGRAM_MAX_WORD}
+),
+wordpos AS (
+    {wordpos}
+),
+occ AS (
+    SELECT substr(wp.w, wp.i, l) AS piece, SUM(wd.tf) AS cf
+    FROM wordpos wp JOIN words wd ON wd.w = wp.w
+    {lens}
+    WHERE wp.i + l - 1 <= length(wp.w)
+    GROUP BY substr(wp.w, wp.i, l)
+),
+vocab AS (
+    SELECT piece, cf FROM (
+        SELECT piece, cf FROM occ WHERE length(piece) > 1
+        ORDER BY cf DESC, piece LIMIT {_UNIGRAM_VOCAB_K}
+    ) vm
+    UNION ALL
+    SELECT piece, cf FROM occ WHERE length(piece) = 1
+),
+tot AS (SELECT SUM(cf) AS n FROM vocab),
+costed AS (
+    SELECT v.piece, CAST({qn} - {qcf} AS INT) AS qcost
+    FROM vocab v CROSS JOIN tot t
+),
+edges AS (
+    SELECT wp.w, wp.i, CAST(wp.i + length(c.piece) AS INT) AS j,
+           c.qcost, c.piece
+    FROM wordpos wp JOIN costed c
+      ON substr(wp.w, wp.i, length(c.piece)) = c.piece
+)"""
+
+
+# One min-plus doubling round: spans(prev) U spans joined at a shared
+# midpoint, group-min. `{prev}` is referenced TWICE, which is exactly
+# why the Spark side runs each round over a MATERIALIZED view — Spark
+# inlines CTEs, so the pure-CTE form duplicates the whole upstream
+# plan 2x per round (2^3 census copies by d3; measured 24 s on 138
+# rows). DuckDB materializes multi-referenced CTEs, so the oracle
+# keeps the single-statement form.
+_UNIGRAM_DOUBLE_ROUND = """
+SELECT w, i, j, MIN(c) AS c FROM (
+    SELECT w, i, j, c FROM {prev}
+    UNION ALL
+    SELECT a.w, a.i, b.j, a.c + b.c AS c
+    FROM {prev} a JOIN {prev} b ON b.w = a.w AND b.i = a.j
+) u{n} GROUP BY w, i, j"""
+
+
+def _unigram_steps_sql(edges: str, dfinal: str) -> str:
+    """suffix + unique-successor step selection over the (possibly
+    materialized) edges and final DP relations. `words` must be in
+    scope as a CTE."""
+    return f"""suffix AS (
+    SELECT d.w, d.i, d.c
+    FROM {dfinal} d JOIN words wd ON wd.w = d.w
+    WHERE d.j = length(wd.w) + 1
+),
+steps AS (
+    SELECT w, i, piece FROM (
+        SELECT e.w, e.i, e.piece,
+               ROW_NUMBER() OVER (PARTITION BY e.w, e.i
+                                  ORDER BY length(e.piece) DESC, e.piece
+               ) AS rn
+        FROM {edges} e
+        JOIN words wd ON wd.w = e.w
+        JOIN suffix sh ON sh.w = e.w AND sh.i = e.i
+        LEFT JOIN suffix sn ON sn.w = e.w AND sn.i = e.j
+        WHERE e.qcost + CASE WHEN e.j = length(wd.w) + 1 THEN 0
+                             ELSE sn.c END = sh.c
+    ) ranked WHERE rn = 1
+)"""
+
+
+def _unigram_shared_ctes(words: str, wordpos: str, lens: str) -> str:
+    """Full single-statement CTE chain words -> steps (the DuckDB
+    oracle form; see _UNIGRAM_DOUBLE_ROUND for why Spark doesn't run
+    this shape)."""
+    return (
+        _unigram_census_ctes(words, wordpos, lens)
+        + f""",
+d0 AS (SELECT w, i, j, MIN(qcost) AS c FROM edges GROUP BY w, i, j),
+d1 AS ({_UNIGRAM_DOUBLE_ROUND.format(prev="d0", n=1)}),
+d2 AS ({_UNIGRAM_DOUBLE_ROUND.format(prev="d1", n=2)}),
+d3 AS ({_UNIGRAM_DOUBLE_ROUND.format(prev="d2", n=3)}),
+"""
+        + _unigram_steps_sql("edges", "d3")
+    )
+
+
+def _unigram_walk_sql(steps_src: str, words_src: str) -> str:
+    """Recursive walk over the unique-successor step relation, then
+    the M-step piece-probability re-estimation."""
+    return f"""walk(w, pos, piece) AS (
+    SELECT w, CAST(i AS INT) AS pos, piece FROM {steps_src} WHERE i = 1
+    UNION ALL
+    SELECT s.w, CAST(s.i AS INT) AS pos, s.piece
+    FROM walk k JOIN {steps_src} s
+      ON s.w = k.w AND s.i = k.pos + length(k.piece)
+),
+agg AS (
+    SELECT k.piece, SUM(wd.tf) AS vc, COUNT(DISTINCT k.w) AS nw
+    FROM walk k JOIN {words_src} wd ON wd.w = k.w
+    GROUP BY k.piece
+)
+SELECT piece,
+       CAST(length(piece) AS INT) AS piece_len,
+       CAST(vc AS BIGINT) AS viterbi_count,
+       CAST(nw AS BIGINT) AS n_distinct_words,
+       ROUND(CAST(vc AS DOUBLE) / CAST(SUM(vc) OVER () AS DOUBLE), 9)
+           AS em_prob
+FROM agg
+ORDER BY viterbi_count DESC, piece"""
+
+
+_UNIGRAM_SPARK_WORDPOS = (
+    "SELECT w, i FROM words "
+    "LATERAL VIEW explode(sequence(1, length(w))) t_i AS i"
+)
+_UNIGRAM_SPARK_LENS = "LATERAL VIEW explode(sequence(1, 4)) t_l AS l"
+_UNIGRAM_DUCK_WORDPOS = (
+    "SELECT w, unnest(range(1, length(w) + 1)) AS i FROM words"
+)
+_UNIGRAM_DUCK_LENS = ", range(1, 5) t_l(l)"
+
+_UNIGRAM_DUCK_WORDS = """SELECT w, COUNT(*) AS tf FROM (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ) t0 GROUP BY w"""
+
+# Previous call's materialized steps per session — released on the
+# NEXT call (the returned frame still references it; same deferred-
+# release discipline as _WORDPIECE_BEST_PREV).
+_UNIGRAM_STEPS_PREV: dict[str, DataFrame] = {}
+
+
+def _unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM EM step (block comment above):
+    quantized-integer-cost Viterbi E-step via interval min-plus
+    doubling + recursive-CTE path recovery, exact M-step re-estimation.
+    Reads the memoized word_tf fixture (one corpus pass, shared with
+    wordpiece); every relation after it is vocabulary-sized.
+
+    Each doubling round and the step relation are MATERIALIZED
+    (checkpointed temp views), because every one is referenced twice
+    downstream and Spark inlines CTEs — the pure-CTE oracle form
+    duplicates the census 2^rounds times (measured 24 s on 138 rows;
+    materialized: sub-second per round). Same checkpointed-loop
+    discipline as the graph pointer-doubling operators."""
+    view = cached_word_tf(spark, sf_dir)
+    words_sql = (
+        f"words AS (SELECT w, tf FROM (SELECT w, tf FROM {view}) w0 "
+        f"WHERE length(w) BETWEEN 1 AND {_UNIGRAM_MAX_WORD})"
+    )
+    edges = truncate_lineage(
+        spark.sql(
+            "WITH "
+            + _unigram_census_ctes(
+                f"SELECT w, tf FROM {view}",
+                _UNIGRAM_SPARK_WORDPOS,
+                _UNIGRAM_SPARK_LENS,
+            )
+            + "\nSELECT w, i, j, qcost, piece FROM edges"
+        ),
+        spark,
+    )
+    edges.createOrReplaceTempView("unigram_edges_mat")
+    d = truncate_lineage(
+        spark.sql(
+            "SELECT w, i, j, MIN(qcost) AS c FROM unigram_edges_mat "
+            "GROUP BY w, i, j"
+        ),
+        spark,
+    )
+    intermediates = [edges]
+    for rnd in range(3):  # spans 4 -> 32 = _UNIGRAM_MAX_WORD
+        d.createOrReplaceTempView("unigram_d_mat")
+        nd = truncate_lineage(
+            spark.sql(
+                _UNIGRAM_DOUBLE_ROUND.format(prev="unigram_d_mat", n=rnd)
+            ),
+            spark,
+        )
+        intermediates.append(d)
+        d = nd
+    d.createOrReplaceTempView("unigram_d_mat")
+    steps = truncate_lineage(
+        spark.sql(
+            "WITH "
+            + words_sql
+            + ",\n"
+            + _unigram_steps_sql("unigram_edges_mat", "unigram_d_mat")
+            + "\nSELECT w, i, piece FROM steps"
+        ),
+        spark,
+    )
+    intermediates.append(d)
+    for f in intermediates:
+        release_lineage(f)
+    skey = session_key(spark)
+    prev = _UNIGRAM_STEPS_PREV.get(skey)
+    if prev is not None:
+        release_lineage(prev)
+    _UNIGRAM_STEPS_PREV[skey] = steps
+    steps.createOrReplaceTempView("unigram_steps_mat")
+    return spark.sql(
+        "WITH RECURSIVE "
+        + _unigram_walk_sql("unigram_steps_mat", view)
+    )
+
+
+_UNIGRAM_DUCK_SQL = (
+    "WITH RECURSIVE "
+    + _unigram_shared_ctes(
+        _UNIGRAM_DUCK_WORDS, _UNIGRAM_DUCK_WORDPOS, _UNIGRAM_DUCK_LENS
+    )
+    + ",\n"
+    + _unigram_walk_sql("steps", "words")
+)
+
+_unigram_lm_em_step.__name__ = "unigram_lm_em_step"
+query(
+    "unigram_lm_em_step",
+    oracle=_UNIGRAM_DUCK_SQL,
+    tags=("lmdata", "tokenizer", "recursive-cte", "spark4"),
+)(_unigram_lm_em_step)
 
 
 # --- vocabulary coverage curve ----------------------------------------------

@@ -261,6 +261,46 @@ _wire_ss_join_oracle()
 
 
 @query(
+    "streaming_join_then_window",
+    oracle="""
+WITH j AS (
+    SELECT p.ts AS p_ts, CAST(p.value AS DECIMAL(18,4)) AS pv
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts < p.ts
+)
+SELECT strftime(time_bucket(INTERVAL 10 MINUTE, p_ts), '%Y-%m-%d %H:%M:%S')
+           AS window_start,
+       COUNT(*) AS n_pairs,
+       CAST(SUM(pv) AS DOUBLE) AS value_sum
+FROM j
+GROUP BY 1
+ORDER BY window_start
+""",
+    tags=("streaming", "multi-stateful", "stream-stream-join", "window", "spark4"),
+    bench=False,
+)
+def streaming_join_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-stateful chain: watermarked stream-stream range join
+    feeding a tumbling-window aggregation in ONE streaming query
+    (two stateful operators, append mode — the Spark-4 composition).
+    A join-partner-less flush batch advances both watermarks past
+    every real window, so the batch join+agg SQL is the exact oracle.
+    See streaming/file_stream.run_join_then_window for the watermark
+    propagation and crash-replay rationale."""
+    configure_session(spark)
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_join_then_window,
+    )
+
+    return run_join_then_window(spark, sf_dir)
+
+
+@query(
     "streaming_merge_upsert",
     oracle="""
 WITH u1 AS (

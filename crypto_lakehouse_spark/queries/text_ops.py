@@ -980,3 +980,83 @@ _pair(
     _langid_conf_sql("len", "string_split", "list_filter"),
     tags=("text", "langid", "quality-eval", "confusion"),
 )
+
+
+# --- collation-aware token census (Spark 4 COLLATE) -------------------------
+# Case-insensitive grouping via Spark 4's COLLATE UTF8_LCASE, proven
+# against a lower()-normalized DuckDB oracle. Contrast with the
+# md5-bucket dedup family (doc_exact_dedup and friends): a hash
+# DESTROYS the equivalence class — md5('Spark') != md5('spark') — so
+# collation-aware dedup cannot ride the hash-bucket plan; the
+# collation must travel with the GROUP BY key itself, where the
+# collated comparator drives the shuffle hash. Plan shape is
+# IDENTICAL to the binary-collation twin (same number of exchanges;
+# pinned in tests/test_plans.py::test_collation_no_extra_shuffle) —
+# collation changes the comparator, not the plan.
+#
+# The corpus is all-lowercase, so a deterministic case perturbation
+# (doc_id % 3 keyed: UPPER / Capitalized / as-is) is applied in-query
+# to actually exercise the equivalence classes. For ASCII data,
+# lower()-normalization and the UTF8_LCASE comparator agree exactly;
+# full-ICU corner cases (dotted-I, final sigma) are where the two
+# diverge — documented, not exercised by this corpus. The canonical
+# representative is MIN(tok) under BINARY collation (deterministic,
+# engine-portable), never "first row seen".
+
+_COLLATE_CASED = """
+    SELECT CASE WHEN doc_id % 3 = 0 THEN upper(tok)
+                WHEN doc_id % 3 = 1
+                    THEN {cap}
+                ELSE tok END AS tok
+    FROM (SELECT doc_id, {tok_expr} AS tok FROM documents) e
+    WHERE length(tok) > 0
+"""
+
+_COLLATE_TAIL = """
+SELECT canon_tok,
+       CAST(n_occurrences AS BIGINT) AS n_occurrences,
+       CAST(n_case_variants AS BIGINT) AS n_case_variants
+FROM ci
+ORDER BY n_occurrences DESC, canon_tok
+"""
+
+_COLLATE_SPARK = (
+    "WITH toks AS ("
+    + _COLLATE_CASED.format(
+        cap="concat(upper(substr(tok, 1, 1)), substr(tok, 2))",
+        tok_expr="explode(split(text, ' '))",
+    )
+    + """),
+ci AS (
+    SELECT MIN(tok) AS canon_tok,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT tok) AS n_case_variants
+    FROM toks
+    GROUP BY collate(tok, 'UTF8_LCASE')
+)"""
+    + _COLLATE_TAIL
+)
+
+_COLLATE_DUCK = (
+    "WITH toks AS ("
+    + _COLLATE_CASED.format(
+        cap="upper(substr(tok, 1, 1)) || substr(tok, 2)",
+        tok_expr="unnest(string_split(text, ' '))",
+    )
+    + """),
+ci AS (
+    SELECT MIN(tok) AS canon_tok,
+           COUNT(*) AS n_occurrences,
+           COUNT(DISTINCT tok) AS n_case_variants
+    FROM toks
+    GROUP BY lower(tok)
+)"""
+    + _COLLATE_TAIL
+)
+
+_pair(
+    "collated_token_counts",
+    _COLLATE_SPARK,
+    _COLLATE_DUCK,
+    tags=("text", "collation", "spark4"),
+)

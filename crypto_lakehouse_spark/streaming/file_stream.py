@@ -825,6 +825,146 @@ def run_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).orderBy("purchase_id", "click_id")
 
 
+def run_join_then_window(
+    spark: SparkSession, sf_dir: str, stop_after_first_batch: bool = False
+) -> DataFrame:
+    """MULTI-STATEFUL chain (Spark 4): watermarked stream-stream range
+    join feeding a downstream tumbling-window aggregation — TWO
+    stateful operators in one streaming query, append mode, the
+    composition Spark <3.5 rejected outright (SPARK-42376 lifted it).
+
+    Pipeline: clicks x purchases (same user, click within the 5
+    minutes before the purchase — the `range_join_click_purchase`
+    condition) -> groupBy(window(p_ts, 10 min)) count + exact-decimal
+    value sum. Watermarks on BOTH join inputs bound the join state;
+    the join's output watermark then drives the window agg's
+    finalization — the propagation chain this query exists to prove.
+
+    Determinism: append mode only emits windows whose end falls
+    behind the final watermark, so the replay stages a FLUSH batch
+    after the real data — one click + one purchase 10 hours past the
+    real max event time, under join-partner-less user ids (-1/-2).
+    They advance both sides' watermarks beyond every real window but
+    can never join, so they add no output rows — and therefore the
+    batch join + window-agg SQL over the original table is the EXACT
+    oracle, no emitted-window cutoff term needed.
+
+    `stop_after_first_batch=True` kills the query after one
+    micro-batch (crash injection); rerunning on the same feed +
+    checkpoint must converge to the identical result — the
+    exactly-once contract the crash-replay test pins across BOTH
+    stateful operators' recovered state.
+    """
+    from crypto_lakehouse_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value", "user_id"
+    )
+    max_ts = ev.agg(F.max("ts")).collect()[0][0]
+    flush = spark.createDataFrame(
+        [
+            (-1, max_ts, "click", 0.0, -1),
+            (-2, max_ts, "purchase", 0.0, -2),
+        ],
+        ev.schema,
+    ).withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 HOURS"))
+
+    feed = _scratch_dir("jw_feed_")
+
+    def _stage(df: DataFrame, n: int) -> None:
+        tmp = _scratch_dir("jw_chunk_")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(
+            p for p in sorted(os.listdir(tmp)) if p.endswith(".parquet")
+        )
+        os.rename(os.path.join(tmp, part), os.path.join(feed, f"{n:03d}.parquet"))
+
+    mid_us = _median_micros(ev)
+    mid = F.timestamp_micros(F.lit(mid_us))
+    _stage(ev.filter(F.col("ts") <= mid), 0)
+    _stage(ev.filter(F.col("ts") > mid), 1)
+    _stage(flush, 2)
+
+    def _source() -> DataFrame:
+        return (
+            spark.readStream.schema(_stream_schema(spark, feed))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+
+    clicks = (
+        _source()
+        .where("event_type = 'click'")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        _source()
+        .where("event_type = 'purchase'")
+        .select(
+            "user_id",
+            F.col("ts").alias("p_ts"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("p_ts", "1 hour")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("click_ts") < F.col("p_ts")),
+        "inner",
+    )
+    agg = (
+        joined.groupBy(F.window("p_ts", "10 minutes").alias("w"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.col("purchase_value").cast("decimal(18,4)")).alias(
+                "value_sum"
+            ),
+        )
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "n_pairs",
+            F.col("value_sum").cast("double").alias("value_sum"),
+        )
+    )
+    # FILE sink, not memory: the memory sink cannot recover from a
+    # checkpoint (crash-replay would fail to restart), while the
+    # parquet sink's _spark_metadata commit manifest gives end-to-end
+    # exactly-once across the kill/restart — the property the
+    # crash-replay test pins.
+    out_dir = _scratch_dir("jw_out_")
+    ckpt = _scratch_dir("ckpt_jw_")
+
+    def _start():
+        return (
+            agg.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    if stop_after_first_batch:
+        q = _start()
+        while not q.recentProgress:
+            time.sleep(0.05)
+        q.stop()  # crash injection: state checkpointed mid-replay
+        q.awaitTermination()
+    q = _start()
+    q.awaitTermination()
+    return (
+        spark.read.schema(agg.schema).parquet(out_dir).orderBy("window_start")
+    )
+
+
 def run_stream_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming CDC upsert: a 3-batch change feed drained through
     foreachBatch into a partitioned LakehouseTable MERGE — the

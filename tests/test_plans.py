@@ -985,3 +985,29 @@ def test_temperature_mixture_single_census(spark):
     plan = _plan(spark, "temperature_mixture_weights")
     assert "CartesianProduct" not in plan
     assert plan.count("Scan parquet") <= 2, "census re-scans per tau"
+
+
+def test_collation_no_extra_shuffle(spark):
+    """The UTF8_LCASE collated GROUP BY must cost exactly the same
+    number of data exchanges as the lower()-normalized twin (the
+    pre-collation workaround with identical semantics on ASCII) —
+    collation changes the grouping comparator, never the plan shape.
+    The twin must keep group-key != distinct-column structure: naive
+    GROUP BY tok would let Catalyst constant-fold COUNT(DISTINCT tok)
+    and yield a structurally simpler (unfair) plan."""
+    from crypto_lakehouse_spark.io import register_views
+    from crypto_lakehouse_spark.queries.text_ops import _COLLATE_SPARK
+
+    register_views(spark, SF, ["documents"])
+    collated = spark.sql(_COLLATE_SPARK)
+    binary = spark.sql(
+        _COLLATE_SPARK.replace("collate(tok, 'UTF8_LCASE')", "lower(tok)")
+    )
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    p_c = collated._jdf.queryExecution().explainString(mode)
+    p_b = binary._jdf.queryExecution().explainString(mode)
+    assert _data_exchanges(p_c) == _data_exchanges(p_b), (
+        f"collated plan shuffles differ: {_data_exchanges(p_c)} vs "
+        f"{_data_exchanges(p_b)}"
+    )

