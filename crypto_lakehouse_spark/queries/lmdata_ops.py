@@ -1397,15 +1397,21 @@ _UNIGRAM_MAX_WORD = 32
 _UNIGRAM_SAT = 2147483647  # saturate before squaring: x*x stays in BIGINT
 
 
+def _unigram_ql(x: str) -> str:
+    """Integer half-bit log2: floor(2*log2 x) = length(bin(x*x)) - 1,
+    saturated so the square stays in BIGINT (see block comment)."""
+    s = str(_UNIGRAM_SAT)
+    return (
+        f"(length(bin(CAST(least({x}, {s}) AS BIGINT) * "
+        f"CAST(least({x}, {s}) AS BIGINT))) - 1)"
+    )
+
+
 def _unigram_census_ctes(words: str, wordpos: str, lens: str) -> str:
     """CTE chain words -> edges (dialect-parameterized): the seed
     vocabulary census, quantized piece costs, and the single-piece
     span edges the DP starts from."""
-    ql = (
-        "(length(bin(CAST(least({x}, " + str(_UNIGRAM_SAT) + ") AS BIGINT) * "
-        "CAST(least({x}, " + str(_UNIGRAM_SAT) + ") AS BIGINT))) - 1)"
-    )
-    qn, qcf = ql.format(x="t.n"), ql.format(x="v.cf")
+    qn, qcf = _unigram_ql("t.n"), _unigram_ql("v.cf")
     return f"""words AS (
     SELECT w, tf FROM ({words}) w0
     WHERE length(w) BETWEEN 1 AND {_UNIGRAM_MAX_WORD}
@@ -1618,13 +1624,31 @@ def _unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNIGRAM_DUCK_SQL = (
+def _duck_materialize(sql: str, names: tuple[str, ...]) -> str:
+    """Pin the named CTEs to AS MATERIALIZED in a DuckDB oracle.
+    DuckDB (like Spark) INLINES CTEs; in the doubling DP each CTE is
+    referenced twice, so the inlined plan duplicates the upstream
+    chain 2^depth times — hundreds of re-scans of documents.parquet in
+    the two-round form (observed as an fd-exhaustion IOError, and
+    quadratic-plus work besides). The Spark statements never see this
+    string; the engine-side fix there is the checkpointed-view loop."""
+    for n in names:
+        sql = sql.replace(f"{n} AS (", f"{n} AS MATERIALIZED (", 1)
+    return sql
+
+
+_UNIGRAM_DP_CTE_NAMES = (
+    "words", "wordpos", "occ", "vocab", "costed", "edges",
+)
+
+_UNIGRAM_DUCK_SQL = _duck_materialize(
     "WITH RECURSIVE "
     + _unigram_shared_ctes(
         _UNIGRAM_DUCK_WORDS, _UNIGRAM_DUCK_WORDPOS, _UNIGRAM_DUCK_LENS
     )
     + ",\n"
-    + _unigram_walk_sql("steps", "words")
+    + _unigram_walk_sql("steps", "words"),
+    _UNIGRAM_DP_CTE_NAMES + ("d0", "d1", "d2", "d3", "suffix", "steps"),
 )
 
 _unigram_lm_em_step.__name__ = "unigram_lm_em_step"
@@ -1633,6 +1657,233 @@ query(
     oracle=_UNIGRAM_DUCK_SQL,
     tags=("lmdata", "tokenizer", "recursive-cte", "spark4"),
 )(_unigram_lm_em_step)
+
+
+# --- unigram-LM EM with vocabulary pruning (round 2) -------------------------
+# The full SentencePiece training loop alternates EM with PRUNING:
+# after each E-step, pieces that earn little Viterbi mass are dropped
+# and probabilities re-estimated over the survivors. This operator
+# runs that second round: seed E-step (identical to
+# unigram_lm_em_step) -> prune to the top-64 multi-char pieces by
+# Viterbi count (every single char always survives — segmentability) ->
+# add-one-smoothed M-step costs over the survivors -> second Viterbi
+# under the re-estimated model -> final M-step report.
+#
+# The cost-independent structure is computed ONCE: the census `edges`
+# relation carries (word, position, piece) prefix matches, so round
+# 1's edge set is just edges JOIN costed1 ON piece — no second census,
+# no second corpus touch. Everything after the shared word_tf fixture
+# stays vocabulary-sized; the Spark side materializes each DP round
+# exactly as the one-step operator (CTE-inlining rationale above).
+
+_UNIGRAM2_PRUNE_K = 64
+
+
+def _unigram_dp_steps(sfx: str, edges: str) -> str:
+    """Suffixed d0..d3 + suffix + steps CTE chain over an edges
+    relation (w, i, j, qcost, piece); `words` must be in scope."""
+    r = _UNIGRAM_DOUBLE_ROUND
+    return f"""d0{sfx} AS (
+    SELECT w, i, j, MIN(qcost) AS c FROM {edges} GROUP BY w, i, j
+),
+d1{sfx} AS ({r.format(prev=f"d0{sfx}", n=f"1{sfx}")}),
+d2{sfx} AS ({r.format(prev=f"d1{sfx}", n=f"2{sfx}")}),
+d3{sfx} AS ({r.format(prev=f"d2{sfx}", n=f"3{sfx}")}),
+suffix{sfx} AS (
+    SELECT d.w, d.i, d.c
+    FROM d3{sfx} d JOIN words wd ON wd.w = d.w
+    WHERE d.j = length(wd.w) + 1
+),
+steps{sfx} AS (
+    SELECT w, i, piece FROM (
+        SELECT e.w, e.i, e.piece,
+               ROW_NUMBER() OVER (PARTITION BY e.w, e.i
+                                  ORDER BY length(e.piece) DESC, e.piece
+               ) AS rn
+        FROM {edges} e
+        JOIN words wd ON wd.w = e.w
+        JOIN suffix{sfx} sh ON sh.w = e.w AND sh.i = e.i
+        LEFT JOIN suffix{sfx} sn ON sn.w = e.w AND sn.i = e.j
+        WHERE e.qcost + CASE WHEN e.j = length(wd.w) + 1 THEN 0
+                             ELSE sn.c END = sh.c
+    ) ranked WHERE rn = 1
+)"""
+
+
+def _unigram2_prune_ctes(agg0: str, edges0: str) -> str:
+    """keep1/vc1/tot1/costed1: prune to the top-K multi-char Viterbi
+    earners plus every char, then add-one-smoothed quantized costs."""
+    return f"""keep1 AS (
+    SELECT piece FROM (
+        SELECT piece FROM {agg0} WHERE length(piece) > 1
+        ORDER BY vc DESC, piece LIMIT {_UNIGRAM2_PRUNE_K}
+    ) km
+    UNION ALL
+    SELECT DISTINCT piece FROM {edges0} WHERE length(piece) = 1
+),
+vc1 AS (
+    SELECT k.piece, COALESCE(a.vc, 0) AS vc
+    FROM keep1 k LEFT JOIN {agg0} a ON a.piece = k.piece
+),
+tot1 AS (SELECT SUM(vc) + COUNT(*) AS n FROM vc1),
+costed1 AS (
+    SELECT v.piece,
+           CAST({_unigram_ql("t.n")} - {_unigram_ql("v.vc + 1")} AS INT)
+               AS qcost
+    FROM vc1 v CROSS JOIN tot1 t
+)"""
+
+
+_UNIGRAM2_DUCK_SQL = _duck_materialize(
+    "WITH RECURSIVE "
+    + _unigram_census_ctes(
+        _UNIGRAM_DUCK_WORDS, _UNIGRAM_DUCK_WORDPOS, _UNIGRAM_DUCK_LENS
+    )
+    + ",\n"
+    + _unigram_dp_steps("_r0", "edges")
+    + """,
+walk_r0(w, pos, piece) AS (
+    SELECT w, CAST(i AS INT) AS pos, piece FROM steps_r0 WHERE i = 1
+    UNION ALL
+    SELECT s.w, CAST(s.i AS INT) AS pos, s.piece
+    FROM walk_r0 k JOIN steps_r0 s
+      ON s.w = k.w AND s.i = k.pos + length(k.piece)
+),
+agg_r0 AS (
+    SELECT k.piece, SUM(wd.tf) AS vc
+    FROM walk_r0 k JOIN words wd ON wd.w = k.w
+    GROUP BY k.piece
+),
+"""
+    + _unigram2_prune_ctes("agg_r0", "edges")
+    + """,
+edges1 AS (
+    SELECT e.w, e.i, e.j, c.qcost, e.piece
+    FROM edges e JOIN costed1 c ON c.piece = e.piece
+),
+"""
+    + _unigram_dp_steps("_r1", "edges1")
+    + ",\n"
+    + _unigram_walk_sql("steps_r1", "words"),
+    _UNIGRAM_DP_CTE_NAMES
+    + (
+        "d0_r0", "d1_r0", "d2_r0", "d3_r0", "suffix_r0", "steps_r0",
+        "agg_r0", "keep1", "vc1", "tot1", "costed1", "edges1",
+        "d0_r1", "d1_r1", "d2_r1", "d3_r1", "suffix_r1", "steps_r1",
+    ),
+)
+
+_UNIGRAM2_STEPS_PREV: dict[str, DataFrame] = {}
+
+
+def _unigram_lm_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second EM round with vocabulary pruning (block comment above).
+    Same materialized-round discipline as the one-step operator; the
+    census edge structure is computed once and re-costed for round 1."""
+    view = cached_word_tf(spark, sf_dir)
+    words_sql = (
+        f"words AS (SELECT w, tf FROM (SELECT w, tf FROM {view}) w0 "
+        f"WHERE length(w) BETWEEN 1 AND {_UNIGRAM_MAX_WORD})"
+    )
+    ck = lambda df: truncate_lineage(df, spark)  # noqa: E731
+    edges = ck(
+        spark.sql(
+            "WITH "
+            + _unigram_census_ctes(
+                f"SELECT w, tf FROM {view}",
+                _UNIGRAM_SPARK_WORDPOS,
+                _UNIGRAM_SPARK_LENS,
+            )
+            + "\nSELECT w, i, j, qcost, piece FROM edges"
+        )
+    )
+    edges.createOrReplaceTempView("unigram2_edges_mat")
+    released = [edges]
+
+    def dp_steps(edges_view: str) -> DataFrame:
+        d = ck(
+            spark.sql(
+                f"SELECT w, i, j, MIN(qcost) AS c FROM {edges_view} "
+                "GROUP BY w, i, j"
+            )
+        )
+        for rnd in range(3):  # spans 4 -> 32 = _UNIGRAM_MAX_WORD
+            d.createOrReplaceTempView("unigram2_d_mat")
+            nd = ck(
+                spark.sql(
+                    _UNIGRAM_DOUBLE_ROUND.format(
+                        prev="unigram2_d_mat", n=rnd
+                    )
+                )
+            )
+            released.append(d)
+            d = nd
+        d.createOrReplaceTempView("unigram2_d_mat")
+        released.append(d)
+        return ck(
+            spark.sql(
+                "WITH "
+                + words_sql
+                + ",\n"
+                + _unigram_steps_sql(edges_view, "unigram2_d_mat")
+                + "\nSELECT w, i, piece FROM steps"
+            )
+        )
+
+    steps0 = dp_steps("unigram2_edges_mat")
+    steps0.createOrReplaceTempView("unigram2_steps0_mat")
+    released.append(steps0)
+    agg0 = ck(
+        spark.sql(
+            "WITH RECURSIVE "
+            + words_sql
+            + """,
+walk(w, pos, piece) AS (
+    SELECT w, CAST(i AS INT) AS pos, piece
+    FROM unigram2_steps0_mat WHERE i = 1
+    UNION ALL
+    SELECT s.w, CAST(s.i AS INT) AS pos, s.piece
+    FROM walk k JOIN unigram2_steps0_mat s
+      ON s.w = k.w AND s.i = k.pos + length(k.piece)
+)
+SELECT k.piece, SUM(wd.tf) AS vc
+FROM walk k JOIN words wd ON wd.w = k.w
+GROUP BY k.piece"""
+        )
+    )
+    agg0.createOrReplaceTempView("unigram2_agg0_mat")
+    released.append(agg0)
+    edges1 = ck(
+        spark.sql(
+            "WITH "
+            + _unigram2_prune_ctes("unigram2_agg0_mat", "unigram2_edges_mat")
+            + """
+SELECT e.w, e.i, e.j, c.qcost, e.piece
+FROM unigram2_edges_mat e JOIN costed1 c ON c.piece = e.piece"""
+        )
+    )
+    edges1.createOrReplaceTempView("unigram2_edges1_mat")
+    released.append(edges1)
+    steps1 = dp_steps("unigram2_edges1_mat")
+    for f in released:
+        release_lineage(f)
+    skey = session_key(spark)
+    prev = _UNIGRAM2_STEPS_PREV.get(skey)
+    if prev is not None:
+        release_lineage(prev)
+    _UNIGRAM2_STEPS_PREV[skey] = steps1
+    steps1.createOrReplaceTempView("unigram2_steps_mat")
+    return spark.sql(
+        "WITH RECURSIVE " + _unigram_walk_sql("unigram2_steps_mat", view)
+    )
+
+
+_unigram_lm_em_pruned.__name__ = "unigram_lm_em_pruned"
+query(
+    "unigram_lm_em_pruned",
+    oracle=_UNIGRAM2_DUCK_SQL,
+    tags=("lmdata", "tokenizer", "recursive-cte", "spark4", "pruning"),
+)(_unigram_lm_em_pruned)
 
 
 # --- vocabulary coverage curve ----------------------------------------------
