@@ -80,10 +80,21 @@ class VersionedTable:
         path: str,
         partition_by: list[str] | None = None,
         bloom_columns: list[str] | None = None,
+        row_tracking: bool = False,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = partition_by or []
+        # Delta row-tracking analog (fresh-base + materialization
+        # model): every NEW data file is assigned a base row id at
+        # commit time and a row's stable id is
+        # `coalesce(materialized __row_id, base + row_index)`; COW
+        # rewrites materialize surviving rows' ids into a physical
+        # `__row_id` column so ids survive compaction/DML. The flag
+        # only matters at ENABLE time — once any manifest carries a
+        # `row_tracking` block, later writers maintain it regardless
+        # of their constructor flag.
+        self.row_tracking = row_tracking
         # Delta/Iceberg bloom-filter-index analog: for each declared
         # column, every NEW file gets a per-file Bloom filter built at
         # write time (one pyarrow single-column read) and stored in the
@@ -142,6 +153,7 @@ class VersionedTable:
         column_mapping: dict[str, str] | None = None,
         deletion_vectors: dict[str, list[str]] | None = None,
         dropped_columns: dict[str, str] | None = None,
+        row_tracking_seed: dict | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -189,6 +201,7 @@ class VersionedTable:
                     column_mapping,
                     deletion_vectors,
                     dropped_columns,
+                    row_tracking_seed,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -231,6 +244,7 @@ class VersionedTable:
         column_mapping: dict[str, str] | None = None,
         deletion_vectors: dict[str, list[str]] | None = None,
         dropped_columns: dict[str, str] | None = None,
+        row_tracking_seed: dict | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -254,6 +268,35 @@ class VersionedTable:
             for s in [self._last_write_stats.get(f, prev_stats.get(f))]
             if s
         }
+        # Row tracking (Delta base-row-id model): every file UNKNOWN to
+        # the seed map gets a fresh base from the monotone `next`
+        # counter, advanced by the file's footer row count — so
+        # `base + row_index` never collides across files, even for
+        # rewritten files whose carried rows hold materialized ids
+        # (their index positions still consume the range). `seed`
+        # defaults to the previous snapshot's map; restore/clone pass
+        # the TARGET snapshot's block so re-published files keep the
+        # bases they were first committed under. Once present, the
+        # block is maintained forever (a writer without the
+        # constructor flag must not silently drop ids).
+        row_tracking = None
+        seed = row_tracking_seed or prev.get("row_tracking")
+        if self.row_tracking or seed:
+            known = dict(prev.get("row_tracking", {}).get("bases", {}))
+            if row_tracking_seed:
+                known.update(row_tracking_seed.get("bases", {}))
+            nxt = max(
+                (seed or {}).get("next", 0),
+                prev.get("row_tracking", {}).get("next", 0),
+            )
+            bases: dict[str, int] = {}
+            for f in sorted(files):
+                if f in known:
+                    bases[f] = known[f]
+                else:
+                    bases[f] = nxt
+                    nxt += self._file_rows(f)
+            row_tracking = {"next": nxt, "bases": bases}
         manifest = {
             "version": version,
             "op": op,
@@ -322,6 +365,9 @@ class VersionedTable:
                 ).items()
                 if v and f in set(files)
             },
+            # Row-tracking block (None for untracked tables keeps old
+            # manifests byte-compatible).
+            **({"row_tracking": row_tracking} if row_tracking else {}),
             # This commit's own conflict class, so LATER losers can
             # classify it when deciding whether to rebase over it.
             # Absent (older manifests) reads as {"class": "full"}.
@@ -398,6 +444,11 @@ class VersionedTable:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"{self.path}: no committed version to evolve")
+        if new in ("_row_id", "__row_id"):
+            raise ValueError(
+                f"{self.path}: column name {new!r} is reserved for row "
+                "tracking"
+            )
         cols = self.read().columns
         if old not in cols:
             raise ValueError(f"{self.path}: no column {old!r} to rename")
@@ -472,7 +523,13 @@ class VersionedTable:
                     continue
                 rel_dir = os.path.relpath(root, staging)
                 rel_dir = "" if rel_dir == "." else rel_dir
-                final_rel = os.path.join(rel_dir, f"c{prefix}-{name}")
+                # Per-file counter in the name: dynamic-partition
+                # writes can emit the SAME part name into different
+                # partition dirs, and row tracking keys its base map
+                # by basename — which must therefore be table-unique.
+                final_rel = os.path.join(
+                    rel_dir, f"c{prefix}-{len(moved):04d}-{name}"
+                )
                 final_abs = os.path.join(self.path, final_rel)
                 os.makedirs(os.path.dirname(final_abs), exist_ok=True)
                 os.rename(os.path.join(root, name), final_abs)
@@ -481,6 +538,21 @@ class VersionedTable:
         self._last_write_stats = {f: self._file_stats(f) for f in moved}
         self._last_write_schema = df.schema.jsonValue()
         return moved
+
+    def _file_rows(self, rel: str) -> int:
+        """Footer-only row count of a table-relative parquet file (no
+        data read, no Spark job) — feeds base-row-id assignment."""
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(os.path.join(self.path, rel)).metadata.num_rows
+
+    def _has_row_tracking(self) -> bool:
+        cur = self.current_version()
+        if cur is None:
+            return self.row_tracking
+        return bool(
+            self.row_tracking or self._load(cur).get("row_tracking")
+        )
 
     def _file_stats(self, rel: str) -> dict:
         """Per-file column min/max from the parquet footer — no data
@@ -697,6 +769,11 @@ class VersionedTable:
         cur = self.current_version()
         if cur is None:
             raise ValueError(f"{self.path}: no committed version to evolve")
+        if name in ("_row_id", "__row_id"):
+            raise ValueError(
+                f"{self.path}: column name {name!r} is reserved for row "
+                "tracking"
+            )
         m = self._load(cur)
         existing = self.read().columns
         if name in existing:
@@ -845,6 +922,7 @@ class VersionedTable:
             # _apply_dropped_columns — reject it up front.
             dropped = m_cur.get("dropped_columns", {})
             reserved = set(dropped) | set(dropped.values())
+            reserved |= {"_row_id", "__row_id"}
             clash = [c for c in new_cols if c in reserved]
             if clash:
                 raise ValueError(
@@ -861,8 +939,14 @@ class VersionedTable:
 
         # Partition-dir type inference can widen (e.g. '1' -> int);
         # align target to the source schema before set operations.
-        # Target rows take NULL for newly-declared columns.
-        target = self.read().select(
+        # Target rows take NULL for newly-declared columns. On a
+        # row-tracked table the target's stable ids ride along as the
+        # physical `__row_id` column: copied-through rows materialize
+        # theirs, matched rows hand theirs to the replacing source row
+        # below, and inserts stay NULL (fresh base + row_index ids) —
+        # Delta row-tracking MERGE semantics.
+        rt_on = self._has_row_tracking()
+        target = self.read(with_row_ids=rt_on).select(
             *[
                 (
                     F.col(c).cast(source.schema[c].dataType)
@@ -870,7 +954,8 @@ class VersionedTable:
                     else F.lit(None).cast(source.schema[c].dataType)
                 ).alias(c)
                 for c in source.columns
-            ]
+            ],
+            *([F.col("_row_id").alias("__row_id")] if rt_on else []),
         )
         if self.partition_by:
             parts = source.select(*self.partition_by).distinct()
@@ -908,7 +993,14 @@ class VersionedTable:
                     )
             target = t_al.join(p_al, part_cond, "left_semi")
         keep = target.join(source.select(*keys).distinct(), keys, "left_anti")
-        new_files = self._write_files(keep.unionByName(source))
+        src_out = source
+        if rt_on:
+            # Matched source rows inherit the matched target row's id
+            # (UPDATE preserves identity); unmatched get NULL = fresh.
+            src_out = source.join(
+                target.select(*keys, "__row_id"), keys, "left"
+            )
+        new_files = self._write_files(keep.unionByName(src_out))
 
         carried: list[str] = []
         removed: list[str] = []
@@ -1096,9 +1188,16 @@ class VersionedTable:
         cur = self.current_version()
         snap = self._load(cur) if cur is not None else {}
         added = snap.get("added_columns", {})
+        tracked = snap.get("row_tracking") is not None
         # DV-aware subset scan: a COW rewrite of a DV'd file must not
-        # resurrect its deleted rows.
-        df = self._scan_files(sorted(files), snap, bool(added))
+        # resurrect its deleted rows. Row-tracked tables additionally
+        # carry each surviving row's stable id OUT of the scan as the
+        # physical `__row_id` column, so the caller's rewrite
+        # materializes it into the new files (the Delta row-tracking
+        # preservation rule).
+        df = self._scan_files(sorted(files), snap, bool(added), row_ids=tracked)
+        if tracked:
+            df = df.withColumnRenamed("_row_id", "__row_id")
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         return self._apply_dropped_columns(
             self._apply_added_columns(df, added), snap
@@ -1182,6 +1281,11 @@ class VersionedTable:
         layout expectations)."""
         from pyspark.sql import functions as F
 
+        if set.keys() & {"_row_id", "__row_id"}:
+            raise ValueError(
+                "UPDATE may not assign the row-tracking id column: row "
+                "ids are engine-managed (stable across rewrites)"
+            )
         bad = {c for c in self.partition_by if c in set}
         if bad:
             raise ValueError(
@@ -1221,7 +1325,11 @@ class VersionedTable:
 
     # -- deletion vectors (Delta DV analog) ----------------------------------
     def _scan_files(
-        self, files: list[str], snap: dict, merge_schema: bool
+        self,
+        files: list[str],
+        snap: dict,
+        merge_schema: bool,
+        row_ids: bool = False,
     ) -> DataFrame:
         """Scan `files` with deletion-vector reconciliation: files
         without a DV read as one multi-path scan; each DV'd file reads
@@ -1234,6 +1342,38 @@ class VersionedTable:
         OPTIMIZE keeps near zero (it rewrites DV'd files first)."""
         from pyspark.sql import functions as F
 
+        rt = snap.get("row_tracking") if row_ids else None
+        if row_ids and rt is None:
+            raise ValueError(
+                f"{self.path}: row ids requested but this snapshot has "
+                "no row_tracking block (enable with "
+                "VersionedTable(..., row_tracking=True) before writing)"
+            )
+        if rt is not None:
+            # Base map keyed by basename (write path guarantees
+            # table-unique basenames); checked here because pre-feature
+            # files could theoretically collide across partition dirs.
+            names = [os.path.basename(f) for f in files]
+            if len(set(names)) != len(names):
+                raise ValueError(
+                    f"{self.path}: duplicate file basenames in snapshot; "
+                    "row tracking needs unique basenames — rewrite via "
+                    "compact() first"
+                )
+            merge_schema = True  # __row_id present only in rewritten files
+
+        def _rid(d: DataFrame, base_expr):
+            """Stable row id at scan: materialized id if the file
+            carries one, else file base + parquet row position.
+            Metadata columns resolve only on the scan relation, so
+            this must run here, not in read()."""
+            rid = base_expr + F.col("_metadata.row_index")
+            if "__row_id" in d.columns:
+                rid = F.coalesce(F.col("__row_id").cast("bigint"), rid)
+            return d.withColumn("_row_id", rid.cast("bigint")).drop(
+                "__row_id"
+            )
+
         reader = self.spark.read.option("basePath", self.path)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -1242,9 +1382,28 @@ class VersionedTable:
         dved = [f for f in files if dv_map.get(f)]
         frames: list[DataFrame] = []
         if clean:
-            frames.append(
-                reader.parquet(*(os.path.join(self.path, f) for f in clean))
-            )
+            d = reader.parquet(*(os.path.join(self.path, f) for f in clean))
+            if rt is not None:
+                # One literal map basename -> base keeps the clean
+                # files in a SINGLE multi-path scan (no per-file plan
+                # fan-out); the map is manifest-sized metadata, the
+                # same budget the planner already pays to list files.
+                pairs: list = []
+                for f in clean:
+                    pairs += [
+                        F.lit(os.path.basename(f)),
+                        F.lit(int(rt["bases"][f])),
+                    ]
+                d = _rid(
+                    d,
+                    F.element_at(
+                        F.create_map(*pairs),
+                        F.substring_index(
+                            F.col("_metadata.file_path"), "/", -1
+                        ),
+                    ),
+                )
+            frames.append(d)
         for f in dved:
             pos = self.spark.read.parquet(
                 *(os.path.join(self.path, r) for r in dv_map[f])
@@ -1253,6 +1412,8 @@ class VersionedTable:
             d = reader.parquet(os.path.join(self.path, f)).withColumn(
                 "__dv_idx", F.col("_metadata.row_index")
             )
+            if rt is not None:
+                d = _rid(d, F.lit(int(rt["bases"][f])))
             d = d.join(
                 F.broadcast(pos),
                 d["__dv_idx"] == pos["pos"],
@@ -1427,6 +1588,18 @@ class VersionedTable:
                 for c in target.columns
             ]
         )
+        if self._has_row_tracking():
+            # Row-tracking MERGE preserves identity across the
+            # DV-then-append: the appended row for a matched key
+            # materializes the (now DV-dead) target row's stable id;
+            # inserts stay NULL and read fresh base + row_index ids.
+            aligned = aligned.join(
+                self.read(with_row_ids=True).select(
+                    *keys, F.col("_row_id").alias("__row_id")
+                ),
+                keys,
+                "left",
+            )
         skeys = source.select(*keys).distinct()
         # Touched-file discovery: one raw multi-path scan semi-joined
         # to the source keys (same suffix-resolution as
@@ -1519,6 +1692,7 @@ class VersionedTable:
         merge_schema: bool = False,
         between: dict[str, tuple] | None = None,
         point: dict[str, object] | None = None,
+        with_row_ids: bool = False,
     ) -> DataFrame:
         """Read a snapshot (default: latest). `version` is time travel
         (Delta `VERSION AS OF` / Iceberg snapshot read, reference
@@ -1530,7 +1704,14 @@ class VersionedTable:
         result is exactly the bounded rows however the files were
         laid out. `point={col: v}` adds Bloom-index file skipping for
         equality lookups (see files_for_scan) plus the residual
-        equality filter."""
+        equality filter. `with_row_ids=True` (row-tracked tables
+        only) surfaces the stable `_row_id` column — the Delta
+        row-tracking `_metadata.row_id` analog: ids survive
+        compact/OPTIMIZE/DELETE/UPDATE/MERGE because rewrites
+        materialize them into the new files; fresh rows read
+        `file base + row_index` from the manifest's base map."""
+        from pyspark.sql import functions as F
+
         files, _total = self.files_for_scan(version, between, point)
         if not files and _total == 0:
             # Zero-file snapshot (empty first batch, or every row
@@ -1548,24 +1729,42 @@ class VersionedTable:
             df = self._apply_column_mapping(
                 df, snap0.get("column_mapping", {})
             )
-            return self._apply_dropped_columns(
+            df = self._apply_dropped_columns(
                 self._apply_added_columns(
                     df, snap0.get("added_columns", {})
                 ),
                 snap0,
             )
+            if "__row_id" in df.columns:
+                df = df.drop("__row_id")
+            if with_row_ids:
+                df = df.withColumn("_row_id", F.lit(None).cast("bigint"))
+            return df
         if not files:  # every file skipped: empty frame, right schema
-            df = self.read(version=version, merge_schema=merge_schema)
+            df = self.read(
+                version=version,
+                merge_schema=merge_schema,
+                with_row_ids=with_row_ids,
+            )
             return df.limit(0)
         cur = self.current_version()
         snap = self._load(cur if version is None else version)
         added = snap.get("added_columns", {})
         # Declared added columns imply mixed file schemas: union them
         # so pre-evolution files still scan. _scan_files also applies
-        # this snapshot's deletion vectors.
-        df = self._scan_files(files, snap, merge_schema or bool(added))
-        from pyspark.sql import functions as F
-
+        # this snapshot's deletion vectors (and, for with_row_ids,
+        # computes `_row_id` directly on the scan relations — metadata
+        # columns resolve nowhere else).
+        df = self._scan_files(
+            files,
+            snap,
+            merge_schema or bool(added),
+            row_ids=with_row_ids,
+        )
+        if not with_row_ids and "__row_id" in df.columns:
+            # Rewritten files physically store the materialized id
+            # column; it is table metadata, not user data.
+            df = df.drop("__row_id")
         # Physical -> logical renames FIRST (files store physical
         # names), then added-column backfill (declared on logical).
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
@@ -1584,7 +1783,14 @@ class VersionedTable:
         `target_files_per_partition` files per partition as a NEW
         version — old versions still read their old files."""
         cur = self.current_version()
-        df = self.read()
+        if cur is not None and self._has_row_tracking():
+            # Row-tracked rewrite: materialize every row's stable id
+            # into the compacted files (Delta row-tracking rule).
+            df = self.read(with_row_ids=True).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            df = self.read()
         if self.partition_by:
             df = df.repartition(target_files_per_partition, *self.partition_by)
         else:
@@ -1642,7 +1848,12 @@ class VersionedTable:
 
         from pyspark.sql import functions as F
 
-        df = self.read()
+        if self._has_row_tracking():
+            df = self.read(with_row_ids=True).withColumnRenamed(
+                "_row_id", "__row_id"
+            )
+        else:
+            df = self.read()
         c1, c2 = cluster_by
         row = df.agg(
             F.min(F.col(c1).cast("double")),
@@ -1904,6 +2115,12 @@ class VersionedTable:
                     for f, v in snap.get("deletion_vectors", {}).items()
                 },
                 dropped_columns=dict(snap.get("dropped_columns", {})),
+                # Row ids travel with the snapshot: the restored files
+                # keep the bases they were FIRST committed under, so a
+                # row's id is identical before and after the restore
+                # (the `next` counter stays monotone via _publish's
+                # max() against HEAD — no id reuse).
+                row_tracking_seed=snap.get("row_tracking"),
             )
         finally:
             self._last_write_stats = {}
@@ -1949,6 +2166,10 @@ class VersionedTable:
                 constraints=snap.get("constraints", {}),
                 deletion_vectors=dv_map,
                 dropped_columns=dict(snap.get("dropped_columns", {})),
+                # The clone keeps the source's row ids (same files,
+                # same bases, same next counter) — diverges only with
+                # each side's subsequent commits.
+                row_tracking_seed=snap.get("row_tracking"),
             )
         finally:
             dest._last_write_stats = {}
@@ -1993,6 +2214,7 @@ class VersionedTable:
             "constraints": dict(m.get("constraints", {})),
             "added_columns": dict(m.get("added_columns", {})),
             "num_dv_files": len(m.get("deletion_vectors", {})),
+            "row_tracking": m.get("row_tracking") is not None,
             "last_op": m["op"],
         }
 

@@ -1061,3 +1061,113 @@ def timestamp_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "row_tracking_lineage",
+    oracle="""
+WITH init AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+),
+after_delete AS (
+    SELECT * FROM init
+    WHERE NOT (o_orderstatus = 'F'
+               AND CAST(o_totalprice AS DECIMAL(18,4)) > 150000.0)
+),
+after_update AS (
+    SELECT o_orderkey, o_orderstatus,
+           CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           rid
+    FROM after_delete
+),
+merged AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN 999999.0
+                ELSE o_totalprice END AS o_totalprice,
+           rid
+    FROM after_update
+    UNION ALL
+    SELECT 9000000 + i, 'N', CAST(9000000 + i AS DOUBLE), NULL
+    FROM range(1, 21) t(i)
+)
+SELECT o_orderkey,
+       o_orderstatus,
+       CAST(o_totalprice AS DOUBLE) AS price,
+       CAST(COALESCE(rid, -1) AS BIGINT) AS stable_id,
+       (rid IS NULL) AS is_fresh
+FROM merged
+ORDER BY o_orderkey
+""",
+    tags=("lakehouse", "row-tracking", "merge", "dml"),
+    bench=False,  # write-path demo; storage-layer queries stay out of bench
+)
+def row_tracking_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta row-tracking analog, end-to-end through the DML ladder
+    (round 13): orders land in a row-tracked VersionedTable as ONE
+    sorted file (so the initial stable id is provably
+    rank(o_orderkey)-1), then COW DELETE -> UPDATE -> MERGE
+    (matched update + 20 inserts) -> compact. Surviving rows must
+    still carry their CREATION id (rewrites materialize ids into the
+    new files; merge hands a matched row's id to its replacement);
+    inserted rows must draw FRESH ids >= the initial next counter.
+    The oracle replays the same lineage in SQL with
+    rid = ROW_NUMBER()-1: survivors report stable_id = rid,
+    inserts report stable_id = -1 / is_fresh = true (their concrete
+    ids depend on physical row placement, which is the one
+    deliberately unpinned degree of freedom). Uniqueness + the
+    concrete-id invariants across compact/OPTIMIZE/restore/clone are
+    pinned in tests/test_versioned_row_tracking.py."""
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter("o_orderkey % 4 = 0")
+    )
+    t = VersionedTable(
+        spark, _scratch_dir("rowtrack_q_") + "/t", row_tracking=True
+    )
+    t.overwrite(orders.coalesce(1).sortWithinPartitions("o_orderkey"))
+    n0 = t._load(0)["row_tracking"]["next"]
+    t.delete(
+        "o_orderstatus = 'F' AND CAST(o_totalprice AS DECIMAL(18,4)) "
+        "> 150000.0"
+    )
+    t.update("o_orderkey % 3 = 0", {"o_totalprice": "o_totalprice * 2"})
+    matched = (
+        t.read()
+        .filter("o_orderkey % 10 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.lit(999999.0).alias("o_totalprice"),
+        )
+    )
+    inserts = spark.range(1, 21).select(
+        (F.col("id") + 9000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("id") + 9000000).cast("double").alias("o_totalprice"),
+    )
+    t.merge(matched.unionByName(inserts), keys=["o_orderkey"])
+    t.compact()
+    return (
+        t.read(with_row_ids=True)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("price"),
+            F.when(F.col("_row_id") < n0, F.col("_row_id"))
+            .otherwise(F.lit(-1))
+            .cast("bigint")
+            .alias("stable_id"),
+            (F.col("_row_id") >= n0).alias("is_fresh"),
+        )
+        .orderBy("o_orderkey")
+    )

@@ -977,21 +977,26 @@ def test_delete_update_on_schema_evolved_table(spark, table):
 
 
 def test_delete_touched_files_matched_with_partition_dirs(spark, table):
-    """Touched-file resolution matches the table-relative path
-    INCLUDING partition dirs: one dynamic-partition write emits the
-    SAME part-file basename in day=a/ and day=b/, and a delete hitting
-    only day=a must rewrite exactly that one file (ADVICE r6, low)."""
-    # repartition(1): a single task writes both partition dirs with an
-    # identical basename under one commit prefix.
+    """Touched-file resolution with one dynamic-partition write
+    emitting part files into day=a/ and day=b/: a delete hitting only
+    day=a must rewrite exactly that one file (ADVICE r6, low).
+    Originally the single task produced the SAME basename in both
+    dirs; since row tracking, _write_files guarantees table-unique
+    basenames (its base map is keyed on them), so this also pins that
+    invariant — resolution still matches the partition-dir-qualified
+    relative path either way."""
+    # repartition(1): a single task writes both partition dirs under
+    # one commit prefix.
     table.append(_df(spark, [(1, "a", 10), (2, "b", 20)]).repartition(1))
     files = table._load(table.current_version())["files"]
     assert len(files) == 2
-    assert len({os.path.basename(f) for f in files}) == 1, (
-        "fixture must produce identical basenames across partitions"
+    assert len({os.path.basename(f) for f in files}) == 2, (
+        "dynamic-partition files must get table-unique basenames "
+        "(row-tracking base maps are keyed on them)"
     )
     stats = table.delete("day = 'a'")
     assert stats["files_rewritten"] == 1, (
-        f"basename collision over-marked files: {stats}"
+        f"touched-file resolution over-marked files: {stats}"
     )
     got = sorted((r.k, r.day) for r in table.read().collect())
     assert got == [(2, "b")]
