@@ -1987,12 +1987,42 @@ class VersionedTable:
         layouts co-locate it), change detection via null-safe struct
         comparison — no per-column UDF, whole-stage codegen applies.
         """
-        from pyspark.sql import functions as F
-
         if v_to is None:
             v_to = self.current_version()
-        old = self.read(version=v_from)
-        new = self.read(version=v_to)
+        return self._snapshot_diff(
+            self.read(version=v_from), self.read(version=v_to), keys
+        )
+
+    def table_changes_by_row_id(
+        self, v_from: int, v_to: int | None = None
+    ) -> DataFrame:
+        """Change-Data-Feed WITHOUT a user key (row-tracked tables):
+        `_row_id` is the join identity, so tables with no primary key
+        still get exact insert/delete/update classification — the
+        capability Delta's row tracking exists to enable. Sound
+        because ids are stable and never reused: an id in both
+        snapshots with changed values is an UPDATE (UPDATE/MERGE
+        preserve identity through rewrites), an id only in v_to is an
+        INSERT (fresh ids come from the monotone counter), an id only
+        in v_from is a DELETE. A pure-layout commit (compact/
+        OPTIMIZE) diffs to ZERO changes — physical rewrites are
+        invisible, which key-less value-diffing could never
+        establish for duplicate rows. Output = data columns +
+        `_row_id` + `_change_type`; same full-outer-join scale shape
+        as `table_changes`."""
+        if v_to is None:
+            v_to = self.current_version()
+        return self._snapshot_diff(
+            self.read(version=v_from, with_row_ids=True),
+            self.read(version=v_to, with_row_ids=True),
+            ["_row_id"],
+        )
+
+    def _snapshot_diff(
+        self, old: DataFrame, new: DataFrame, keys: list[str]
+    ) -> DataFrame:
+        from pyspark.sql import functions as F
+
         cols = new.columns
         val_cols = [c for c in cols if c not in keys]
         o = old.select(

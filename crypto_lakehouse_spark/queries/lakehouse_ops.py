@@ -1171,3 +1171,113 @@ def row_tracking_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+@query(
+    "cdf_by_row_id_lineage",
+    oracle="""
+WITH init AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           ROW_NUMBER() OVER (ORDER BY o_orderkey) - 1 AS rid
+    FROM orders
+    WHERE o_orderkey % 4 = 0
+),
+after_delete AS (
+    SELECT * FROM init
+    WHERE NOT (o_orderstatus = 'F'
+               AND CAST(o_totalprice AS DECIMAL(18,4)) > 150000.0)
+),
+final AS (
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 10 = 0 THEN 'X'
+                ELSE o_orderstatus END AS o_orderstatus,
+           CASE WHEN o_orderkey % 10 = 0 THEN 999999.0
+                WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                ELSE o_totalprice END AS o_totalprice,
+           rid
+    FROM after_delete
+),
+changed AS (
+    SELECT f.rid FROM final f JOIN init i ON i.rid = f.rid
+    WHERE f.o_orderstatus <> i.o_orderstatus
+       OR f.o_totalprice <> i.o_totalprice
+),
+out AS (
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS price,
+           'delete' AS _change_type
+    FROM init
+    WHERE o_orderstatus = 'F'
+      AND CAST(o_totalprice AS DECIMAL(18,4)) > 150000.0
+    UNION ALL
+    SELECT i.o_orderkey, i.o_orderstatus,
+           CAST(i.o_totalprice AS DOUBLE), 'update_preimage'
+    FROM init i JOIN changed c ON c.rid = i.rid
+    UNION ALL
+    SELECT f.o_orderkey, f.o_orderstatus,
+           CAST(f.o_totalprice AS DOUBLE), 'update_postimage'
+    FROM final f JOIN changed c ON c.rid = f.rid
+    UNION ALL
+    SELECT 9000000 + i, 'N', CAST(9000000 + i AS DOUBLE), 'insert'
+    FROM range(1, 21) t(i)
+)
+SELECT * FROM out ORDER BY o_orderkey, _change_type
+""",
+    tags=("lakehouse", "row-tracking", "cdf", "cdc"),
+    bench=False,  # write-path demo; storage-layer queries stay out of bench
+)
+def cdf_by_row_id_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-less CDC through row tracking (round 13): the same DML
+    lineage as `row_tracking_lineage` (sorted single-file seed ->
+    COW DELETE -> UPDATE -> MERGE -> compact), then
+    `table_changes_by_row_id(0)` classifies every row change with NO
+    user key — `_row_id` is the join identity. The oracle replays
+    the lineage and derives the exact change set: DELETE-hit rows as
+    'delete' pre-images, rows whose (status, price) differ between
+    v0 and head as an update pre/post pair, the 20 merge inserts as
+    'insert'. The trailing compact MUST contribute zero rows (a
+    layout rewrite is invisible to row-id CDC — pinned here
+    end-to-end, and unprovable by key-less value diffing)."""
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .filter("o_orderkey % 4 = 0")
+    )
+    t = VersionedTable(
+        spark, _scratch_dir("cdfrow_q_") + "/t", row_tracking=True
+    )
+    t.overwrite(orders.coalesce(1).sortWithinPartitions("o_orderkey"))
+    t.delete(
+        "o_orderstatus = 'F' AND CAST(o_totalprice AS DECIMAL(18,4)) "
+        "> 150000.0"
+    )
+    t.update("o_orderkey % 3 = 0", {"o_totalprice": "o_totalprice * 2"})
+    matched = (
+        t.read()
+        .filter("o_orderkey % 10 = 0")
+        .select(
+            "o_orderkey",
+            F.lit("X").alias("o_orderstatus"),
+            F.lit(999999.0).alias("o_totalprice"),
+        )
+    )
+    inserts = spark.range(1, 21).select(
+        (F.col("id") + 9000000).alias("o_orderkey"),
+        F.lit("N").alias("o_orderstatus"),
+        (F.col("id") + 9000000).cast("double").alias("o_totalprice"),
+    )
+    t.merge(matched.unionByName(inserts), keys=["o_orderkey"])
+    t.compact()
+    return (
+        t.table_changes_by_row_id(0)
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.col("o_totalprice").cast("double").alias("price"),
+            "_change_type",
+        )
+        .orderBy("o_orderkey", "_change_type")
+    )

@@ -2567,3 +2567,130 @@ _pair(
     _SIL_DUCK,
     tags=("similarity", "clustering", "diagnostics", "silhouette"),
 )
+
+
+# --- prototypicality pruning (Sorscher et al. 2022) -------------------------
+# "Beyond neural scaling laws: beating power law scaling via data
+# pruning" — the SSL-prototype selection rule: cluster the embedding
+# space, score each example by its distance to its cluster centroid,
+# and (data-abundant regime) PRUNE the most prototypical (closest)
+# examples, keeping the hard ones. Here: one Lloyd step from the
+# kmeans_one_step seeds (vec_id < 4 — deterministic, shared with the
+# whole k-means family), exact sequential-fold centroid means and
+# distances (bit-reproducible cross-engine, same discipline as
+# kmeans_converged), then a per-cluster NTILE(4) by (distance,
+# vec_id) with quartile 1 = most prototypical = pruned. Scale shape:
+# the N x k assignment is a broadcast of k centroid rows over an
+# embarrassingly-parallel scan, the centroid recompute is one shuffle
+# of exploded dims into k x 64 groups, and the quartile window
+# partitions by cid — corpus-linear, no N^2 anywhere.
+
+_PROTO_SPARK = """
+WITH vecs AS (
+    SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
+assigned AS (
+    SELECT vec_id, cid, v FROM (
+        SELECT vecs.vec_id, cents.cid, vecs.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vecs.vec_id
+                   ORDER BY aggregate(zip_with(vecs.v, cents.c,
+                                (x, y) -> (x - y) * (x - y)),
+                            CAST(0 AS DOUBLE), (a, b) -> a + b),
+                            cents.cid) AS rn
+        FROM vecs CROSS JOIN cents
+    ) WHERE rn = 1
+),
+dimmeans AS (
+    SELECT cid, dim,
+           aggregate(transform(array_sort(collect_list(struct(vec_id, val))),
+                     s -> s.val), CAST(0 AS DOUBLE), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM (
+        SELECT cid, dim, vec_id, element_at(v, dim) AS val
+        FROM assigned
+        CROSS JOIN (SELECT explode(sequence(1, 64)) AS dim)
+    ) GROUP BY cid, dim
+),
+centroids AS (
+    SELECT cid,
+           transform(array_sort(collect_list(struct(dim, mean_d))),
+                     s -> s.mean_d) AS c
+    FROM dimmeans GROUP BY cid
+),
+dists AS (
+    SELECT a.vec_id, a.cid,
+           SQRT(aggregate(zip_with(a.v, c.c, (x, y) -> (x - y) * (x - y)),
+                CAST(0 AS DOUBLE), (acc, s) -> acc + s)) AS dist
+    FROM assigned a JOIN centroids c ON a.cid = c.cid
+)
+SELECT vec_id, cid AS cluster_id,
+       ROUND(dist, 9) AS dist_to_centroid,
+       q AS quartile, q >= 2 AS keep
+FROM (
+    SELECT vec_id, cid, dist,
+           NTILE(4) OVER (PARTITION BY cid ORDER BY dist, vec_id) AS q
+    FROM dists
+)
+ORDER BY vec_id
+"""
+
+_PROTO_DUCK = """
+WITH vecs AS (
+    SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+    FROM embeddings WHERE embedding IS NOT NULL
+),
+cents AS (SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < 4),
+assigned AS (
+    SELECT vec_id, cid, v FROM (
+        SELECT vecs.vec_id, cents.cid, vecs.v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY vecs.vec_id
+                   ORDER BY list_reduce(list_transform(range(1, 65),
+                                i -> (vecs.v[i] - cents.c[i])
+                                     * (vecs.v[i] - cents.c[i])),
+                            (a, b) -> a + b),
+                            cents.cid) AS rn
+        FROM vecs CROSS JOIN cents
+    ) WHERE rn = 1
+),
+dimmeans AS (
+    SELECT cid, dim,
+           list_reduce(list(val ORDER BY vec_id), (a, b) -> a + b)
+               / COUNT(*) AS mean_d
+    FROM (
+        SELECT cid, dim, vec_id, v[dim] AS val
+        FROM assigned
+        CROSS JOIN (SELECT unnest(range(1, 65)) AS dim)
+    ) GROUP BY cid, dim
+),
+centroids AS (
+    SELECT cid, list(mean_d ORDER BY dim) AS c
+    FROM dimmeans GROUP BY cid
+),
+dists AS (
+    SELECT a.vec_id, a.cid,
+           SQRT(list_reduce(list_transform(range(1, 65),
+                i -> (a.v[i] - c.c[i]) * (a.v[i] - c.c[i])),
+                (acc, s) -> acc + s)) AS dist
+    FROM assigned a JOIN centroids c ON a.cid = c.cid
+)
+SELECT vec_id, cid AS cluster_id,
+       ROUND(dist, 9) AS dist_to_centroid,
+       q AS quartile, q >= 2 AS keep
+FROM (
+    SELECT vec_id, cid, dist,
+           NTILE(4) OVER (PARTITION BY cid ORDER BY dist, vec_id) AS q
+    FROM dists
+)
+ORDER BY vec_id
+"""
+
+_pair(
+    "prototypicality_pruning",
+    _PROTO_SPARK,
+    _PROTO_DUCK,
+    tags=("similarity", "clustering", "data-pruning", "selection"),
+)

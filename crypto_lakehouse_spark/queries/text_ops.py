@@ -1060,3 +1060,172 @@ _pair(
     _COLLATE_DUCK,
     tags=("text", "collation", "spark4"),
 )
+
+
+# --- Gopher-style within-document repetition rules ---------------------------
+# The second half of the Rae et al. 2021 quality gate (§A1.2,
+# "repetitious documents"), complementing `gopher_quality_rules`
+# (§A1.1 word-level rules): a document is dropped when too much of it
+# is one repeated n-gram. Two metric families over word n-grams
+# (this corpus has no newlines, so the line/paragraph duplicate rules
+# are out of scope, as documented for §A1.1):
+#  - top n-gram character fraction, n in {2,3,4}: chars covered by
+#    ALL occurrences of the single most frequent n-gram / doc chars;
+#    thresholds 0.20 / 0.18 / 0.16 (ties on count break to the
+#    lexicographically smallest gram — pinned, engine-stable).
+#  - duplicated n-gram character fraction, n in {5..10}: chars
+#    covered by all occurrences of every n-gram seen >= 2 times /
+#    doc chars; thresholds 0.15 / 0.14 / 0.13 / 0.12 / 0.11 / 0.10.
+#    Overlapping occurrences are counted per-occurrence and the
+#    fraction capped at 1.0 — the standard streaming approximation
+#    (counting each character once needs interval union per doc;
+#    production rule filters accept the cap because the decision
+#    boundary sits far below saturation).
+# Shape at scale: ONE pass builds all 9 gram sizes from the split
+# array (lateral index explode, no self-join), one hash aggregate per
+# (doc, n, gram) with map-side combine, two vocabulary-free rollups
+# back to doc grain — corpus-linear, shuffle keyed on (doc_id, n,
+# gram) so hot docs spread across n.
+
+_REP_THRESH = "CASE n WHEN 2 THEN 0.20 WHEN 3 THEN 0.18 WHEN 4 THEN 0.16 " \
+    "WHEN 5 THEN 0.15 WHEN 6 THEN 0.14 WHEN 7 THEN 0.13 " \
+    "WHEN 8 THEN 0.12 WHEN 9 THEN 0.11 ELSE 0.10 END"
+
+_REP_SPARK = f"""
+WITH base AS (
+    SELECT doc_id, length(text) AS total_chars, split(text, ' ') AS ws
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, total_chars, n,
+           concat_ws(' ', slice(ws, i, n)) AS gram
+    FROM base
+    LATERAL VIEW explode(sequence(2, 10)) t AS n
+    LATERAL VIEW explode(sequence(1, size(ws) - n + 1)) s AS i
+    WHERE size(ws) >= n
+),
+counts AS (
+    SELECT doc_id, total_chars, n, gram, COUNT(*) AS c
+    FROM grams GROUP BY doc_id, total_chars, n, gram
+),
+top_frac AS (
+    SELECT doc_id, n,
+           CAST(c * length(gram) AS DOUBLE) / total_chars AS frac
+    FROM (
+        SELECT doc_id, n, gram, c, total_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram) AS rn
+        FROM counts WHERE n <= 4
+    ) WHERE rn = 1
+),
+dup_frac AS (
+    SELECT doc_id, n,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram)
+                               ELSE 0 END) AS DOUBLE)
+                 / ANY_VALUE(total_chars)) AS frac
+    FROM counts WHERE n >= 5 GROUP BY doc_id, n
+),
+metrics AS (
+    SELECT doc_id, n, frac FROM top_frac
+    UNION ALL
+    SELECT doc_id, n, frac FROM dup_frac
+),
+violations AS (
+    SELECT doc_id,
+           COUNT(CASE WHEN frac > {_REP_THRESH} THEN 1 END) AS n_viol,
+           MAX(ROUND(frac, 9)) AS worst_frac
+    FROM metrics GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(COALESCE(t2.frac, 0.0), 9) AS top_2gram_frac,
+       ROUND(COALESCE(t3.frac, 0.0), 9) AS top_3gram_frac,
+       ROUND(COALESCE(t4.frac, 0.0), 9) AS top_4gram_frac,
+       ROUND(COALESCE(d5.frac, 0.0), 9) AS dup_5gram_frac,
+       ROUND(COALESCE(d10.frac, 0.0), 9) AS dup_10gram_frac,
+       CAST(COALESCE(v.n_viol, 0) AS INT) AS n_violations,
+       COALESCE(v.n_viol, 0) = 0 AS keep
+FROM base b
+LEFT JOIN top_frac t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+LEFT JOIN top_frac t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+LEFT JOIN top_frac t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+LEFT JOIN dup_frac d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+LEFT JOIN dup_frac d10 ON d10.doc_id = b.doc_id AND d10.n = 10
+LEFT JOIN violations v ON v.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+_REP_DUCK = f"""
+WITH base AS (
+    SELECT doc_id, length(text) AS total_chars, string_split(text, ' ') AS ws
+    FROM documents
+),
+positions AS (
+    SELECT doc_id, total_chars, ws,
+           unnest(range(1, len(ws) + 1)) AS i
+    FROM base
+),
+grams AS (
+    SELECT p.doc_id, p.total_chars, s.n,
+           array_to_string(p.ws[p.i : p.i + s.n - 1], ' ') AS gram
+    FROM positions p
+    CROSS JOIN (SELECT unnest(range(2, 11)) AS n) s
+    WHERE p.i + s.n - 1 <= len(p.ws)
+),
+counts AS (
+    SELECT doc_id, total_chars, n, gram, COUNT(*) AS c
+    FROM grams GROUP BY doc_id, total_chars, n, gram
+),
+top_frac AS (
+    SELECT doc_id, n,
+           CAST(c * length(gram) AS DOUBLE) / total_chars AS frac
+    FROM (
+        SELECT doc_id, n, gram, c, total_chars,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                                  ORDER BY c DESC, gram) AS rn
+        FROM counts WHERE n <= 4
+    ) WHERE rn = 1
+),
+dup_frac AS (
+    SELECT doc_id, n,
+           LEAST(CAST(1.0 AS DOUBLE),
+                 CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram)
+                               ELSE 0 END) AS DOUBLE)
+                 / ANY_VALUE(total_chars)) AS frac
+    FROM counts WHERE n >= 5 GROUP BY doc_id, n
+),
+metrics AS (
+    SELECT doc_id, n, frac FROM top_frac
+    UNION ALL
+    SELECT doc_id, n, frac FROM dup_frac
+),
+violations AS (
+    SELECT doc_id,
+           COUNT(CASE WHEN frac > {_REP_THRESH} THEN 1 END) AS n_viol,
+           MAX(ROUND(frac, 9)) AS worst_frac
+    FROM metrics GROUP BY doc_id
+)
+SELECT b.doc_id,
+       ROUND(COALESCE(t2.frac, 0.0), 9) AS top_2gram_frac,
+       ROUND(COALESCE(t3.frac, 0.0), 9) AS top_3gram_frac,
+       ROUND(COALESCE(t4.frac, 0.0), 9) AS top_4gram_frac,
+       ROUND(COALESCE(d5.frac, 0.0), 9) AS dup_5gram_frac,
+       ROUND(COALESCE(d10.frac, 0.0), 9) AS dup_10gram_frac,
+       CAST(COALESCE(v.n_viol, 0) AS INT) AS n_violations,
+       COALESCE(v.n_viol, 0) = 0 AS keep
+FROM base b
+LEFT JOIN top_frac t2 ON t2.doc_id = b.doc_id AND t2.n = 2
+LEFT JOIN top_frac t3 ON t3.doc_id = b.doc_id AND t3.n = 3
+LEFT JOIN top_frac t4 ON t4.doc_id = b.doc_id AND t4.n = 4
+LEFT JOIN dup_frac d5 ON d5.doc_id = b.doc_id AND d5.n = 5
+LEFT JOIN dup_frac d10 ON d10.doc_id = b.doc_id AND d10.n = 10
+LEFT JOIN violations v ON v.doc_id = b.doc_id
+ORDER BY b.doc_id
+"""
+
+_pair(
+    "gopher_repetition_rules",
+    _REP_SPARK,
+    _REP_DUCK,
+    tags=("text", "quality", "gopher", "repetition"),
+)

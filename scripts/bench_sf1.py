@@ -106,6 +106,12 @@ TIER = [
     # operator (census + 3 materialized DP rounds + recursive walk);
     # ~4.3 s at sf0.1 — ramp evidence required by the >2 s rule
     "unigram_lm_em_step",
+    # round-13: the pruned second EM round runs TWO DP passes over the
+    # shared census — same treatment
+    "unigram_lm_em_pruned",
+    # round-13: 9 gram sizes exploded per doc make this the heaviest
+    # text census (~3-6 s at sf0.1) — ramp evidence required
+    "gopher_repetition_rules",
 ]
 
 RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))

@@ -222,3 +222,37 @@ def test_schema_evolution_interplay(spark, table):
     assert _ids(table) == before
     df = table.read(with_row_ids=True)
     assert set(df.columns) == {"k", "day", "val", "_row_id"}
+
+
+def test_cdc_by_row_id_classifies_without_keys(spark, flat):
+    flat.append(_df(spark, ROWS))
+    flat.delete("k = 2")
+    flat.update("k = 3", {"v": "v + 5"})
+    flat.merge(_df(spark, [(9, "c", 90)]), keys=["k"])
+    ch = {
+        (r.k, r._change_type)
+        for r in flat.table_changes_by_row_id(0).collect()
+    }
+    assert ch == {
+        (2, "delete"),
+        (3, "update_preimage"),
+        (3, "update_postimage"),
+        (9, "insert"),
+    }
+
+
+def test_cdc_by_row_id_compaction_invisible(spark, flat):
+    flat.append(_df(spark, ROWS))
+    v = flat.current_version()
+    flat.compact()
+    flat.optimize(target_file_mb=0.0001)
+    assert flat.table_changes_by_row_id(v).count() == 0
+
+
+def test_cdc_by_row_id_handles_duplicate_rows(spark, flat):
+    """The case key-less value-diffing cannot solve: two IDENTICAL
+    rows, one deleted — row ids tell exactly one 'delete' apart."""
+    flat.append(_df(spark, [(1, "a", 10), (1, "a", 10)]))
+    flat.delete_dv("k = 1")  # kills both
+    ch = [r._change_type for r in flat.table_changes_by_row_id(0).collect()]
+    assert ch == ["delete", "delete"]
