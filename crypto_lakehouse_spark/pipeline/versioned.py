@@ -154,6 +154,7 @@ class VersionedTable:
         deletion_vectors: dict[str, list[str]] | None = None,
         dropped_columns: dict[str, str] | None = None,
         row_tracking_seed: dict | None = None,
+        equality_deletes: list[dict] | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -202,6 +203,7 @@ class VersionedTable:
                     deletion_vectors,
                     dropped_columns,
                     row_tracking_seed,
+                    equality_deletes,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -245,6 +247,7 @@ class VersionedTable:
         deletion_vectors: dict[str, list[str]] | None = None,
         dropped_columns: dict[str, str] | None = None,
         row_tracking_seed: dict | None = None,
+        equality_deletes: list[dict] | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -365,6 +368,26 @@ class VersionedTable:
                 ).items()
                 if v and f in set(files)
             },
+            # Equality deletes (Iceberg v2 equality-delete-file
+            # analog): each entry is {"cols", "file", "applies_to"} —
+            # a sidecar of delete-value tuples that suppresses
+            # matching rows in exactly the data files listed. The
+            # explicit coverage list IS the Iceberg sequence-number
+            # rule made concrete: files appended AFTER the delete are
+            # never covered. Carried forward with applies_to filtered
+            # to surviving files (a rewrite read reconciled rows, so
+            # its new files must not be covered); fully-uncovered
+            # entries drop out.
+            "equality_deletes": [
+                {**e, "applies_to": kept}
+                for e in (
+                    equality_deletes
+                    if equality_deletes is not None
+                    else prev.get("equality_deletes", [])
+                )
+                for kept in [sorted(set(e["applies_to"]) & set(files))]
+                if kept
+            ],
             # Row-tracking block (None for untracked tables keeps old
             # manifests byte-compatible).
             **({"row_tracking": row_tracking} if row_tracking else {}),
@@ -467,6 +490,13 @@ class VersionedTable:
                     f"{self.path}: constraint {cname!r} ({expr}) references "
                     f"{old!r}; drop it before renaming and re-add against "
                     "the new name"
+                )
+        for e in m.get("equality_deletes", []):
+            if old in e["cols"]:
+                raise ValueError(
+                    f"{self.path}: outstanding equality delete "
+                    f"({e['file']}) references {old!r}; run optimize() "
+                    "to fold it in before renaming"
                 )
         mapping = dict(m.get("column_mapping", {}))
         physical = mapping.pop(old, old)
@@ -840,6 +870,13 @@ class VersionedTable:
                     f"{self.path}: constraint {cname!r} ({expr}) references "
                     f"{name!r}; drop it before dropping the column"
                 )
+        for e in m.get("equality_deletes", []):
+            if name in e["cols"]:
+                raise ValueError(
+                    f"{self.path}: outstanding equality delete "
+                    f"({e['file']}) references {name!r}; run optimize() "
+                    "to fold it in before dropping the column"
+                )
         mapping = dict(m.get("column_mapping", {}))
         physical = mapping.pop(name, name)
         added = dict(m.get("added_columns", {}))
@@ -1199,9 +1236,14 @@ class VersionedTable:
         if tracked:
             df = df.withColumnRenamed("_row_id", "__row_id")
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
-        return self._apply_dropped_columns(
+        df = self._apply_dropped_columns(
             self._apply_added_columns(df, added), snap
         )
+        if "__eq_file" in df.columns:
+            # Rewrites bake outstanding equality deletes into the new
+            # files (same contract as DV reconciliation above).
+            df = self._apply_equality_deletes(df, snap).drop("__eq_file")
+        return df
 
     def _apply_added_columns(self, df: DataFrame, added: dict) -> DataFrame:
         """Surface manifest-declared added columns on a scanned frame:
@@ -1374,6 +1416,20 @@ class VersionedTable:
                 "__row_id"
             )
 
+        # Equality-delete reconciliation needs each row's source file
+        # (coverage is per-file); the basename is only resolvable on
+        # the scan relation, so capture it here — read()/subset
+        # callers apply the anti-joins and drop the column.
+        eq_on = bool(snap.get("equality_deletes"))
+
+        def _eqf(d: DataFrame) -> DataFrame:
+            if not eq_on:
+                return d
+            return d.withColumn(
+                "__eq_file",
+                F.substring_index(F.col("_metadata.file_path"), "/", -1),
+            )
+
         reader = self.spark.read.option("basePath", self.path)
         if merge_schema:
             reader = reader.option("mergeSchema", "true")
@@ -1382,7 +1438,9 @@ class VersionedTable:
         dved = [f for f in files if dv_map.get(f)]
         frames: list[DataFrame] = []
         if clean:
-            d = reader.parquet(*(os.path.join(self.path, f) for f in clean))
+            d = _eqf(
+                reader.parquet(*(os.path.join(self.path, f) for f in clean))
+            )
             if rt is not None:
                 # One literal map basename -> base keeps the clean
                 # files in a SINGLE multi-path scan (no per-file plan
@@ -1409,8 +1467,10 @@ class VersionedTable:
                 *(os.path.join(self.path, r) for r in dv_map[f])
             )
             pos = pos.filter(pos["file"] == f).select("pos")
-            d = reader.parquet(os.path.join(self.path, f)).withColumn(
-                "__dv_idx", F.col("_metadata.row_index")
+            d = _eqf(
+                reader.parquet(os.path.join(self.path, f)).withColumn(
+                    "__dv_idx", F.col("_metadata.row_index")
+                )
             )
             if rt is not None:
                 d = _rid(d, F.lit(int(rt["bases"][f])))
@@ -1686,6 +1746,112 @@ class VersionedTable:
             raise RuntimeError(f"{self.path}: DV write produced no file")
         return rel
 
+    # -- equality deletes (Iceberg v2 equality-delete-file analog) -----------
+    def delete_eq(self, keys: list[str], values: DataFrame) -> dict:
+        """Row-level DELETE by VALUE (Iceberg v2 equality-delete
+        analog): suppress every row whose `keys` columns match any row
+        of `values`, WITHOUT reading a single data file. The distinct
+        value tuples land as one sidecar parquet under `_eqdel/` and a
+        metadata commit records which data files it applies to — the
+        files of the CURRENT snapshot, which is Iceberg's
+        sequence-number rule made concrete: rows appended LATER with
+        the same key values are NOT deleted. This is the third
+        deletion mechanism beside COW `delete()` (rewrites touched
+        files) and `delete_dv()` (records positions, needs one
+        find-files scan): `delete_eq` costs O(|values|) regardless of
+        table size — the CDC-upsert-by-key shape at 100 TB.
+
+        Reads reconcile with one broadcast anti-join per outstanding
+        sidecar (bounded like DVs; `optimize()` folds them away by
+        rewriting covered files). NULL key values match via null-safe
+        equality. Columns are LOGICAL names at delete time; renaming
+        or dropping a referenced column is rejected while the delete
+        is outstanding (Iceberg pins field ids instead — this
+        implementation keeps human-readable names and rejects)."""
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        snap = self._load(cur)
+        cols = self.read().columns
+        missing = [k for k in keys if k not in cols]
+        if missing:
+            raise ValueError(
+                f"{self.path}: equality-delete key(s) {missing} not in "
+                f"table columns {cols}"
+            )
+        vals = values.select(*keys).distinct()
+        n_values = vals.count()
+        if n_values == 0:
+            return {"skipped": True, "reason": "empty delete set"}
+        staging = os.path.join(self.path, f"_staging-{uuid.uuid4().hex}")
+        vals.coalesce(1).write.mode("overwrite").parquet(staging)
+        rel = os.path.join("_eqdel", f"eq-{uuid.uuid4().hex}.parquet")
+        final = os.path.join(self.path, rel)
+        os.makedirs(os.path.dirname(final), exist_ok=True)
+        moved = False
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                os.rename(os.path.join(staging, name), final)
+                moved = True
+                break
+        shutil.rmtree(staging, ignore_errors=True)
+        if not moved:
+            raise RuntimeError(
+                f"{self.path}: equality-delete write produced no file"
+            )
+        entry = {
+            "cols": list(keys),
+            "file": rel,
+            "applies_to": sorted(snap["files"]),
+        }
+        version = self._commit(
+            list(snap["files"]),
+            f"delete_eq({keys})",
+            base=cur,
+            equality_deletes=list(snap.get("equality_deletes", []))
+            + [entry],
+        )
+        return {
+            "skipped": False,
+            "version": version,
+            "n_delete_values": int(n_values),
+            "eq_file": rel,
+        }
+
+    def _apply_equality_deletes(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Reconcile outstanding equality deletes on a LOGICAL frame
+        that still carries the scan-time `__eq_file` basename column:
+        one broadcast left-join per sidecar, a row dies when it
+        matches the delete tuple AND its file is in the entry's
+        coverage list. Null-safe equality throughout."""
+        from pyspark.sql import functions as F
+
+        eqs = snap.get("equality_deletes", [])
+        if not eqs:
+            return df
+        for e in eqs:
+            vals = self.spark.read.parquet(
+                os.path.join(self.path, e["file"])
+            ).select(
+                *[F.col(c).alias(f"__eqv_{c}") for c in e["cols"]]
+            ).withColumn("__eq_hit", F.lit(True))
+            cond = None
+            for c in e["cols"]:
+                eq = F.col(c).eqNullSafe(F.col(f"__eqv_{c}"))
+                cond = eq if cond is None else (cond & eq)
+            covered = [os.path.basename(f) for f in e["applies_to"]]
+            df = (
+                df.join(F.broadcast(vals), cond, "left")
+                .filter(
+                    ~(
+                        F.col("__eq_hit").isNotNull()
+                        & F.col("__eq_file").isin(covered)
+                    )
+                )
+                .drop("__eq_hit", *[f"__eqv_{c}" for c in e["cols"]])
+            )
+        return df
+
     def read(
         self,
         version: int | None = None,
@@ -1770,6 +1936,8 @@ class VersionedTable:
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         df = self._apply_added_columns(df, added)
         df = self._apply_dropped_columns(df, snap)
+        if "__eq_file" in df.columns:
+            df = self._apply_equality_deletes(df, snap).drop("__eq_file")
         for col, (lo, hi) in (between or {}).items():
             df = df.where(F.col(col).between(lo, hi))
         for col, v in (point or {}).items():
@@ -1932,12 +2100,20 @@ class VersionedTable:
         per_part = max(1, math.ceil(total / nparts / target))
         if len(files) <= per_part * nparts:
             dv_map = snap.get("deletion_vectors", {})
-            dv_files = sorted(f for f in files if dv_map.get(f))
+            eq_cov = {
+                f
+                for e in snap.get("equality_deletes", [])
+                for f in e["applies_to"]
+            }
+            dv_files = sorted(
+                f for f in files if dv_map.get(f) or f in eq_cov
+            )
             if dv_files:
-                # Layout is fine but deletion vectors are outstanding:
-                # OPTIMIZE's second job is compacting DVs away —
-                # rewrite ONLY the DV'd files (reconciled rows, so the
-                # deletions bake in) and drop their sidecar mappings.
+                # Layout is fine but deletion vectors / equality
+                # deletes are outstanding: OPTIMIZE's second job is
+                # compacting them away — rewrite ONLY the covered
+                # files (reconciled rows, so the deletions bake in);
+                # _publish drops the now-uncovered sidecar entries.
                 rows = self._read_file_subset(dv_files)
                 new_files = self._write_files(rows)
                 carried = [f for f in files if f not in set(dv_files)]
@@ -2145,6 +2321,7 @@ class VersionedTable:
                     for f, v in snap.get("deletion_vectors", {}).items()
                 },
                 dropped_columns=dict(snap.get("dropped_columns", {})),
+                equality_deletes=list(snap.get("equality_deletes", [])),
                 # Row ids travel with the snapshot: the restored files
                 # keep the bases they were FIRST committed under, so a
                 # row's id is identical before and after the restore
@@ -2176,6 +2353,8 @@ class VersionedTable:
         # would fail every read; a clone that carries neither silently
         # resurrects DV-deleted rows (ADVICE r12).
         dv_rels = sorted({rel for rels in dv_map.values() for rel in rels})
+        eq_entries = [dict(e) for e in snap.get("equality_deletes", [])]
+        dv_rels += [e["file"] for e in eq_entries]
         for rel in list(snap["files"]) + dv_rels:
             src = os.path.join(self.path, rel)
             dst = os.path.join(dest_path, rel)
@@ -2196,6 +2375,7 @@ class VersionedTable:
                 constraints=snap.get("constraints", {}),
                 deletion_vectors=dv_map,
                 dropped_columns=dict(snap.get("dropped_columns", {})),
+                equality_deletes=eq_entries,
                 # The clone keeps the source's row ids (same files,
                 # same bases, same next counter) — diverges only with
                 # each side's subsequent commits.
@@ -2244,6 +2424,7 @@ class VersionedTable:
             "constraints": dict(m.get("constraints", {})),
             "added_columns": dict(m.get("added_columns", {})),
             "num_dv_files": len(m.get("deletion_vectors", {})),
+            "num_equality_deletes": len(m.get("equality_deletes", [])),
             "row_tracking": m.get("row_tracking") is not None,
             "last_op": m["op"],
         }
@@ -2288,6 +2469,9 @@ class VersionedTable:
             # otherwise be swept as orphans.
             for rels in m.get("deletion_vectors", {}).values():
                 live.update(rels)
+            # Equality-delete sidecars (_eqdel/*.parquet) likewise.
+            for e in m.get("equality_deletes", []):
+                live.add(e["file"])
         removed = 0
         cutoff = time.time() - orphan_retention_s
 

@@ -1281,3 +1281,80 @@ def cdf_by_row_id_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey", "_change_type")
     )
+
+
+@query(
+    "equality_delete_result",
+    oracle="""
+WITH kept AS (
+    SELECT o_orderkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT o_orderkey, 'R' AS o_orderstatus, 1.0 AS o_totalprice
+    FROM orders WHERE o_orderkey % 26 = 0
+)
+SELECT o_orderstatus AS status,
+       COUNT(*) AS n_orders,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS price_sum
+FROM kept
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+    tags=("lakehouse", "equality-delete", "merge-on-read"),
+    bench=False,  # write-path demo; storage-layer queries stay out of bench
+)
+def equality_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iceberg-v2-style equality delete through the versioned table
+    layer (round 13): orders land in a partitioned VersionedTable,
+    `delete_eq` suppresses every row whose o_orderkey is in a
+    value set (keys % 13 = 0) as an O(|values|) METADATA commit — no
+    data file read or rewritten — then half of the deleted keys
+    (% 26 = 0) are RE-APPENDED with fresh values. The appended rows
+    must be visible despite carrying deleted key values (the Iceberg
+    sequence-number rule: an equality delete covers only files that
+    existed when it was committed). The oracle is the complement
+    filter plus the appended rows; a resurrection of eq-deleted
+    originals, a kill of the re-appended rows, or a missed delete all
+    diverge the hash. Fold-away via OPTIMIZE, composition with DVs /
+    row tracking / restore / clone are pinned in
+    tests/test_versioned_eq_delete.py."""
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = VersionedTable(
+        spark,
+        _scratch_dir("eqdel_q_") + "/t",
+        partition_by=["o_orderpriority"],
+    )
+    t.overwrite(orders.repartition(4))
+    t.delete_eq(
+        ["o_orderkey"], orders.filter("o_orderkey % 13 = 0")
+    )
+    t.append(
+        orders.filter("o_orderkey % 26 = 0").select(
+            "o_orderkey",
+            F.lit("R").alias("o_orderstatus"),
+            F.lit(1.0).alias("o_totalprice"),
+            "o_orderpriority",
+        )
+    )
+    return (
+        t.read()
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("o_orderkey").alias("min_key"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("ps"),
+        )
+        .select(
+            F.col("o_orderstatus").alias("status"),
+            "n_orders",
+            "min_key",
+            F.col("ps").cast("double").alias("price_sum"),
+        )
+        .orderBy("status")
+    )
