@@ -623,6 +623,10 @@ class VersionedTable:
         out = {
             c: [mins[c], maxs[c]] for c in mins if c not in bad and c in maxs
         }
+        # Exact footer row count (feeds metadata-only COUNT(*): see
+        # summarize_metadata). Dunder-prefixed like __bloom__ so scan
+        # planning never mistakes it for a column stat.
+        out["__rows__"] = md.num_rows
         if self.bloom_columns:
             bloom = self._file_bloom(rel)
             if bloom:
@@ -1154,6 +1158,81 @@ class VersionedTable:
             if not skip:
                 selected.append(f)
         return selected, len(files)
+
+    def summarize_metadata(
+        self, cols: list[str] | None = None, version: int | None = None
+    ) -> DataFrame:
+        """Metadata-only aggregates (the Delta/Iceberg planner trick of
+        answering `SELECT COUNT(*)/MIN(c)/MAX(c)` from the transaction
+        log): one row with `n_rows` plus `min_<c>`/`max_<c>` per
+        requested column, computed ENTIRELY from the manifest's
+        per-file footer stats and row counts — zero data bytes read,
+        zero Spark jobs, O(|files|) driver work. At 100 TB this is the
+        difference between an instant answer and a full scan.
+
+        Exactness contract (fail fast rather than silently
+        approximate):
+        - outstanding deletion vectors or equality deletes are
+          rejected (suppressed rows would inflate every number; run
+          optimize() to fold them first);
+        - a column must have footer min/max recorded for EVERY file
+          (all-null files, unsupported stat types, partition columns,
+          and added-columns-with-defaults don't — those raise, and the
+          caller falls back to a scan);
+        - parquet min/max ignore NULLs, matching SQL MIN/MAX.
+        Column mapping is translated (stats are keyed by physical
+        names), dropped columns are rejected."""
+        cur = self.current_version()
+        if cur is None:
+            raise FileNotFoundError(f"{self.path}: no committed version")
+        snap = self._load(cur if version is None else version)
+        if snap.get("deletion_vectors") or snap.get("equality_deletes"):
+            raise ValueError(
+                f"{self.path}: outstanding deletion vectors / equality "
+                "deletes make manifest stats an over-count; run "
+                "optimize() to fold them, or scan"
+            )
+        files = snap["files"]
+        stats = snap.get("stats", {})
+        n_rows = 0
+        for f in files:
+            n = stats.get(f, {}).get("__rows__")
+            if n is None:
+                # Pre-feature manifest: footer-only read, still no
+                # data bytes and no Spark job.
+                n = self._file_rows(f)
+            n_rows += int(n)
+        mapping = snap.get("column_mapping", {})
+        dropped = snap.get("dropped_columns", {})
+        added = snap.get("added_columns", {})
+        out: dict[str, object] = {"n_rows": n_rows}
+        for c in cols or []:
+            if c in dropped or c in dropped.values():
+                raise ValueError(f"{self.path}: column {c!r} was dropped")
+            if c in added:
+                raise ValueError(
+                    f"{self.path}: {c!r} is a manifest-added column "
+                    "(default backfill is not in footer stats); scan "
+                    "instead"
+                )
+            phys = mapping.get(c, c)
+            lo = hi = None
+            for f in files:
+                s = stats.get(f, {})
+                if phys not in s:
+                    raise ValueError(
+                        f"{self.path}: no footer stats for {c!r} in {f} "
+                        "(all-null file, partition column, or "
+                        "unsupported stat type); scan instead"
+                    )
+                flo, fhi = s[phys]
+                lo = flo if lo is None else min(lo, flo)
+                hi = fhi if hi is None else max(hi, fhi)
+            out[f"min_{c}"] = lo
+            out[f"max_{c}"] = hi
+        from pyspark.sql import Row
+
+        return self.spark.createDataFrame([Row(**out)])
 
     def version_as_of(self, ts: float) -> int:
         """Delta `TIMESTAMP AS OF` resolution: the newest version whose

@@ -1358,3 +1358,49 @@ def equality_delete_result(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+@query(
+    "metadata_only_stats",
+    oracle="""
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+       CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+       CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+       CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+FROM orders
+""",
+    tags=("lakehouse", "metadata-only", "data-skipping"),
+    bench=False,  # write-path demo; storage-layer queries stay out of bench
+)
+def metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only aggregation (round 13): orders land in a
+    partitioned VersionedTable across many files, and
+    `summarize_metadata` answers COUNT(*) / MIN / MAX from the
+    manifest's footer stats and row counts alone — zero data bytes
+    read, zero Spark jobs, the Delta/Iceberg log-answered-query
+    optimization. The oracle computes the same aggregates by actually
+    scanning: any divergence between harvested footer stats and the
+    true extremes (or any count drift across the multi-file
+    partitioned write) breaks the hash. The exactness contract
+    (refusal under outstanding DVs / equality deletes / added-column
+    defaults) is pinned in tests/test_versioned_eq_delete.py."""
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice", "o_orderpriority"
+    )
+    t = VersionedTable(
+        spark,
+        _scratch_dir("metastats_q_") + "/t",
+        partition_by=["o_orderpriority"],
+    )
+    t.overwrite(orders.repartition(4))
+    return t.summarize_metadata(["o_orderkey", "o_totalprice"]).select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("min_o_orderkey").cast("bigint").alias("min_key"),
+        F.col("max_o_orderkey").cast("bigint").alias("max_key"),
+        F.col("min_o_totalprice").cast("double").alias("min_price"),
+        F.col("max_o_totalprice").cast("double").alias("max_price"),
+    )

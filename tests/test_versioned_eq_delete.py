@@ -172,3 +172,41 @@ def test_expire_keeps_live_eq_sidecars(spark, table):
     table.expire_snapshots(retain_last=1, orphan_retention_s=0.0)
     assert os.path.exists(os.path.join(table.path, rel))
     assert _keys(table) == [2, 3, 4, 5]
+
+
+# --- metadata-only aggregates (summarize_metadata) ---------------------------
+
+
+def test_summarize_metadata_exact(spark, table):
+    table.append(_df(spark, ROWS))
+    row = table.summarize_metadata(["k", "v"]).collect()[0]
+    assert (row.n_rows, row.min_k, row.max_k, row.min_v, row.max_v) == (
+        5, 1, 5, 10, 50,
+    )
+
+
+def test_summarize_metadata_version_and_evolution(spark, table):
+    table.append(_df(spark, ROWS))
+    table.delete("k = 5")
+    assert table.summarize_metadata(["k"]).collect()[0].max_k == 4
+    assert (
+        table.summarize_metadata(["k"], version=0).collect()[0].max_k == 5
+    )
+    table.rename_column("k", "kk")
+    row = table.summarize_metadata(["kk"]).collect()[0]
+    assert (row.min_kk, row.max_kk) == (1, 4)
+
+
+def test_summarize_metadata_refuses_inexact(spark, table):
+    table.append(_df(spark, ROWS))
+    with pytest.raises(ValueError, match="no footer stats"):
+        table.summarize_metadata(["day"])  # partition col: no file stats
+    table.add_column("extra", "int", default=7)
+    with pytest.raises(ValueError, match="manifest-added"):
+        table.summarize_metadata(["extra"])
+    table.delete_dv("k = 1")
+    with pytest.raises(ValueError, match="over-count"):
+        table.summarize_metadata(["v"])
+    table.optimize()  # folds the DV -> exact again
+    row = table.summarize_metadata(["v"]).collect()[0]
+    assert (row.n_rows, row.min_v, row.max_v) == (4, 20, 50)
