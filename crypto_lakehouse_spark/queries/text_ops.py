@@ -1229,3 +1229,84 @@ _pair(
     _REP_DUCK,
     tags=("text", "quality", "gopher", "repetition"),
 )
+
+
+# --- C4-style document quality rules -----------------------------------------
+# The cleaning gate from Raffel et al. 2020 (C4, "Exploring the Limits
+# of Transfer Learning", §2.2), adapted to this corpus's shape: the
+# original operates line-by-line on web pages; this corpus has no
+# newlines, so the line unit becomes the SENTENCE (split on [.!?],
+# whitespace-trimmed, empties dropped). Rules kept: a sentence is
+# retained when it has >= 5 words; a document is kept when it has
+# >= 3 sentences, no '{' (code), no 'lorem ipsum' (boilerplate), and
+# lang = 'en' (C4's langdetect >= 0.99 gate reduced to the corpus's
+# lang label). The 3-sentence-span dedup rule lives in the dedup
+# family (`substring_span_dedup` / `_maximal`). Everything is pure
+# array expressions over one projection — single scan, no explode, no
+# shuffle until the final ORDER BY (which a real pipeline drops);
+# `retained_frac` (chars of retained sentences / doc chars) is the
+# per-doc yield a C4-style pipeline reports.
+
+_C4_SPARK = """
+SELECT doc_id,
+       CAST(n_sent AS INT) AS n_sentences,
+       CAST(size(kept) AS INT) AS n_retained_sentences,
+       ROUND(CAST(aggregate(transform(kept, s -> length(s)),
+                            CAST(0 AS BIGINT), (a, b) -> a + b) AS DOUBLE)
+             / total_chars, 9) AS retained_frac,
+       has_brace, has_lorem,
+       n_sent >= 3 AND NOT has_brace AND NOT has_lorem
+           AND lang = 'en' AS keep
+FROM (
+    SELECT doc_id, lang, total_chars,
+           size(sentences) AS n_sent,
+           filter(sentences,
+                  s -> size(filter(split(s, ' '), w -> w <> '')) >= 5)
+               AS kept,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem
+    FROM (
+        SELECT doc_id, lang, text, length(text) AS total_chars,
+               filter(split(text, '[.!?]'),
+                      s -> length(trim(s)) > 0) AS sentences
+        FROM documents
+    )
+)
+ORDER BY doc_id
+"""
+
+_C4_DUCK = """
+SELECT doc_id,
+       CAST(n_sent AS INT) AS n_sentences,
+       CAST(len(kept) AS INT) AS n_retained_sentences,
+       ROUND(CAST(CASE WHEN len(kept) = 0 THEN 0
+                       ELSE list_reduce(list_transform(kept,
+                                s -> length(s)), (a, b) -> a + b)
+                  END AS DOUBLE) / total_chars, 9) AS retained_frac,
+       has_brace, has_lorem,
+       n_sent >= 3 AND NOT has_brace AND NOT has_lorem
+           AND lang = 'en' AS keep
+FROM (
+    SELECT doc_id, lang, total_chars,
+           len(sentences) AS n_sent,
+           list_filter(sentences,
+                s -> len(list_filter(string_split(s, ' '),
+                         w -> w <> '')) >= 5) AS kept,
+           contains(text, '{') AS has_brace,
+           contains(lower(text), 'lorem ipsum') AS has_lorem
+    FROM (
+        SELECT doc_id, lang, text, length(text) AS total_chars,
+               list_filter(string_split_regex(text, '[.!?]'),
+                    s -> length(trim(s)) > 0) AS sentences
+        FROM documents
+    )
+)
+ORDER BY doc_id
+"""
+
+_pair(
+    "c4_quality_rules",
+    _C4_SPARK,
+    _C4_DUCK,
+    tags=("text", "quality", "c4", "rules"),
+)
