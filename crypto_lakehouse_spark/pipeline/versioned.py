@@ -155,6 +155,7 @@ class VersionedTable:
         dropped_columns: dict[str, str] | None = None,
         row_tracking_seed: dict | None = None,
         equality_deletes: list[dict] | None = None,
+        clustering: dict | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -204,6 +205,7 @@ class VersionedTable:
                     dropped_columns,
                     row_tracking_seed,
                     equality_deletes,
+                    clustering,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -248,6 +250,7 @@ class VersionedTable:
         dropped_columns: dict[str, str] | None = None,
         row_tracking_seed: dict | None = None,
         equality_deletes: list[dict] | None = None,
+        clustering: dict | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -282,6 +285,21 @@ class VersionedTable:
         # bases they were first committed under. Once present, the
         # block is maintained forever (a writer without the
         # constructor flag must not silently drop ids).
+        # `clustering={}` explicitly CLEARS the block (restore to a
+        # pre-clustering snapshot); None inherits from prev.
+        cluster_src = (
+            clustering if clustering is not None else prev.get("clustering")
+        )
+        cluster_block = (
+            {
+                **cluster_src,
+                "clustered": sorted(
+                    set(cluster_src.get("clustered", [])) & set(files)
+                ),
+            }
+            if cluster_src
+            else None
+        )
         row_tracking = None
         seed = row_tracking_seed or prev.get("row_tracking")
         if self.row_tracking or seed:
@@ -388,6 +406,12 @@ class VersionedTable:
                 for kept in [sorted(set(e["applies_to"]) & set(files))]
                 if kept
             ],
+            # Clustering state (Delta liquid-clustering analog): the
+            # cluster columns, the recorded z-space bounds, and which
+            # files are ALREADY clustered — carried with "clustered"
+            # filtered to surviving files, so rewrites shrink it and
+            # optimize_incremental knows exactly what is new.
+            **({"clustering": cluster_block} if cluster_block else {}),
             # Row-tracking block (None for untracked tables keeps old
             # manifests byte-compatible).
             **({"row_tracking": row_tracking} if row_tracking else {}),
@@ -2113,7 +2137,44 @@ class VersionedTable:
             # NULL): nothing to cluster — idempotent no-op, like the
             # empty-table guard above.
             return {"skipped": True, "reason": "no rows"}
-        lo1, hi1, lo2, hi2 = (float(v) for v in row)
+        bounds = [float(v) for v in row]
+        new_files = self._zorder_write(df, cluster_by, bounds, n_files)
+        version = self._commit(
+            new_files,
+            f"optimize(cluster_by={cluster_by})",
+            base=cur,
+            clustering={
+                "cols": list(cluster_by),
+                "bounds": bounds,
+                "clustered": new_files,
+            },
+        )
+        after = len(self._load(version)["files"])
+        return {
+            "skipped": False,
+            "version": version,
+            "cluster_by": list(cluster_by),
+            "files_before": len(files),
+            "files_after": after,
+            "bytes_total": total,
+        }
+
+    def _zorder_write(
+        self,
+        df: DataFrame,
+        cluster_by: list[str],
+        bounds: list[float],
+        n_files: int,
+    ) -> list[str]:
+        """Write `df` range-partitioned and sorted by the Morton
+        interleave of the two cluster columns over FIXED `bounds`
+        (256 buckets per dimension; out-of-bounds values clamp into
+        the edge buckets). Fixing the bounds is what lets incremental
+        batches tile the SAME z-space as the original clustering."""
+        from pyspark.sql import functions as F
+
+        c1, c2 = cluster_by
+        lo1, hi1, lo2, hi2 = bounds
 
         def _bucket(col: str, lo: float, hi: float):
             if hi <= lo:
@@ -2135,19 +2196,77 @@ class VersionedTable:
             .sortWithinPartitions("__z")
             .drop("__zb_a", "__zb_b", "__z")
         )
-        version = self._commit(
-            self._write_files(out),
-            f"optimize(cluster_by={cluster_by})",
-            base=cur,
+        return self._write_files(out)
+
+    def optimize_incremental(
+        self, cluster_by: list[str] | None = None, target_file_mb: float = 128
+    ) -> dict:
+        """Incremental clustering (Delta liquid-clustering analog):
+        cluster ONLY the files appended since the last clustering
+        commit, leaving every already-clustered file byte-identical —
+        the nightly maintenance shape at 100 TB, where a full
+        re-OPTIMIZE would rewrite the whole table to absorb a day of
+        appends. The first call (or a `cluster_by` change) falls back
+        to a full `optimize(cluster_by=...)` and RECORDS the cluster
+        columns, the z-space bounds, and the clustered file set in the
+        manifest; subsequent calls z-sort just the new files' rows
+        over the SAME recorded bounds (so new files tile the same
+        z-space and `files_for_scan` pruning stays two-dimensional)
+        and append them to the clustered set. New data outside the
+        original bounds clamps into edge buckets — skipping degrades
+        gracefully there; a periodic full re-OPTIMIZE re-derives
+        bounds (exactly Delta's recluster guidance). Composes with
+        row tracking / DVs / equality deletes via the standard
+        rewrite path (`_read_file_subset`)."""
+        import math
+
+        cur = self.current_version()
+        if cur is None:
+            return {"skipped": True, "reason": "empty table"}
+        snap = self._load(cur)
+        block = snap.get("clustering")
+        if block is None or (
+            cluster_by is not None and list(cluster_by) != block["cols"]
+        ):
+            if cluster_by is None:
+                raise ValueError(
+                    f"{self.path}: no recorded clustering; pass "
+                    "cluster_by=[c1, c2] for the initial full clustering"
+                )
+            return self._optimize_clustered(list(cluster_by), target_file_mb)
+        files = snap["files"]
+        clustered = set(block.get("clustered", []))
+        new = sorted(f for f in files if f not in clustered)
+        if not new:
+            return {"skipped": True, "reason": "no new files"}
+        total_new = sum(
+            os.path.getsize(os.path.join(self.path, f)) for f in new
         )
-        after = len(self._load(version)["files"])
+        n_files = max(
+            1, math.ceil(total_new / (target_file_mb * 1024 * 1024))
+        )
+        rows = self._read_file_subset(new)
+        out_files = self._zorder_write(
+            rows, block["cols"], block["bounds"], n_files
+        )
+        carried = [f for f in files if f in clustered]
+        version = self._commit(
+            carried + out_files,
+            f"optimize_incremental(cluster_by={block['cols']})",
+            base=cur,
+            clustering={
+                **block,
+                "clustered": sorted(clustered | set(out_files)),
+            },
+        )
         return {
             "skipped": False,
             "version": version,
-            "cluster_by": list(cluster_by),
-            "files_before": len(files),
-            "files_after": after,
-            "bytes_total": total,
+            "cluster_by": list(block["cols"]),
+            "files_clustered": len(new),
+            "files_carried": len(carried),
+            "files_out": len(out_files),
+            "bytes_clustered": total_new,
         }
 
     def _optimize_binpack(self, target_file_mb: int = 128) -> dict:
@@ -2401,6 +2520,7 @@ class VersionedTable:
                 },
                 dropped_columns=dict(snap.get("dropped_columns", {})),
                 equality_deletes=list(snap.get("equality_deletes", [])),
+                clustering=snap.get("clustering") or {},
                 # Row ids travel with the snapshot: the restored files
                 # keep the bases they were FIRST committed under, so a
                 # row's id is identical before and after the restore
@@ -2455,6 +2575,7 @@ class VersionedTable:
                 deletion_vectors=dv_map,
                 dropped_columns=dict(snap.get("dropped_columns", {})),
                 equality_deletes=eq_entries,
+                clustering=snap.get("clustering") or {},
                 # The clone keeps the source's row ids (same files,
                 # same bases, same next counter) — diverges only with
                 # each side's subsequent commits.

@@ -995,3 +995,89 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("p"),
     ).orderBy("src", "dst")
+
+
+# --- histogram-sketch quantile rollup ---------------------------------------
+# The deterministic member of the sketch family (HLL answers "how
+# many distinct", this answers "what's the p99"): a fixed-geometry
+# 128-bin histogram (width 4 over [0, 512), top bin absorbs overflow)
+# is a MERGEABLE quantile sketch — per-(type, day) histograms sum
+# into per-type histograms with zero information loss, unlike
+# rank-based sketches (t-digest / KLL) whose merges drift. The query
+# builds the daily sketches, merges them, reads p50/p90/p99 as bin
+# lower edges via an integer cumulative-count compare (cum*100 >=
+# p*n — no doubles anywhere, engine-exact), and PROVES mergeability
+# in-query: a `mergeable_exact` boolean compares the rolled-up
+# quantiles against a direct single-level histogram (the same
+# two-phase proof shape as the HLL rollup). At 100 TB: daily
+# sketches are 128-int rows (partial-aggregated map-side), the merge
+# shuffles |types| x 128 rows, and re-binning never touches raw data
+# again — the standard pre-aggregated percentile-dashboard design.
+
+_HISTQ_SQL = """
+WITH binned AS (
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           LEAST(127, CAST(FLOOR(value / 4.0) AS INT)) AS bin
+    FROM events WHERE value IS NOT NULL
+),
+daily AS (
+    SELECT event_type, day, bin, COUNT(*) AS c
+    FROM binned GROUP BY event_type, day, bin
+),
+merged AS (
+    SELECT event_type, bin, SUM(c) AS c FROM daily
+    GROUP BY event_type, bin
+),
+direct AS (
+    SELECT event_type, bin, COUNT(*) AS c
+    FROM binned GROUP BY event_type, bin
+),
+mq AS (
+    SELECT event_type, MAX(n) AS n,
+           MIN(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS b50,
+           MIN(CASE WHEN cum * 100 >= 90 * n THEN bin END) AS b90,
+           MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS b99
+    FROM (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM merged
+    ) w GROUP BY event_type
+),
+dq AS (
+    SELECT event_type,
+           MIN(CASE WHEN cum * 100 >= 50 * n THEN bin END) AS b50,
+           MIN(CASE WHEN cum * 100 >= 90 * n THEN bin END) AS b90,
+           MIN(CASE WHEN cum * 100 >= 99 * n THEN bin END) AS b99
+    FROM (
+        SELECT event_type, bin, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM direct
+    ) w GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(m.n AS BIGINT) AS n_events,
+       CAST(m.b50 * 4 AS INT) AS p50_edge,
+       CAST(m.b90 * 4 AS INT) AS p90_edge,
+       CAST(m.b99 * 4 AS INT) AS p99_edge,
+       m.b50 = d.b50 AND m.b90 = d.b90 AND m.b99 = d.b99
+           AS mergeable_exact
+FROM mq m JOIN dq d ON d.event_type = m.event_type
+ORDER BY m.event_type
+"""
+
+
+@query(
+    "histogram_quantile_rollup",
+    oracle=_HISTQ_SQL,
+    tags=("events", "sketch", "quantile", "mergeable-rollup"),
+)
+def histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram-sketch quantiles (block comment above).
+    Identical SQL in both dialects — every expression is ANSI and all
+    arithmetic integer, so the oracle is the same string."""
+    from crypto_lakehouse_spark.io import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_HISTQ_SQL)

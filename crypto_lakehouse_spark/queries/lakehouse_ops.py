@@ -1404,3 +1404,61 @@ def metadata_only_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_o_totalprice").cast("double").alias("min_price"),
         F.col("max_o_totalprice").cast("double").alias("max_price"),
     )
+
+
+@query(
+    "incremental_cluster_scan",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(MIN(event_id) AS BIGINT) AS min_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+WHERE value BETWEEN 10.0 AND 50.0 AND user_id BETWEEN 100 AND 500
+GROUP BY event_type
+ORDER BY event_type
+""",
+    tags=("lakehouse", "clustering", "data-skipping", "incremental"),
+    bench=False,  # write-path demo; storage-layer queries stay out of bench
+)
+def incremental_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental clustering end-to-end (round 13): half of events
+    lands and is z-clustered on (value, user_id) — recording bounds
+    and the clustered set — then the other half appends and
+    `optimize_incremental()` z-sorts ONLY the new files over the SAME
+    recorded bounds, leaving the first generation byte-identical. A
+    2-D box read (`between` on both cluster dimensions) then runs
+    through manifest-stats file skipping across BOTH generations plus
+    the residual filter. The oracle is the direct box filter over the
+    source: a file wrongly pruned (skipping unsound), a row lost or
+    duplicated by the incremental rewrite, or stale-generation
+    resurrection all diverge the hash. Layout invariants (clustered
+    files carried byte-identical, one z-space across increments) are
+    pinned in tests/test_versioned_incremental_cluster.py."""
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t = VersionedTable(spark, _scratch_dir("inccl_q_") + "/t")
+    t.overwrite(ev.filter("event_id % 2 = 0").repartition(4))
+    t.optimize_incremental(cluster_by=["value", "user_id"], target_file_mb=0.2)
+    t.append(ev.filter("event_id % 2 = 1").repartition(4))
+    t.optimize_incremental(target_file_mb=0.2)
+    return (
+        t.read(between={"value": (10.0, 50.0), "user_id": (100, 500)})
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("event_id").alias("min_id"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("vs"),
+        )
+        .select(
+            "event_type",
+            "n_events",
+            "min_id",
+            F.col("vs").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_type")
+    )

@@ -2224,3 +2224,76 @@ query(
     oracle=_BPE_FERTILITY_DUCK,
     tags=("lmdata", "tokenizer", "bpe", "fertility"),
 )(_bpe_fertility_census)
+
+
+# --- UniMax mixture weights (Chung et al. 2023) ------------------------------
+# The third member of the mixture-design ladder (temperature sampling
+# rebalances by count^alpha, DoReMi reweights by excess loss; UniMax
+# allocates a TOKEN BUDGET with a per-language epoch cap): languages
+# are visited smallest-first; each is either capped at E=3 epochs of
+# its own corpus or receives the uniform share of the remaining
+# budget — the waterfilling fixpoint. Closed form via one window
+# chain: with languages ordered ascending by token count, the number
+# of capped languages r* is the largest r with
+# cap_r * (k - r) <= B - cumcap_r (equivalently cap_r <= theta_r, the
+# classic monotone waterfill condition); capped languages get cap_i,
+# the rest get theta = (B - cumcap_{r*}) / (k - r*). B = total corpus
+# tokens (a one-corpus-size budget), all selection arithmetic integer
+# (the only doubles are the two final single divisions, identical
+# IEEE ops in both engines). One groupBy + k-row windows — corpus
+# cost is the token count scan, mixture math is |langs|-sized.
+
+
+def _unimax_sql(nwords: str) -> str:
+    return f"""
+WITH counts AS (
+    SELECT lang, SUM({nwords}) AS c FROM documents GROUP BY lang
+),
+ordered AS (
+    SELECT lang, c, 3 * c AS cap,
+           ROW_NUMBER() OVER (ORDER BY c, lang) AS r,
+           COUNT(*) OVER () AS k,
+           SUM(3 * c) OVER (ORDER BY c, lang) AS cumcap,
+           SUM(c) OVER () AS b
+    FROM counts
+),
+rstar AS (
+    SELECT COALESCE(MAX(CASE WHEN cap * (k - r) <= b - cumcap THEN r END),
+                    0) AS rs
+    FROM ordered WHERE r < k
+),
+capsum AS (
+    SELECT COALESCE(MAX(CASE WHEN r = rs THEN cumcap END), 0) AS cumcap_rs
+    FROM ordered CROSS JOIN rstar
+),
+alloc AS (
+    SELECT lang, c, cap, r, k, b, rs,
+           CASE WHEN r <= rs THEN CAST(cap AS DOUBLE)
+                ELSE CAST(b - cumcap_rs AS DOUBLE) / (k - rs)
+           END AS t_alloc
+    FROM ordered CROSS JOIN rstar CROSS JOIN capsum
+)
+SELECT lang,
+       CAST(c AS BIGINT) AS n_tokens,
+       CAST(cap AS BIGINT) AS token_cap,
+       r <= rs AS is_capped,
+       ROUND(t_alloc, 9) AS tokens_alloc,
+       ROUND(t_alloc / b, 9) AS weight,
+       ROUND(t_alloc / c, 9) AS epochs
+FROM alloc
+ORDER BY lang
+"""
+
+
+def _unimax_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax budget allocation (block comment above)."""
+    register_views(spark, sf_dir, ["documents"])
+    return spark.sql(_unimax_sql("size(split(text, ' '))"))
+
+
+_unimax_mixture_weights.__name__ = "unimax_mixture_weights"
+query(
+    "unimax_mixture_weights",
+    oracle=_unimax_sql("len(string_split(text, ' '))"),
+    tags=("lmdata", "mixture", "sampling", "unimax"),
+)(_unimax_mixture_weights)
