@@ -81,10 +81,21 @@ class VersionedTable:
         partition_by: list[str] | None = None,
         bloom_columns: list[str] | None = None,
         row_tracking: bool = False,
+        generated_columns: dict[str, dict] | None = None,
     ):
         self.spark = spark
         self.path = path.rstrip("/")
         self.partition_by = partition_by or []
+        # Generated columns (Delta GENERATED ALWAYS AS analog):
+        # {name: {"expr": sql, "type": dtype}}. Declared at CREATE
+        # here (recorded into the v0 manifest; add_generated_column
+        # declares later) so a generated column can be a PARTITION
+        # column — the Delta pattern `PARTITIONED BY (date GENERATED
+        # ALWAYS AS (CAST(ts AS DATE)))`: writes compute it before
+        # partitionBy, and filters on it prune via partition dirs.
+        self._generated_init = {
+            k: dict(v) for k, v in (generated_columns or {}).items()
+        }
         # Delta row-tracking analog (fresh-base + materialization
         # model): every NEW data file is assigned a base row id at
         # commit time and a row's stable id is
@@ -156,6 +167,7 @@ class VersionedTable:
         row_tracking_seed: dict | None = None,
         equality_deletes: list[dict] | None = None,
         clustering: dict | None = None,
+        generated_columns: dict[str, dict] | None = None,
     ) -> int:
         """Publish the next version via compare-and-swap, with
         commit-time REBASE for benign conflict classes (the
@@ -206,6 +218,7 @@ class VersionedTable:
                     row_tracking_seed,
                     equality_deletes,
                     clustering,
+                    generated_columns,
                 )
             except CommitConflictError:
                 cls = (conflict or {}).get("class", "full")
@@ -251,6 +264,7 @@ class VersionedTable:
         row_tracking_seed: dict | None = None,
         equality_deletes: list[dict] | None = None,
         clustering: dict | None = None,
+        generated_columns: dict[str, dict] | None = None,
     ) -> int:
         """One CAS publish attempt of version base+1.
 
@@ -386,6 +400,14 @@ class VersionedTable:
                 ).items()
                 if v and f in set(files)
             },
+            # Generated columns (Delta GENERATED ALWAYS AS analog):
+            # name -> {"expr", "type"}; writes compute-or-validate,
+            # reads backfill files that predate the declaration.
+            "generated_columns": (
+                generated_columns
+                if generated_columns is not None
+                else prev.get("generated_columns", self._generated_init)
+            ),
             # Equality deletes (Iceberg v2 equality-delete-file
             # analog): each entry is {"cols", "file", "applies_to"} —
             # a sidecar of delete-value tuples that suppresses
@@ -521,6 +543,16 @@ class VersionedTable:
                     f"{self.path}: outstanding equality delete "
                     f"({e['file']}) references {old!r}; run optimize() "
                     "to fold it in before renaming"
+                )
+        for gname, gspec in m.get("generated_columns", {}).items():
+            if gname == old or re.search(
+                rf"\b{re.escape(old)}\b", gspec["expr"]
+            ):
+                raise ValueError(
+                    f"{self.path}: generated column {gname!r} "
+                    f"({gspec['expr']}) involves {old!r}; generated "
+                    "declarations are name-bound and cannot follow a "
+                    "rename"
                 )
         mapping = dict(m.get("column_mapping", {}))
         physical = mapping.pop(old, old)
@@ -734,6 +766,105 @@ class VersionedTable:
                     f"violated by row {rows[0].asDict()}"
                 )
 
+
+    # -- generated columns (Delta GENERATED ALWAYS AS analog) ----------------
+    def _generated_map(self) -> dict[str, dict]:
+        cur = self.current_version()
+        if cur is None:
+            return dict(self._generated_init)
+        return self._load(cur).get("generated_columns", {})
+
+    def _with_generated(self, df: DataFrame, recompute: bool = False) -> DataFrame:
+        """Write-side contract: a missing generated column is COMPUTED
+        from its expression; a provided one is VALIDATED against it
+        (Delta rejects writes that disagree with the generation
+        expression); `recompute=True` (UPDATE) overwrites provided
+        values — Delta recomputes generated columns whose inputs an
+        UPDATE changed. One limit-1 job per validated column."""
+        from pyspark.sql import functions as F
+
+        for name, spec in self._generated_map().items():
+            computed = F.expr(spec["expr"]).cast(spec["type"])
+            if name not in df.columns or recompute:
+                df = df.withColumn(name, computed)
+            else:
+                bad = (
+                    df.filter(~F.col(name).cast(spec["type"]).eqNullSafe(computed))
+                    .limit(1)
+                    .collect()
+                )
+                if bad:
+                    raise ValueError(
+                        f"{self.path}: generated column {name!r} = "
+                        f"({spec['expr']}) disagrees with provided values "
+                        f"(e.g. {bad[0].asDict()}); drop the column from "
+                        "the write or fix the values"
+                    )
+        return df
+
+    def _apply_generated_read(self, df: DataFrame, snap: dict) -> DataFrame:
+        """Read-side backfill: files written before the declaration
+        lack the column — compute it; mixed scans surface NULL for
+        old files — coalesce with the computed value (same documented
+        deviation as added-column defaults: an explicit stored NULL
+        also reads as the computed value)."""
+        from pyspark.sql import functions as F
+
+        for name, spec in snap.get("generated_columns", {}).items():
+            computed = F.expr(spec["expr"]).cast(spec["type"])
+            if name not in df.columns:
+                df = df.withColumn(name, computed)
+            else:
+                df = df.withColumn(
+                    name,
+                    F.coalesce(F.col(name).cast(spec["type"]), computed),
+                )
+        return df
+
+    def add_generated_column(self, name: str, expr: str, dtype: str) -> int:
+        """Declare a generated column on an existing table
+        (metadata-only commit): future writes compute-or-validate it,
+        reads of pre-declaration files backfill it from the
+        expression. The expression must evaluate over the current
+        schema (checked with one limit-1 job)."""
+        cur = self.current_version()
+        if cur is None:
+            raise ValueError(
+                f"{self.path}: no committed version; declare generated "
+                "columns at construction (generated_columns=...) for a "
+                "new table"
+            )
+        if name in ("_row_id", "__row_id"):
+            raise ValueError(
+                f"{self.path}: column name {name!r} is reserved for row "
+                "tracking"
+            )
+        m = self._load(cur)
+        existing = self.read().columns
+        if name in existing:
+            raise ValueError(f"{self.path}: column {name!r} already exists")
+        reserved = set(m.get("column_mapping", {}).values())
+        reserved |= set(m.get("dropped_columns", {}))
+        reserved |= set(m.get("dropped_columns", {}).values())
+        if name in reserved:
+            raise ValueError(
+                f"{self.path}: column name {name!r} collides with a "
+                "renamed column's physical name or a DROPped column"
+            )
+        from pyspark.sql import functions as F
+
+        # Fail fast on an expression that can't evaluate (wrong column
+        # names, bad SQL) rather than breaking every later read.
+        self.read().select(F.expr(expr).cast(dtype).alias(name)).limit(1).collect()
+        gen = dict(m.get("generated_columns", {}))
+        gen[name] = {"expr": expr, "type": dtype}
+        return self._commit(
+            m["files"],
+            f"add_generated_column({name})",
+            base=cur,
+            generated_columns=gen,
+        )
+
     def add_constraint(self, name: str, expr: str) -> int:
         """Declare a CHECK constraint (metadata-only commit). The
         CURRENT contents must already satisfy it, as in Delta."""
@@ -795,6 +926,7 @@ class VersionedTable:
             last = self.last_txn_version(txn[0])
             if last is not None and txn[1] <= last:
                 return cur
+        df = self._with_generated(df)
         self._check_constraints(df)
         prev = self._load(cur)["files"] if cur is not None else []
         new_files = self._write_files(df)
@@ -811,6 +943,7 @@ class VersionedTable:
         )
 
     def overwrite(self, df: DataFrame) -> int:
+        df = self._with_generated(df)
         self._check_constraints(df)
         cur = self.current_version()
         return self._commit(self._write_files(df), "overwrite", base=cur)
@@ -905,12 +1038,26 @@ class VersionedTable:
                     f"({e['file']}) references {name!r}; run optimize() "
                     "to fold it in before dropping the column"
                 )
+        for gname, gspec in m.get("generated_columns", {}).items():
+            if gname == name:
+                # Dropping the generated column itself removes the
+                # declaration with it (the data column goes through
+                # the normal dropped_columns path).
+                continue
+            if re.search(rf"\b{re.escape(name)}\b", gspec["expr"]):
+                raise ValueError(
+                    f"{self.path}: generated column {gname!r} "
+                    f"({gspec['expr']}) references {name!r}; drop the "
+                    "generated column first"
+                )
         mapping = dict(m.get("column_mapping", {}))
         physical = mapping.pop(name, name)
         added = dict(m.get("added_columns", {}))
         added.pop(name, None)
         dropped = dict(m.get("dropped_columns", {}))
         dropped[name] = physical
+        gen = dict(m.get("generated_columns", {}))
+        gen.pop(name, None)
         return self._commit(
             m["files"],
             f"drop_column({name})",
@@ -918,6 +1065,7 @@ class VersionedTable:
             added_columns=added,
             column_mapping=mapping,
             dropped_columns=dropped,
+            generated_columns=gen,
         )
 
     @staticmethod
@@ -950,6 +1098,10 @@ class VersionedTable:
         explicit error."""
         from pyspark.sql import functions as F
 
+        # Generated columns first: merge keys may include one (the
+        # partition-by-generated pattern), so the uniqueness check
+        # must see the computed values.
+        source = self._with_generated(source)
         dup = source.groupBy(*keys).count().filter(F.col("count") > 1).limit(1).count()
         if dup:
             raise ValueError(
@@ -1342,6 +1494,7 @@ class VersionedTable:
         df = self._apply_dropped_columns(
             self._apply_added_columns(df, added), snap
         )
+        df = self._apply_generated_read(df, snap)
         if "__eq_file" in df.columns:
             # Rewrites bake outstanding equality deletes into the new
             # files (same contract as DV reconciliation above).
@@ -1431,6 +1584,14 @@ class VersionedTable:
                 "UPDATE may not assign the row-tracking id column: row "
                 "ids are engine-managed (stable across rewrites)"
             )
+        gen_cols = self._generated_map().keys()  # `set` is shadowed here
+        if set.keys() & gen_cols:
+            raise ValueError(
+                f"UPDATE may not assign generated column(s) "
+                f"{sorted(set.keys() & gen_cols)}: they are computed "
+                "from their generation expressions (assign the inputs "
+                "instead; the rewrite recomputes them)"
+            )
         bad = {c for c in self.partition_by if c in set}
         if bad:
             raise ValueError(
@@ -1455,6 +1616,10 @@ class VersionedTable:
                 for c in rows.columns
             ]
         )
+        # Delta recomputes generated columns whose inputs changed;
+        # recomputing all of them is equivalent (unchanged inputs
+        # regenerate the same value).
+        updated = self._with_generated(updated, recompute=True)
         self._check_constraints(updated)
         new_files = self._write_files(updated)
         carried = [f for f in files if f not in touched]
@@ -1712,6 +1877,7 @@ class VersionedTable:
 
         from pyspark.sql import functions as F
 
+        source = self._with_generated(source)
         dup = (
             source.groupBy(*keys).count().filter(F.col("count") > 1)
             .limit(1).count()
@@ -2004,6 +2170,7 @@ class VersionedTable:
                 ),
                 snap0,
             )
+            df = self._apply_generated_read(df, snap0)
             if "__row_id" in df.columns:
                 df = df.drop("__row_id")
             if with_row_ids:
@@ -2039,6 +2206,7 @@ class VersionedTable:
         df = self._apply_column_mapping(df, snap.get("column_mapping", {}))
         df = self._apply_added_columns(df, added)
         df = self._apply_dropped_columns(df, snap)
+        df = self._apply_generated_read(df, snap)
         if "__eq_file" in df.columns:
             df = self._apply_equality_deletes(df, snap).drop("__eq_file")
         for col, (lo, hi) in (between or {}).items():
@@ -2521,6 +2689,7 @@ class VersionedTable:
                 dropped_columns=dict(snap.get("dropped_columns", {})),
                 equality_deletes=list(snap.get("equality_deletes", [])),
                 clustering=snap.get("clustering") or {},
+                generated_columns=dict(snap.get("generated_columns", {})),
                 # Row ids travel with the snapshot: the restored files
                 # keep the bases they were FIRST committed under, so a
                 # row's id is identical before and after the restore
@@ -2576,6 +2745,7 @@ class VersionedTable:
                 dropped_columns=dict(snap.get("dropped_columns", {})),
                 equality_deletes=eq_entries,
                 clustering=snap.get("clustering") or {},
+                generated_columns=dict(snap.get("generated_columns", {})),
                 # The clone keeps the source's row ids (same files,
                 # same bases, same next counter) — diverges only with
                 # each side's subsequent commits.

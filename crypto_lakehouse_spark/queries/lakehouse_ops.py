@@ -1462,3 +1462,62 @@ def incremental_cluster_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "generated_partition_pruning",
+    oracle="""
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS value_sum
+FROM events
+WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-03' AND DATE '2024-01-05'
+GROUP BY CAST(ts AS DATE), event_type
+ORDER BY event_date, event_type
+""",
+    tags=("lakehouse", "generated-columns", "partition-pruning"),
+    bench=False,  # write-path demo; storage-layer queries stay out of bench
+)
+def generated_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generated columns end-to-end (round 13, Delta GENERATED ALWAYS
+    AS analog): events land in a VersionedTable PARTITIONED BY a
+    generated `event_date = CAST(ts AS DATE)` the writer never
+    supplies — the flagship Delta pattern. The engine computes the
+    column at write (so `col=value` partition dirs materialize), and
+    the `between` read prunes partitions at the manifest level before
+    the residual filter. The oracle recomputes the same aggregate from
+    raw events with the explicit date cast: a wrong generated value, a
+    dropped/extra partition, or unsound pruning all diverge the hash.
+    Validation/recompute/backfill semantics are pinned in
+    tests/test_versioned_generated.py."""
+    from crypto_lakehouse_spark.io import load_table
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    t = VersionedTable(
+        spark,
+        _scratch_dir("genpart_q_") + "/t",
+        partition_by=["event_date"],
+        generated_columns={
+            "event_date": {"expr": "CAST(ts AS DATE)", "type": "date"}
+        },
+    )
+    t.overwrite(ev)
+    return (
+        t.read(between={"event_date": ("2024-01-03", "2024-01-05")})
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).alias("vs"),
+        )
+        .select(
+            F.col("event_date").cast("string").alias("event_date"),
+            "event_type",
+            "n_events",
+            F.col("vs").cast("double").alias("value_sum"),
+        )
+        .orderBy("event_date", "event_type")
+    )

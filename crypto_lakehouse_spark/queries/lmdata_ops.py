@@ -2297,3 +2297,92 @@ query(
     oracle=_unimax_sql("len(string_split(text, ' '))"),
     tags=("lmdata", "mixture", "sampling", "unimax"),
 )(_unimax_mixture_weights)
+
+
+# --- sequence-packing census (concat-and-chop) -------------------------------
+# The GPT-style pretraining prep: documents are concatenated in a
+# fixed order and chopped into fixed-length context windows; the
+# census reports, for window sizes {128, 256, 512}, how many windows
+# the corpus fills, the packing efficiency (tokens / window capacity),
+# and the fraction of documents that CROSS a window boundary (the
+# statistic that motivates doc-attention masking / best-fit packing
+# papers). The global token offset of every document is computed with
+# a DISTRIBUTED TWO-PHASE PREFIX SUM — per-bucket partial sums, a
+# bucket-count-sized offset window, then a PARTITIONED within-bucket
+# cumulative — never a global ORDER BY window, so the plan has no
+# single-partition stage and survives a corpus that doesn't fit one
+# executor (the "No Partition Defined" trap this family must avoid at
+# 100 TB). Offsets are corpus-deterministic (doc_id order), all
+# arithmetic integer until the two final ratios.
+
+_PACK_WS = (128, 256, 512)
+
+
+def _packing_sql(nwords: str, idiv: str, arr_ws: str) -> str:
+    d = idiv
+    return f"""
+WITH toks AS (
+    SELECT doc_id, {nwords} AS t, doc_id {d} 4096 AS b FROM documents
+),
+bsum AS (SELECT b, SUM(t) AS bt FROM toks GROUP BY b),
+boff AS (
+    SELECT b, SUM(bt) OVER (ORDER BY b) - bt AS boffset FROM bsum
+),
+cum AS (
+    SELECT t.doc_id, t.t,
+           o.boffset
+           + SUM(t.t) OVER (PARTITION BY t.b ORDER BY t.doc_id) AS cend
+    FROM toks t JOIN boff o ON o.b = t.b
+),
+tot AS (
+    SELECT SUM(t) AS total, COUNT(*) AS n_docs FROM toks
+),
+crossing AS (
+    SELECT w,
+           SUM(CASE WHEN (cend - t) {d} w <> (cend - 1) {d} w
+                    THEN 1 ELSE 0 END) AS n_crossing
+    FROM cum CROSS JOIN ({arr_ws}) ws
+    GROUP BY w
+)
+SELECT c.w AS window_tokens,
+       CAST(t.n_docs AS BIGINT) AS n_docs,
+       CAST(t.total AS BIGINT) AS total_tokens,
+       CAST((t.total + c.w - 1) {d} c.w AS BIGINT) AS n_windows,
+       CAST(c.n_crossing AS BIGINT) AS n_docs_crossing,
+       ROUND(CAST(c.n_crossing AS DOUBLE) / t.n_docs, 9)
+           AS frac_crossing,
+       CAST(((t.total + c.w - 1) {d} c.w) * c.w - t.total AS BIGINT)
+           AS tokens_padded,
+       ROUND(CAST(t.total AS DOUBLE)
+             / (((t.total + c.w - 1) {d} c.w) * c.w), 9)
+           AS packing_efficiency
+FROM crossing c CROSS JOIN tot t
+ORDER BY window_tokens
+"""
+
+
+def _sequence_packing_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop packing census (block comment above)."""
+    register_views(spark, sf_dir, ["documents"])
+    ws = ", ".join(str(w) for w in _PACK_WS)
+    return spark.sql(
+        _packing_sql(
+            "size(split(text, ' '))",
+            "div",
+            f"SELECT explode(array({ws})) AS w",
+        )
+    )
+
+
+_sequence_packing_census.__name__ = "sequence_packing_census"
+query(
+    "sequence_packing_census",
+    oracle=_packing_sql(
+        "len(string_split(text, ' '))",
+        "//",
+        "SELECT unnest(["
+        + ", ".join(str(w) for w in _PACK_WS)
+        + "]) AS w",
+    ),
+    tags=("lmdata", "packing", "trainprep", "prefix-sum"),
+)(_sequence_packing_census)
