@@ -1083,7 +1083,11 @@ class VersionedTable:
         return df.drop(*present) if present else df
 
     def merge(
-        self, source: DataFrame, keys: list[str], merge_schema: bool = False
+        self,
+        source: DataFrame,
+        keys: list[str],
+        merge_schema: bool = False,
+        txn: tuple[str, int] | None = None,
     ) -> int:
         """COW MERGE (WHEN MATCHED UPDATE SET * / WHEN NOT MATCHED
         INSERT *, reference bronze_to_silver.py:171-186): rewrites only
@@ -1098,6 +1102,13 @@ class VersionedTable:
         explicit error."""
         from pyspark.sql import functions as F
 
+        # Idempotent per app (Delta txn watermark, same contract as
+        # append): a replayed batch at or below the recorded version
+        # is a no-op — the streaming-MERGE exactly-once recipe.
+        if txn is not None:
+            last = self.last_txn_version(txn[0])
+            if last is not None and txn[1] <= last:
+                return self.current_version()
         # Generated columns first: merge keys may include one (the
         # partition-by-generated pattern), so the uniqueness check
         # must see the computed values.
@@ -1111,7 +1122,9 @@ class VersionedTable:
         self._check_constraints(source)
         cur = self.current_version()
         if cur is None:
-            return self._commit(self._write_files(source), "merge", base=cur)
+            return self._commit(
+                self._write_files(source), "merge", base=cur, txn=txn
+            )
 
         added_columns = None
         tgt_cols = self.read().columns
@@ -1258,6 +1271,7 @@ class VersionedTable:
             base=cur,
             added_columns=added_columns,
             conflict=conflict,
+            txn=txn,
         )
 
     # -- reads -------------------------------------------------------------
@@ -2772,6 +2786,37 @@ class VersionedTable:
                 batch_df, txn=(app_id, batch_id)
             )
         ).option("checkpointLocation", checkpoint_dir)
+        if available_now:
+            writer = writer.trigger(availableNow=True)
+        return writer.start()
+
+    def write_stream_merge(
+        self,
+        df: DataFrame,
+        keys: list[str],
+        checkpoint_dir: str,
+        app_id: str = "versioned_merge_sink",
+        available_now: bool = True,
+    ):
+        """Streaming MERGE (upsert) SINK — the CDC-apply medallion
+        pattern: each micro-batch upserts into this table by `keys`
+        via foreachBatch + txn-idempotent COW MERGE, so a checkpoint
+        replay after a crash can never double-apply a batch (same
+        exactly-once recipe as `write_stream`, upgraded from blind
+        append to keyed upsert). The batch must be key-unique — for a
+        CDC stream with multiple updates per key in one batch, reduce
+        to the latest image first (e.g. row_number over a sequence
+        column) before the sink. Empty batches are skipped without a
+        commit. Returns the started StreamingQuery."""
+
+        def _apply(batch_df: DataFrame, batch_id: int) -> None:
+            if batch_df.isEmpty():
+                return
+            self.merge(batch_df, keys, txn=(app_id, batch_id))
+
+        writer = df.writeStream.foreachBatch(_apply).option(
+            "checkpointLocation", checkpoint_dir
+        )
         if available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()

@@ -1011,3 +1011,73 @@ def test_collation_no_extra_shuffle(spark):
         f"collated plan shuffles differ: {_data_exchanges(p_c)} vs "
         f"{_data_exchanges(p_b)}"
     )
+
+
+def test_sequence_packing_no_global_window(spark):
+    """The packing census's document offsets come from a distributed
+    two-phase prefix sum — the plan must contain NO window over an
+    unpartitioned global ordering except on the bucket-count-sized
+    boff relation. Concretely: every Window node over the corpus-sized
+    toks relation is partitioned (by bucket); a global ORDER BY window
+    over toks would resurrect the single-partition bottleneck this
+    operator exists to avoid."""
+    plan = _plan(spark, "sequence_packing_census")
+    import re
+
+    wins = re.findall(r"Arguments: \[[^\]]*\], \[[^\]]*\], \[[^\]]*\]|partitionSpec=\[[^\]]*\]", plan)
+    # Formatted plans print windowExpression/partitionSpec blocks; a
+    # global window shows an EMPTY partitionSpec. Exactly ONE empty
+    # partitionSpec is allowed (the |buckets|-sized boff offsets); a
+    # second would be a corpus-sized global sort.
+    n_windows = plan.count("Window")
+    empty_parts = len(re.findall(r"partitionSpec=\[\]", plan))
+    if empty_parts == 0:
+        # Formatted mode prints window args differently; fall back to
+        # counting "Window" operator argument lines without a
+        # partition expression list.
+        empty_parts = len(
+            re.findall(r"Window.*\[\], \[", plan)
+        )
+    assert n_windows >= 2, f"expected >=2 Window nodes, plan:\n{plan[:2000]}"
+    assert empty_parts <= 1, (
+        f"{empty_parts} global (unpartitioned) windows — the corpus "
+        "prefix sum must stay bucket-partitioned"
+    )
+
+
+def test_prototypicality_broadcast_assignment_no_n2(spark):
+    """The Lloyd-step assignment is N x k with k=4 seed centroids: the
+    cross join must broadcast the 4-row centroid side (never shuffle
+    N against N), and no other cartesian appears."""
+    plan = _plan(spark, "prototypicality_pruning")
+    assert "CartesianProduct" not in plan or "Broadcast" in plan
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastExchange"
+    ) >= 1, "centroid side must broadcast"
+
+
+def test_c4_rules_single_scan_no_shuffle_before_sort(spark):
+    """C4 rules are pure per-row array expressions: exactly one scan
+    of documents and the only exchange is the final ORDER BY's range
+    partitioning (which a real pipeline drops)."""
+    plan = _plan(spark, "c4_quality_rules")
+    assert plan.count("Scan parquet") + plan.count("Scan ExistingRDD") <= 2
+    import re
+
+    ex = len(re.findall(r"\(\d+\) Exchange", plan)) - plan.count(
+        "RoundRobinPartitioning("
+    )
+    assert ex <= 1, f"expected at most the ORDER BY exchange, got {ex}"
+
+
+def test_histogram_rollup_partial_aggregation(spark):
+    """The daily histogram must partial-aggregate map-side
+    (HashAggregate appears in partial+final pairs). The in-query
+    mergeability PROOF adds a second logical consumer of the binned
+    scan (direct single-level histogram) whose aggregate shape
+    differs, so Catalyst cannot ReuseExchange across them — up to 4
+    scans is the proof's documented cost; a production rollup drops
+    the proof branch and scans once."""
+    plan = _plan(spark, "histogram_quantile_rollup")
+    assert plan.count("HashAggregate") >= 4  # partial+final x >=2 aggs
+    assert plan.count("Scan parquet") <= 4

@@ -432,3 +432,122 @@ def test_join_then_window_crash_replay(spark):
     b = [tuple(r) for r in clean.collect()]
     assert a == b
     assert len(a) > 0, "chain emitted no finalized windows"
+
+
+def test_merge_sink_crash_replay_exactly_once_upsert(spark, tmp_path):
+    """Streaming MERGE sink (write_stream_merge): each micro-batch
+    UPSERTS by key with txn idempotence — a batch replayed after a
+    crash (merge committed, offset commit didn't) is skipped by the
+    transaction watermark, so the upsert applies exactly once and
+    late batches overwrite earlier images of the same key."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+
+    def _stage(rows, n):
+        df = spark.createDataFrame(rows, "k BIGINT, v STRING")
+        tmp = str(tmp_path / f"chunk{n}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob as _g
+        import os as _o
+
+        part = next(iter(sorted(_g.glob(f"{tmp}/*.parquet"))))
+        _o.rename(part, str(feed / f"{n:03d}.parquet"))
+
+    _stage([(1, "a0"), (2, "b0")], 0)
+    _stage([(2, "b1"), (3, "c0")], 1)  # update k=2, insert k=3
+    _stage([(1, "a2")], 2)  # update k=1
+
+    table = VersionedTable(spark, str(tmp_path / "tbl"))
+    ckpt = str(tmp_path / "ckpt")
+
+    crash_state = {"at": 1}
+
+    def _run():
+        src = (
+            spark.readStream.schema("k BIGINT, v STRING")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+
+        def _apply(batch_df, batch_id):
+            if batch_df.isEmpty():
+                return
+            table.merge(batch_df, ["k"], txn=("msink", batch_id))
+            if batch_id == crash_state["at"]:
+                raise RuntimeError("injected crash")
+
+        q = (
+            src.writeStream.foreachBatch(_apply)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    with pytest.raises(StreamingQueryException):
+        _run()
+    crash_state["at"] = None
+    _run()
+    got = {r.k: r.v for r in table.read().collect()}
+    # Exactly-once upsert: batch 1's merge was committed once (the
+    # replay skipped), every key holds its LATEST image, no
+    # duplicates.
+    assert got == {1: "a2", 2: "b1", 3: "c0"}
+    assert table.read().count() == 3
+    assert table.last_txn_version("msink") == 2
+
+
+def test_write_stream_merge_end_to_end(spark, tmp_path):
+    """The packaged write_stream_merge sink: availableNow over a file
+    feed upserts every batch; restart with the same checkpoint
+    replays nothing."""
+    from crypto_lakehouse_spark.pipeline.versioned import VersionedTable
+
+    feed = tmp_path / "feed2"
+    feed.mkdir()
+    df = spark.createDataFrame(
+        [(1, "x"), (2, "y"), (1, "x2")], "k BIGINT, v STRING"
+    )
+    # Two files so two batches with maxFilesPerTrigger=1 would race
+    # key 1 — keep one file per key-image instead: batch 0 = initial,
+    # batch 1 = update.
+    spark.createDataFrame([(1, "x"), (2, "y")], "k BIGINT, v STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "c0"))
+    spark.createDataFrame([(1, "x2")], "k BIGINT, v STRING").coalesce(
+        1
+    ).write.mode("overwrite").parquet(str(tmp_path / "c1"))
+    import glob as _g
+    import os as _o
+
+    for i in range(2):
+        part = next(
+            iter(sorted(_g.glob(str(tmp_path / f"c{i}") + "/*.parquet")))
+        )
+        _o.rename(part, str(feed / f"{i:03d}.parquet"))
+
+    table = VersionedTable(spark, str(tmp_path / "tbl2"))
+    src = (
+        spark.readStream.schema("k BIGINT, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q = table.write_stream_merge(src, ["k"], str(tmp_path / "ckpt2"))
+    q.awaitTermination()
+    got = {r.k: r.v for r in table.read().collect()}
+    assert got == {1: "x2", 2: "y"}
+    # Restart: nothing replays, table unchanged.
+    v = table.current_version()
+    src2 = (
+        spark.readStream.schema("k BIGINT, v STRING")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(feed))
+    )
+    q2 = table.write_stream_merge(src2, ["k"], str(tmp_path / "ckpt2"))
+    q2.awaitTermination()
+    assert table.current_version() == v
