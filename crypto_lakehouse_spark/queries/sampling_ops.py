@@ -478,3 +478,70 @@ _pair(
     tables=["documents"],
     tags=("sampling", "cross-validation", "trainprep"),
 )
+
+
+# --- Neyman allocation (variance-optimal stratified budget) ------------------
+# The survey-sampling classic the proportional stratified split
+# (`stratified_sample_fractions`) upgrades to when strata differ in
+# variance: an evaluation budget of B=1000 docs is allocated
+# n_h ∝ N_h * S_h (stratum size x stratum std dev of doc length),
+# which minimizes the variance of the corpus-level estimate. Exact
+# discipline: per-stratum Σx / Σx² / n are INTEGER sums (n_chars is
+# int — order-free), S_h is one double sqrt from those integers, the
+# allocation weights quantize to DECIMAL(28,6) before the cross-
+# stratum total (exact, order-free), and the integer allocation uses
+# LARGEST-REMAINDER rounding with a deterministic (remainder DESC,
+# source) tie-break — allocations sum to exactly B in both engines.
+# One scan, |sources|-sized windows.
+
+_NEYMAN_SQL = """
+WITH stats AS (
+    SELECT source, COUNT(*) AS n,
+           SUM(CAST(n_chars AS BIGINT)) AS sx,
+           SUM(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS sxx
+    FROM documents GROUP BY source
+),
+w AS (
+    SELECT source, n, sx,
+           SQRT(CAST(n * sxx - sx * sx AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (n - 1))) AS sd
+    FROM stats WHERE n > 1
+),
+q AS (
+    SELECT source, n, sx, sd,
+           CAST(ROUND(n * sd, 6) AS DECIMAL(28, 6)) AS wq
+    FROM w
+),
+raw AS (
+    SELECT source, n, sx, sd, wq,
+           1000 * CAST(wq AS DOUBLE) / CAST(SUM(wq) OVER () AS DOUBLE)
+               AS alloc_raw
+    FROM q
+),
+ranked AS (
+    SELECT source, n, sx, sd, alloc_raw,
+           CAST(FLOOR(alloc_raw) AS BIGINT) AS base,
+           ROW_NUMBER() OVER (
+               ORDER BY alloc_raw - FLOOR(alloc_raw) DESC, source
+           ) AS rr,
+           1000 - SUM(CAST(FLOOR(alloc_raw) AS BIGINT)) OVER () AS leftover
+    FROM raw
+)
+SELECT source,
+       CAST(n AS BIGINT) AS n_docs,
+       ROUND(CAST(sx AS DOUBLE) / n, 9) AS mean_chars,
+       ROUND(sd, 6) AS stddev_chars,
+       ROUND(alloc_raw / 1000, 9) AS neyman_weight,
+       CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT)
+           AS n_allocated
+FROM ranked
+ORDER BY source
+"""
+
+_pair(
+    "neyman_allocation_split",
+    _NEYMAN_SQL,
+    _NEYMAN_SQL,
+    tables=["documents"],
+    tags=("sampling", "stratified", "neyman", "statistics"),
+)

@@ -1388,3 +1388,73 @@ _pair(
     tags=("events", "anova", "statistics", "seasonality"),
     tables=["events"],
 )
+
+
+# --- Benford first-digit census ----------------------------------------------
+# The classic anomaly/quality diagnostic: the first significant digit
+# of naturally-occurring positive amounts follows log10(1 + 1/d);
+# systematic deviation flags synthetic, truncated, or manipulated
+# values. Digit extraction avoids engine-variant LOG10 edge behavior
+# entirely: the value is shifted to an exact integer (floor(v*100 +
+# 0.5) — the corpus stores 2-decimal amounts) and the leading digit
+# read off its STRING form, so both engines agree bit-for-bit. The
+# Benford expectations are Python-precomputed literals (identical
+# text in both dialects, no constant-folding drift), per-digit rows
+# carry observed vs expected fractions, and the chi-square statistic
+# is summed over DECIMAL-quantized per-digit contributions (exact,
+# order-free) before the final double cast. One scan, 9-group
+# aggregate, map-side combined.
+
+_BENFORD_SQL = """
+WITH expect(d, p) AS (VALUES
+    (1, CAST(0.301029995664 AS DOUBLE)),
+    (2, CAST(0.176091259056 AS DOUBLE)),
+    (3, CAST(0.124938736608 AS DOUBLE)),
+    (4, CAST(0.096910013008 AS DOUBLE)),
+    (5, CAST(0.079181246048 AS DOUBLE)),
+    (6, CAST(0.066946789631 AS DOUBLE)),
+    (7, CAST(0.057991946978 AS DOUBLE)),
+    (8, CAST(0.051152522447 AS DOUBLE)),
+    (9, CAST(0.045757490561 AS DOUBLE))
+),
+digits AS (
+    SELECT CAST(substring(CAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                               AS STRING), 1, 1) AS INT) AS d
+    FROM events WHERE value IS NOT NULL AND value > 0
+),
+obs AS (
+    SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+),
+tot AS (SELECT SUM(n) AS total FROM obs),
+per AS (
+    SELECT e.d,
+           COALESCE(o.n, 0) AS n,
+           t.total,
+           e.p,
+           CAST(COALESCE(o.n, 0) AS DOUBLE) / t.total AS f_obs,
+           CAST(ROUND(
+               (COALESCE(o.n, 0) - t.total * e.p)
+               * (COALESCE(o.n, 0) - t.total * e.p)
+               / (t.total * e.p), 9) AS DECIMAL(28, 9)) AS chi_part
+    FROM expect e
+    LEFT JOIN obs o ON o.d = e.d
+    CROSS JOIN tot t
+)
+SELECT d AS digit,
+       CAST(n AS BIGINT) AS n_values,
+       ROUND(f_obs, 9) AS observed_frac,
+       ROUND(p, 9) AS benford_frac,
+       ROUND(f_obs - p, 9) AS excess,
+       CAST((SELECT CAST(SUM(chi_part) AS DOUBLE) FROM per) AS DOUBLE)
+           AS chi_square_total
+FROM per
+ORDER BY digit
+"""
+
+_pair(
+    "benford_digit_census",
+    _BENFORD_SQL.replace("AS STRING", "AS STRING"),
+    _BENFORD_SQL.replace("AS STRING", "AS VARCHAR"),
+    tags=("events", "statistics", "benford", "quality"),
+    tables=["events"],
+)
