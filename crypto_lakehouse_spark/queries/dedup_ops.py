@@ -313,6 +313,23 @@ _pair_shingled(
 # between. Truth is the same inverted-index exact join the dedup
 # queries use; candidate generation per config is the same banded
 # equi-join as minhash_lsh_dedup — never all-pairs.
+# The brute-force exact-Jaccard truth block (always the ORACLE's
+# form; before r13 it was also the Spark side's).
+_BAND_SWEEP_TRUTH_BRUTE = """pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+    FROM shingles a
+    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
+truth AS (
+    SELECT p.doc_a, p.doc_b
+    FROM pairs p
+    JOIN sizes za ON za.doc_id = p.doc_a
+    JOIN sizes zb ON zb.doc_id = p.doc_b
+    WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
+),"""
+
 _BAND_SWEEP_TAIL = """
 configs AS (
     SELECT 8 AS r UNION ALL SELECT 4 UNION ALL SELECT 2 UNION ALL SELECT 1
@@ -329,21 +346,12 @@ cand AS (
     JOIN cfg_bands b ON a.r = b.r AND a.band = b.band
                     AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
-    FROM shingles a
-    JOIN shingles b ON a.s = b.s AND a.doc_id < b.doc_id
-    GROUP BY a.doc_id, b.doc_id
-),
-sizes AS (SELECT doc_id, COUNT(*) AS n FROM shingles GROUP BY doc_id),
-truth AS (
-    SELECT p.doc_a, p.doc_b
-    FROM pairs p
-    JOIN sizes za ON za.doc_id = p.doc_a
-    JOIN sizes zb ON zb.doc_id = p.doc_b
-    WHERE CAST(p.inter AS DOUBLE) / (za.n + zb.n - p.inter) >= 0.5
-),
+{truth}
 cand_counts AS (SELECT r, COUNT(*) AS n_cand FROM cand GROUP BY r),
+-- {{truth}} = the exact-Jaccard J >= 0.5 truth CTE: the DuckDB oracle
+-- always uses the brute inverted-index join (_BAND_SWEEP_TRUTH_BRUTE);
+-- the Spark side derives the same set from the shared J >= 0.3 edge
+-- fixture re-verified per edge (r13 — see _lsh_band_sweep_eval).
 hit_counts AS (
     SELECT c.r, COUNT(*) AS n_hit
     FROM cand c JOIN truth t ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
@@ -407,14 +415,37 @@ def cached_minhash(spark: SparkSession, sf_dir: str) -> str:
 
 def _lsh_band_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Band-parameter S-curve sweep (block comments above) over the
-    persisted shingle + signature fixtures."""
+    persisted shingle + signature fixtures.
+
+    r13 optimization round: the exact-Jaccard TRUTH relation is no
+    longer the inline inverted-index self-join (the documented ~2 s
+    exact-anchor cost) — truth(J >= 0.5) is a subset of the shared
+    J >= 0.3 edge fixture (`cached_cc_edges`, itself losslessly
+    prefix-filtered and oracle-proven), re-verified per edge with one
+    array-intersect over the persisted shingle arrays. The DuckDB
+    oracle keeps the brute-force truth join, so the green hash proves
+    the fixture-derived truth set equals the brute set end-to-end."""
     cached_minhash(spark, sf_dir)
+    cached_cc_edges(spark, sf_dir)
+    cached_shingle_arrays(spark, sf_dir)
+    truth_spark = f"""verified05 AS (
+    SELECT c.doc_a, c.doc_b,
+           size(array_intersect(aa.arr, ab.arr)) AS inter,
+           aa.n AS na, ab.n AS nb
+    FROM {CC_EDGES_VIEW} c
+    JOIN {ARRAYS_VIEW} aa ON aa.doc_id = c.doc_a
+    JOIN {ARRAYS_VIEW} ab ON ab.doc_id = c.doc_b
+),
+truth AS (
+    SELECT doc_a, doc_b FROM verified05
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+),"""
     return spark.sql(
         "WITH "
         + _SH_PERSISTED
         + ","
         + f"minhash AS (SELECT doc_id, i, mh FROM {_MINHASH_VIEW}),"
-        + _BAND_SWEEP_TAIL.format(bandkey=_BANDKEY_SPARK)
+        + _BAND_SWEEP_TAIL.format(bandkey=_BANDKEY_SPARK, truth=truth_spark)
     )
 
 
@@ -426,7 +457,9 @@ query(
     + ","
     + _MINHASH_DUCK
     + ","
-    + _BAND_SWEEP_TAIL.format(bandkey=_BANDKEY_DUCK),
+    + _BAND_SWEEP_TAIL.format(
+        bandkey=_BANDKEY_DUCK, truth=_BAND_SWEEP_TRUTH_BRUTE
+    ),
     tags=("dedup", "minhash", "lsh", "quality-eval", "sweep"),
 )(_lsh_band_sweep_eval)
 
@@ -654,6 +687,30 @@ def _cc_labels(spark, edges, max_rounds: int = 32) -> DataFrame:
     )
 
 
+_CC_MINLBL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_cc_minlabels(spark, sf_dir: str) -> DataFrame:
+    """Materialize the min-label-propagation CC labels once per
+    (session, sf_dir) — r13 optimization round: `dup_clusters_cc` and
+    `leakage_safe_split` each re-ran the identical `_cc_labels` loop
+    over the same shared edge fixture; the persisted label relation is
+    the checkpoint a 100 TB pipeline keeps between clustering and its
+    consumers (same discipline as `cached_cc_edges`)."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key in _CC_MINLBL_MEMO:
+        return _CC_MINLBL_MEMO[key]
+    for (sid, _), old in list(_CC_MINLBL_MEMO.items()):
+        if sid == skey:
+            _release_lineage(old)
+            del _CC_MINLBL_MEMO[(sid, _)]
+    edges = spark.table(cached_cc_edges(spark, sf_dir))
+    lbl = _truncate_lineage(_cc_labels(spark, edges), spark)
+    _CC_MINLBL_MEMO[key] = lbl
+    return lbl
+
+
 @query(
     "dup_clusters_cc",
     oracle=_CC_ORACLE,
@@ -670,8 +727,7 @@ def dup_clusters_cc(spark, sf_dir: str):
     `dup_clusters_cc_star` below."""
     from pyspark.sql import functions as F
 
-    edges = spark.table(cached_cc_edges(spark, sf_dir))
-    lbl = _cc_labels(spark, edges)
+    lbl = cached_cc_minlabels(spark, sf_dir)
     sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
     return (
         lbl.join(sizes, "component")
@@ -1526,7 +1582,37 @@ def dup_clusters_cc_star(spark, sf_dir: str):
     """Near-duplicate clusters via alternating large-star/small-star
     rounds to a fixed point (block comment above; oracle shared with
     dup_clusters_cc). Per-round skew posture documented on
-    `_star_round`."""
+    `_star_round`. The (node, component) labels come from the shared
+    `cached_cc_star_labels` fixture (r13 optimization round): the
+    star fixpoint is the checkpoint a 100 TB pipeline persists
+    between clustering and every downstream keeper/weighting pass,
+    and before the fixture it re-ran once per consumer
+    (dup_clusters_cc_star + near_dup_keep + dedup_survivor_weights =
+    3 identical loop executions per session)."""
+    lbl = cached_cc_star_labels(spark, sf_dir)
+    sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (
+        lbl.join(sizes, "component")
+        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
+        .orderBy("doc_id")
+    )
+
+
+_CC_STAR_LBL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_cc_star_labels(spark, sf_dir: str) -> DataFrame:
+    """Materialize the star-CC fixpoint labels (node, component) once
+    per (session, sf_dir) — the identical loop `dup_clusters_cc_star`
+    ran inline before r13 — and return the checkpointed label frame."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key in _CC_STAR_LBL_MEMO:
+        return _CC_STAR_LBL_MEMO[key]
+    for (sid, _), old in list(_CC_STAR_LBL_MEMO.items()):
+        if sid == skey:
+            _release_lineage(old)
+            del _CC_STAR_LBL_MEMO[(sid, _)]
     base = spark.table(cached_cc_edges(spark, sf_dir))
     # Canonical edge orientation (big, small); self-loops impossible.
     # Checkpoint FIRST, then derive everything else (nodes, the round
@@ -1552,6 +1638,7 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         ).first()
         return (row["n"], row["h"])
 
+    rounds: list[DataFrame] = []
     prev = sig(edges)
     for _ in range(15):  # log-round bound; tiny graphs converge in 2-3
         # Each round is checkpointed eagerly: re-deriving even a tiny
@@ -1560,6 +1647,7 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         edges = _truncate_lineage(
             star(star(edges, True), False).distinct(), spark
         )
+        rounds.append(edges)
         cur = sig(edges)
         if cur == prev:
             break
@@ -1570,19 +1658,22 @@ def dup_clusters_cc_star(spark, sf_dir: str):
         .union(edges0.select(F.col("b").alias("node")))
         .distinct()
     )
-    lbl = nodes.join(
-        edges.select(F.col("a").alias("node"), F.col("b").alias("parent")),
-        "node",
-        "left",
-    ).select(
-        "node", F.coalesce("parent", "node").alias("component")
+    lbl = _truncate_lineage(
+        nodes.join(
+            edges.select(F.col("a").alias("node"), F.col("b").alias("parent")),
+            "node",
+            "left",
+        ).select("node", F.coalesce("parent", "node").alias("component")),
+        spark,
     )
-    sizes = lbl.groupBy("component").agg(F.count(F.lit(1)).alias("cluster_size"))
-    return (
-        lbl.join(sizes, "component")
-        .select(F.col("node").alias("doc_id"), "component", "cluster_size")
-        .orderBy("doc_id")
-    )
+    # The labels are materialized; the per-round edge frames (and the
+    # canonicalized round-0 list) are no longer reachable — release
+    # their blocks instead of waiting for the JVM GC.
+    for f in rounds:
+        _release_lineage(f)
+    _release_lineage(edges0)
+    _CC_STAR_LBL_MEMO[key] = lbl
+    return lbl
 
 
 # --- keeper selection: the cleaned corpus, not just the clusters -----------
@@ -1622,7 +1713,9 @@ def near_dup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeper = cluster root or unclustered singleton."""
     from crypto_lakehouse_spark.io import load_table
 
-    labels = dup_clusters_cc_star(spark, sf_dir).select("doc_id", "component")
+    labels = cached_cc_star_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     j = docs.join(labels, "doc_id", "left")
     kept = F.col("component").isNull() | (F.col("doc_id") == F.col("component"))
@@ -1707,7 +1800,9 @@ def leakage_safe_split(spark, sf_dir: str):
     """Cluster-keyed train/val/test split with an in-result proof of
     near-dup leakage-safety (block comment above)."""
     edges = spark.table(cached_cc_edges(spark, sf_dir))
-    _cc_labels(spark, edges).createOrReplaceTempView("cc_labels_split")
+    cached_cc_minlabels(spark, sf_dir).createOrReplaceTempView(
+        "cc_labels_split"
+    )
     edges.createOrReplaceTempView("cc_edges_split")
     out = spark.sql(
         "WITH "
@@ -1754,7 +1849,9 @@ def dedup_survivor_weights(spark, sf_dir: str):
 
     from crypto_lakehouse_spark.io import load_table
 
-    labels = dup_clusters_cc_star(spark, sf_dir).select("doc_id", "component")
+    labels = cached_cc_star_labels(spark, sf_dir).select(
+        F.col("node").alias("doc_id"), "component"
+    )
     sizes = labels.groupBy("component").agg(F.count(F.lit(1)).alias("w"))
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
     j = (

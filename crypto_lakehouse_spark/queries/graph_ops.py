@@ -200,8 +200,27 @@ _PR_SCALE = 10**18
 
 
 def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-iteration integer PageRank over the supplier->customer graph
-    (recurrence + scale notes in the block comment above)."""
+    """3-iteration integer PageRank over the supplier->customer graph,
+    computed in CLOSED FORM (r13 optimization round, guide §1.1
+    "first-principles: how many passes are fundamentally required").
+
+    The edge construction makes every src a supplier ('S...') and
+    every dst a customer ('C...') for ANY input data, so the graph is
+    a 2-layer DAG: suppliers have no incoming edges and customers no
+    outgoing ones.  Under the recurrence
+        R_{{i+1}}(v) = base + 85 * (S_i(v) DIV 100),
+        S_i(v) = sum over incoming u of (R_i(u) DIV od(u))
+    suppliers therefore reach their fixpoint after round 1
+    (S_i(supplier) = 0 always, so R_k(s) = base for every k >= 1) and
+    customers after round 2 (R_2(c) and R_3(c) both evaluate
+    base + 85 * ((sum of base DIV od_u) DIV 100)).  Three unrolled
+    rounds — the contract the DuckDB oracle still computes with three
+    recursive CTE iterations — thus collapse to ONE join + aggregate
+    over constant supplier rank `base`.  The green oracle hash is the
+    machine proof of the collapse; the previous 3-round checkpointed
+    loop (8 jobs: 3 rank checkpoints + 3 broadcast builds + 2 persists)
+    becomes a single-job plan.  The driver-loop demonstration of the
+    general (cyclic-graph) algorithm remains `pagerank_converged`."""
     from pyspark.sql import functions as F
 
     # The edge list comes from the shared materialized fixture (no
@@ -209,57 +228,40 @@ def _pagerank_iterated(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpointed, so no extra persist is needed on it.
     edges = spark.table(_cached_edges(spark, sf_dir))
     outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
-    # Loop-invariant (same optimization as pagerank_converged): join
-    # outdeg onto edges ONCE and persist; each round then only
-    # broadcast-joins the small rank relation — no per-round edge
-    # shuffle.
-    weighted = edges.join(outdeg, "src").persist()
+    weighted = edges.join(outdeg, "src")
     nodes = (
         edges.select(F.col("src").alias("v"))
         .union(edges.select(F.col("dst").alias("v")))
         .distinct()
-        .persist()
     )
     n = nodes.count()
     if n == 0:
         # Empty graph: every per-node term divides by N — degrade to
         # the oracle's empty result (no nodes) instead of a driver
         # ZeroDivisionError.
-        for df in (weighted, nodes):
-            df.unpersist()
         return spark.createDataFrame(
             [], "node string, pagerank_scaled bigint, pagerank double"
         )
     base = 15 * (_PR_SCALE // 100) // n
 
-    rank = nodes.select("v", F.lit(_PR_SCALE // n).alias("r"))
-    for _ in range(3):
-        contrib = (
-            weighted.join(
-                F.broadcast(rank.withColumnRenamed("v", "src")), "src"
-            )
-            .select("dst", F.expr("r DIV od").alias("c"))
-        )
-        s = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        rank = (
-            nodes.join(s, nodes["v"] == s["dst"], "left")
-            .select(
-                nodes["v"],
-                (F.lit(base) + 85 * F.expr("COALESCE(s, 0L) DIV 100")).alias("r"),
-            )
-        )
-        # Cut the growing lineage each round, exactly like the CC
-        # iterations: reliable checkpoint() when a checkpoint dir is
-        # set (survives executor loss), localCheckpoint otherwise.
-        rank = truncate_lineage(rank, spark)
-    out = rank.select(
+    # Fixpoint supplier rank is the constant `base`; one edge pass
+    # computes the customers' (and, via the COALESCE(0) miss, the
+    # suppliers') final rank — identical integer ops in identical
+    # order to the last loop round of the previous implementation.
+    s = (
+        weighted.select("dst", F.expr(f"{base}L DIV od").alias("c"))
+        .groupBy("dst")
+        .agg(F.sum("c").alias("s"))
+    )
+    rank = nodes.join(s, nodes["v"] == s["dst"], "left").select(
+        nodes["v"],
+        (F.lit(base) + 85 * F.expr("COALESCE(s, 0L) DIV 100")).alias("r"),
+    )
+    return rank.select(
         F.col("v").alias("node"),
         F.col("r").cast("bigint").alias("pagerank_scaled"),
         F.round(F.col("r") / F.lit(float(_PR_SCALE)), 9).alias("pagerank"),
     ).orderBy("node")
-    weighted.unpersist()
-    nodes.unpersist()
-    return out
 
 
 def _pr_oracle() -> str:
@@ -889,22 +891,27 @@ def _kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("d"))
         )
 
-    def _stats_row(rnd: int, deg: DataFrame) -> DataFrame:
-        return deg.agg(
+    def _stats_vals(deg: DataFrame) -> tuple[int, int]:
+        # Same expressions as the previous DataFrame-building form
+        # ((sum/2) cast bigint), collected directly: the per-round
+        # stats are two scalars the loop must read for the fixpoint
+        # check ANYWAY, so materializing each row as a checkpointed
+        # 1-row frame and unioning them at the end only added one
+        # lineage-truncation job per round plus a 7-way union plan
+        # (r13 optimization round). The <= 7-row literal result frame
+        # below is the bounded-summary shape the house allows.
+        row = deg.agg(
             F.count(F.lit(1)).alias("n_nodes"),
             (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias(
                 "n_edges"
             ),
-        ).select(
-            F.lit(rnd).cast("int").alias("peel_round"), "n_nodes", "n_edges"
-        )
+        ).first()
+        return (int(row["n_nodes"]), int(row["n_edges"]))
 
-    stats = []
+    rows: list[tuple[int, int, int]] = []
     prev, prev_deg = edges, truncate_lineage(_deg(edges), spark)
-    # Stats frames are lineage-truncated (eager, 1 row) before the
-    # frames they derive from are released.
-    stats.append(truncate_lineage(_stats_row(0, prev_deg), spark))
-    last = stats[0].first()
+    last = _stats_vals(prev_deg)
+    rows.append((0, *last))
     # Data-derived threshold (block comment above): one single-row
     # driver read of two integer aggregates.
     krow = prev_deg.agg(
@@ -922,35 +929,24 @@ def _kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
         )
         nxt_deg = truncate_lineage(_deg(nxt), spark)
-        row = truncate_lineage(_stats_row(rnd, nxt_deg), spark)
-        stats.append(row)
+        cur = _stats_vals(nxt_deg)
+        rows.append((rnd, *cur))
         if prev is not edges:  # never free the shared fixture
             release_lineage(prev)
         release_lineage(prev_deg)
         prev, prev_deg = nxt, nxt_deg
-        cur = row.first()
-        if (
-            cur["n_nodes"] == last["n_nodes"]
-            and cur["n_edges"] == last["n_edges"]
-        ):
+        if cur == last:
             # Fixpoint: rounds rnd+1..R are identical — emit literals.
             for r2 in range(rnd + 1, _KCORE_ROUNDS + 1):
-                stats.append(
-                    spark.range(1).select(
-                        F.lit(r2).cast("int").alias("peel_round"),
-                        F.lit(cur["n_nodes"]).cast("bigint").alias("n_nodes"),
-                        F.lit(cur["n_edges"]).cast("bigint").alias("n_edges"),
-                    )
-                )
+                rows.append((r2, *cur))
             break
         last = cur
     if prev is not edges:
         release_lineage(prev)
     release_lineage(prev_deg)
-    out = stats[0]
-    for st in stats[1:]:
-        out = out.unionAll(st)
-    return out.orderBy("peel_round")
+    return spark.createDataFrame(
+        rows, "peel_round int, n_nodes bigint, n_edges bigint"
+    ).orderBy("peel_round")
 
 
 def _kcore_oracle() -> str:

@@ -92,38 +92,6 @@ def _pair(name: str, spark_sql: str, duck_sql: str, tags: tuple[str, ...]) -> No
 # (add-one smoothing over the corpus unigram model). Head/middle/tail
 # bucket via NTILE(3) ordered by (score, doc_id).
 
-_LM_SPARK = """
-WITH toks AS (
-    SELECT doc_id, explode(split(lower(text), ' ')) AS tok
-    FROM documents WHERE length(text) > 0
-),
-vocab AS (SELECT tok, COUNT(*) AS cf FROM toks GROUP BY tok),
-tot AS (SELECT COUNT(*) AS n, COUNT(DISTINCT tok) AS v FROM toks),
-doc_tok AS (
-    SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
-),
-contrib AS (
-    SELECT d.doc_id, d.tok, d.c,
-           -d.c * (ln(CAST(w.cf + 1 AS DOUBLE) / (t.n + t.v)) / ln(2)) AS nll
-    FROM doc_tok d JOIN vocab w ON d.tok = w.tok CROSS JOIN tot t
-),
-folded AS (
-    SELECT doc_id,
-           CAST(SUM(c) AS BIGINT) AS n_tokens,
-           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
-           aggregate(array_sort(collect_list(struct(tok, nll))),
-                     CAST(0.0 AS DOUBLE),
-                     (acc, x) -> acc + x.nll) AS total_nll
-    FROM contrib GROUP BY doc_id
-)
-SELECT doc_id, n_tokens, n_distinct_tokens,
-       ROUND(total_nll / n_tokens, 9) AS avg_neg_log2p,
-       CASE NTILE(3) OVER (ORDER BY ROUND(total_nll / n_tokens, 9), doc_id)
-            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
-           AS ccnet_bucket
-FROM folded
-ORDER BY doc_id
-"""
 
 _LM_DUCK = """
 WITH toks AS (
@@ -158,12 +126,76 @@ FROM folded
 ORDER BY doc_id
 """
 
-_pair(
-    "ngram_lm_doc_score",
-    _LM_SPARK,
-    _LM_DUCK,
-    tags=("lmdata", "text", "quality", "perplexity"),
+_LM_PREV: dict[str, DataFrame] = {}
+
+
+def _lm_doc_score_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM perplexity-proxy scoring (block comment above). r13
+    optimization round: the single-statement form re-ran the token
+    explode per inlined-CTE consumer (vocab, tot, doc_tok — 3
+    documents scans + a COUNT DISTINCT expand); the Spark side now
+    materializes `doc_tok` once and derives the corpus LM from it —
+    vocab.cf = SUM(c) (== the occurrence COUNT(*)), tot.n = SUM(c),
+    tot.v = COUNT(*) of vocab rows (== COUNT(DISTINCT tok)) — all
+    integer-exact, proven by the unchanged DuckDB oracle hash."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["documents"])
+    doc_tok = truncate_lineage(
+        spark.sql(
+            """
+SELECT doc_id, tok, COUNT(*) AS c FROM (
+    SELECT doc_id, explode(split(lower(text), ' ')) AS tok
+    FROM documents WHERE length(text) > 0
+) GROUP BY doc_id, tok"""
+        ),
+        spark,
+    )
+    doc_tok.createOrReplaceTempView("lm_doctok_mat")
+    skey = session_key(spark)
+    prev = _LM_PREV.pop(skey, None)
+    if prev is not None:
+        release_lineage(prev)
+    _LM_PREV[skey] = doc_tok
+    return spark.sql(
+        """
+WITH doc_tok AS (SELECT doc_id, tok, c FROM lm_doctok_mat),
+vocab AS (SELECT tok, SUM(c) AS cf FROM doc_tok GROUP BY tok),
+tot AS (SELECT SUM(cf) AS n, COUNT(*) AS v FROM vocab),
+contrib AS (
+    SELECT d.doc_id, d.tok, d.c,
+           -d.c * (ln(CAST(w.cf + 1 AS DOUBLE) / (t.n + t.v)) / ln(2)) AS nll
+    FROM doc_tok d JOIN vocab w ON d.tok = w.tok CROSS JOIN tot t
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_tokens,
+           aggregate(array_sort(collect_list(struct(tok, nll))),
+                     CAST(0.0 AS DOUBLE),
+                     (acc, x) -> acc + x.nll) AS total_nll
+    FROM contrib GROUP BY doc_id
 )
+SELECT doc_id, n_tokens, n_distinct_tokens,
+       ROUND(total_nll / n_tokens, 9) AS avg_neg_log2p,
+       CASE NTILE(3) OVER (ORDER BY ROUND(total_nll / n_tokens, 9), doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ccnet_bucket
+FROM folded
+ORDER BY doc_id
+"""
+    )
+
+
+_lm_doc_score_fn.__name__ = "ngram_lm_doc_score"
+query(
+    "ngram_lm_doc_score",
+    oracle=_LM_DUCK,
+    tags=("lmdata", "text", "quality", "perplexity"),
+)(_lm_doc_score_fn)
 
 
 # --- bigram-LM document scoring ---------------------------------------------
@@ -213,28 +245,6 @@ FROM folded
 ORDER BY doc_id
 """
 
-_BIGRAM_SPARK = (
-    """
-WITH toks AS (
-    SELECT doc_id, split(lower(text), ' ') AS ws
-    FROM documents WHERE length(text) > 0
-),
-toks_flat AS (SELECT explode(ws) AS tok FROM toks),
-bigrams AS (
-    SELECT doc_id, explode(transform(sequence(2, size(ws)),
-        i -> concat_ws(' ', element_at(ws, i - 1), element_at(ws, i)))) AS bg
-    FROM toks WHERE size(ws) >= 2
-),
-"""
-    + _BG_TAIL.format(
-        first_tok="element_at(split(bg, ' '), 1)",
-        first_tok_d="element_at(split(d.bg, ' '), 1)",
-        fold=(
-            "aggregate(array_sort(collect_list(struct(bg, nll))), "
-            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.nll)"
-        ),
-    )
-)
 
 _BIGRAM_DUCK = (
     """
@@ -259,12 +269,90 @@ bigrams AS (
     )
 )
 
-_pair(
-    "bigram_lm_doc_score",
-    _BIGRAM_SPARK,
-    _BIGRAM_DUCK,
-    tags=("lmdata", "text", "quality", "perplexity", "bigram"),
+_BIGRAM_PREV: dict[str, DataFrame] = {}
+
+
+def _bigram_lm_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM scoring (block comment above). r13 optimization
+    round, same rewrite as ngram_lm_doc_score: materialize the
+    per-doc bigram counts once, derive the corpus bigram model from
+    them (c2.cf = SUM(c) == COUNT(*) over the bigram explode), keep
+    the token-vocabulary subquery as its own single scan. Unchanged
+    DuckDB oracle proves equivalence."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["documents"])
+    doc_bg = truncate_lineage(
+        spark.sql(
+            """
+SELECT doc_id, bg, COUNT(*) AS c FROM (
+    SELECT doc_id, explode(transform(sequence(2, size(ws)),
+        i -> concat_ws(' ', element_at(ws, i - 1), element_at(ws, i)))) AS bg
+    FROM (SELECT doc_id, split(lower(text), ' ') AS ws
+          FROM documents WHERE length(text) > 0)
+    WHERE size(ws) >= 2
+) GROUP BY doc_id, bg"""
+        ),
+        spark,
+    )
+    doc_bg.createOrReplaceTempView("bigram_docbg_mat")
+    skey = session_key(spark)
+    prev = _BIGRAM_PREV.pop(skey, None)
+    if prev is not None:
+        release_lineage(prev)
+    _BIGRAM_PREV[skey] = doc_bg
+    return spark.sql(
+        """
+WITH doc_bg AS (SELECT doc_id, bg, c FROM bigram_docbg_mat),
+c2 AS (SELECT bg, SUM(c) AS cf FROM doc_bg GROUP BY bg),
+pfx AS (
+    SELECT element_at(split(bg, ' '), 1) AS prev, SUM(cf) AS n
+    FROM c2 GROUP BY element_at(split(bg, ' '), 1)
+),
+vsize AS (
+    SELECT COUNT(DISTINCT tok) AS v FROM (
+        SELECT explode(split(lower(text), ' ')) AS tok
+        FROM documents WHERE length(text) > 0
+    )
+),
+contrib AS (
+    SELECT d.doc_id, d.bg, d.c,
+           -d.c * (ln(CAST(c2.cf + 1 AS DOUBLE) / (p.n + v.v)) / ln(2))
+               AS nll
+    FROM doc_bg d
+    JOIN c2 ON c2.bg = d.bg
+    JOIN pfx p ON p.prev = element_at(split(d.bg, ' '), 1)
+    CROSS JOIN vsize v
+),
+folded AS (
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_bigrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_bigrams,
+           aggregate(array_sort(collect_list(struct(bg, nll))),
+                     CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.nll)
+               AS total_nll
+    FROM contrib GROUP BY doc_id
 )
+SELECT doc_id, n_bigrams, n_distinct_bigrams,
+       ROUND(total_nll / n_bigrams, 9) AS avg_neg_log2p,
+       CASE NTILE(3) OVER (ORDER BY ROUND(total_nll / n_bigrams, 9), doc_id)
+            WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+           AS ccnet_bucket
+FROM folded
+ORDER BY doc_id
+"""
+    )
+
+
+_bigram_lm_fn.__name__ = "bigram_lm_doc_score"
+query(
+    "bigram_lm_doc_score",
+    oracle=_BIGRAM_DUCK,
+    tags=("lmdata", "text", "quality", "perplexity", "bigram"),
+)(_bigram_lm_fn)
 
 
 # --- character-level substring-span duplication ----------------------------
@@ -794,17 +882,95 @@ _DSIR_TTOKS_DUCK = (
     "    FROM documents WHERE length(text) > 0 AND doc_id % 5 = 0"
 )
 
-_pair(
-    "dsir_importance_resample",
-    _dsir(
-        _DSIR_TOKS_SPARK,
-        _DSIR_TTOKS_SPARK,
+_DSIR_PREV: dict[str, DataFrame] = {}
+
+
+def _dsir_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (block comment above). r13
+    optimization round: the single-statement form re-executed the
+    token explode once per consumer of the inlined `toks`/`doc_tok`
+    CTEs (plans/r13/dsir_importance_resample_before.txt: 7 documents
+    scans). The Spark side now materializes `doc_tok` once and derives
+    vocab (SUM(c) == the occurrence COUNT(*)), target vocab (the
+    doc_id %% 5 = 0 restriction commutes with the per-doc grouping)
+    and the corpus totals from it — integer-exact rewrites, so the
+    unchanged DuckDB oracle hash-proves the equivalence."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["documents"])
+    doc_tok = truncate_lineage(
+        spark.sql(
+            "SELECT doc_id, tok, COUNT(*) AS c FROM ("
+            + _DSIR_TOKS_SPARK
+            + ") GROUP BY doc_id, tok"
+        ),
+        spark,
+    )
+    doc_tok.createOrReplaceTempView("dsir_doctok_mat")
+    skey = session_key(spark)
+    prev = _DSIR_PREV.pop(skey, None)
+    if prev is not None:
+        release_lineage(prev)
+    _DSIR_PREV[skey] = doc_tok
+    fold_tok = (
         "aggregate(array_sort(collect_list(struct(tok, lw))),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lw)",
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.lw)"
+    )
+    fold_doc = (
         "aggregate(array_sort(collect_list(struct(r.doc_id, r.w))),"
-        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)",
-    ),
-    _dsir(
+        " CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.w)"
+    )
+    return spark.sql(
+        f"""
+WITH doc_tok AS (SELECT doc_id, tok, c FROM dsir_doctok_mat),
+tgt_tok AS (SELECT doc_id, tok, c FROM doc_tok WHERE doc_id % 5 = 0),
+vocab AS (SELECT tok, SUM(c) AS sf FROM doc_tok GROUP BY tok),
+tvoc AS (SELECT tok, SUM(c) AS tf FROM tgt_tok GROUP BY tok),
+tots AS (
+    SELECT (SELECT SUM(c) FROM doc_tok) AS sn,
+           (SELECT SUM(c) FROM tgt_tok) AS tn,
+           (SELECT COUNT(*) FROM vocab) AS v
+),
+contrib AS (
+    SELECT d.doc_id, d.tok,
+           d.c * (ln(CAST(COALESCE(t.tf, 0) + 1 AS DOUBLE) / (z.tn + z.v))
+                  - ln(CAST(s.sf + 1 AS DOUBLE) / (z.sn + z.v))) AS lw
+    FROM doc_tok d
+    JOIN vocab s ON d.tok = s.tok
+    LEFT JOIN tvoc t ON d.tok = t.tok
+    CROSS JOIN tots z
+),
+doc_w AS (
+    SELECT doc_id,
+           ROUND({fold_tok}, 9) AS w
+    FROM contrib GROUP BY doc_id
+),
+ranked AS (
+    SELECT doc_id, w,
+           NTILE(5) OVER (ORDER BY w DESC, doc_id) AS bucket
+    FROM doc_w
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN r.bucket = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_selected,
+       CAST(SUM(CASE WHEN r.bucket = 1 THEN r.doc_id ELSE 0 END) AS BIGINT)
+           AS selected_id_checksum,
+       ROUND({fold_doc}, 9) AS weight_sum
+FROM ranked r JOIN documents d ON r.doc_id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+    )
+
+
+_dsir_fn.__name__ = "dsir_importance_resample"
+query(
+    "dsir_importance_resample",
+    oracle=_dsir(
         _DSIR_TOKS_DUCK,
         _DSIR_TTOKS_DUCK,
         "list_reduce(list_prepend(CAST(0 AS DOUBLE), list(lw ORDER BY tok)),"
@@ -813,7 +979,7 @@ _pair(
         " list(r.w ORDER BY r.doc_id)), (acc, x) -> acc + x)",
     ),
     tags=("lmdata", "trainprep", "dsir", "importance-sampling"),
-)
+)(_dsir_fn)
 
 
 # --- n-gram novelty (first-seen fraction in corpus order) ------------------

@@ -1779,8 +1779,8 @@ _pair(
 # nothing is all-pairs. At 100 TB the same round runs over the full
 # point set as one bucketed self-join per iteration, checkpointed
 # like the CC loop.
-def _nn_descent_sql(dot: str, dbl: str) -> str:
-    cos = (
+def _nn_descent_cos(dot: str) -> str:
+    return (
         "ROUND("
         + dot.format(a="{x}.vec", b="{y}.vec")
         + " / (SQRT("
@@ -1789,14 +1789,22 @@ def _nn_descent_sql(dot: str, dbl: str) -> str:
         + dot.format(a="{y}.vec", b="{y}.vec")
         + ")), 9)"
     )
-    return f"""
-WITH corpus AS (
-    SELECT vec_id, label, {dbl.format(e='embedding')} AS vec
-    FROM embeddings
-),
-panel AS (SELECT * FROM corpus WHERE vec_id < 32),
--- coarse top-5 for the panel (same-label blocking)
-init_p AS (
+
+
+def _nn_descent_corpus(dbl: str) -> str:
+    return (
+        "SELECT vec_id, label, "
+        + dbl.format(e="embedding")
+        + " AS vec FROM embeddings"
+    )
+
+
+_NN_PANEL = "panel AS (SELECT * FROM corpus WHERE vec_id < 32)"
+
+
+def _nn_descent_init_p(cos: str) -> str:
+    # coarse top-5 for the panel (same-label blocking)
+    return f"""init_p AS (
     SELECT vec_id, nbr FROM (
         SELECT p.vec_id, c.vec_id AS nbr,
                ROW_NUMBER() OVER (PARTITION BY p.vec_id
@@ -1805,12 +1813,16 @@ init_p AS (
         FROM panel p
         JOIN corpus c ON c.label = p.label AND c.vec_id <> p.vec_id
     ) r WHERE rn <= 5
-),
-nbr_pts AS (
+)"""
+
+
+def _nn_descent_cand(cos: str) -> str:
+    # coarse top-5 for the panel's neighbors, then the descent round's
+    # candidate set (neighbors union neighbors-of-neighbors).
+    return f"""nbr_pts AS (
     SELECT DISTINCT c.vec_id, c.label, c.vec
     FROM init_p i JOIN corpus c ON c.vec_id = i.nbr
 ),
--- coarse top-5 for those neighbors
 init_n AS (
     SELECT vec_id, nbr FROM (
         SELECT p.vec_id, c.vec_id AS nbr,
@@ -1828,8 +1840,42 @@ cand AS (
         SELECT i.vec_id, n.nbr
         FROM init_p i JOIN init_n n ON n.vec_id = i.nbr
     ) u WHERE vec_id <> nbr
+)"""
+
+
+def _nn_descent_sql(dot: str, dbl: str) -> str:
+    """Single-statement composition — the DuckDB oracle's form (DuckDB
+    materializes multiply-referenced CTEs natively; the Spark side
+    materializes corpus/init_p/cand/truth explicitly instead, see
+    _nn_descent_round_fn)."""
+    cos = _nn_descent_cos(dot)
+    return f"""
+WITH corpus AS (
+    {_nn_descent_corpus(dbl)}
 ),
-after AS (
+{_NN_PANEL},
+{_nn_descent_init_p(cos)},
+{_nn_descent_cand(cos)},
+{_nn_descent_truth(cos)},
+{_nn_descent_tail(cos)}
+"""
+
+
+def _nn_descent_truth(cos: str) -> str:
+    return f"""truth AS (
+    SELECT vec_id, nbr FROM (
+        SELECT p.vec_id, c.vec_id AS nbr,
+               ROW_NUMBER() OVER (PARTITION BY p.vec_id
+                                  ORDER BY {cos.format(x='p', y='c')} DESC,
+                                           c.vec_id) AS rn
+        FROM panel p
+        JOIN corpus c ON c.vec_id <> p.vec_id
+    ) r WHERE rn <= 5
+)"""
+
+
+def _nn_descent_tail(cos: str) -> str:
+    return f"""after AS (
     SELECT vec_id, nbr FROM (
         SELECT cd.vec_id, cd.nbr,
                ROW_NUMBER() OVER (PARTITION BY cd.vec_id
@@ -1838,16 +1884,6 @@ after AS (
         FROM cand cd
         JOIN panel p ON p.vec_id = cd.vec_id
         JOIN corpus c ON c.vec_id = cd.nbr
-    ) r WHERE rn <= 5
-),
-truth AS (
-    SELECT vec_id, nbr FROM (
-        SELECT p.vec_id, c.vec_id AS nbr,
-               ROW_NUMBER() OVER (PARTITION BY p.vec_id
-                                  ORDER BY {cos.format(x='p', y='c')} DESC,
-                                           c.vec_id) AS rn
-        FROM panel p
-        JOIN corpus c ON c.vec_id <> p.vec_id
     ) r WHERE rn <= 5
 ),
 hits_before AS (
@@ -1882,12 +1918,86 @@ LEFT JOIN cand_sz cs ON cs.vec_id = hb.vec_id
 """
 
 
-_pair(
+_NN_ROUND_PREV: dict[str, list[DataFrame]] = {}
+
+
+def _nn_descent_round_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round with recall self-eval (block comment
+    above). r13 optimization round: the single-statement form's CTE
+    inlining re-executed `corpus` 24x and the coarse/truth rankings
+    2-3x each (plans/r13/nn_descent_round_recall_before.txt: 24
+    embeddings scans, 82 Exchanges). The Spark side now materializes
+    the four multiply-referenced relations (corpus, init_p, cand,
+    truth) once each — the checkpoints an iterated NN-descent keeps
+    per round anyway (cf. _nn_descent_converged) — and runs the rest
+    as one statement over the views. The DuckDB oracle keeps the
+    single-statement form, so the green hash proves the staged
+    execution computes the identical result."""
+    from crypto_lakehouse_spark.io import session_key
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["embeddings"])
+    cos = _nn_descent_cos(_DOT_SPARK)
+    ck = lambda df: truncate_lineage(df, spark)  # noqa: E731
+    frames: list[DataFrame] = []
+
+    corpus = ck(spark.sql(_nn_descent_corpus(_D_SPARK)))
+    corpus.createOrReplaceTempView("nnd_corpus_mat")
+    frames.append(corpus)
+    corpus_cte = "corpus AS (SELECT vec_id, label, vec FROM nnd_corpus_mat)"
+
+    init_p = ck(
+        spark.sql(
+            f"WITH {corpus_cte},\n{_NN_PANEL},\n{_nn_descent_init_p(cos)}\n"
+            "SELECT vec_id, nbr FROM init_p"
+        )
+    )
+    init_p.createOrReplaceTempView("nnd_initp_mat")
+    frames.append(init_p)
+    initp_cte = "init_p AS (SELECT vec_id, nbr FROM nnd_initp_mat)"
+
+    cand = ck(
+        spark.sql(
+            f"WITH {corpus_cte},\n{initp_cte},\n{_nn_descent_cand(cos)}\n"
+            "SELECT vec_id, nbr FROM cand"
+        )
+    )
+    cand.createOrReplaceTempView("nnd_cand_mat")
+    frames.append(cand)
+
+    truth = ck(
+        spark.sql(
+            f"WITH {corpus_cte},\n{_NN_PANEL},\n{_nn_descent_truth(cos)}\n"
+            "SELECT vec_id, nbr FROM truth"
+        )
+    )
+    truth.createOrReplaceTempView("nnd_truth_mat")
+    frames.append(truth)
+
+    skey = session_key(spark)
+    for old in _NN_ROUND_PREV.pop(skey, []):
+        release_lineage(old)
+    _NN_ROUND_PREV[skey] = frames
+
+    return spark.sql(
+        f"""WITH {corpus_cte},
+{_NN_PANEL},
+{initp_cte},
+cand AS (SELECT vec_id, nbr FROM nnd_cand_mat),
+truth AS (SELECT vec_id, nbr FROM nnd_truth_mat),
+{_nn_descent_tail(cos)}"""
+    )
+
+
+_nn_descent_round_fn.__name__ = "nn_descent_round_recall"
+query(
     "nn_descent_round_recall",
-    _nn_descent_sql(_DOT_SPARK, _D_SPARK),
-    _nn_descent_sql(_DOT_DUCK, _D_DUCK),
+    oracle=_nn_descent_sql(_DOT_DUCK, _D_DUCK),
     tags=("similarity", "ann", "nn-descent", "graph", "quality-eval"),
-)
+)(_nn_descent_round_fn)
 
 
 # --- NN-descent iterated to the graph fixpoint -------------------------------

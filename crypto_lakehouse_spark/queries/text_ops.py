@@ -312,22 +312,60 @@ _pair(
 # to 9 decimals and summed as DECIMAL (order-free exact sum), the
 # module's standard discipline.
 #
-# Do NOT hoist tf into a shared persisted relation (the
-# cached_shingles treatment): the INLINE CTE is what lets Catalyst
-# push the query-term join filter below the (doc, tok) aggregation, so
-# the executed plan only ever aggregates the 9 terms' postings; a
-# materialized full-corpus tf defeats that pushdown and adds two
-# full-width regroup shuffles for dl/df — measured 1.6x SLOWER
-# (bm25_prf_rerank 1.8 -> 3.0 s at sf0.1) despite the cache hit.
+# r13 optimization round (guide §1.2 "don't compute things you throw
+# away", verified against plans/r13/bm25_topk_before.txt): the
+# previous inline-CTE form hoped Catalyst would push the query-term
+# join filter below the (doc, tok) aggregation — the captured plan
+# shows it does NOT (8 full documents scans, full-corpus tf AND df
+# aggregations, of which only the 9 panel terms' rows are ever
+# consumed). The Spark dialect now restricts tf to the panel INSIDE
+# the per-doc array (`filter(ws, w -> w IN panel)` before the
+# explode — a narrow map), derives df from the restricted tf, and
+# computes dl as `size(ws)` with no explode/shuffle at all (equal by
+# construction: explode emits exactly size(ws) rows for non-null
+# text, and the NULL-text docs the explode dropped are excluded by
+# the explicit IS NOT NULL). The DuckDB oracle keeps the full
+# inverted-index form, so the green hash proves the restriction loses
+# nothing. At 100 TB this is the difference between "cost tracks
+# postings touched" being a comment and being the plan.
+
+_BM25_PANEL = (
+    "'query', 'table', 'scan', 'stream', 'window', 'batch', "
+    "'merge', 'join', 'hash'"
+)
+
+_BM25_QUERIES = (
+    "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
+    "(2, 'stream'), (2, 'window'), (2, 'batch'), "
+    "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
+)
+
+# Spark-dialect corpus-statistics CTEs, panel-restricted (tf/df) and
+# explode-free (dl). Shared by bm25_topk / bm25_prf_rerank / the RRF
+# lexical leg.
+_BM25_STATS_SPARK = f"""toks AS (
+    SELECT doc_id,
+           explode(filter(split(text, ' '),
+                          w -> w IN ({_BM25_PANEL}))) AS tok
+    FROM documents
+),
+tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
+dl AS (
+    SELECT doc_id, size(split(text, ' ')) AS n
+    FROM documents WHERE text IS NOT NULL
+),
+stats AS (
+    SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl
+),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)"""
+
 
 def _bm25_sql(tok: str, split: str) -> str:
-    queries = (
-        "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
-        "(2, 'stream'), (2, 'window'), (2, 'batch'), "
-        "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
-    )
-    return f"""
-WITH toks AS (
+    queries = _BM25_QUERIES
+    if split == "split":  # Spark dialect: panel-restricted stats
+        head = _BM25_STATS_SPARK
+    else:  # DuckDB oracle: the full inverted-index form, unchanged
+        head = f"""toks AS (
     SELECT doc_id, {tok} AS tok FROM (
         SELECT doc_id, {split}(text, ' ') AS ws FROM documents
     )
@@ -337,7 +375,9 @@ dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 stats AS (
     SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl
 ),
-df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)"""
+    return f"""
+WITH {head},
 q AS ({queries}),
 term_scores AS (
     SELECT q.qid, tf.doc_id,
@@ -460,14 +500,16 @@ _pair(
 # Determinism: per-dim means and all dot/norm sums go through the
 # ROUND + DECIMAL-sum discipline, so both engines hash identically.
 
-def _bm25_prf_sql(tok: str, split: str, emb_explode: str, emb_v: str) -> str:
-    queries = (
-        "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
-        "(2, 'stream'), (2, 'window'), (2, 'batch'), "
-        "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
-    )
-    return f"""
-WITH toks AS (
+def _bm25_prf_head(tok: str, split: str) -> str:
+    """The lexical stage, `WITH` through the `cand` CTE (Spark side
+    panel-restricted per _bm25_sql — r13 optimization round;
+    plans/r13/bm25_prf_rerank_before.txt showed 28 documents scans
+    from the inlined full-corpus tf/df/dl chain)."""
+    queries = _BM25_QUERIES
+    if split == "split":
+        head = _BM25_STATS_SPARK
+    else:
+        head = f"""toks AS (
     SELECT doc_id, {tok} AS tok FROM (
         SELECT doc_id, {split}(text, ' ') AS ws FROM documents
     )
@@ -475,7 +517,10 @@ WITH toks AS (
 tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl),
-df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)"""
+    return (
+        f"""
+WITH {head},
 q AS ({queries}),
 term_scores AS (
     SELECT q.qid, tf.doc_id,
@@ -503,8 +548,29 @@ cand AS (
                                   ORDER BY bm25 DESC, doc_id) AS rn
         FROM scored
     ) r WHERE rn <= 10
-),
-cvec AS (
+)"""
+    )
+
+
+def _bm25_prf_sql(tok: str, split: str, emb_explode: str, emb_v: str) -> str:
+    """Single-statement composition (the DuckDB oracle's form; DuckDB
+    materializes multiply-referenced CTEs natively)."""
+    return (
+        _bm25_prf_head(tok, split)
+        + ",\n"
+        + _bm25_prf_tail(emb_explode, emb_v)
+    )
+
+
+def _bm25_prf_tail(emb_explode: str, emb_v: str) -> str:
+    """The dense-rerank tail, from the <= 30-row `cand` relation to
+    the final ranking. Split out (r13 optimization round) so the
+    Spark side can MATERIALIZE cand once — `cand` is referenced by
+    cvec AND the final select, and Spark's CTE inlining re-executed
+    the whole BM25 pipeline per reference (the same trap `_rrf_pre`
+    documents for `lex`); DuckDB materializes CTEs natively, so the
+    oracle keeps the single-statement composition via _bm25_prf_sql."""
+    return f"""cvec AS (
     SELECT c.qid, c.doc_id, c.bm25, c.bm25_rank, t_e.i,
            CAST({emb_v} AS DOUBLE) AS v
     FROM cand c
@@ -547,14 +613,26 @@ def _bm25_prf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
     query, inverted-index shape) then Rocchio pseudo-relevance-
     feedback dense rerank by cosine to the candidates' own embedding
     centroid — see the block comment above for the scale framing and
-    determinism discipline."""
+    determinism discipline. The <= 30-row `cand` list is materialized
+    before the rerank tail (see _bm25_prf_tail)."""
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        truncate_lineage,
+    )
+
     register_views(spark, sf_dir, ["documents", "embeddings"])
+    cand = truncate_lineage(
+        spark.sql(
+            _bm25_prf_head("explode(ws)", "split")
+            + "\nSELECT qid, doc_id, bm25, bm25_rank FROM cand"
+        ),
+        spark,
+    )
+    cand.createOrReplaceTempView("bm25_prf_cand_mat")
     return spark.sql(
-        _bm25_prf_sql(
-            "explode(ws)",
-            "split",
-            "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
-            "ev",
+        "WITH cand AS (SELECT qid, doc_id, bm25, bm25_rank "
+        "FROM bm25_prf_cand_mat),\n"
+        + _bm25_prf_tail(
+            "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev", "ev"
         )
     )
 
@@ -598,12 +676,12 @@ def _rrf_pre(tok: str, split: str) -> str:
     reference (~3x — measured 25 s at sf1 vs ~3 s for one bm25_topk).
     DuckDB materializes CTEs natively, so the oracle keeps the
     single-statement form."""
-    queries = (
-        "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
-        "(2, 'stream'), (2, 'window'), (2, 'batch'), "
-        "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
-    )
-    return f"""toks AS (
+    # Same Spark-side panel restriction as _bm25_sql (r13).
+    queries = _BM25_QUERIES
+    if split == "split":
+        head = _BM25_STATS_SPARK
+    else:
+        head = f"""toks AS (
     SELECT doc_id, {tok} AS tok FROM (
         SELECT doc_id, {split}(text, ' ') AS ws FROM documents
     )
@@ -611,7 +689,8 @@ def _rrf_pre(tok: str, split: str) -> str:
 tf AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok),
 dl AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
 stats AS (SELECT COUNT(*) AS n_docs, SUM(n) AS total_len FROM dl),
-df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok)"""
+    return f"""{head},
 q AS ({queries}),
 term_scores AS (
     SELECT q.qid, tf.doc_id,
@@ -806,12 +885,71 @@ ORDER BY doc_id, rank
 """
 
 
-_pair(
-    "tfidf_keywords_top3",
-    _tfidf_kw_sql("explode(ws)", "split"),
-    _tfidf_kw_sql("unnest(ws)", "string_split"),
-    tags=("text", "tfidf", "keywords", "topk"),
+_TFIDF_KW_PREV: dict[str, DataFrame] = {}
+
+
+def _tfidf_kw_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 tf-idf keywords per doc (block comment above). r13
+    optimization round: the single-statement form re-ran the token
+    explode + (doc, term) aggregation once per inlined-CTE consumer
+    (df, nn, scored — 6 documents scans in the captured before-plan);
+    the Spark side now materializes `tf` once and derives df/nn/scored
+    from the view. Unchanged DuckDB oracle proves equivalence."""
+    from crypto_lakehouse_spark.io import session_key
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["documents"])
+    tf = truncate_lineage(
+        spark.sql(
+            """
+SELECT doc_id, t, COUNT(*) AS c FROM (
+    SELECT doc_id, explode(split(text, ' ')) AS t FROM documents
+) GROUP BY doc_id, t"""
+        ),
+        spark,
+    )
+    tf.createOrReplaceTempView("tfidf_kw_tf_mat")
+    skey = session_key(spark)
+    prev = _TFIDF_KW_PREV.pop(skey, None)
+    if prev is not None:
+        release_lineage(prev)
+    _TFIDF_KW_PREV[skey] = tf
+    return spark.sql(
+        """
+WITH tf AS (SELECT doc_id, t, c FROM tfidf_kw_tf_mat),
+df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY t),
+nn AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+scored AS (
+    SELECT tf.doc_id, tf.t,
+           CAST(tf.c AS BIGINT) AS c,
+           ROUND(tf.c * LN(CAST(s.n_docs AS DOUBLE) / df.df), 9) AS tfidf
+    FROM tf JOIN df ON df.t = tf.t CROSS JOIN nn s
 )
+SELECT doc_id,
+       CAST(rn AS INT) AS rank,
+       t AS term,
+       c AS term_count,
+       tfidf
+FROM (
+    SELECT doc_id, t, c, tfidf,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY tfidf DESC, t) AS rn
+    FROM scored
+) r WHERE rn <= 3
+ORDER BY doc_id, rank
+"""
+    )
+
+
+_tfidf_kw_fn.__name__ = "tfidf_keywords_top3"
+query(
+    "tfidf_keywords_top3",
+    oracle=_tfidf_kw_sql("unnest(ws)", "string_split"),
+    tags=("text", "tfidf", "keywords", "topk"),
+)(_tfidf_kw_fn)
 
 
 # --- Zipf rank-frequency slope per source ------------------------------------
@@ -1108,50 +1246,51 @@ counts AS (
     SELECT doc_id, total_chars, n, gram, COUNT(*) AS c
     FROM grams GROUP BY doc_id, total_chars, n, gram
 ),
-top_frac AS (
+-- ONE aggregate per (doc, n) replaces the top_frac window + the
+-- dup_frac rollup (r13 optimization round, guide §2.4 "duplicated
+-- subtrees": the 6 rejoins of the inlined counts CTE re-executed the
+-- whole explode+count pipeline per reference — this form runs it
+-- once).  min(struct(-c, gram)) == (max count, lexicographically
+-- smallest gram), the exact ROW_NUMBER ... ORDER BY c DESC, gram
+-- tie-break of the previous form and of the unchanged DuckDB oracle.
+per_n AS (
     SELECT doc_id, n,
-           CAST(c * length(gram) AS DOUBLE) / total_chars AS frac
+           CASE WHEN n <= 4 THEN
+               CAST((-top.nc) * length(top.g) AS DOUBLE) / total_chars
+           ELSE
+               LEAST(CAST(1.0 AS DOUBLE),
+                     CAST(dup_chars AS DOUBLE) / total_chars)
+           END AS frac
     FROM (
-        SELECT doc_id, n, gram, c, total_chars,
-               ROW_NUMBER() OVER (PARTITION BY doc_id, n
-                                  ORDER BY c DESC, gram) AS rn
-        FROM counts WHERE n <= 4
-    ) WHERE rn = 1
+        SELECT doc_id, n,
+               MIN(CASE WHEN n <= 4
+                        THEN struct(-c AS nc, gram AS g) END) AS top,
+               SUM(CASE WHEN n >= 5 AND c >= 2
+                        THEN c * length(gram) ELSE 0 END) AS dup_chars,
+               ANY_VALUE(total_chars) AS total_chars
+        FROM counts GROUP BY doc_id, n
+    )
 ),
-dup_frac AS (
-    SELECT doc_id, n,
-           LEAST(CAST(1.0 AS DOUBLE),
-                 CAST(SUM(CASE WHEN c >= 2 THEN c * length(gram)
-                               ELSE 0 END) AS DOUBLE)
-                 / ANY_VALUE(total_chars)) AS frac
-    FROM counts WHERE n >= 5 GROUP BY doc_id, n
-),
-metrics AS (
-    SELECT doc_id, n, frac FROM top_frac
-    UNION ALL
-    SELECT doc_id, n, frac FROM dup_frac
-),
-violations AS (
+pivoted AS (
     SELECT doc_id,
-           COUNT(CASE WHEN frac > {_REP_THRESH} THEN 1 END) AS n_viol,
-           MAX(ROUND(frac, 9)) AS worst_frac
-    FROM metrics GROUP BY doc_id
+           MAX(CASE WHEN n = 2 THEN frac END) AS t2,
+           MAX(CASE WHEN n = 3 THEN frac END) AS t3,
+           MAX(CASE WHEN n = 4 THEN frac END) AS t4,
+           MAX(CASE WHEN n = 5 THEN frac END) AS d5,
+           MAX(CASE WHEN n = 10 THEN frac END) AS d10,
+           COUNT(CASE WHEN frac > {_REP_THRESH} THEN 1 END) AS n_viol
+    FROM per_n GROUP BY doc_id
 )
 SELECT b.doc_id,
-       ROUND(COALESCE(t2.frac, 0.0), 9) AS top_2gram_frac,
-       ROUND(COALESCE(t3.frac, 0.0), 9) AS top_3gram_frac,
-       ROUND(COALESCE(t4.frac, 0.0), 9) AS top_4gram_frac,
-       ROUND(COALESCE(d5.frac, 0.0), 9) AS dup_5gram_frac,
-       ROUND(COALESCE(d10.frac, 0.0), 9) AS dup_10gram_frac,
-       CAST(COALESCE(v.n_viol, 0) AS INT) AS n_violations,
-       COALESCE(v.n_viol, 0) = 0 AS keep
+       ROUND(COALESCE(p.t2, 0.0), 9) AS top_2gram_frac,
+       ROUND(COALESCE(p.t3, 0.0), 9) AS top_3gram_frac,
+       ROUND(COALESCE(p.t4, 0.0), 9) AS top_4gram_frac,
+       ROUND(COALESCE(p.d5, 0.0), 9) AS dup_5gram_frac,
+       ROUND(COALESCE(p.d10, 0.0), 9) AS dup_10gram_frac,
+       CAST(COALESCE(p.n_viol, 0) AS INT) AS n_violations,
+       COALESCE(p.n_viol, 0) = 0 AS keep
 FROM base b
-LEFT JOIN top_frac t2 ON t2.doc_id = b.doc_id AND t2.n = 2
-LEFT JOIN top_frac t3 ON t3.doc_id = b.doc_id AND t3.n = 3
-LEFT JOIN top_frac t4 ON t4.doc_id = b.doc_id AND t4.n = 4
-LEFT JOIN dup_frac d5 ON d5.doc_id = b.doc_id AND d5.n = 5
-LEFT JOIN dup_frac d10 ON d10.doc_id = b.doc_id AND d10.n = 10
-LEFT JOIN violations v ON v.doc_id = b.doc_id
+LEFT JOIN pivoted p ON p.doc_id = b.doc_id
 ORDER BY b.doc_id
 """
 
