@@ -46,10 +46,30 @@ from crypto_lakehouse_spark.queries.dedup_ops import (
     _DUP_UNION_SPARK,
     _K,
     _MINHASH_DUCK,
-    _MINHASH_SPARK,
+    _MINHASH_VIEW,
     _SH_DUCK,
     _SH_PERSISTED,
+    cached_minhash,
     cached_shingles,
+)
+
+# The persisted K=8 signature fixture (cached_minhash) replaces the
+# inline _MINHASH_SPARK aggregation in both estimate-error queries
+# (r13 optimization round): the inlined `minhash` CTE is referenced by
+# bands AND minhash_wide, so the 8-hash MIN aggregation over the full
+# shingle relation executed twice per query — and once more per query
+# in the suite, where lsh_band_sweep_eval's fixture already holds the
+# identical relation.
+# The wide (8-column) form is recovered from the unpivoted fixture by
+# a pivot groupBy — exactly one (doc_id, i) row exists per hash, so
+# MAX(CASE WHEN i = k ...) is the original mh{k} value.
+_MINHASH_FROM_VIEW = (
+    f"minhash AS (SELECT doc_id, i, mh FROM {_MINHASH_VIEW}),\n"
+    "minhash_wide AS (\n    SELECT doc_id,\n           "
+    + ",\n           ".join(
+        f"MAX(CASE WHEN i = {i} THEN mh END) AS mh{i}" for i in range(_K)
+    )
+    + "\n    FROM minhash GROUP BY doc_id\n)"
 )
 from crypto_lakehouse_spark.queries.registry import query
 
@@ -290,13 +310,14 @@ ORDER BY e.doc_a, e.doc_b
 def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-candidate-pair |MinHash estimate - exact Jaccard| over the
     LSH candidate set (module docstring has the contract and scale
-    notes). Reads the persisted shingle relation."""
+    notes). Reads the persisted shingle + signature relations."""
     cached_shingles(spark, sf_dir)
+    cached_minhash(spark, sf_dir)
     return spark.sql(
         "WITH "
         + _SH_PERSISTED
         + ","
-        + _MINHASH_SPARK
+        + _MINHASH_FROM_VIEW
         + ","
         + _EST_TAIL.format(bandkey=_BANDKEY_SPARK)
     )
@@ -962,13 +983,14 @@ def bbit_minhash_estimate_error(
 ) -> DataFrame:
     """b=4-bit MinHash estimate vs full-width estimate vs exact
     Jaccard over the LSH candidate set (block comment above). Reads
-    the persisted shingle relation."""
+    the persisted shingle + signature relations."""
     cached_shingles(spark, sf_dir)
+    cached_minhash(spark, sf_dir)
     return spark.sql(
         "WITH "
         + _SH_PERSISTED
         + ","
-        + _MINHASH_SPARK
+        + _MINHASH_FROM_VIEW
         + ","
         + _BBIT_TAIL.format(bandkey=_BANDKEY_SPARK)
     )

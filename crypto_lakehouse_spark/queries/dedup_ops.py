@@ -782,6 +782,51 @@ WHERE pos <= n - ({{num}} * n + {{den}} - 1) DIV {{den}} + 1
 
 _PREFIX_SELECT = _PREFIX_SELECT_T.format(num=1, den=2)
 
+# Threshold-INDEPENDENT rarity-ranked shingle relation (r13
+# optimization round): the freqs-join + per-doc rarity window in
+# _PREFIX_SELECT_T does not depend on the prefix threshold, yet the
+# session built it twice — once for the t=1/2 prefix (cached_prefix)
+# and once for the t=3/10 prefix (cached_cc_edges). Materialize the
+# ranked relation once; each prefix is then a pure filter over it.
+_RANKED_VIEW = "shingle_ranked_persisted"
+_RANKED_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+_RANKED_SELECT = f"""
+WITH freqs AS (SELECT s, COUNT(*) AS df FROM {SHINGLE_VIEW} GROUP BY s),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM {SHINGLE_VIEW} GROUP BY doc_id),
+ranked AS (
+    SELECT sh.doc_id, sh.s, z.n,
+           ROW_NUMBER() OVER (
+               PARTITION BY sh.doc_id ORDER BY f.df, sh.s) AS pos
+    FROM {SHINGLE_VIEW} sh
+    JOIN freqs f ON f.s = sh.s
+    JOIN sizes z ON z.doc_id = sh.doc_id
+)
+SELECT doc_id, xxhash64(s) AS sh, n, pos FROM ranked
+"""
+
+_PREFIX_FILTER_T = (
+    f"SELECT doc_id, sh, n, pos FROM {_RANKED_VIEW} "
+    "WHERE pos <= n - ({num} * n + {den} - 1) DIV {den} + 1"
+)
+
+
+def cached_ranked_shingles(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the rarity-ranked shingle relation once per
+    session; returns the view name."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _RANKED_MEMO:
+        for (sid, _), old in list(_RANKED_MEMO.items()):
+            if sid == skey:
+                _release_lineage(old)
+                del _RANKED_MEMO[(sid, _)]
+        cached_shingles(spark, sf_dir)
+        df = _truncate_lineage(spark.sql(_RANKED_SELECT), spark)
+        df.createOrReplaceTempView(_RANKED_VIEW)
+        _RANKED_MEMO[key] = df
+    return _RANKED_VIEW
+
 
 def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
     """Materialize each doc's rarest-shingle prefix (threshold 0.5)
@@ -793,8 +838,10 @@ def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
             if sid == skey:
                 _release_lineage(old)
                 del _PREFIX_MEMO[(sid, _)]
-        cached_shingles(spark, sf_dir)
-        df = _truncate_lineage(spark.sql(_PREFIX_SELECT), spark)
+        cached_ranked_shingles(spark, sf_dir)
+        df = _truncate_lineage(
+            spark.sql(_PREFIX_FILTER_T.format(num=1, den=2)), spark
+        )
         df.createOrReplaceTempView(PREFIX_VIEW)
         _PREFIX_MEMO[key] = df
     return PREFIX_VIEW
@@ -904,8 +951,9 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
                 del _CC_EDGES_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
         cached_shingle_arrays(spark, sf_dir)
+        cached_ranked_shingles(spark, sf_dir)
         pfx = _truncate_lineage(
-            spark.sql(_PREFIX_SELECT_T.format(num=3, den=10)), spark
+            spark.sql(_PREFIX_FILTER_T.format(num=3, den=10)), spark
         )
         pfx.createOrReplaceTempView(PREFIX03_VIEW)
         # Lineage is TRUNCATED (not just persisted): downstream

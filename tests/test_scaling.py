@@ -71,8 +71,17 @@ def test_ramp_subquadratic(spark, name):
     # Warm both scales once (codegen, scan caches) so the measured pair
     # compares plan asymptotics, not first-touch compilation.
     _time(spark, name, SMALL)
-    small = max(_time(spark, name, SMALL), FLOOR_SEC)
+    # Time BIG first, then re-time SMALL: the session fixtures
+    # (shingles / prefixes / CC labels / ...) are memoized per
+    # (session, sf_dir) and EVICTED on an sf_dir switch, so each timed
+    # run below pays its own scale's full fixture build — a fair
+    # asymptotic ratio. (Timing small right after its warm-up instead
+    # measured a memo hit against a cold big build: the fixture-thin
+    # consumers like near_dup_keep then compare ~0 s to a full build
+    # and the ratio explodes for measurement, not asymptotic, reasons
+    # — r13 optimization round.)
     big = _time(spark, name, BIG)
+    small = max(_time(spark, name, SMALL), FLOOR_SEC)
     ratio = big / small
     assert ratio < RATIO_MAX, (
         f"{name}: sf0.01 {small:.2f}s -> sf0.1 {big:.2f}s "
@@ -184,8 +193,9 @@ def skew_dirs(spark, tmp_path_factory):
 def test_ramp_subquadratic_on_zipf_skew(spark, name, skew_dirs):
     small_dir, big_dir = skew_dirs
     _time(spark, name, small_dir)  # warm
-    small = max(_time(spark, name, small_dir), FLOOR_SEC)
+    # big first, then small cold again — see test_ramp_subquadratic.
     big = _time(spark, name, big_dir)
+    small = max(_time(spark, name, small_dir), FLOOR_SEC)
     ratio = big / small
     assert ratio < RATIO_MAX, (
         f"{name} on Zipf-skewed corpus: {small:.2f}s -> {big:.2f}s "
@@ -281,8 +291,9 @@ def test_giant_component_labels_are_exact(spark, giant_cc_dirs):
 def test_ramp_subquadratic_on_giant_component(spark, name, giant_cc_dirs):
     small_dir, big_dir = giant_cc_dirs
     _time(spark, name, small_dir)  # warm
-    small = max(_time(spark, name, small_dir), FLOOR_SEC)
+    # big first, then small cold again — see test_ramp_subquadratic.
     big = _time(spark, name, big_dir)
+    small = max(_time(spark, name, small_dir), FLOOR_SEC)
     ratio = big / small
     # 10x docs AND 10x component diameter: rounds grow +log2(10) ~ +3,
     # per-round cost grows ~10x => the quadratic failure mode (~100x,
@@ -341,8 +352,9 @@ def hub_dirs(spark, tmp_path_factory):
 def test_ramp_subquadratic_on_hub_customer(spark, name, hub_dirs):
     small_dir, big_dir = hub_dirs
     _time(spark, name, small_dir)  # warm
-    small = max(_time(spark, name, small_dir), FLOOR_SEC)
+    # big first, then small cold again — see test_ramp_subquadratic.
     big = _time(spark, name, big_dir)
+    small = max(_time(spark, name, small_dir), FLOOR_SEC)
     ratio = big / small
     assert ratio < RATIO_MAX, (
         f"{name} on hub-customer graph: {small:.2f}s -> {big:.2f}s "
