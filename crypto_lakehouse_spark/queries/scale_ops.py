@@ -375,6 +375,12 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
     skey = session_key(spark)
     key = (skey, sf_dir)
     if key not in _BUCKET_MEMO:
+        from crypto_lakehouse_spark.queries.fixture_meter import (
+            build_t0,
+            record_build,
+        )
+
+        t0 = build_t0()
         db = f"buck_{uuid.uuid4().hex[:8]}"
         loc = tempfile.mkdtemp(prefix="bucketed_")
         atexit.register(shutil.rmtree, loc, ignore_errors=True)
@@ -396,6 +402,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
             .saveAsTable(f"{db}.lineitem_b")
         )
         _BUCKET_MEMO[key] = db
+        record_build("bucketed_tables", sf_dir, t0)
     return _BUCKET_MEMO[key]
 
 
@@ -541,6 +548,12 @@ def _cached_hilbert_keys(spark: SparkSession, sf_dir: str) -> str:
                 release_lineage(old)
                 del _HK_MEMO[(sid, other)]
         register_views(spark, sf_dir, ["events"])
+        from crypto_lakehouse_spark.queries.fixture_meter import (
+            build_t0,
+            record_build,
+        )
+
+        t0 = build_t0()
         df = truncate_lineage(
             spark.sql(
                 _HILBERT_KEYS.replace("epoch_us(", "unix_micros(")
@@ -551,6 +564,7 @@ def _cached_hilbert_keys(spark: SparkSession, sf_dir: str) -> str:
         )
         df.createOrReplaceTempView(_HK_VIEW)
         _HK_MEMO[key] = df
+        record_build("hilbert_keys", sf_dir, t0)
     return _HK_VIEW
 
 

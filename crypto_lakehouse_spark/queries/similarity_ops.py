@@ -24,7 +24,8 @@ import math
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crypto_lakehouse_spark.io import register_views
+from crypto_lakehouse_spark.io import register_views, session_key
+from crypto_lakehouse_spark.queries.fixture_meter import build_t0, record_build
 from crypto_lakehouse_spark.queries.registry import query
 
 # Driver-memory contract for centroid/seed collect() sites. Every
@@ -788,12 +789,125 @@ WHERE rn <= 10
 ORDER BY rank
 """
 
-_pair(
-    "pq_adc_topk",
-    f"WITH {_PQ_SPARK_CORE}\n{_PQ_TOPK_TAIL}",
-    f"WITH {_PQ_DUCK_CORE}\n{_PQ_TOPK_TAIL}",
-    tags=("similarity", "embedding", "pq", "ann"),
+# Shared PQ index fixture (r14 optimization round, VERDICT r13 item 8):
+# THREE queries (pq_adc_topk, pq_recall_at_10, ivf_pq_topk) re-derived
+# the identical subvectors -> codebook -> encode chain per call, and
+# Spark's CTE inlining re-executed `subs` once per reference besides
+# (the ivf_pq before-plan carries 12 embeddings scans). The codebook
+# (16 x 8 rows), the encodings (vec_id, m, code — 8 small ints per
+# vector), and the query's subvectors (8 rows) are exactly the
+# artifacts a production IVF-PQ deployment builds OFFLINE and
+# persists; they are materialized once per (session, sf_dir). Every
+# expression is byte-identical to the inline `_pq_core` form — only
+# materialization boundaries move — and all three consumers' DuckDB
+# oracles keep the full inline chain, so each green hash proves the
+# fixture path end to end.
+_PQ_IDX_MEMO: dict[
+    tuple[str, str], tuple[DataFrame, DataFrame, DataFrame]
+] = {}
+PQ_CB_VIEW = "pq_cb_mat"
+PQ_ENCD_VIEW = "pq_encd_mat"
+PQ_QSUB_VIEW = "pq_qsub_mat"
+
+
+def cached_pq_index(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the PQ codebook / encodings / query-subvector
+    relations once per (session, sf_dir); registers the three views."""
+    from crypto_lakehouse_spark.io import session_key as _sk
+
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    skey = _sk(spark)
+    key = (skey, sf_dir)
+    if key in _PQ_IDX_MEMO:
+        return
+    for (sid, other), olds in list(_PQ_IDX_MEMO.items()):
+        if sid == skey:
+            for old in olds:
+                release_lineage(old)
+            del _PQ_IDX_MEMO[(sid, other)]
+    register_views(spark, sf_dir, ["embeddings"])
+    t0 = build_t0()
+    subs = truncate_lineage(
+        spark.sql(
+            f"""
+WITH corpus AS (
+    SELECT vec_id, {_D_SPARK.format(e='embedding')} AS vec FROM embeddings
+),
+subs AS (
+    SELECT vec_id, m, slice(vec, m * 8 + 1, 8) AS sv
+    FROM corpus CROSS JOIN (SELECT explode(sequence(0, 7)) AS m)
 )
+SELECT vec_id, m, sv FROM subs"""
+        ),
+        spark,
+    )
+    subs.createOrReplaceTempView("pq_subs_tmp")
+    cb = truncate_lineage(
+        spark.sql(
+            "SELECT vec_id AS code, m, sv AS cw FROM pq_subs_tmp "
+            "WHERE vec_id < 16"
+        ),
+        spark,
+    )
+    cb.createOrReplaceTempView(PQ_CB_VIEW)
+    encd = truncate_lineage(
+        spark.sql(
+            f"""
+SELECT vec_id, m, code FROM (
+    SELECT s.vec_id, s.m, c.code,
+           ROW_NUMBER() OVER (
+               PARTITION BY s.vec_id, s.m
+               ORDER BY {_PQ_L2_SPARK.format(a='s.sv', b='c.cw')}, c.code
+           ) AS rn
+    FROM pq_subs_tmp s JOIN {PQ_CB_VIEW} c ON s.m = c.m
+) WHERE rn = 1"""
+        ),
+        spark,
+    )
+    encd.createOrReplaceTempView(PQ_ENCD_VIEW)
+    qsub = truncate_lineage(
+        spark.sql("SELECT m, sv FROM pq_subs_tmp WHERE vec_id = 0"),
+        spark,
+    )
+    qsub.createOrReplaceTempView(PQ_QSUB_VIEW)
+    release_lineage(subs)
+    _PQ_IDX_MEMO[key] = (cb, encd, qsub)
+    record_build("pq_index", sf_dir, t0)
+
+
+# terms -> adc over the materialized index views: byte-identical
+# expressions to the inline `_pq_core` tail (only the sources differ).
+_PQ_VIEWS_TERMS = f"""
+terms AS (
+    SELECT e.vec_id, e.m, {_PQ_L2_SPARK.format(a='q.sv', b='c.cw')} AS term
+    FROM {PQ_ENCD_VIEW} e
+    JOIN {PQ_CB_VIEW} c ON e.m = c.m AND e.code = c.code
+    JOIN {PQ_QSUB_VIEW} q ON e.m = q.m
+),
+adc AS (
+    SELECT vec_id, aggregate(array_sort(collect_list(struct(m, term))), \
+CAST(0.0 AS DOUBLE), (acc, x) -> acc + x.term) AS adc_dist
+    FROM terms GROUP BY vec_id
+)"""
+
+
+def _pq_adc_topk_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 over the materialized PQ index (fixture block
+    comment above); scoring + top-k only per call."""
+    cached_pq_index(spark, sf_dir)
+    return spark.sql("WITH " + _PQ_VIEWS_TERMS + "\n" + _PQ_TOPK_TAIL)
+
+
+_pq_adc_topk_fn.__name__ = "pq_adc_topk"
+query(
+    "pq_adc_topk",
+    oracle=f"WITH {_PQ_DUCK_CORE}\n{_PQ_TOPK_TAIL}",
+    tags=("similarity", "embedding", "pq", "ann"),
+)(_pq_adc_topk_fn)
 
 
 # PQ quality eval — recall@10 of the ADC ranking vs the exact L2
@@ -835,12 +949,32 @@ _PQ_L2_64_DUCK = (
     "(acc, v) -> acc + v)"
 )
 
-_pair(
-    "pq_recall_at_10",
-    _pq_recall_sql(_PQ_SPARK_CORE, _PQ_L2_64_SPARK, _D_SPARK),
-    _pq_recall_sql(_PQ_DUCK_CORE, _PQ_L2_64_DUCK, _D_DUCK),
-    tags=("similarity", "embedding", "pq", "quality-eval"),
+# Spark side reads the materialized PQ index (fixture block comment
+# above): `corpus` stays an inline projection (exact needs the full
+# vectors), terms/adc come from the index views. The oracle keeps the
+# full inline chain.
+_PQ_RECALL_VIEWS_CORE = (
+    f"""corpus AS (
+    SELECT vec_id, {_D_SPARK.format(e='embedding')} AS vec FROM embeddings
+),"""
+    + _PQ_VIEWS_TERMS
 )
+
+
+def _pq_recall_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ recall@10 eval over the materialized PQ index."""
+    cached_pq_index(spark, sf_dir)
+    return spark.sql(
+        _pq_recall_sql(_PQ_RECALL_VIEWS_CORE, _PQ_L2_64_SPARK, _D_SPARK)
+    )
+
+
+_pq_recall_fn.__name__ = "pq_recall_at_10"
+query(
+    "pq_recall_at_10",
+    oracle=_pq_recall_sql(_PQ_DUCK_CORE, _PQ_L2_64_DUCK, _D_DUCK),
+    tags=("similarity", "embedding", "pq", "quality-eval"),
+)(_pq_recall_fn)
 
 
 # --- SemDeDup (Abbas et al. 2023, arXiv:2303.09540) ------------------------
@@ -1004,6 +1138,76 @@ def _seq_norm_rows(V):
     return V / np.sqrt(acc)[:, None]
 
 
+# Shared SemDeDup corpus state (r14 optimization round, VERDICT r13
+# item 4): the flat and hierarchical twins each re-built the scaled
+# corpus, re-counted it, and re-normalized every vector inside their
+# assignment kernels. The unit-normalized corpus (vec_id, u) — with
+# its exact row count — is the artifact a production SemDeDup pipeline
+# persists once before any clustering, so it is a session fixture.
+# Normalization runs the IDENTICAL _seq_norm_rows kernel (the SQL
+# fold's IEEE operation order), and per-row results are independent of
+# batch grouping, so every downstream dot/argmax/threshold is
+# bit-identical to the inline form the unchanged SQL oracles rederive.
+_SEM_NORMED_MEMO: dict[tuple[str, str], tuple[DataFrame, int]] = {}
+
+
+def cached_sem_normed(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, int]:
+    """Materialize the unit-normalized SemDeDup corpus (vec_id, u) and
+    its count once per (session, sf_dir); returns (frame, n)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from crypto_lakehouse_spark.operators.checkpointing import (
+        release_lineage,
+        truncate_lineage,
+    )
+
+    skey = session_key(spark)
+    key = (skey, sf_dir)
+    if key in _SEM_NORMED_MEMO:
+        return _SEM_NORMED_MEMO[key]
+    for (sid, other), (old, _) in list(_SEM_NORMED_MEMO.items()):
+        if sid == skey:
+            release_lineage(old)
+            del _SEM_NORMED_MEMO[(sid, other)]
+    register_views(spark, sf_dir, ["embeddings"])
+    t0 = build_t0()
+    # NULL embeddings cannot participate in vector kernels; excluded
+    # identically in every consumer's oracle (WHERE embedding IS NOT
+    # NULL) — the SQL-twin analog of NULL propagation.
+    emb = spark.table("embeddings").filter("embedding IS NOT NULL").select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    corpus = emb.unionByName(
+        emb.filter("vec_id % 10 = 0").select(
+            (F.col("vec_id") + 100000).alias("vec_id"),
+            F.expr("transform(v, x -> x * CAST(1.5 AS DOUBLE))").alias("v"),
+        )
+    )
+
+    def _norm(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            U = _seq_norm_rows(np.stack(pdf["v"].to_numpy()))
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(), "u": list(U)}
+            )
+
+    normed = truncate_lineage(
+        corpus.mapInPandas(_norm, "vec_id long, u array<double>"), spark
+    )
+    n = normed.count()
+    _SEM_NORMED_MEMO[key] = (normed, n)
+    record_build("sem_normed", sf_dir, t0)
+    return normed, n
+
+
 def _cluster_pairs(key, pdf):
     """Within-cluster pairwise cosine >= 0.99 via accumulated outer
     products (dims ascending — the SQL fold's IEEE operation order);
@@ -1065,21 +1269,10 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
     from pyspark.sql import functions as F
 
-    register_views(spark, sf_dir, ["embeddings"])
-    # NULL embeddings cannot participate in vector kernels; excluded
-    # identically in the oracle (WHERE embedding IS NOT NULL) — the
-    # SQL-twin analog of NULL propagation.
-    emb = spark.table("embeddings").filter("embedding IS NOT NULL").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    corpus = emb.unionByName(
-        emb.filter("vec_id % 10 = 0").select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
-            F.expr("transform(v, x -> x * CAST(1.5 AS DOUBLE))").alias("v"),
-        )
-    )
-    n = corpus.count()
+    # r14: corpus construction + count + normalization live in the
+    # shared `cached_sem_normed` fixture (block comment there); this
+    # query's per-call plan is assignment + pairwise + census only.
+    normed, n = cached_sem_normed(spark, sf_dir)
     k = max(16, math.ceil(math.sqrt(n)))
     # Copies live at +100000, so centroid seeds (corpus vec_id < k)
     # come from the base relation — same rows the oracle's
@@ -1093,8 +1286,11 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id offset; use semdedup_hierarchical at this corpus size"
         )
     _assert_centroid_budget(k, 64)  # driver contract, module comment
+    # Seeds come pre-normalized from the fixture (per-row results are
+    # batch-independent, so fixture u == _seq_norm_rows of the raw
+    # seed rows bit-for-bit).
     cent_rows = sorted(
-        emb.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
+        normed.filter(F.col("vec_id") < k).collect(), key=lambda r: r.vec_id
     )
     if not cent_rows:
         # No seedable centroid (empty relation, or no vec_id < k): the
@@ -1105,14 +1301,14 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id long, n_members long, n_dup_pairs long, "
             "n_dropped long, drop_id_checksum long",
         )
-    C = _seq_norm_rows(np.array([r.v for r in cent_rows], dtype=np.float64))
+    C = np.array([r.u for r in cent_rows], dtype=np.float64)
     cids = np.array([r.vec_id for r in cent_rows], dtype=np.int64)
 
     def _assign(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            U = _seq_norm_rows(np.stack(pdf["v"].to_numpy()))
+            U = np.stack(pdf["u"].to_numpy())
             D = np.empty((len(U), len(cids)))
             for j in range(C.shape[0]):
                 acc = np.zeros(len(U))
@@ -1142,7 +1338,7 @@ def semdedup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cached views miss the CacheManager in Spark 4.1 anyway — see
     # dedup_ops._SHINGLE_MEMO).
     assigned = truncate_lineage(
-        corpus.mapInPandas(
+        normed.mapInPandas(
             _assign, "vec_id long, cid long, u array<double>"
         ),
         spark,
@@ -1292,21 +1488,9 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     from pyspark.sql.window import Window
 
-    register_views(spark, sf_dir, ["embeddings"])
-    # NULL embeddings cannot participate in vector kernels; excluded
-    # identically in the oracle (WHERE embedding IS NOT NULL) — the
-    # SQL-twin analog of NULL propagation.
-    emb = spark.table("embeddings").filter("embedding IS NOT NULL").select(
-        "vec_id",
-        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
-    )
-    corpus = emb.unionByName(
-        emb.filter("vec_id % 10 = 0").select(
-            (F.col("vec_id") + 100000).alias("vec_id"),
-            F.expr("transform(v, x -> x * CAST(1.5 AS DOUBLE))").alias("v"),
-        )
-    )
-    n = corpus.count()
+    # r14: corpus construction + count + normalization live in the
+    # shared `cached_sem_normed` fixture (block comment there).
+    normed, n = cached_sem_normed(spark, sf_dir)
     k = max(16, math.ceil(math.sqrt(n)))
     k1 = max(4, math.ceil(math.sqrt(k)))
     k2 = max(4, k // k1)
@@ -1320,7 +1504,7 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
     _assert_centroid_budget(k1 + k, 64)  # coarse + fine seeds both
     # land on the driver (f_rows below); module comment has the bound
     c_rows = sorted(
-        emb.filter(F.col("vec_id") < k1).collect(), key=lambda r: r.vec_id
+        normed.filter(F.col("vec_id") < k1).collect(), key=lambda r: r.vec_id
     )
     if not c_rows:
         # Same empty-seed degradation contract as semdedup_clustered.
@@ -1329,14 +1513,14 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cluster_id long, n_members long, n_dup_pairs long, "
             "n_dropped long, drop_id_checksum long",
         )
-    C1 = _seq_norm_rows(np.array([r.v for r in c_rows], dtype=np.float64))
+    C1 = np.array([r.u for r in c_rows], dtype=np.float64)
     c1ids = np.array([r.vec_id for r in c_rows], dtype=np.int64)
 
     def _assign_coarse(batches):
         for pdf in batches:
             if not len(pdf):
                 continue
-            U = _seq_norm_rows(np.stack(pdf["v"].to_numpy()))
+            U = np.stack(pdf["u"].to_numpy())
             D = np.empty((len(U), len(c1ids)))
             for j in range(C1.shape[0]):
                 acc = np.zeros(len(U))
@@ -1354,7 +1538,7 @@ def semdedup_hierarchical(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    assigned1 = corpus.mapInPandas(
+    assigned1 = normed.mapInPandas(
         _assign_coarse, "vec_id long, ccid long, u array<double>"
     ).persist()
     # Fine seeds: per coarse cell, the k2 lowest-vec_id members (the

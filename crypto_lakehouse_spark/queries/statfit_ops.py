@@ -475,6 +475,12 @@ def cached_type_weekday_cells(spark: SparkSession, sf_dir: str) -> str:
                 release_lineage(old)
                 del _CELLS_MEMO[(sid, other)]
         register_views(spark, sf_dir, ["events"])
+        from crypto_lakehouse_spark.queries.fixture_meter import (
+            build_t0,
+            record_build,
+        )
+
+        t0 = build_t0()
         df = truncate_lineage(
             spark.sql(
                 """
@@ -489,6 +495,7 @@ GROUP BY event_type,
         )
         df.createOrReplaceTempView(_CELLS_VIEW)
         _CELLS_MEMO[key] = df
+        record_build("type_weekday_cells", sf_dir, t0)
     return _CELLS_VIEW
 
 

@@ -58,9 +58,16 @@ def _daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sid == skey:
                 release_lineage(old)
                 del _DAILY_CANDLES_MEMO[(sid, other)]
+        from crypto_lakehouse_spark.queries.fixture_meter import (
+            build_t0,
+            record_build,
+        )
+
+        t0 = build_t0()
         _DAILY_CANDLES_MEMO[key] = truncate_lineage(
             _candles(spark, sf_dir, "day"), spark
         )
+        record_build("daily_candles", sf_dir, t0)
     return _DAILY_CANDLES_MEMO[key]
 
 

@@ -329,15 +329,24 @@ _pair(
 # nothing. At 100 TB this is the difference between "cost tracks
 # postings touched" being a comment and being the plan.
 
-_BM25_PANEL = (
-    "'query', 'table', 'scan', 'stream', 'window', 'batch', "
-    "'merge', 'join', 'hash'"
+# ONE term list feeds both SQL fragments (ADVICE r13): a (qid, term)
+# added here lands in the Spark-side tf/df panel automatically —
+# previously the panel duplicated the terms and a drift would
+# silently drop that term's postings on the Spark side only.
+_BM25_QUERY_TERMS: tuple[tuple[int, str], ...] = (
+    (1, "query"), (1, "table"), (1, "scan"),
+    (2, "stream"), (2, "window"), (2, "batch"),
+    (3, "merge"), (3, "join"), (3, "hash"),
+)
+
+_BM25_PANEL = ", ".join(
+    f"'{t}'" for t in dict.fromkeys(t for _, t in _BM25_QUERY_TERMS)
 )
 
 _BM25_QUERIES = (
-    "SELECT * FROM (VALUES (1, 'query'), (1, 'table'), (1, 'scan'), "
-    "(2, 'stream'), (2, 'window'), (2, 'batch'), "
-    "(3, 'merge'), (3, 'join'), (3, 'hash')) AS q(qid, term)"
+    "SELECT * FROM (VALUES "
+    + ", ".join(f"({q}, '{t}')" for q, t in _BM25_QUERY_TERMS)
+    + ") AS q(qid, term)"
 )
 
 # Spark-dialect corpus-statistics CTEs, panel-restricted (tf/df) and

@@ -517,6 +517,12 @@ def _contamination_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
                 release_lineage(oc)
                 release_lineage(ob)
                 del _FZ_SIG_MEMO[(sid, _)]
+        from crypto_lakehouse_spark.queries.fixture_meter import (
+            build_t0,
+            record_build,
+        )
+
+        t0 = build_t0()
         csig = truncate_lineage(
             spark.sql(
                 f"SELECT doc_id, {_FZ_MINS} FROM {SHINGLE_VIEW} "
@@ -532,6 +538,7 @@ def _contamination_minhash_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark,
         )
         _FZ_SIG_MEMO[key] = (csig, bsig)
+        record_build("contamination_fz_sigs", sf_dir, t0)
     csig, bsig = _FZ_SIG_MEMO[key]
     csig.createOrReplaceTempView("fz_csig")
     bsig.createOrReplaceTempView("fz_bsig")
