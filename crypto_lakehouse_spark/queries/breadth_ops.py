@@ -344,9 +344,40 @@ GROUP BY o_orderkey
 ORDER BY o_orderkey
 """
 
+# r14 optimization round (guide §1.1 first-principles: the cheapest
+# execution computes the schedule analytically). The halving recursion
+# has an exact closed form over non-negative integer cents c:
+#   - the schedule emits months 0..K with K = floor(log2 c) + 1
+#     (= length(bin(c)), the bit length — no float log), since
+#     floor(c / 2^m) first hits 0 at m = bitlen(c);
+#   - sum of all halvings is the classic identity
+#     sum_{m>=0} floor(c / 2^m) = 2c - popcount(c);
+#   - c <= 0 degenerates to the single month-0 row (the recursion
+#     guard `remaining > 0` fails immediately).
+# The `month < 64` bound can never bind: a positive BIGINT has bit
+# length <= 63. Spark therefore computes the whole result in ONE
+# narrow projection over the filtered orders scan — the ~27
+# UnionLoop driver iterations (one micro-plan job each) disappear.
+# The DuckDB oracle KEEPS the recursive CTE, so the green hash is the
+# machine proof of the closed form; the recursive-CTE execution path
+# itself remains exercised by the wordpiece/unigram walk operators.
 _pair(
     "recursive_amortization",
-    _RECURSIVE_AMORT.replace("%%DIV%%", "DIV"),
+    """
+SELECT o_orderkey,
+       CAST(CASE WHEN c <= 0 THEN 0 ELSE length(bin(c)) END AS INT)
+           AS months_to_zero,
+       CAST(CASE WHEN c <= 0 THEN 1 ELSE length(bin(c)) + 1 END AS BIGINT)
+           AS n_statements,
+       CAST(CASE WHEN c <= 0 THEN c ELSE 2 * c - bit_count(c) END AS BIGINT)
+           AS cents_carried
+FROM (
+    SELECT o_orderkey,
+           CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS c
+    FROM orders WHERE o_orderkey % 997 = 0
+)
+ORDER BY o_orderkey
+""",
     _RECURSIVE_AMORT.replace("%%DIV%%", "//"),
     tables=["orders"],
     tags=("relational", "recursive-cte", "iterative"),

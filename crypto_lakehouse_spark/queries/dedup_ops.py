@@ -520,14 +520,42 @@ GROUP BY doc_id
 ORDER BY doc_id
 """
 
+# r14 optimization round (guide §2.3 "shuffle fewer bytes"): the
+# paired-dialect form cross-joined every DISTINCT (doc, token) row
+# with the 16 bit positions BEFORE the shuffle — a 16x row blowup
+# carrying the token string, and md5(t) re-evaluated per (token, bit)
+# row (16x the hashing). The Spark side now hashes each token ONCE,
+# folds all 16 bit-majority sums in a single per-doc aggregate
+# (conditional SUMs over the hex digits), and assembles the fingerprint
+# with a plain concat: the sorted collect_list('<2-digit bk>:<bit>')
+# of 16 distinct zero-padded keys IS the in-order concatenation, so
+# the output string is byte-identical. One exchange of (doc, 32-char
+# hash) + one per-doc agg replace the 16x-exploded double shuffle.
+# The DuckDB oracle keeps the cross-join form — the hash proves it.
+_SIMHASH_HI = "('8','9','a','b','c','d','e','f')"
+
+_SIMHASH_SPARK_1PASS = (
+    "SELECT doc_id,\n       concat("
+    + ",\n              ".join(
+        f"'{b:02d}:', CASE WHEN SUM(CASE WHEN substr(h, {b + 1}, 1) "
+        f"IN {_SIMHASH_HI} THEN 1 ELSE -1 END) >= 0 "
+        "THEN '1' ELSE '0' END"
+        for b in range(16)
+    )
+    + """) AS simhash
+FROM (
+    SELECT doc_id, md5(t) AS h
+    FROM (SELECT DISTINCT doc_id, explode(ws) AS t
+          FROM (SELECT doc_id, split(text, ' ') AS ws FROM documents))
+)
+GROUP BY doc_id
+ORDER BY doc_id
+"""
+)
+
 _pair(
     "simhash_fingerprints",
-    _SIMHASH.format(
-        agg="array_join(array_sort(collect_list(bk || ':' || bit)), '')",
-        tok="explode(ws)",
-        split="split",
-        bits="SELECT explode(sequence(0, 15)) AS b",
-    ),
+    _SIMHASH_SPARK_1PASS,
     _SIMHASH.format(
         agg="string_agg(bk || ':' || bit, '' ORDER BY bk || ':' || bit)",
         tok="unnest(ws)",

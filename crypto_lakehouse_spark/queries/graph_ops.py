@@ -875,92 +875,82 @@ _KCORE_ROUNDS = 6
 def _kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bounded 3-core peeling shrink curve (block comment above).
 
-    r14 optimization round (guide §2.4 / VERDICT r13 item 5): degrees
-    ride ON the edge relation as window counts instead of living in a
-    separate grouped relation the peel must semi-join against twice.
-    Each round is `filter(da >= k AND db >= k)` — NO join — followed
-    by two window re-counts (the same two shuffle keys the old
-    degree groupBy + semi-joins paid, minus the joins and minus the
-    separate degree pass). A node's window count over the current
-    edge set IS its degree, so the kept edge set is identical to the
-    oracle's `e JOIN keep ON a JOIN keep ON b`. Per-round frames are
-    lazily persisted (not eagerly checkpointed): the round's single
-    stats read materializes the cache, so the loop runs ONE Spark job
-    per round instead of three (two lineage-truncation jobs + the
-    stats read). Stats come from the same cached frame: n_edges =
-    COUNT(*), n_nodes = COUNT(DISTINCT a) + COUNT(DISTINCT b) — the
-    endpoint namespaces are disjoint by construction ('S…' vs 'C…'),
-    so the sum equals the oracle's distinct-union count. The loop
-    still early-exits at the FIXPOINT (an unchanged round makes all
-    later rounds bit-identical; their stats rows are emitted as
-    literals)."""
-    import math
-
+    Per round the degree relation is materialized ONCE and feeds both
+    the round's stats row and the peel decision (the first cut
+    recomputed it per consumer — measured 6.7 s at sf0.1, halved by
+    the reuse). The loop also early-exits at the FIXPOINT: when a
+    round removes nothing, every later round is bit-identical, so the
+    remaining stats rows are emitted as literals — same values the
+    loop would compute, without recomputing unchanged frames (the
+    per-round stats row is a single-row driver read, the one collect
+    shape the house allows)."""
     from pyspark.sql import functions as F
-    from pyspark.sql.window import Window
 
     edges = spark.table(_cached_edges(spark, sf_dir)).select(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
 
-    def _aug(e: DataFrame) -> DataFrame:
-        # Degree-annotated edges: da/db are the endpoints' degrees in
-        # the CURRENT edge set (edges are DISTINCT by construction, so
-        # a per-endpoint window count is exactly the degree).
-        return e.withColumn(
-            "da", F.count(F.lit(1)).over(Window.partitionBy("a"))
-        ).withColumn("db", F.count(F.lit(1)).over(Window.partitionBy("b")))
+    def _deg(e: DataFrame) -> DataFrame:
+        return (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
 
-    def _stats_vals(aug: DataFrame) -> tuple[int, int, int]:
-        # One single-row driver read per round (the loop needs the
-        # values for the fixpoint check anyway): edge count + distinct
-        # endpoints per side. Reading it also materializes the
-        # round's persisted frame — the round's only job.
-        row = aug.agg(
-            F.count(F.lit(1)).alias("m"),
-            F.countDistinct("a").alias("na"),
-            F.countDistinct("b").alias("nb"),
+    def _stats_vals(deg: DataFrame) -> tuple[int, int]:
+        # Same expressions as the previous DataFrame-building form
+        # ((sum/2) cast bigint), collected directly: the per-round
+        # stats are two scalars the loop must read for the fixpoint
+        # check ANYWAY, so materializing each row as a checkpointed
+        # 1-row frame and unioning them at the end only added one
+        # lineage-truncation job per round plus a 7-way union plan
+        # (r13 optimization round). The <= 7-row literal result frame
+        # below is the bounded-summary shape the house allows.
+        row = deg.agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            (F.coalesce(F.sum("d"), F.lit(0)) / 2).cast("bigint").alias(
+                "n_edges"
+            ),
         ).first()
-        return (int(row["m"]), int(row["na"]), int(row["nb"]))
+        return (int(row["n_nodes"]), int(row["n_edges"]))
 
     rows: list[tuple[int, int, int]] = []
-    prev = _aug(edges).persist()
-    m, na, nb = _stats_vals(prev)
-    last = (na + nb, m)
+    prev, prev_deg = edges, truncate_lineage(_deg(edges), spark)
+    last = _stats_vals(prev_deg)
     rows.append((0, *last))
-    # Data-derived threshold: ceil(0.8 * mean degree). sum(d) over the
-    # node-degree relation is exactly 2m (every edge contributes one
-    # to each endpoint), and n_nodes = na + nb — the same double
-    # division/multiplication/ceil sequence as the old aggregate form,
-    # evaluated on the driver from the exact integer scalars.
-    n_nodes0 = na + nb
-    k_val = (
-        0 if n_nodes0 == 0
-        else int(math.ceil(0.8 * (float(2 * m) / float(n_nodes0))))
-    )
-    pinned = [prev]
+    # Data-derived threshold (block comment above): one single-row
+    # driver read of two integer aggregates.
+    krow = prev_deg.agg(
+        F.ceil(
+            0.8 * (F.sum("d").cast("double") / F.count(F.lit(1)))
+        ).alias("k")
+    ).first()
+    k_val = int(krow["k"]) if krow["k"] is not None else 0
     for rnd in range(1, _KCORE_ROUNDS + 1):
-        nxt = _aug(
-            prev.where(
-                (F.col("da") >= k_val) & (F.col("db") >= k_val)
-            ).select("a", "b")
-        ).persist()
-        m, na, nb = _stats_vals(nxt)
-        cur = (na + nb, m)
+        keep = prev_deg.where(F.col("d") >= k_val).select("v")
+        nxt = truncate_lineage(
+            prev.join(keep.withColumnRenamed("v", "a"), "a", "leftsemi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "leftsemi")
+            .select("a", "b"),
+            spark,
+        )
+        nxt_deg = truncate_lineage(_deg(nxt), spark)
+        cur = _stats_vals(nxt_deg)
         rows.append((rnd, *cur))
-        pinned.append(nxt)
-        prev = nxt
+        if prev is not edges:  # never free the shared fixture
+            release_lineage(prev)
+        release_lineage(prev_deg)
+        prev, prev_deg = nxt, nxt_deg
         if cur == last:
             # Fixpoint: rounds rnd+1..R are identical — emit literals.
             for r2 in range(rnd + 1, _KCORE_ROUNDS + 1):
                 rows.append((r2, *cur))
             break
         last = cur
-    # Frames are released only after the loop: each round's cache is
-    # the lineage parent of the next round's (an eagerly unpersisted
-    # parent would force a from-scratch recompute on any cache miss).
-    for f in pinned:
-        f.unpersist()
+    if prev is not edges:
+        release_lineage(prev)
+    release_lineage(prev_deg)
     return spark.createDataFrame(
         rows, "peel_round int, n_nodes bigint, n_edges bigint"
     ).orderBy("peel_round")

@@ -194,7 +194,7 @@ ORDER BY product_id
 def silver_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A4: stats aggregation with conditional count
     (reference bronze_to_silver.py:191-209)."""
-    s = silver_trades(raw_trades(spark, sf_dir))
+    s = cached_silver(spark, sf_dir)
     return (
         s.groupBy("product_id")
         .agg(
@@ -224,7 +224,7 @@ def _candles(spark: SparkSession, sf_dir: str, bucket: str) -> DataFrame:
     (mathematically identical to the reference's
     `sum(vwap*volume)/sum(volume)`, ohlcv_1h.sql:62).
     """
-    s = silver_trades(raw_trades(spark, sf_dir))
+    s = cached_silver(spark, sf_dir)
     stg = s.select(
         "product_id",
         "trade_id",
@@ -348,7 +348,7 @@ def ohlcv_1m_fused(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join (~5x fewer exchanges; tests/test_plans.py asserts it).
     Declared against the SAME reference-shaped oracle, so the
     differential check proves plan equivalence."""
-    s = silver_trades(raw_trades(spark, sf_dir))
+    s = cached_silver(spark, sf_dir)
     ordk = F.struct("trade_time", "trade_id")
     c = (
         s.select(

@@ -128,10 +128,12 @@ def ohlcv_1h_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     single double division as the SQL paths. The demo of where
     grouped-map belongs — per-group logic Spark aggregates can't
     express — while proving it agrees when they can."""
-    from crypto_lakehouse_spark.operators.trades import raw_trades, silver_trades
-    from crypto_lakehouse_spark.queries.reference_ops import _finish_candles
+    from crypto_lakehouse_spark.queries.reference_ops import (
+        _finish_candles,
+        cached_silver,
+    )
 
-    s = silver_trades(raw_trades(spark, sf_dir))
+    s = cached_silver(spark, sf_dir)
     stg = s.select(
         "product_id",
         "trade_id",

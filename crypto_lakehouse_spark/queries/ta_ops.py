@@ -62,7 +62,13 @@ def _daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             build_t0,
             record_build,
         )
+        from crypto_lakehouse_spark.queries.reference_ops import (
+            cached_silver,
+        )
 
+        # Build the silver dependency BEFORE taking t0 so its cost is
+        # charged to fixture:silver, not double-counted here.
+        cached_silver(spark, sf_dir)
         t0 = build_t0()
         _DAILY_CANDLES_MEMO[key] = truncate_lineage(
             _candles(spark, sf_dir, "day"), spark
@@ -585,9 +591,9 @@ def order_flow_imbalance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly buy-sell volume imbalance per product (block comment
     above)."""
     from crypto_lakehouse_spark.functions import fmt_ts
-    from crypto_lakehouse_spark.operators.trades import raw_trades, silver_trades
+    from crypto_lakehouse_spark.queries.reference_ops import cached_silver
 
-    s = silver_trades(raw_trades(spark, sf_dir))
+    s = cached_silver(spark, sf_dir)
     g = s.groupBy(
         "product_id", F.date_trunc("hour", "trade_time").alias("hour")
     ).agg(
@@ -675,9 +681,9 @@ ORDER BY product_id
 def price_impact_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kyle's-lambda price impact: per-product OLS slope of minute
     price changes on signed volume (block comment above)."""
-    from crypto_lakehouse_spark.operators.trades import raw_trades, silver_trades
+    from crypto_lakehouse_spark.queries.reference_ops import cached_silver
 
-    s = silver_trades(raw_trades(spark, sf_dir))
+    s = cached_silver(spark, sf_dir)
     fw = (
         Window.partitionBy("product_id", F.date_trunc("minute", "trade_time"))
         .orderBy("trade_time", "trade_id")

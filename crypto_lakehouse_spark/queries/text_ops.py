@@ -731,21 +731,42 @@ lex AS (
 
 
 def _rrf_tail(emb_explode_seed: str, emb_explode_all: str,
-              emb_v: str) -> str:
-    return f"""svec AS (
-    SELECT l.qid, t_e.i, CAST({emb_v} AS DOUBLE) AS v
-    FROM lex l
-    JOIN embeddings e ON e.vec_id = l.doc_id
-    {emb_explode_seed}
-    WHERE l.rank_lex <= 3
+              emb_v: str, dense_arrays: bool = False) -> str:
+    if dense_arrays:
+        # r14 optimization round (guide §2.3 "aggregate before you
+        # shuffle" taken to its limit: no shuffle at all): the Spark
+        # side folds the three scaled-integer sums as JVM array
+        # expressions per (doc, qid) instead of posexploding the
+        # corpus 64x and re-grouping. Per-element values are the
+        # IDENTICAL `CAST(ROUND(x * y * 1e12) AS BIGINT)` integers
+        # and BIGINT addition is order-free, so the sums are exact-
+        # equal to the explode+SUM form the oracle keeps. The 64-wide
+        # centroid rides along as one array per qid (<= 3 rows, cross
+        # join = broadcast); embedding IS NOT NULL mirrors the rows
+        # posexplode drops.
+        dense_cte = """cent_arr AS (
+    SELECT qid,
+           transform(array_sort(collect_list(struct(i, cv))), s -> s.cv)
+               AS cv
+    FROM centroid GROUP BY qid
 ),
-centroid AS (
-    SELECT qid, i,
-           CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(27, 9))) AS DOUBLE)
-             / COUNT(*) AS cv
-    FROM svec GROUP BY qid, i
-),
-allvec AS (
+dots AS (
+    SELECT c.qid, e.vec_id AS doc_id,
+           aggregate(zip_with(e.ev, c.cv,
+                     (x, y) -> CAST(ROUND(x * y * 1000000000000) AS BIGINT)),
+                     CAST(0 AS BIGINT), (acc, t) -> acc + t) AS dot_s,
+           aggregate(transform(e.ev,
+                     x -> CAST(ROUND(x * x * 1000000000000) AS BIGINT)),
+                     CAST(0 AS BIGINT), (acc, t) -> acc + t) AS nv_s,
+           aggregate(transform(c.cv,
+                     y -> CAST(ROUND(y * y * 1000000000000) AS BIGINT)),
+                     CAST(0 AS BIGINT), (acc, t) -> acc + t) AS nc_s
+    FROM (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS ev
+          FROM embeddings WHERE embedding IS NOT NULL) e
+    CROSS JOIN cent_arr c
+),"""
+    else:
+        dense_cte = f"""allvec AS (
     SELECT e.vec_id AS doc_id, t_e.i, CAST({emb_v} AS DOUBLE) AS v
     FROM embeddings e
     {emb_explode_all}
@@ -767,7 +788,21 @@ dots AS (
                 AS BIGINT) AS nc_s
     FROM allvec a JOIN centroid c ON c.i = a.i
     GROUP BY c.qid, a.doc_id
+),"""
+    return f"""svec AS (
+    SELECT l.qid, t_e.i, CAST({emb_v} AS DOUBLE) AS v
+    FROM lex l
+    JOIN embeddings e ON e.vec_id = l.doc_id
+    {emb_explode_seed}
+    WHERE l.rank_lex <= 3
 ),
+centroid AS (
+    SELECT qid, i,
+           CAST(SUM(CAST(ROUND(v, 9) AS DECIMAL(27, 9))) AS DOUBLE)
+             / COUNT(*) AS cv
+    FROM svec GROUP BY qid, i
+),
+{dense_cte}
 dense AS (
     SELECT qid, doc_id, rn AS rank_dense FROM (
         SELECT qid, doc_id,
@@ -835,6 +870,7 @@ def _rrf_fn(spark: SparkSession, sf_dir: str) -> DataFrame:
             "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
             "LATERAL VIEW posexplode(e.embedding) t_e AS i, ev",
             "ev",
+            dense_arrays=True,
         )
     )
 
