@@ -360,6 +360,15 @@ query(
 # 30-char windows at stride 10; a span is duplicated if its hash occurs
 # in >= 2 distinct documents.
 
+# r14 optimization round (guide §2.4 duplicated subtrees): `spans` was
+# referenced twice (the shared-hash aggregate + the per-doc join side),
+# and Spark inlines CTEs, so the document explode + distinct ran TWICE
+# (before-plan: 2 documents scans). The Spark side now computes the
+# per-hash document count as ONE window over the single spans pass —
+# a span is duplicated iff its hash's window count >= 2, exactly the
+# HAVING COUNT(*) >= 2 + LEFT JOIN match the oracle keeps (spans is
+# distinct per (doc, h), so the window count IS the distinct-doc
+# count and each matched span contributes exactly one to COUNT(s.h)).
 _SPAN_SPARK = """
 WITH spans AS (
     SELECT DISTINCT doc_id, md5(substr(text, start, 30)) AS h
@@ -369,13 +378,15 @@ WITH spans AS (
         FROM documents WHERE length(text) >= 30
     )
 ),
-shared AS (SELECT h FROM spans GROUP BY h HAVING COUNT(*) >= 2),
+byh AS (
+    SELECT doc_id, COUNT(*) OVER (PARTITION BY h) AS cnt FROM spans
+),
 per_doc AS (
-    SELECT d.doc_id,
+    SELECT doc_id,
            COUNT(*) AS n_spans,
-           COUNT(s.h) AS dup_spans
-    FROM spans d LEFT JOIN shared s ON d.h = s.h
-    GROUP BY d.doc_id
+           COUNT(CASE WHEN cnt >= 2 THEN 1 END) AS dup_spans
+    FROM byh
+    GROUP BY doc_id
 )
 SELECT doc_id,
        CAST(n_spans AS BIGINT) AS n_spans,

@@ -387,9 +387,18 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         loc = tempfile.mkdtemp(prefix="bucketed_")
         atexit.register(shutil.rmtree, loc, ignore_errors=True)
         spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+        # repartition(8, key) BEFORE the bucketed write (r14, guide
+        # §6 "aim for few large output files"): without it every scan
+        # task writes its own copy of each bucket file (measured 256
+        # files for lineitem at sf0.1); co-partitioned input yields
+        # exactly 8 files, a faster write (2.1 -> 1.3 s) and faster
+        # bucketed reads. Bucket-file assignment stays the writer's
+        # per-row hash either way — correctness does not depend on the
+        # repartition matching it.
         (
             load_table(spark, sf_dir, "orders")
             .select("o_orderkey", "o_orderstatus", "o_totalprice")
+            .repartition(8, "o_orderkey")
             .write.mode("overwrite")
             .bucketBy(8, "o_orderkey")
             .sortBy("o_orderkey")
@@ -398,6 +407,7 @@ def _bucketed_tables(spark: SparkSession, sf_dir: str) -> str:
         (
             load_table(spark, sf_dir, "lineitem")
             .select("l_orderkey", "l_quantity", "l_extendedprice")
+            .repartition(8, "l_orderkey")
             .write.mode("overwrite")
             .bucketBy(8, "l_orderkey")
             .sortBy("l_orderkey")

@@ -50,7 +50,18 @@ _DAILY_CANDLES_MEMO: dict[tuple[str, str], DataFrame] = {}
 def _daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialized gold daily-candle fixture for `sf_dir` (memo
     comment above); rows identical to `_candles(spark, sf_dir,
-    "day")`, which the DuckDB oracles recompute inline."""
+    "day")`, which the DuckDB oracles recompute inline.
+
+    r14 optimization round: the fixture BUILD uses the fused
+    single-aggregation candle plan (`min_by`/`max_by` on the
+    (trade_time, trade_id) struct — the exact rewrite ohlcv_1m_fused
+    proves against the reference-shaped oracle at minute granularity):
+    one shuffle instead of window + DISTINCT + self-join. Same column
+    order and types as `_candles`; every consumer's DuckDB oracle
+    still derives daily candles from the reference W4+J1 shape, so the
+    hashes prove the fused build row-identical. The reference-shaped
+    plan remains the declared operator in ohlcv_1m/ohlcv_1h/
+    daily_metrics — this is only the shared fixture's build."""
     skey = session_key(spark)
     key = (skey, sf_dir)
     if key not in _DAILY_CANDLES_MEMO:
@@ -58,6 +69,8 @@ def _daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
             if sid == skey:
                 release_lineage(old)
                 del _DAILY_CANDLES_MEMO[(sid, other)]
+        from pyspark.sql import functions as F
+
         from crypto_lakehouse_spark.queries.fixture_meter import (
             build_t0,
             record_build,
@@ -68,11 +81,31 @@ def _daily_candles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         # Build the silver dependency BEFORE taking t0 so its cost is
         # charged to fixture:silver, not double-counted here.
-        cached_silver(spark, sf_dir)
+        s = cached_silver(spark, sf_dir)
         t0 = build_t0()
-        _DAILY_CANDLES_MEMO[key] = truncate_lineage(
-            _candles(spark, sf_dir, "day"), spark
+        ordk = F.struct("trade_time", "trade_id")
+        fused = (
+            s.select(
+                "product_id",
+                "trade_id",
+                "trade_time",
+                "price",
+                "size",
+                (F.col("price") * F.col("size")).alias("trade_value"),
+                F.date_trunc("day", "trade_time").alias("bucket"),
+            )
+            .groupBy("product_id", "bucket")
+            .agg(
+                F.max("price").alias("high"),
+                F.min("price").alias("low"),
+                F.sum("size").alias("volume"),
+                F.count("*").alias("trade_count"),
+                F.sum("trade_value").alias("pv"),
+                F.min_by("price", ordk).alias("open"),
+                F.max_by("price", ordk).alias("close"),
+            )
         )
+        _DAILY_CANDLES_MEMO[key] = truncate_lineage(fused, spark)
         record_build("daily_candles", sf_dir, t0)
     return _DAILY_CANDLES_MEMO[key]
 
